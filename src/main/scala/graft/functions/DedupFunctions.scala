@@ -1,0 +1,159 @@
+package graft.functions
+
+import graft.operators.Condense
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Designed for 100 TB scale: everything is expressed as column transforms
+  * plus key-partitioned shuffles (band/bucket joins); no driver-side state,
+  * no cross joins. The candidate-pair generation always goes through an
+  * equi-join on a banded hash so Catalyst plans a shuffle hash / sort-merge
+  * join on a high-cardinality key instead of a cartesian product.
+  */
+object DedupFunctions {
+
+  private val MersennePrime: Long = (1L << 61) - 1
+
+  /** Exact dedup: keep one row per key set (first by tiebreak ordering). */
+  def dedupExact(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame =
+    Condense.groupAndRank(df, keys.map(col), tiebreak).drop("lhe_rank")
+
+  /** Word k-shingles of a token array column (concatenated with spaces). */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** MinHash signature (array of `numHashes` longs) over a shingle array.
+    * Universal hashing ((a*h + b) mod p) over murmur3 shingle hashes with
+    * deterministic per-index coefficients — reproducible across runs. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val hashes = transform(shinglesCol, s => abs(hash(s).cast("long")))
+    val sigs = (0 until numHashes).map { i =>
+      val a = 2L * i + 1
+      val b = 104729L * (i + 1)
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MersennePrime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys for a minhash signature: `numBands` hashes, one per
+    * contiguous band of `sig.length / numBands` values. */
+  def lshBands(sig: Column, numHashes: Int, numBands: Int): Column = {
+    val rows = numHashes / numBands
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows))).as("bucket"))
+    }: _*)
+  }
+
+  /** MinHash-LSH candidate pairs with exact Jaccard verification.
+    *
+    * Plan shape at scale: narrow map (shingle+sign) -> explode bands ->
+    * shuffle on (band, bucket) -> self-equi-join inside buckets ->
+    * Jaccard verify on the (small) candidate set. No cartesian products.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val toks = TextFunctions.whitespaceTokens(col(textCol))
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(toks, shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig
+      .select(col("id"), col("sh"),
+        explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash of a token array, computed shuffle-free as a single
+    * projection: per-bit signed votes over xxhash64(token) folded with
+    * `aggregate`, then reassembled into an int bitmap. */
+  def simhash32(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 32).map { i =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+
+  /** Hamming distance between two simhash bitmaps. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxDistance,
+    * banded on byte blocks (pigeonhole: distance<=3 over 4 blocks means
+    * at least one block matches exactly) to avoid the cross join. */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"),
+      simhash32(TextFunctions.whitespaceTokens(col(textCol))).as("sim"))
+    val blocks = 4
+    val banded = withSim.select(col("id"), col("sim"),
+      explode(array((0 until blocks).map { i =>
+        struct(lit(i).as("block"),
+          shiftright(col("sim"), i * 8).bitwiseAND(lit(0xffL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.block").as("block"), col("bk.key").as("key"))
+    val a = banded.select(col("block"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("block"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("block", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .where(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 n-gram.
+    * Inverted-index join (explode n-grams, equi-join on the n-gram) — the
+    * standard scalable formulation; hot n-grams can be frequency-capped
+    * upstream if skewed. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      shingles(TextFunctions.whitespaceTokens(col(textCol)), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val exploded = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("g"))
+    val a = exploded.select(col("g"), col("id").as("id_a"), col("n_grams").as("n_a"))
+    val b = exploded.select(col("g"), col("id").as("id_b"), col("n_grams").as("n_b"))
+    a.join(b, Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

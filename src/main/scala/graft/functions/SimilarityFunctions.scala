@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators over `array<float>` columns.
+  *
+  * Two tiers:
+  *   - brute-force cosine top-k (broadcast the query set; exact), and
+  *   - LSH-bucketed ANN (random-hyperplane signatures; candidate equi-join
+  *     on bucket key — the 100 TB path: shuffle on bucket, never cartesian).
+  *
+  * All math is plain Column expressions (`zip_with`/`aggregate` fold to
+  * codegen'd loops) in double precision.
+  */
+object SimilarityFunctions {
+
+  /** Dot product of two array<numeric> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an array<numeric> column, in double. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity between two array<numeric> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k neighbors for each query vector.
+    *
+    * The query side is broadcast (it is small by construction); the corpus
+    * streams through map-side — no shuffle of the corpus. Top-k per query
+    * uses a rank window on the (queries x corpus) result, which is
+    * |queries| * |corpus| rows map-side but only k rows per query survive.
+    *
+    * @return (query_id, neighbor_id, score) with rank <= k per query
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cvec"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
+  /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes. The "random" hyperplane
+    * component for (bit i, dim j) is a hash-derived value in [-1, 1] —
+    * fully reproducible with no driver-side RNG state.
+    */
+  def lshSignature(vec: Column, dim: Int, numBits: Int): Column = {
+    val bits = (0 until numBits).map { i =>
+      val proj = (0 until dim).map { j =>
+        val w = ((scala.util.hashing.MurmurHash3.productHash((i, j)) % 1000) / 1000.0)
+        element_at(vec, j + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one band of
+    * the hyperplane signature; exact cosine re-rank inside candidates.
+    * Trades recall for removing the |corpus| x |queries| blow-up — at scale
+    * both sides shuffle on (band, key) only.
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numBits: Int = 16, numBands: Int = 4): DataFrame = {
+    val rows = numBits / numBands
+    def banded(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) =
+      df.select(col(id).as(idOut), col(vec).as(vecOut),
+        lshSignature(col(vec), dim, numBits).as("sig"))
+        .select(col(idOut), col(vecOut),
+          explode(array((0 until numBands).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * rows)
+                .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+          }: _*)).as("bk"))
+        .select(col(idOut), col(vecOut), col("bk.band").as("band"), col("bk.key").as("key"))
+    val c = banded(corpus, corpusId, corpusVec, "neighbor_id", "cvec")
+    val q = banded(queries, queryId, queryVec, "query_id", "qvec")
+    val cands = c.join(q, Seq("band", "key"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
+  /** All corpus pairs with cosine similarity >= threshold via LSH buckets
+    * (embedding near-duplicate detection). */
+  def embeddingNearDuplicates(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      numBits: Int = 16, numBands: Int = 8): DataFrame = {
+    val rows = numBits / numBands
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), dim, numBits).as("sig"))
+      .select(col("id"), col("vec"),
+        explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * rows)
+              .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("score"))
+      .where(col("score") >= threshold)
+  }
+}

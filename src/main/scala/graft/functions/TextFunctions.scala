@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All operators are pure Column expressions (whole-stage-codegen friendly,
+  * no UDFs) so they scale linearly with partitions: per-row work only, no
+  * shuffles, no driver collects. Capability superset of the reference's
+  * text handling (the reference exposes the Spark scalar surface through
+  * expression transformers — `lakehouse_engine/transformers/column_reshapers.py:180-204`).
+  */
+object TextFunctions {
+
+  /** Small English stopword list used for quality scoring / lang-ID. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it",
+      "for", "on", "as", "with", "was", "at", "by", "this", "be", "are")
+
+  /** Language marker regexes: language -> word-boundary alternation.
+    * Kept RE2-compatible (the DuckDB oracle mirrors these patterns). */
+  val LanguageMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it|for|was)\\b",
+    "de" -> "\\b(der|die|das|und|nicht|ist|ich|ein|mit|sich)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|que|pour|dans|pas)\\b",
+    "es" -> "\\b(el|los|las|que|y|es|una|por|para|con)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]"
+  )
+
+  /** Non-empty whitespace tokens (single-space tokenizer, mirrors the
+    * oracle's `string_split(text, ' ')`). */
+  def whitespaceTokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(whitespaceTokens(c))
+
+  /** BPE-ish token count: runs of alphanumerics plus single punctuation
+    * marks, the usual pre-tokenization shape of byte-pair encoders. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Ratio of digit characters to total characters. */
+  def digitRatio(c: Column): Column =
+    when(length(c) > 0,
+      length(regexp_replace(c, "[^0-9]", "")).cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = whitespaceTokens(c)
+    when(size(toks) > 0,
+      size(filter(toks, t => lower(t).isInCollection(EnglishStopwords))).cast("double")
+        / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(c: Column): Column = {
+    val toks = whitespaceTokens(c)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic language ID: count marker-word hits per language, pick the
+    * argmax (first language in [[LanguageMarkers]] order wins ties; "und"
+    * when no marker fires at all). */
+  def languageId(c: Column): Column = {
+    val scores = LanguageMarkers.map { case (lang, re) =>
+      lang -> size(regexp_extract_all(c, lit(re), lit(0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Content fingerprint: md5 of case-folded, whitespace-normalized text.
+    * Stable under reflow/case changes — the cheap exact-near-dup key. */
+  def fingerprint(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+}

@@ -1,0 +1,758 @@
+package graft.queries
+
+import graft.functions.{DedupFunctions, SimilarityFunctions, TextFunctions}
+import graft.operators.{Condense, MergeOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One driver-checkable query: a Spark implementation plus (usually) an
+  * equivalent DuckDB oracle SQL over the same parquet tables. */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The operator-coverage catalog behind [[graft.SparkEntry]].
+  *
+  * Each entry exercises one operator family from SURVEY.md §2 (or a
+  * parity-plus LLM-pipeline operator) on the driver test tables, with a
+  * DuckDB oracle for hash-verified correctness. Conventions that keep the
+  * hash compare honest:
+  *   - every computed column is aliased identically on both sides;
+  *   - integer-ish derived values are BIGINT on both sides;
+  *   - floating aggregates are rounded on both sides;
+  *   - every query ends with a deterministic total ORDER BY.
+  */
+object QueryCatalog {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts arrives as parquet TIMESTAMP(NANOS) which Spark surfaces as
+    * a nanosecond long (nanosAsLong) and DuckDB as TIMESTAMP_NS. */
+  private val tsNsToMicros = "timestamp_micros(ts div 1000)"
+
+  // ---------------------------------------------------------------------
+  // Relational core (reference §2.3–2.6 transformer/join/agg surface)
+  // ---------------------------------------------------------------------
+
+  private val q01 = QueryDef(
+    "q01_pricing_agg",
+    (s, dir) => T(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2002-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q02 = QueryDef(
+    "q02_filter_project",
+    (s, dir) => T(s, dir, "lineitem")
+      .where(col("l_discount") >= 0.05 && col("l_quantity") < 25)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1 - l_discount) AS revenue,
+             year(l_shipdate) AS ship_year
+      FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 25
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  private val q03 = QueryDef(
+    "q03_topk_revenue",
+    (s, dir) => {
+      val cust = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val orders = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  private val q04 = QueryDef(
+    "q04_broadcast_join",
+    (s, dir) => T(s, dir, "lineitem")
+      .join(broadcast(T(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy(col("p_brand")),
+    Some("""
+      SELECT p_brand, count(*) AS n_lines,
+             round(sum(l_extendedprice), 2) AS total_price,
+             round(avg(l_quantity), 4) AS avg_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  private val q05 = QueryDef(
+    "q05_multi_join",
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val ord = T(s, dir, "orders")
+      val cust = T(s, dir, "customer")
+      val supp = T(s, dir, "supplier")
+      val nat = T(s, dir, "nation")
+      val reg = T(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  private val q06 = QueryDef(
+    "q06_selective_filter",
+    (s, dir) => T(s, dir, "lineitem")
+      .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  private val q07 = QueryDef(
+    "q07_window_rank",
+    (s, dir) => Condense.groupAndRank(
+        T(s, dir, "orders"),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").as("totalprice"),
+        col("lhe_rank").cast("long").as("lhe_rank"))
+      .orderBy(col("o_custkey")),
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             o_totalprice AS totalprice, lhe_rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS lhe_rank
+            FROM orders)
+      WHERE lhe_rank = 1 ORDER BY o_custkey"""))
+
+  private val q08 = QueryDef(
+    "q08_condense_cdc",
+    (s, dir) => Condense.condenseRecordModeCdc(
+        T(s, dir, "events"),
+        businessKey = Seq("user_id"),
+        rankingDesc = Seq("ts", "event_id"),
+        recordModeCol = Some("event_type"),
+        validRecordModes = Seq("click", "purchase", "signup", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type IN ('click','purchase','signup','view')
+      ORDER BY user_id"""))
+
+  private val q09 = QueryDef(
+    "q09_union_distinct",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.where(col("o_totalprice") > 200000)
+        .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      val b = o.where(col("o_orderdate") >= lit("2003-01-01"))
+        .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      a.unionByName(b).distinct().orderBy(col("status"), col("priority"))
+    },
+    Some("""
+      SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority
+      FROM (SELECT * FROM orders WHERE o_totalprice > 200000
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2003-01-01')
+      ORDER BY status, priority"""))
+
+  private val q10 = QueryDef(
+    "q10_anti_join",
+    (s, dir) => T(s, dir, "customer")
+      .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  private val q11 = QueryDef(
+    "q11_semi_join",
+    (s, dir) => T(s, dir, "customer")
+      .join(T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  private val q12 = QueryDef(
+    "q12_except",
+    (s, dir) => {
+      val all = T(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val urgent = T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")).distinct()
+      all.except(urgent).orderBy(col("custkey"))
+    },
+    Some("""
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      EXCEPT
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY custkey"""))
+
+  private val q13 = QueryDef(
+    "q13_max_value",
+    (s, dir) => T(s, dir, "orders").agg(max(col("o_orderdate")).as("latest")),
+    Some("SELECT max(o_orderdate) AS latest FROM orders"))
+
+  private val q14 = QueryDef(
+    "q14_incremental_filter",
+    (s, dir) => {
+      // Mirrors the reference's incremental_filter: derive the increment
+      // from another DataFrame's single-row max (1-row driver collect),
+      // then push it down as a literal filter.
+      val ord = T(s, dir, "orders")
+      val maxDate = ord.agg(max(col("o_orderdate"))).collect()(0)
+        .getAs[java.time.LocalDateTime](0)
+      ord.where(col("o_orderdate") > lit(maxDate.minusDays(90)))
+        .agg(count(lit(1)).as("n_recent"),
+          round(sum(col("o_totalprice")), 2).as("recent_value"))
+    },
+    Some("""
+      SELECT count(*) AS n_recent, round(sum(o_totalprice), 2) AS recent_value
+      FROM orders
+      WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)"""))
+
+  private val q15 = QueryDef(
+    "q15_date_hierarchy",
+    (s, dir) => T(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("order_day"))
+      .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             year(o_orderdate) AS order_year,
+             quarter(o_orderdate) AS order_quarter,
+             month(o_orderdate) AS order_month,
+             day(o_orderdate) AS order_day
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val q16 = QueryDef(
+    "q16_date_convert",
+    (s, dir) => T(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month_str"))
+      .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             strftime(o_orderdate, '%Y-%m') AS order_month_str
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val q17 = QueryDef(
+    "q17_regex_extract",
+    (s, dir) => T(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS cust_num
+      FROM customer ORDER BY c_custkey"""))
+
+  private val q18 = QueryDef(
+    "q18_hash_mask",
+    (s, dir) => T(s, dir, "customer").select(
+        col("c_custkey"),
+        sha2(col("c_name"), 256).as("name_sha256"),
+        md5(col("c_name")).as("name_md5"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, sha256(c_name) AS name_sha256, md5(c_name) AS name_md5
+      FROM customer ORDER BY c_custkey"""))
+
+  private val q19 = QueryDef(
+    "q19_null_handling",
+    (s, dir) => T(s, dir, "customer")
+      .withColumn("bal_or_null",
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .na.fill(Map("bal_or_null" -> 0.0))
+      .select(col("c_custkey"), col("bal_or_null").as("bal_filled"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey,
+             coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+               AS bal_filled
+      FROM customer ORDER BY c_custkey"""))
+
+  private val q20 = QueryDef(
+    "q20_cast_literals",
+    (s, dir) => T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty_int"),
+        lit("graft").as("engine_name"),
+        lit(1L).as("spec_version"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int,
+             'graft' AS engine_name, CAST(1 AS BIGINT) AS spec_version
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val q21 = QueryDef(
+    "q21_explode_tokens",
+    (s, dir) => T(s, dir, "documents")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(TextFunctions.whitespaceTokens(col("text"))).as("token"))
+      .orderBy(col("doc_id"), col("token")),
+    Some("""
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+      FROM documents WHERE doc_id < 100
+      ORDER BY doc_id, token"""))
+
+  private val q22 = QueryDef(
+    "q22_json_extract",
+    (s, dir) => T(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events ORDER BY event_id"""))
+
+  private val q23 = QueryDef(
+    "q23_to_json",
+    (s, dir) => T(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"))).as("payload"))
+      .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             to_json(struct_pack(o_orderkey := o_orderkey, o_orderstatus := o_orderstatus))
+               AS payload
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val q24 = QueryDef(
+    "q24_flatten_struct",
+    (s, dir) => {
+      // Build a nested struct, then flatten it with the engine's
+      // schema-flattening transformer (SURVEY §2.3 flatten_schema).
+      val nested = T(s, dir, "orders").select(
+        struct(col("o_orderkey").as("a"),
+          struct(col("o_orderstatus").as("c")).as("b")).as("s"))
+      graft.transform.SchemaTools.flatten(nested)
+        .orderBy(col("s_a"))
+    },
+    Some("""
+      SELECT o_orderkey AS s_a, o_orderstatus AS s_b_c
+      FROM orders ORDER BY s_a"""))
+
+  private val q25 = QueryDef(
+    "q25_window_cadence",
+    (s, dir) => {
+      val monthly = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      val w = Window.partitionBy(col("status")).orderBy(col("month"))
+      monthly.select(col("status"), col("month"), col("revenue"),
+          round(lag(col("revenue"), 1).over(w), 2).as("prev_revenue"),
+          round(sum(col("revenue")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_revenue"))
+        .orderBy(col("status"), col("month"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT o_orderstatus AS status,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2)
+      SELECT status, month, revenue,
+             round(lag(revenue, 1) OVER (PARTITION BY status ORDER BY month), 2)
+               AS prev_revenue,
+             round(sum(revenue) OVER (PARTITION BY status ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+      FROM monthly ORDER BY status, month"""))
+
+  private val q26 = QueryDef(
+    "q26_reconciliation",
+    (s, dir) => {
+      val truth = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(sum(col("o_totalprice")).as("truth_value"))
+      val current = T(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(100)) =!= 0)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(sum(col("o_totalprice")).as("current_value"))
+      graft.algo.Reconciliator.diff(truth, current, Seq("status"),
+          Seq("truth_value" -> "current_value"))
+        .select(col("status"),
+          round(col("truth_value"), 2).as("truth_value"),
+          round(col("current_value"), 2).as("current_value"),
+          round(col("absolute_diff"), 2).as("absolute_diff"),
+          round(col("percentage_diff"), 6).as("percentage_diff"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH truth AS (
+        SELECT o_orderstatus AS status, sum(o_totalprice) AS truth_value
+        FROM orders GROUP BY 1),
+      current AS (
+        SELECT o_orderstatus AS status, sum(o_totalprice) AS current_value
+        FROM orders WHERE o_orderkey % 100 <> 0 GROUP BY 1)
+      SELECT coalesce(t.status, c.status) AS status,
+             round(t.truth_value, 2) AS truth_value,
+             round(c.current_value, 2) AS current_value,
+             round(abs(coalesce(t.truth_value, 0) - coalesce(c.current_value, 0)), 2)
+               AS absolute_diff,
+             round(CASE WHEN coalesce(t.truth_value, 0) = 0 THEN NULL
+                   ELSE abs(coalesce(t.truth_value, 0) - coalesce(c.current_value, 0))
+                        / abs(coalesce(t.truth_value, 0)) END, 6) AS percentage_diff
+      FROM truth t FULL JOIN current c ON t.status = c.status
+      ORDER BY status"""))
+
+  private val q27 = QueryDef(
+    "q27_merge_upsert",
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val target = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val source = orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      MergeOps.merge(target, source, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                        o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+                 FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+             coalesce(s.o_totalprice, t.o_totalprice) AS totalprice
+      FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey
+      ORDER BY o_orderkey"""))
+
+  private val q28 = QueryDef(
+    "q28_merge_clauses",
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val target = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val source = orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      // Matched + source status F -> delete; matched otherwise -> update
+      // only o_totalprice; not matched -> insert only status O rows.
+      MergeOps.merge(target, source, Seq("o_orderkey"),
+          updateSet = Map("o_totalprice" -> col("s.o_totalprice")),
+          deleteCondition = Some(col("s.o_orderstatus") === "F"),
+          insertCondition = Some(col("s.o_orderstatus") === "O"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      source AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2.0 AS o_totalprice
+                 FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT o_orderkey, o_orderstatus, totalprice FROM (
+        SELECT t.o_orderkey AS o_orderkey, t.o_orderstatus AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                    ELSE t.o_totalprice END AS totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'F'
+                    THEN 1 ELSE 0 END AS deleted
+        FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, 0
+        FROM source s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
+        WHERE t.o_orderkey IS NULL AND s.o_orderstatus = 'O')
+      WHERE deleted = 0 ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------------
+  // LLM-pipeline parity-plus operators (dedup / text / similarity)
+  // ---------------------------------------------------------------------
+
+  private val q30 = QueryDef(
+    "q30_dedup_exact",
+    (s, dir) => T(s, dir, "documents")
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("keeper_id")),
+    Some("""
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             min(doc_id) AS keeper_id, count(*) AS dup_count
+      FROM documents GROUP BY 1 ORDER BY keeper_id"""))
+
+  private val q31 = QueryDef(
+    "q31_dedup_minhash",
+    (s, dir) => DedupFunctions.minhashNearDuplicates(
+        T(s, dir, "documents"), "doc_id", "text", threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b")),
+    None) // minhash banding is not expressible in ANSI SQL; rows-only check
+
+  private val q32 = QueryDef(
+    "q32_dedup_simhash",
+    (s, dir) => DedupFunctions.simhashNearDuplicates(
+        T(s, dir, "documents"), "doc_id", "text", maxDistance = 8)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b")),
+    None) // xxhash64 has no DuckDB equivalent; rows-only check
+
+  private val q33 = QueryDef(
+    "q33_ngram_jaccard",
+    (s, dir) => DedupFunctions.ngramJaccardPairs(
+        T(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
+        n = 2, threshold = 0.05)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents WHERE doc_id < 300),
+      grams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [array_to_string(tk, ' ')] END) AS gs
+        FROM toks),
+      sized AS (SELECT doc_id, gs, len(gs) AS n_grams FROM grams),
+      exploded AS (SELECT doc_id, n_grams, unnest(gs) AS g FROM sized)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) / CAST(a.n_grams + b.n_grams - count(*) AS DOUBLE) AS jaccard
+      FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_grams, b.n_grams
+      HAVING count(*) / CAST(a.n_grams + b.n_grams - count(*) AS DOUBLE) >= 0.05
+      ORDER BY id_a, id_b"""))
+
+  private val stopwordListSql =
+    TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val q34 = QueryDef(
+    "q34_text_quality",
+    (s, dir) => T(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+        TextFunctions.digitRatio(col("text")).as("digit_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents)
+      SELECT doc_id, len(text) AS n_chars,
+             len(tk) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+             CASE WHEN len(tk) > 0 THEN
+               list_sum(list_transform(tk, t -> len(t))) / CAST(len(tk) AS DOUBLE)
+               ELSE 0.0 END AS avg_token_len,
+             CASE WHEN len(text) > 0 THEN
+               len(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(len(text) AS DOUBLE)
+               ELSE 0.0 END AS digit_ratio,
+             CASE WHEN len(tk) > 0 THEN
+               len(list_filter(tk, t -> list_contains($stopwordListSql, lower(t))))
+                 / CAST(len(tk) AS DOUBLE)
+               ELSE 0.0 END AS stopword_ratio
+      FROM toks ORDER BY doc_id"""))
+
+  private val langCaseSql: String = {
+    val scores = TextFunctions.LanguageMarkers.map { case (lang, re) =>
+      lang -> s"len(regexp_extract_all(text, '$re'))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN $s > 0 AND $s = $best THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val q35 = QueryDef(
+    "q35_lang_id",
+    (s, dir) => T(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.languageId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang, $langCaseSql AS lang_pred
+      FROM documents ORDER BY doc_id"""))
+
+  private val q36 = QueryDef(
+    "q36_fingerprint",
+    (s, dir) => T(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  private val cosineSql =
+    """list_sum(list_transform(list_zip(qvec, cvec),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  private val q38 = QueryDef(
+    "q38_cosine_topk",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      SimilarityFunctions.bruteForceTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id, $cosineSql AS score
+        FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                 AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, round(score, 6) AS score, rnk
+      FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  private val q39 = QueryDef(
+    "q39_ann_lsh",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      SimilarityFunctions.lshTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          dim = 64, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None) // approximate: recall depends on LSH banding; rows-only check
+
+  private val q40 = QueryDef(
+    "q40_embedding_neardup",
+    (s, dir) => SimilarityFunctions.embeddingNearDuplicates(
+        T(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
+      .orderBy(col("id_a"), col("id_b")),
+    None) // approximate candidate set; rows-only check
+
+  private val q41 = QueryDef(
+    "q41_event_hourly",
+    (s, dir) => T(s, dir, "events")
+      .groupBy((col("ts") / lit(3600000000000L)).cast("long").as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type")),
+    Some("""
+      SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""))
+
+  private val q42 = QueryDef(
+    "q42_quantiles",
+    (s, dir) => T(s, dir, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99")),
+    Some("""
+      SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+             round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      FROM lineitem"""))
+
+  private val q43 = QueryDef(
+    "q43_stats_summary",
+    (s, dir) => T(s, dir, "orders").agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price")),
+    Some("""
+      SELECT count(*) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price,
+             round(avg(o_totalprice), 2) AS avg_price
+      FROM orders"""))
+
+  private val q45 = QueryDef(
+    "q45_multimodal_meta",
+    (s, dir) => graft.operators.Multimodal
+      .withBinaryMetadata(T(s, dir, "documents"), col("text"), "content")
+      .select(col("doc_id"), col("content_n_bytes"), col("content_md5"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS content_n_bytes,
+             md5(text) AS content_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** All catalog queries in declaration order. */
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28,
+    q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
+    q41, q42, q43, q45)
+}
