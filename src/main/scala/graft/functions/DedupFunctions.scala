@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.operators.Condense
+import graft.util.PlanBarrier
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -30,15 +31,20 @@ object DedupFunctions {
 
   /** MinHash signature (array of `numHashes` longs) over a shingle array.
     * Universal hashing ((a*h + b) mod p) over murmur3 shingle hashes with
-    * deterministic per-index coefficients — reproducible across runs. */
+    * deterministic per-index coefficients — reproducible across runs.
+    *
+    * Computed as ONE `aggregate` pass over the shingle hashes that updates
+    * all minima via `zip_with` against a literal coefficient array: the
+    * expression tree stays small (codegen-friendly) and each shingle is
+    * hashed exactly once, instead of `numHashes` duplicated traversals. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val coeffs = typedLit((0 until numHashes).map(i => (2L * i + 1, 104729L * (i + 1))))
     val hashes = transform(shinglesCol, s => abs(hash(s).cast("long")))
-    val sigs = (0 until numHashes).map { i =>
-      val a = 2L * i + 1
-      val b = 104729L * (i + 1)
-      array_min(transform(hashes, h => pmod(h * a + b, lit(MersennePrime))))
-    }
-    array(sigs: _*)
+    aggregate(
+      hashes,
+      typedLit(Seq.fill(numHashes)(MersennePrime)),
+      (acc, h) => zip_with(acc, coeffs,
+        (m, c) => least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(MersennePrime)))))
   }
 
   /** LSH band keys for a minhash signature: `numBands` hashes, one per
@@ -65,12 +71,13 @@ object DedupFunctions {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 32,
-      numBands: Int = 8,
+      numBands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val toks = TextFunctions.whitespaceTokens(col(textCol))
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(toks, shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withSig = PlanBarrier.fence(df
+      .select(col(idCol).as("id"),
+        TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("id"), shingles(col("toks"), shingleSize).as("sh"))
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig")))
     val banded = withSig
       .select(col("id"), col("sh"),
         explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
@@ -89,16 +96,21 @@ object DedupFunctions {
   }
 
   /** 32-bit SimHash of a token array, computed shuffle-free as a single
-    * projection: per-bit signed votes over xxhash64(token) folded with
-    * `aggregate`, then reassembled into an int bitmap. */
+    * projection: ONE `aggregate` pass over xxhash64(token) updates all 32
+    * signed bit-votes via `zip_with` against a literal bitmask array, then
+    * a final fold reassembles the sign bits into a long bitmap. Single
+    * traversal, small expression tree (codegen-friendly). */
   def simhash32(tokens: Column): Column = {
+    val masks = typedLit((0 until 32).map(i => 1L << i))
     val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 32).map { i =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _).cast("long")
+    val votes = aggregate(
+      hashes,
+      typedLit(Seq.fill(32)(0L)),
+      (acc, h) => zip_with(acc, masks,
+        (v, m) => v + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
   /** Hamming distance between two simhash bitmaps. */
@@ -113,8 +125,10 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       maxDistance: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"),
-      simhash32(TextFunctions.whitespaceTokens(col(textCol))).as("sim"))
+    val withSim = PlanBarrier.fence(df
+      .select(col(idCol).as("id"),
+        TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("id"), simhash32(col("toks")).as("sim")))
     val blocks = 4
     val banded = withSim.select(col("id"), col("sim"),
       explode(array((0 until blocks).map { i =>
@@ -142,9 +156,11 @@ object DedupFunctions {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-      shingles(TextFunctions.whitespaceTokens(col(textCol)), n).as("grams"))
-      .withColumn("n_grams", size(col("grams")))
+    val grams = PlanBarrier.fence(df
+      .select(col(idCol).as("id"),
+        TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("id"), shingles(col("toks"), n).as("grams"))
+      .select(col("id"), col("grams"), size(col("grams")).as("n_grams")))
     val exploded = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("g"))
     val a = exploded.select(col("g"), col("id").as("id_a"), col("n_grams").as("n_a"))
     val b = exploded.select(col("g"), col("id").as("id_b"), col("n_grams").as("n_b"))

@@ -58,14 +58,20 @@ object SimilarityFunctions {
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes. The "random" hyperplane
     * component for (bit i, dim j) is a hash-derived value in [-1, 1] —
-    * fully reproducible with no driver-side RNG state.
+    * fully reproducible with no driver-side RNG state. Each hyperplane is
+    * a literal array folded with `zip_with`+`aggregate`, keeping the
+    * expression tree small enough for whole-stage codegen (a per-element
+    * expansion would blow past janino's limits and fall back to
+    * interpreted eval).
     */
   def lshSignature(vec: Column, dim: Int, numBits: Int): Column = {
     val bits = (0 until numBits).map { i =>
-      val proj = (0 until dim).map { j =>
-        val w = ((scala.util.hashing.MurmurHash3.productHash((i, j)) % 1000) / 1000.0)
-        element_at(vec, j + 1).cast("double") * lit(w)
-      }.reduce(_ + _)
+      val plane: Seq[Double] = (0 until dim).map { j =>
+        (scala.util.hashing.MurmurHash3.productHash((i, j)) % 1000) / 1000.0
+      }
+      val proj = aggregate(
+        zip_with(vec, typedLit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -109,7 +115,7 @@ object SimilarityFunctions {
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
-      numBits: Int = 16, numBands: Int = 8): DataFrame = {
+      numBits: Int = 32, numBands: Int = 4): DataFrame = {
     val rows = numBits / numBands
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), dim, numBits).as("sig"))

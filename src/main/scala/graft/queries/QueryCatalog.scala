@@ -549,7 +549,7 @@ object QueryCatalog {
   private val q32 = QueryDef(
     "q32_dedup_simhash",
     (s, dir) => DedupFunctions.simhashNearDuplicates(
-        T(s, dir, "documents"), "doc_id", "text", maxDistance = 8)
+        T(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b")),
     None) // xxhash64 has no DuckDB equivalent; rows-only check
