@@ -1,0 +1,188 @@
+package graft.algo
+
+import graft.dq.DQEngine
+import graft.io.{Readers, Writers}
+import graft.spec._
+import graft.transform.{TransformContext, Transformers}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** The main pipeline algorithm: read -> transform -> DQ -> write ->
+  * terminate over a declarative [[Acon]].
+  *
+  * Capability parity with `lakehouse_engine/algorithms/data_loader.py`:
+  *   - inputs resolved lazily through the reader factory, keyed by spec_id
+  *   - ordered transformer chains via `df.transform` folding
+  *   - the STREAMING PLANNER (`data_loader.py:265-330, 472-526`): any
+  *     transformer that cannot run on a streaming DataFrame — and every
+  *     DQ spec attached to a streaming pipeline — is moved into the
+  *     output's per-micro-batch (foreachBatch) plan, preserving order;
+  *     `force_streaming` opts out
+  *   - DQ specs run between transform and write for batch inputs
+  *   - terminators run after all writes
+  */
+final class DataLoader(
+    spark: SparkSession,
+    acon: Acon,
+    providedDfs: Map[String, DataFrame] = Map.empty,
+    customFns: Map[String, DataFrame => DataFrame] = Map.empty) {
+
+  /** spec_id -> materialized (lazy) DataFrame for every stage output. */
+  private val data = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private def ctx = TransformContext(spark, id => data(id), customFns)
+
+  /** Per-output micro-batch work captured by the streaming planner. */
+  private val microBatchWork =
+    mutable.Map.empty[String, Seq[(TransformerSpec, String)]] // (transformer, fromSpec)
+
+  def read(): this.type = {
+    acon.inputSpecs.foreach { in =>
+      data(in.specId) = Readers.read(spark, in, name => providedDfs(name))
+    }
+    this
+  }
+
+  def transform(): this.type = {
+    acon.transformSpecs.foreach { t =>
+      val input = data(t.inputId)
+      val isStreaming = input.isStreaming
+      val (streamSide, batchSide) =
+        if (!isStreaming || t.forceStreaming) (t.transformers, Seq.empty)
+        else t.transformers.partition(tr => !Transformers.StreamingUnsupported(tr.function))
+      if (batchSide.nonEmpty) {
+        // Reference caveat (`data_loader.py:268-286`): unsupported
+        // transformers jump to the END of the chain, into the output's
+        // foreachBatch plan, in their original relative order.
+        microBatchWork(t.specId) = batchSide.map(_ -> t.specId)
+      }
+      val out = streamSide.foldLeft(input) { (df, tr) =>
+        df.transform(Transformers.resolve(tr.function, tr.args, ctx))
+      }
+      data(t.specId) = out
+    }
+    this
+  }
+
+  def processDq(): this.type = {
+    acon.dqSpecs.foreach { dq =>
+      val df = data(dq.inputId)
+      if (!df.isStreaming) {
+        val result = DQEngine.run(spark, df, dq)
+        dq.resultSink.foreach { sink =>
+          Writers.writeBatch(spark, sink, DQEngine.resultSinkDf(spark, result, dq.specId))
+        }
+        if (dq.tagSourceData)
+          data(dq.inputId) = DQEngine.tagSource(df, dq, result)
+      }
+      // streaming DQ runs inside foreachBatch (see write())
+    }
+    this
+  }
+
+  def write(): this.type = {
+    acon.outputSpecs.foreach { out =>
+      val df = data(out.inputId)
+      val plan = buildMicroBatchPlan(out)
+      Writers.write(spark, out, df, plan) match {
+        case Some(q) => q.awaitTermination()
+        case None => ()
+      }
+      data(out.specId) = df
+    }
+    this
+  }
+
+  /** Assemble the foreachBatch plan for one output: deferred transformers
+    * (in order) then streaming DQ specs for the output's input chain. */
+  private def buildMicroBatchPlan(out: OutputSpec): Option[Writers.MicroBatchPlan] = {
+    val deferred = microBatchWork.getOrElse(out.inputId, Seq.empty)
+    val streamingDqs = acon.dqSpecs.filter(dq =>
+      dq.inputId == out.inputId && data.get(dq.inputId).exists(_.isStreaming))
+    if (deferred.isEmpty && streamingDqs.isEmpty) None
+    else Some(Writers.MicroBatchPlan { batch =>
+      val transformed = deferred.foldLeft(batch) { case (df, (tr, _)) =>
+        df.transform(Transformers.resolve(tr.function, tr.args, ctx))
+      }
+      streamingDqs.foldLeft(transformed) { (df, dq) =>
+        val result = DQEngine.run(spark, df, dq)
+        dq.resultSink.foreach { sink =>
+          Writers.writeBatch(spark, sink, DQEngine.resultSinkDf(spark, result, dq.specId))
+        }
+        if (dq.tagSourceData) DQEngine.tagSource(df, dq, result) else df
+      }
+    })
+  }
+
+  def terminate(): this.type = {
+    acon.terminateSpecs.foreach(t => Terminators.run(spark, t))
+    this
+  }
+
+  /** Full pipeline; returns every stage's DataFrame keyed by spec_id. */
+  def execute(): Map[String, DataFrame] = {
+    read().transform().processDq().write().terminate()
+    data.toMap
+  }
+}
+
+object DataLoader {
+
+  /** Run a pipeline from an ACON JSON document. */
+  def loadData(
+      spark: SparkSession,
+      aconJson: String,
+      dfs: Map[String, DataFrame] = Map.empty,
+      customFns: Map[String, DataFrame => DataFrame] = Map.empty): Map[String, DataFrame] =
+    new DataLoader(spark, Specs.parseAcon(aconJson), dfs, customFns).execute()
+
+  /** Run a pipeline from a typed [[Acon]]. */
+  def loadData(spark: SparkSession, acon: Acon): Map[String, DataFrame] =
+    new DataLoader(spark, acon).execute()
+}
+
+/** Post-write terminators (reference `terminators/terminator_factory.py`).
+  * Without Delta in this build, optimize/vacuum are compaction-style
+  * rewrites / no-ops; stats and SQL passthrough work as in the reference. */
+object Terminators {
+
+  def run(spark: SparkSession, spec: TerminatorSpec): Unit = spec.function match {
+    case "compute_table_statistics" =>
+      spec.args.get("table").foreach(t =>
+        spark.sql(s"ANALYZE TABLE ${String.valueOf(t)} COMPUTE STATISTICS"))
+    case "execute_sql" =>
+      spec.args.get("sql").foreach(q => spark.sql(String.valueOf(q)))
+    case "optimize_dataset" | "vacuum" =>
+      // Delta OPTIMIZE/VACUUM need Delta; compaction for parquet locations
+      // is available via FileCompaction.compact
+      spec.args.get("location").foreach { loc =>
+        FileCompaction.compact(spark, String.valueOf(loc),
+          spec.args.get("target_partitions").collect { case n: Number => n.intValue() }
+            .getOrElse(0))
+      }
+    case "terminate_spark" => spark.stop()
+    case "notify" => // notification channels (SMTP/Graph) are external I/O;
+      // deliberately a no-op in this offline build
+    case other =>
+      throw new IllegalArgumentException(s"unknown terminator: $other")
+  }
+}
+
+/** Small-file compaction for parquet locations (the OSS stand-in for
+  * Delta OPTIMIZE in this build). */
+object FileCompaction {
+  def compact(spark: SparkSession, location: String, targetPartitions: Int): Unit = {
+    val df = spark.read.parquet(location)
+    val n = if (targetPartitions > 0) targetPartitions
+      else math.max(1, (df.inputFiles.length / 8.0).ceil.toInt)
+    val stage = location.stripSuffix("/") + "__compact"
+    df.repartition(n).write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__old")
+    fs.delete(old, true)
+    fs.rename(new org.apache.hadoop.fs.Path(location), old)
+    fs.rename(new org.apache.hadoop.fs.Path(stage), new org.apache.hadoop.fs.Path(location))
+    fs.delete(old, true)
+  }
+}

@@ -1,0 +1,228 @@
+package graft.dq
+
+import graft.spec.{DQFunctionSpec, DQSpec}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exception raised when a DQ process breaches its failure policy
+  * (reference `DQValidationsFailedException`). */
+final class DQValidationFailedException(msg: String) extends RuntimeException(msg)
+
+/** Result of one expectation over a dataset. */
+final case class ExpectationOutcome(
+    function: String,
+    args: Map[String, Any],
+    success: Boolean,
+    elementCount: Long,
+    unexpectedCount: Long,
+    observedValue: Option[Double] = None)
+
+/** Result of a full DQ run. */
+final case class DQRunResult(
+    runName: String,
+    success: Boolean,
+    outcomes: Seq[ExpectationOutcome])
+
+/** Native data-quality engine.
+  *
+  * Re-implements the reference's Great-Expectations surface
+  * (`lakehouse_engine/dq_processors/dq_factory.py`, custom expectations
+  * under `dq_processors/custom_expectations/`) as plain Spark predicates
+  * and aggregates — no GX dependency:
+  *
+  *   - row-level expectations compile to Column predicates; ALL of them
+  *     are evaluated in ONE aggregate pass over the data (conditional
+  *     sums), so a suite of N expectations costs one scan, not N.
+  *   - table-level (aggregate) expectations run as a single combined
+  *     aggregate where possible, else per-expectation SQL.
+  *   - `mostly` semantics: success when failing fraction <= (1 - mostly).
+  *   - row tagging builds the reference's `dq_validations` struct
+  *     (`core/definitions.py:563-588`) as a pure projection — no join.
+  */
+object DQEngine {
+
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).map(String.valueOf(_)).filter(_ != "null")
+  private def num(m: Map[String, Any], k: String): Option[Double] =
+    m.get(k).collect { case n: Number => n.doubleValue() }
+  private def anySeq(m: Map[String, Any], k: String): Seq[Any] =
+    m.get(k).collect { case s: Seq[_] => s.toSeq }.getOrElse(Seq.empty)
+
+  /** Compile a row-level expectation to its predicate ("row passes"). */
+  def rowPredicate(f: DQFunctionSpec): Option[Column] = {
+    val a = f.args
+    def c = col(str(a, "column").getOrElse(str(a, "column_A").getOrElse("")))
+    f.function match {
+      case "expect_column_values_to_not_be_null" => Some(c.isNotNull)
+      case "expect_column_values_to_be_null" => Some(c.isNull)
+      case "expect_column_values_to_be_between" =>
+        val lo = num(a, "min_value").map(v => c >= v)
+        val hi = num(a, "max_value").map(v => c <= v)
+        Some((lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true)))
+      case "expect_column_values_to_be_in_set" =>
+        Some(c.isin(anySeq(a, "value_set"): _*))
+      case "expect_column_values_to_not_be_in_set" =>
+        Some(!c.isin(anySeq(a, "value_set"): _*))
+      case "expect_column_values_to_match_regex" =>
+        Some(c.rlike(str(a, "regex").get))
+      case "expect_column_values_to_not_match_regex" =>
+        Some(!c.rlike(str(a, "regex").get))
+      case "expect_column_value_lengths_to_be_between" =>
+        val l = length(c)
+        val lo = num(a, "min_value").map(v => l >= v.toInt)
+        val hi = num(a, "max_value").map(v => l <= v.toInt)
+        Some((lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true)))
+      case "expect_column_pair_values_a_to_be_greater_than_b" =>
+        val orEqual = a.get("or_equal").contains(true)
+        val (ca, cb) = (col(str(a, "column_A").get), col(str(a, "column_B").get))
+        Some(if (orEqual) ca >= cb else ca > cb)
+      // ---- the reference's 7 custom expectations (§2.9) ----------------
+      case "expect_column_values_to_be_date_not_older_than" =>
+        val n = num(a, "timeframe").getOrElse(num(a, "days").getOrElse(1.0)).toInt
+        Some(c >= date_sub(current_date(), n))
+      case "expect_column_pair_a_to_be_smaller_or_equal_than_b" =>
+        val margin = num(a, "margin").getOrElse(0.0)
+        Some(col(str(a, "column_A").get) <= col(str(a, "column_B").get) + lit(margin))
+      case "expect_column_pair_date_a_to_be_greater_than_or_equal_to_date_b" =>
+        Some(to_date(col(str(a, "column_A").get)) >= to_date(col(str(a, "column_B").get)))
+      case "expect_column_pair_a_to_be_not_equal_to_b" =>
+        Some(!(col(str(a, "column_A").get) <=> col(str(a, "column_B").get)))
+      case "expect_multicolumn_column_a_must_equal_b_or_c" =>
+        val (ca, cb, cc) = (col(str(a, "column_A").get), col(str(a, "column_B").get),
+          col(str(a, "column_C").get))
+        Some(ca === cb || ca === cc)
+      case "expect_column_values_to_not_be_null_or_empty_string" =>
+        Some(c.isNotNull && trim(c.cast("string")) =!= "")
+      case _ => None
+    }
+  }
+
+  /** Evaluate a table-level expectation (one aggregate action). */
+  def tableExpectation(spark: SparkSession, df: DataFrame, f: DQFunctionSpec): Option[ExpectationOutcome] = {
+    val a = f.args
+    f.function match {
+      case "expect_table_row_count_to_be_between" =>
+        val n = df.count()
+        val ok = num(a, "min_value").forall(n >= _) && num(a, "max_value").forall(n <= _)
+        Some(ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else n, Some(n.toDouble)))
+      case "expect_column_distinct_values_to_be_in_set" =>
+        val c = str(a, "column").get
+        val set = anySeq(a, "value_set").map(String.valueOf(_)).toSet
+        val distinct = df.select(c).distinct().collect().map(r => String.valueOf(r.get(0)))
+        val bad = distinct.filterNot(set)
+        Some(ExpectationOutcome(f.function, a, bad.isEmpty, distinct.length.toLong, bad.length.toLong))
+      case "expect_column_values_to_be_unique" =>
+        val c = str(a, "column").get
+        val dups = df.groupBy(col(c)).count().where(col("count") > 1)
+          .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
+        val n = df.count()
+        Some(ExpectationOutcome(f.function, a, dups == 0, n, dups))
+      case "expect_queried_column_agg_value_to_be" =>
+        // templated SQL aggregate compared to bounds
+        // (reference `expect_queried_column_agg_value_to_be.py`)
+        val template = str(a, "template_dict_query").orElse(str(a, "query")).get
+        df.createOrReplaceTempView("batch")
+        val v = spark.sql(template.replace("{table}", "batch"))
+          .collect()(0).get(0) match {
+          case n: Number => n.doubleValue()
+          case other => sys.error(s"agg query returned non-numeric: $other")
+        }
+        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
+        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1, Some(v)))
+      case _ => None
+    }
+  }
+
+  /** Run a DQ spec: one scan for all row-level expectations + one action
+    * per table-level expectation; apply the failure policy. */
+  def run(spark: SparkSession, df: DataFrame, spec: DQSpec): DQRunResult = {
+    val allFns = spec.dqFunctions ++ spec.criticalFunctions
+    val rowFns = allFns.flatMap(f => rowPredicate(f).map(f -> _))
+    val tableFns = allFns.filter(f => rowPredicate(f).isEmpty)
+
+    val rowOutcomes: Seq[ExpectationOutcome] =
+      if (rowFns.isEmpty) Seq.empty
+      else {
+        val aggs = count(lit(1)).as("__n") +:
+          rowFns.zipWithIndex.map { case ((_, pred), i) =>
+            sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__u$i")
+          }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val n = row.getLong(0)
+        rowFns.zipWithIndex.map { case ((f, _), i) =>
+          val unexpected = row.getLong(i + 1)
+          val mostly = num(f.args, "mostly").getOrElse(1.0)
+          val okFraction = if (n == 0) 1.0 else 1.0 - unexpected.toDouble / n
+          ExpectationOutcome(f.function, f.args, okFraction >= mostly, n, unexpected)
+        }
+      }
+    val tableOutcomes = tableFns.flatMap(f => tableExpectation(spark, df, f))
+    val unknown = tableFns.filterNot(f => tableOutcomes.exists(_.function == f.function))
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown dq functions: ${unknown.map(_.function).mkString(", ")}")
+
+    val outcomes = rowOutcomes ++ tableOutcomes
+    val failed = outcomes.filterNot(_.success)
+    val criticalNames = spec.criticalFunctions.map(_.function).toSet
+    val criticalFailed = failed.filter(o => criticalNames.contains(o.function))
+    val pctFailed =
+      if (outcomes.isEmpty) 0.0 else failed.size.toDouble / outcomes.size
+    val policyBreached =
+      criticalFailed.nonEmpty ||
+        spec.maxPercentageFailure.exists(pctFailed > _) ||
+        (spec.failOnError && failed.nonEmpty && spec.maxPercentageFailure.isEmpty &&
+          criticalNames.isEmpty)
+
+    val result = DQRunResult(s"dq_${spec.specId}", failed.isEmpty, outcomes)
+    if (policyBreached)
+      throw new DQValidationFailedException(
+        s"DQ run ${result.runName} failed: " +
+          failed.map(o => s"${o.function}(${o.unexpectedCount}/${o.elementCount})")
+            .mkString("; "))
+    result
+  }
+
+  /** Tag each source row with the reference's `dq_validations` struct
+    * (`core/definitions.py:563-588`): pure projection, no join — each
+    * row-level expectation contributes a failure detail when its
+    * predicate fails on that row. */
+  def tagSource(df: DataFrame, spec: DQSpec, runResult: DQRunResult): DataFrame = {
+    val rowFns = (spec.dqFunctions ++ spec.criticalFunctions)
+      .flatMap(f => rowPredicate(f).map(f -> _))
+    if (rowFns.isEmpty) return df
+    val details = array(rowFns.map { case (f, pred) =>
+      when(!coalesce(pred, lit(false)),
+        struct(lit(f.function).as("expectation_type"),
+          lit(f.args.map { case (k, v) => s"$k=$v" }.mkString(", ")).as("kwargs")))
+        .otherwise(lit(null))
+    }: _*)
+    val failures = filter(details, x => x.isNotNull)
+    df.withColumn("dq_validations",
+      struct(
+        lit(runResult.runName).as("run_name"),
+        lit(runResult.success).as("run_success"),
+        lit(false).as("raised_exceptions"),
+        (size(failures) === 0).as("run_row_success"),
+        failures.as("dq_failure_details")))
+  }
+
+  /** Build the result-sink DataFrame (one row per expectation outcome with
+    * run metadata + y/m/d partitions, as in `dq_factory.py:422-527`). */
+  def resultSinkDf(spark: SparkSession, result: DQRunResult, specId: String): DataFrame = {
+    import spark.implicits._
+    val now = java.time.Instant.now()
+    val rows = result.outcomes.map { o =>
+      (result.runName, specId, o.function,
+        o.args.map { case (k, v) => s"$k=$v" }.mkString(", "),
+        o.success, o.elementCount, o.unexpectedCount,
+        o.observedValue.getOrElse(Double.NaN), now.toString)
+    }
+    rows.toDF("run_name", "spec_id", "expectation_type", "kwargs",
+        "success", "element_count", "unexpected_count", "observed_value", "run_time")
+      .withColumn("run_time", to_timestamp(col("run_time")))
+      .withColumn("year", year(col("run_time")))
+      .withColumn("month", month(col("run_time")))
+      .withColumn("day", dayofmonth(col("run_time")))
+  }
+}

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
-  private val MersennePrime: Long = (1L << 61) - 1
+  /** 2^31-1: small enough that a*h+b stays within a long (no ANSI
+    * overflow) while large enough that the mod genuinely wraps — a
+    * monotonic "hash" (product below the modulus) would make every
+    * signature position share one argmin shingle, collapsing MinHash to
+    * min-shingle-hash. */
+  private val MinhashPrime: Long = (1L << 31) - 1
 
   /** Exact dedup: keep one row per key set (first by tiebreak ordering). */
   def dedupExact(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame =
@@ -38,13 +43,18 @@ object DedupFunctions {
     * expression tree stays small (codegen-friendly) and each shingle is
     * hashed exactly once, instead of `numHashes` duplicated traversals. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val coeffs = typedLit((0 until numHashes).map(i => (2L * i + 1, 104729L * (i + 1))))
-    val hashes = transform(shinglesCol, s => abs(hash(s).cast("long")))
+    import scala.util.hashing.MurmurHash3
+    val coeffs = typedLit((0 until numHashes).map { i =>
+      val a = (MurmurHash3.stringHash(s"minhash-a-$i").toLong & 0x7fffffffL) % (MinhashPrime - 1) + 1
+      val b = (MurmurHash3.stringHash(s"minhash-b-$i").toLong & 0x7fffffffL) % MinhashPrime
+      (a, b)
+    })
+    val hashes = transform(shinglesCol, s => pmod(hash(s).cast("long"), lit(MinhashPrime)))
     aggregate(
       hashes,
-      typedLit(Seq.fill(numHashes)(MersennePrime)),
+      typedLit(Seq.fill(numHashes)(MinhashPrime)),
       (acc, h) => zip_with(acc, coeffs,
-        (m, c) => least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(MersennePrime)))))
+        (m, c) => least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(MinhashPrime)))))
   }
 
   /** LSH band keys for a minhash signature: `numBands` hashes, one per

@@ -1,0 +1,105 @@
+package graft.io
+
+import graft.spec.InputSpec
+import graft.transform.SchemaTools
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reader factory: input spec -> lazy DataFrame.
+  *
+  * Capability parity with `lakehouse_engine/io/reader_factory.py:22-63`
+  * and the readers under `lakehouse_engine/io/readers/`. Formats:
+  *   - files (csv/json/parquet/avro/orc/text) batch + streaming
+  *   - metastore tables batch + streaming
+  *   - jdbc (options passthrough; predicate-parallel via JdbcExtraction)
+  *   - kafka (format passthrough — needs the kafka connector jar)
+  *   - sql query, programmatic DataFrame pass-through
+  */
+object Readers {
+
+  /** Programmatically provided DataFrames, keyed by `df_name`. */
+  type DfSupplier = String => DataFrame
+
+  def read(
+      spark: SparkSession,
+      spec: InputSpec,
+      dfs: DfSupplier = name => sys.error(s"no DataFrame registered as '$name'")): DataFrame = {
+    val streaming = spec.readType == "streaming"
+    val fmt = spec.dataFormat.getOrElse(
+      if (spec.dbTable.isDefined) "table"
+      else if (spec.query.isDefined) "sql"
+      else if (spec.dfName.isDefined) "dataframe"
+      else sys.error(s"input spec ${spec.specId}: cannot infer data_format"))
+
+    val df = fmt match {
+      case "table" =>
+        val t = spec.dbTable.getOrElse(sys.error("table reader needs db_table"))
+        if (streaming) spark.readStream.options(spec.options).table(t)
+        else spark.read.options(spec.options).table(t)
+      case "sql" => spark.sql(spec.query.getOrElse(sys.error("query reader needs query")))
+      case "dataframe" => dfs(spec.dfName.getOrElse(sys.error("dataframe reader needs df_name")))
+      case "jdbc" =>
+        JdbcExtraction.read(spark, spec.options)
+      case "kafka" =>
+        if (streaming) spark.readStream.format("kafka").options(spec.options).load()
+        else spark.read.format("kafka").options(spec.options).load()
+      case fileFormat =>
+        val loc = spec.location.getOrElse(sys.error(s"file reader needs location"))
+        if (streaming) {
+          val r = spark.readStream.format(fileFormat).options(spec.options)
+          // streaming file sources require a schema
+          val withSchema = spec.schema.map(s => r.schema(SchemaTools.schemaFromAny(s)))
+            .getOrElse(r.schema(spark.read.format(fileFormat).options(spec.options).load(loc).schema))
+          withSchema.load(loc)
+        } else {
+          val r = spark.read.format(fileFormat).options(spec.options)
+          spec.schema.map(s => r.schema(SchemaTools.schemaFromAny(s))).getOrElse(r).load(loc)
+        }
+    }
+
+    val withPath =
+      if (spec.withFilepath)
+        df.selectExpr("*", "_metadata.file_path AS lhe_extraction_filepath")
+      else df
+    spec.tempView.foreach(v => withPath.createOrReplaceTempView(v))
+    withPath
+  }
+}
+
+/** JDBC parallel-extraction helpers.
+  *
+  * Capability parity with
+  * `lakehouse_engine/utils/extraction/jdbc_extraction_utils.py:163-320`:
+  * predicate-list parallelism (one partition per distinct partition-column
+  * value) and automatic upperBound derivation, both computed with
+  * pushed-down JDBC queries before the parallel read.
+  */
+object JdbcExtraction {
+
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    val calcUpper = options.get("calculate_upper_bound").contains("true")
+    val predicatesCol = options.get("generate_predicates_col")
+    val base = options -- Seq("calculate_upper_bound", "generate_predicates_col")
+    (calcUpper, predicatesCol) match {
+      case (_, Some(pcol)) =>
+        // distinct partition values -> one predicate per value (+ IS NULL)
+        val table = base("dbtable")
+        val distinctDf = spark.read.format("jdbc").options(base)
+          .option("dbtable", s"(SELECT DISTINCT $pcol FROM $table) t").load()
+        val values = distinctDf.collect().map(_.get(0)).toSeq
+        val predicates = values.collect { case v if v != null => s"$pcol = '$v'" } :+
+          s"$pcol IS NULL"
+        val props = new java.util.Properties()
+        base.foreach { case (k, v) => props.setProperty(k, v) }
+        spark.read.jdbc(base("url"), table, predicates.toArray, props)
+      case (true, None) =>
+        val pcol = base("partitionColumn")
+        val table = base("dbtable")
+        val maxDf = spark.read.format("jdbc").options(base)
+          .option("dbtable", s"(SELECT MAX($pcol) AS mx FROM $table) t").load()
+        val upper = String.valueOf(maxDf.collect()(0).get(0))
+        spark.read.format("jdbc").options(base).option("upperBound", upper).load()
+      case _ =>
+        spark.read.format("jdbc").options(base).load()
+    }
+  }
+}

@@ -1,0 +1,165 @@
+package graft.io
+
+import graft.operators.MergeOps
+import graft.spec.{MergeOptions, OutputSpec}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Writer factory: output spec + DataFrame -> persisted result.
+  *
+  * Capability parity with `lakehouse_engine/io/writer_factory.py:29-84`
+  * and the writers under `lakehouse_engine/io/writers/`:
+  *   - FileWriter / TableWriter, batch + streaming, partitionBy, all save
+  *     modes (append/overwrite/error/ignore)
+  *   - MergeWriter: Delta-style MERGE re-expressed natively over parquet
+  *     (this build ships no Delta jars) with staged-swap atomicity
+  *   - JDBC / Kafka / Console / DataFrame sinks
+  *   - streaming trigger resolution (availableNow default, once,
+  *     processingTime, continuous) and per-micro-batch transform plans
+  *     via foreachBatch
+  */
+object Writers {
+
+  /** A per-micro-batch plan: transformations + DQ to apply inside
+    * foreachBatch before the terminal write (reference
+    * `algorithms/data_loader.py:265-330`, `io/writer.py:58-135`). */
+  final case class MicroBatchPlan(transform: DataFrame => DataFrame)
+
+  def write(
+      spark: SparkSession,
+      spec: OutputSpec,
+      df: DataFrame,
+      microBatchPlan: Option[MicroBatchPlan] = None): Option[StreamingQuery] = {
+    if (df.isStreaming) Some(writeStreaming(spark, spec, df, microBatchPlan))
+    else { writeBatch(spark, spec, applyBatchId(df, spec, None)); None }
+  }
+
+  // ---- batch ------------------------------------------------------------
+
+  def writeBatch(spark: SparkSession, spec: OutputSpec, df: DataFrame): Unit = {
+    val fmt = spec.dataFormat.getOrElse(if (spec.dbTable.isDefined) "parquet" else "parquet")
+    spec.writeType match {
+      case "merge" => mergeWrite(spark, spec, df)
+      case writeType =>
+        val mode = writeType match {
+          case "overwrite" | "complete" => "overwrite"
+          case "append" | "update" => "append"
+          case "error" => "error"
+          case "ignore" => "ignore"
+          case other => sys.error(s"unsupported write_type for batch: $other")
+        }
+        fmt match {
+          case "jdbc" =>
+            df.write.format("jdbc").options(spec.options).mode(mode).save()
+          case "kafka" =>
+            df.write.format("kafka").options(spec.options).save()
+          case "console" =>
+            df.show(spec.options.get("limit").map(_.toInt).getOrElse(20),
+              truncate = spec.options.get("truncate").forall(_.toBoolean))
+          case "dataframe" => // terminal no-op: caller keeps the DataFrame
+          case _ =>
+            val w = df.write.format(fmt).options(spec.options).mode(mode)
+            val withParts =
+              if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w
+            (spec.dbTable, spec.location) match {
+              case (Some(t), _) => withParts.saveAsTable(t)
+              case (_, Some(loc)) => withParts.save(loc)
+              case _ => sys.error(s"output spec ${spec.specId}: needs db_table or location")
+            }
+        }
+    }
+  }
+
+  // ---- merge (native, no Delta in this build) ---------------------------
+
+  /** MERGE into a parquet location/table: read current target, apply
+    * Delta-semantics merge, write staged, swap atomically. At cluster
+    * scale the target should be bucketed/partitioned by the merge key so
+    * the join co-locates; rewrite cost is bounded by touched partitions
+    * when a partition filter is part of the merge predicate. */
+  private def mergeWrite(spark: SparkSession, spec: OutputSpec, source: DataFrame): Unit = {
+    val opts = spec.mergeOpts.getOrElse(sys.error("merge write_type needs merge_opts"))
+    val loc = spec.location.getOrElse(sys.error("native merge needs a location"))
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetExists = fs.exists(new Path(loc))
+    if (!targetExists) {
+      val w = source.write.format(spec.dataFormat.getOrElse("parquet"))
+        .options(spec.options).mode("overwrite")
+      (if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w).save(loc)
+    } else {
+      val target = spark.read.format(spec.dataFormat.getOrElse("parquet")).load(loc)
+      val merged = MergeOps.mergeWithOptions(target, source, opts)
+      val stage = loc.stripSuffix("/") + "__stage"
+      val w = merged.write.format(spec.dataFormat.getOrElse("parquet"))
+        .options(spec.options).mode("overwrite")
+      (if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w).save(stage)
+      val old = new Path(loc.stripSuffix("/") + "__old")
+      fs.delete(old, true)
+      fs.rename(new Path(loc), old)
+      fs.rename(new Path(stage), new Path(loc))
+      fs.delete(old, true)
+    }
+  }
+
+  // ---- streaming --------------------------------------------------------
+
+  def resolveTrigger(spec: OutputSpec): Trigger = spec.streamingTrigger match {
+    case None | Some("availableNow") => Trigger.AvailableNow()
+    case Some("once") => Trigger.Once()
+    case Some(s) if s.startsWith("processingTime=") =>
+      Trigger.ProcessingTime(s.stripPrefix("processingTime="))
+    case Some(s) if s.startsWith("continuous=") =>
+      Trigger.Continuous(s.stripPrefix("continuous="))
+    case Some(other) => sys.error(s"unknown streaming_trigger: $other")
+  }
+
+  private def applyBatchId(df: DataFrame, spec: OutputSpec, batchId: Option[Long]): DataFrame =
+    if (spec.withBatchId) df.withColumn("lhe_batch_id", lit(batchId.getOrElse(-1L)))
+    else df
+
+  private def writeStreaming(
+      spark: SparkSession,
+      spec: OutputSpec,
+      df: DataFrame,
+      plan: Option[MicroBatchPlan]): StreamingQuery = {
+    val trigger = resolveTrigger(spec)
+    val needsForeachBatch = plan.isDefined || spec.writeType == "merge" ||
+      spec.dataFormat.contains("jdbc") || spec.dataFormat.contains("dataframe")
+    if (needsForeachBatch) {
+      df.writeStream
+        .trigger(trigger)
+        .options(spec.options.filter { case (k, _) => k == "checkpointLocation" })
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val transformed = plan.map(_.transform(batch)).getOrElse(batch)
+          val withId = applyBatchId(transformed, spec, Some(batchId))
+          if (spec.dataFormat.contains("dataframe"))
+            withId.createOrReplaceGlobalTempView(s"lhe_stream_${spec.specId}")
+          else writeBatch(spark, spec, withId)
+        }
+        .start()
+    } else {
+      val base = df.writeStream.trigger(trigger)
+        .outputMode(spec.writeType match {
+          case "complete" => "complete"
+          case "update" => "update"
+          case _ => "append"
+        })
+        .options(spec.options)
+      spec.dataFormat match {
+        case Some("console") => base.format("console").start()
+        case Some("kafka") => base.format("kafka").start()
+        case _ =>
+          val fmt = spec.dataFormat.getOrElse("parquet")
+          val withParts =
+            if (spec.partitions.nonEmpty) base.partitionBy(spec.partitions: _*) else base
+          (spec.dbTable, spec.location) match {
+            case (Some(t), _) => withParts.format(fmt).toTable(t)
+            case (_, Some(loc)) => withParts.format(fmt).start(loc)
+            case _ => sys.error(s"output spec ${spec.specId}: needs db_table or location")
+          }
+      }
+    }
+  }
+}

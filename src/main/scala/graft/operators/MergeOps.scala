@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.spec.MergeOptions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -13,62 +14,91 @@ import org.apache.spark.sql.functions._
   * and the writers persist the result transactionally (stage + swap).
   *
   * Scale notes: the join shuffles both sides on the merge key — the same
-  * partitioning Delta's low-shuffle merge would use for touched files. For
-  * 100 TB targets, pre-bucketing the target table on the merge key turns
-  * this into a co-located join with no target-side shuffle.
+  * partitioning Delta's low-shuffle merge would use for touched files.
+  * Merge conditions are written against struct aliases `t` (target) and
+  * `s` (source); equality conditions on struct fields are extracted by
+  * Catalyst as equi-join keys, so the plan is a shuffle/sort-merge join,
+  * never a cartesian product. For 100 TB targets, pre-bucketing the
+  * target table on the merge key makes this a co-located join.
   */
 object MergeOps {
 
-  /** One merge clause's column assignments (target column -> expression
-    * over the `source` alias). Empty map means "all source columns". */
-  type ColumnSet = Map[String, Column]
-
-  /** Delta-style MERGE of `source` into `target` on equality of `keys`.
-    *
-    * @param keys            merge key columns (null-safe equality)
-    * @param updateCondition extra predicate for the matched-update clause
-    * @param updateSet       columns to update on match (empty = all)
-    * @param deleteCondition matched rows satisfying this are dropped
-    * @param insertOnly      suppress all matched actions (append-new-only)
-    */
+  /** Delta-style MERGE of `source` into `target` on key equality. */
   def merge(
       target: DataFrame,
       source: DataFrame,
       keys: Seq[String],
       updateCondition: Option[Column] = None,
-      updateSet: ColumnSet = Map.empty,
+      updateSet: Map[String, Column] = Map.empty,
+      deleteCondition: Option[Column] = None,
+      insertCondition: Option[Column] = None,
+      insertOnly: Boolean = false): DataFrame =
+    mergeWithCondition(target, source,
+      keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
+      updateCondition, updateSet, deleteCondition, insertCondition, insertOnly)
+
+  /** MERGE from a declarative [[MergeOptions]] spec whose predicates use
+    * the reference's `current.` / `new.` aliases. */
+  def mergeWithOptions(target: DataFrame, source: DataFrame, opts: MergeOptions): DataFrame = {
+    def tr(p: String): Column = expr(translateAliases(p))
+    mergeWithCondition(target, source,
+      tr(opts.mergePredicate),
+      updateCondition = opts.updatePredicate.map(tr),
+      updateSet = opts.updateColumnSet.map { case (c, e) => c -> tr(e) },
+      deleteCondition = opts.deletePredicate.map(tr),
+      insertCondition = opts.insertPredicate.map(tr),
+      insertOnly = opts.insertOnly)
+  }
+
+  /** Rewrite `current.x` / `new.x` references to the internal `t`/`s`
+    * struct aliases (word-boundary safe). */
+  private[operators] def translateAliases(predicate: String): String =
+    predicate
+      .replaceAll("(?i)\\bcurrent\\.", "t.")
+      .replaceAll("(?i)\\bnew\\.", "s.")
+
+  /** General MERGE on an arbitrary condition over `t`/`s` struct aliases.
+    *
+    * @param condition       match condition (use `col("t.k") === col("s.k")`)
+    * @param updateCondition extra predicate for the matched-update clause
+    * @param updateSet       columns to update on match (empty = all source)
+    * @param deleteCondition matched rows satisfying this are dropped
+    * @param insertCondition not-matched source rows must satisfy this
+    * @param insertOnly      suppress all matched actions (append-new-only)
+    */
+  def mergeWithCondition(
+      target: DataFrame,
+      source: DataFrame,
+      condition: Column,
+      updateCondition: Option[Column] = None,
+      updateSet: Map[String, Column] = Map.empty,
       deleteCondition: Option[Column] = None,
       insertCondition: Option[Column] = None,
       insertOnly: Boolean = false): DataFrame = {
     val dataCols = target.columns.toSeq
-    val t = target.select(struct(dataCols.map(col): _*).as("t") +:
-      keys.map(k => col(k).as(s"tk_$k")): _*)
-    val s = source.select(struct(dataCols.map(col): _*).as("s") +:
-      keys.map(k => col(k).as(s"sk_$k")): _*)
-    val joinCond = keys.map(k => col(s"tk_$k") <=> col(s"sk_$k")).reduce(_ && _)
-    val joined = t.join(s, joinCond, "full_outer")
+    val t = target.select(struct(dataCols.map(col): _*).as("t"))
+    val s = source.select(struct(dataCols.map(col): _*).as("s"))
+    val joined = t.join(s, condition, "full_outer")
 
     val matched = col("t").isNotNull && col("s").isNotNull
-    // Conditions reference source/target fields via the "s."/"t." aliases.
     val sourceOnly = col("t").isNull && col("s").isNotNull
 
     val updatedStruct =
       if (updateSet.isEmpty) col("s")
-      else struct(dataCols.map(c =>
-        updateSet.getOrElse(c, col(s"t.$c")).as(c)): _*)
+      else struct(dataCols.map(c => updateSet.getOrElse(c, col(s"t.$c")).as(c)): _*)
 
-    val keep = when(matched && !insertOnly,
-        deleteCondition match {
-          case Some(d) => when(d, lit(null)).otherwise(
-            updateCondition match {
-              case Some(u) => when(u, updatedStruct).otherwise(col("t"))
-              case None => updatedStruct
-            })
-          case None => updateCondition match {
-            case Some(u) => when(u, updatedStruct).otherwise(col("t"))
-            case None => updatedStruct
-          }
-        })
+    val matchedResult = {
+      val afterUpdate = updateCondition match {
+        case Some(u) => when(u, updatedStruct).otherwise(col("t"))
+        case None => updatedStruct
+      }
+      deleteCondition match {
+        case Some(d) => when(d, lit(null)).otherwise(afterUpdate)
+        case None => afterUpdate
+      }
+    }
+
+    val keep = when(matched && !insertOnly, matchedResult)
       .when(matched && insertOnly, col("t"))
       .when(sourceOnly,
         insertCondition match {

@@ -1,0 +1,189 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** The pipeline specification model ("ACON" in the reference).
+  *
+  * Capability parity with `lakehouse_engine/core/definitions.py:603-991`:
+  * a pipeline is input specs -> ordered transform specs -> data-quality
+  * specs -> output specs -> terminate specs. Parsed from JSON (Jackson
+  * scala module, ships with Spark) into typed case classes; unknown keys
+  * are preserved in `options`-style maps so configs stay forward
+  * compatible.
+  */
+final case class InputSpec(
+    specId: String,
+    readType: String = "batch", // batch | streaming
+    dataFormat: Option[String] = None, // csv/json/parquet/avro/delta/table/jdbc/kafka/sql/dataframe
+    dbTable: Option[String] = None,
+    location: Option[String] = None,
+    query: Option[String] = None,
+    dfName: Option[String] = None, // programmatically-provided DataFrame key
+    schema: Option[String] = None, // StructType JSON or DDL
+    options: Map[String, String] = Map.empty,
+    withFilepath: Boolean = false,
+    tempView: Option[String] = None)
+
+final case class TransformerSpec(function: String, args: Map[String, Any] = Map.empty)
+
+final case class TransformSpec(
+    specId: String,
+    inputId: String,
+    transformers: Seq[TransformerSpec] = Seq.empty,
+    /** force all transformers to run stream-side even if flagged unsupported */
+    forceStreaming: Boolean = false)
+
+final case class DQFunctionSpec(function: String, args: Map[String, Any] = Map.empty)
+
+final case class DQSpec(
+    specId: String,
+    inputId: String,
+    dqType: String = "validator", // validator | prisma (rules from table)
+    dqFunctions: Seq[DQFunctionSpec] = Seq.empty,
+    criticalFunctions: Seq[DQFunctionSpec] = Seq.empty,
+    failOnError: Boolean = true,
+    maxPercentageFailure: Option[Double] = None,
+    tagSourceData: Boolean = false,
+    unexpectedRowsPk: Seq[String] = Seq.empty,
+    resultSink: Option[OutputSpec] = None)
+
+final case class MergeOptions(
+    mergePredicate: String,
+    updatePredicate: Option[String] = None,
+    deletePredicate: Option[String] = None,
+    insertPredicate: Option[String] = None,
+    updateColumnSet: Map[String, String] = Map.empty,
+    insertOnly: Boolean = false)
+
+final case class OutputSpec(
+    specId: String,
+    inputId: String = "",
+    writeType: String = "append", // append|overwrite|complete|update|merge|error|ignore
+    dataFormat: Option[String] = None,
+    dbTable: Option[String] = None,
+    location: Option[String] = None,
+    partitions: Seq[String] = Seq.empty,
+    options: Map[String, String] = Map.empty,
+    mergeOpts: Option[MergeOptions] = None,
+    streamingTrigger: Option[String] = None, // availableNow|once|processingTime=<t>|continuous=<t>
+    withBatchId: Boolean = false)
+
+final case class TerminatorSpec(function: String, args: Map[String, Any] = Map.empty)
+
+final case class Acon(
+    inputSpecs: Seq[InputSpec],
+    transformSpecs: Seq[TransformSpec] = Seq.empty,
+    dqSpecs: Seq[DQSpec] = Seq.empty,
+    outputSpecs: Seq[OutputSpec] = Seq.empty,
+    terminateSpecs: Seq[TerminatorSpec] = Seq.empty)
+
+/** JSON -> spec parsing helpers (snake_case keys, as in the reference). */
+object Specs {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def parseJsonMap(json: String): Map[String, Any] =
+    mapper.readValue(json, classOf[Map[String, Any]])
+
+  /** Tolerant typed accessors over a parsed JSON map. */
+  object A {
+    def str(m: Map[String, Any], k: String): Option[String] =
+      m.get(k).collect { case s: String => s }
+    def bool(m: Map[String, Any], k: String, default: Boolean = false): Boolean =
+      m.get(k).collect { case b: Boolean => b }.getOrElse(default)
+    def num(m: Map[String, Any], k: String): Option[Double] =
+      m.get(k).collect { case n: Number => n.doubleValue() }
+    def strMap(m: Map[String, Any], k: String): Map[String, String] =
+      m.get(k).collect { case mm: Map[_, _] =>
+        mm.map { case (a, b) => a.toString -> String.valueOf(b) }.toMap
+      }.getOrElse(Map.empty)
+    def anyMap(m: Map[String, Any], k: String): Map[String, Any] =
+      m.get(k).collect { case mm: Map[_, _] =>
+        mm.map { case (a, b) => a.toString -> b }.toMap
+      }.getOrElse(Map.empty)
+    def seqOfMaps(m: Map[String, Any], k: String): Seq[Map[String, Any]] =
+      m.get(k).collect { case s: Seq[_] =>
+        s.collect { case mm: Map[_, _] => mm.map { case (a, b) => a.toString -> b } }
+      }.getOrElse(Seq.empty)
+    def strSeq(m: Map[String, Any], k: String): Seq[String] =
+      m.get(k).collect { case s: Seq[_] => s.map(String.valueOf(_)) }.getOrElse(Seq.empty)
+  }
+
+  import A._
+
+  def inputSpec(m: Map[String, Any]): InputSpec = InputSpec(
+    specId = str(m, "spec_id").getOrElse(sys.error("input_spec needs spec_id")),
+    readType = str(m, "read_type").getOrElse("batch"),
+    dataFormat = str(m, "data_format"),
+    dbTable = str(m, "db_table"),
+    location = str(m, "location"),
+    query = str(m, "query"),
+    dfName = str(m, "df_name"),
+    schema = str(m, "schema").orElse(str(m, "schema_ddl")),
+    options = strMap(m, "options"),
+    withFilepath = bool(m, "with_filepath"),
+    tempView = str(m, "temp_view"))
+
+  def transformSpec(m: Map[String, Any]): TransformSpec = TransformSpec(
+    specId = str(m, "spec_id").getOrElse(sys.error("transform_spec needs spec_id")),
+    inputId = str(m, "input_id").getOrElse(sys.error("transform_spec needs input_id")),
+    transformers = seqOfMaps(m, "transformers").map(t =>
+      TransformerSpec(str(t, "function").getOrElse(sys.error("transformer needs function")),
+        anyMap(t, "args"))),
+    forceStreaming = bool(m, "force_streaming"))
+
+  def dqSpec(m: Map[String, Any]): DQSpec = DQSpec(
+    specId = str(m, "spec_id").getOrElse(sys.error("dq_spec needs spec_id")),
+    inputId = str(m, "input_id").getOrElse(sys.error("dq_spec needs input_id")),
+    dqType = str(m, "dq_type").getOrElse("validator"),
+    dqFunctions = seqOfMaps(m, "dq_functions").map(f =>
+      DQFunctionSpec(str(f, "function").get, anyMap(f, "args"))),
+    criticalFunctions = seqOfMaps(m, "critical_functions").map(f =>
+      DQFunctionSpec(str(f, "function").get, anyMap(f, "args"))),
+    failOnError = bool(m, "fail_on_error", default = true),
+    maxPercentageFailure = num(m, "max_percentage_failure"),
+    tagSourceData = bool(m, "tag_source_data"),
+    unexpectedRowsPk = strSeq(m, "unexpected_rows_pk"),
+    resultSink = m.get("result_sink").collect { case mm: Map[_, _] =>
+      outputSpec(mm.map { case (a, b) => a.toString -> b })
+    })
+
+  def mergeOptions(m: Map[String, Any]): MergeOptions = MergeOptions(
+    mergePredicate = str(m, "merge_predicate").getOrElse(sys.error("merge needs merge_predicate")),
+    updatePredicate = str(m, "update_predicate"),
+    deletePredicate = str(m, "delete_predicate"),
+    insertPredicate = str(m, "insert_predicate"),
+    updateColumnSet = strMap(m, "update_column_set"),
+    insertOnly = bool(m, "insert_only"))
+
+  def outputSpec(m: Map[String, Any]): OutputSpec = OutputSpec(
+    specId = str(m, "spec_id").getOrElse(sys.error("output_spec needs spec_id")),
+    inputId = str(m, "input_id").getOrElse(""),
+    writeType = str(m, "write_type").getOrElse("append"),
+    dataFormat = str(m, "data_format"),
+    dbTable = str(m, "db_table"),
+    location = str(m, "location"),
+    partitions = strSeq(m, "partitions"),
+    options = strMap(m, "options"),
+    mergeOpts = m.get("merge_opts").collect { case mm: Map[_, _] =>
+      mergeOptions(mm.map { case (a, b) => a.toString -> b })
+    },
+    streamingTrigger = str(m, "streaming_trigger"),
+    withBatchId = bool(m, "with_batch_id"))
+
+  def terminatorSpec(m: Map[String, Any]): TerminatorSpec = TerminatorSpec(
+    function = str(m, "function").getOrElse(sys.error("terminator needs function")),
+    args = anyMap(m, "args"))
+
+  /** Parse a full ACON JSON document. */
+  def parseAcon(json: String): Acon = {
+    val m = parseJsonMap(json)
+    Acon(
+      inputSpecs = seqOfMaps(m, "input_specs").map(inputSpec),
+      transformSpecs = seqOfMaps(m, "transform_specs").map(transformSpec),
+      dqSpecs = seqOfMaps(m, "dq_specs").map(dqSpec),
+      outputSpecs = seqOfMaps(m, "output_specs").map(outputSpec),
+      terminateSpecs = seqOfMaps(m, "terminate_specs").map(terminatorSpec))
+  }
+}

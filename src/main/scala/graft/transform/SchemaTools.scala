@@ -40,4 +40,8 @@ object SchemaTools {
 
   /** Parse a schema from DDL ("a INT, b STRING") as an alternative. */
   def schemaFromDdl(ddl: String): StructType = StructType.fromDDL(ddl)
+
+  /** Accept either representation: StructType JSON (starts with '{') or DDL. */
+  def schemaFromAny(s: String): StructType =
+    if (s.trim.startsWith("{")) schemaFromJson(s) else schemaFromDdl(s)
 }

@@ -1,0 +1,300 @@
+package graft.transform
+
+import graft.operators.Condense
+import graft.spec.Specs.A._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Context a transformer chain executes in: the session, sibling spec
+  * outputs by id (for join/union/incremental), and programmatically
+  * registered custom functions. */
+final case class TransformContext(
+    spark: SparkSession,
+    data: String => DataFrame = _ => sys.error("no sibling data available"),
+    customFns: Map[String, DataFrame => DataFrame] = Map.empty)
+
+/** The transformer registry: named, parameterized DataFrame -> DataFrame
+  * operators.
+  *
+  * Capability parity with the reference's transformer factory
+  * (`lakehouse_engine/transformers/transformer_factory.py:36-118`) — every
+  * ACON transformer name from SURVEY.md §2.3–2.6 resolves here to a pure
+  * declarative DataFrame operation, so Catalyst keeps full pushdown /
+  * pruning / codegen visibility through the whole chain.
+  */
+object Transformers {
+
+  /** Transformers that cannot run on a streaming DataFrame and must be
+    * re-planned into foreachBatch (reference `transformer_factory.py:29-34`). */
+  val StreamingUnsupported: Set[String] =
+    Set("condense_record_mode_cdc", "group_and_rank", "with_row_id",
+      "with_auto_increment_id", "sql_transformation")
+
+  /** Resolve a transformer name + args into a DataFrame function. */
+  def resolve(name: String, args: Map[String, Any], ctx: TransformContext): DataFrame => DataFrame = name match {
+
+    // ---- projections / row-level (§2.3) --------------------------------
+    case "column_selector" => df => {
+      val cols = strMapOrdered(args, "cols")
+      df.select(cols.map { case (c, a) => col(c).as(a) }: _*)
+    }
+    case "column_filter_exp" => df => df.selectExpr(strSeq(args, "exp"): _*)
+    case "expression_filter" => df => df.filter(str(args, "exp").get)
+    case "incremental_filter" => df => {
+      val c = str(args, "input_col").get
+      val op = if (bool(args, "greater_or_equal")) ">=" else ">"
+      val increment: Column = str(args, "increment_df") match {
+        case Some(sibling) =>
+          // 1-row driver collect of the sibling's max, as in the reference
+          // (`transformers/filters.py:71-79`)
+          val incCol = str(args, "increment_col").getOrElse("latest")
+          lit(ctx.data(sibling).select(incCol).collect()(0).get(0))
+        case None => lit(args("increment_value") match {
+          case n: Number => n
+          case s => s.toString
+        })
+      }
+      if (op == ">=") df.filter(col(c) >= increment) else df.filter(col(c) > increment)
+    }
+    case "drop_duplicate_rows" => df => {
+      val cols = strSeq(args, "cols")
+      val watermarked = str(args, "watermark_col") match {
+        case Some(wc) => df.withWatermark(wc, str(args, "watermark_delay").getOrElse("10 minutes"))
+        case None => df
+      }
+      if (cols.isEmpty) watermarked.dropDuplicates()
+      else watermarked.dropDuplicates(cols)
+    }
+    case "cast" => df =>
+      strMapOrdered(args, "cols").foldLeft(df) { case (d, (c, t)) =>
+        d.withColumn(c, col(c).cast(t))
+      }
+    case "rename" => df =>
+      strMapOrdered(args, "cols").foldLeft(df) { case (d, (c, n)) =>
+        d.withColumnRenamed(c, n)
+      }
+    case "with_expressions" => df =>
+      strMapOrdered(args, "cols").foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, expr(e))
+      }
+    case "with_literals" => df =>
+      anyMap(args, "literals").toSeq.foldLeft(df) { case (d, (c, v)) =>
+        d.withColumn(c, lit(v))
+      }
+    case "with_row_id" => df =>
+      df.withColumn(str(args, "output_col").getOrElse("lhe_row_id"),
+        monotonically_increasing_id())
+    case "with_auto_increment_id" => df => {
+      val out = str(args, "output_col").getOrElse("lhe_row_id")
+      // consecutive 0-based id; window over a constant partition is the
+      // declarative equivalent of rdd.zipWithIndex (single-partition sort
+      // at the end of a pipeline; use with_row_id for scale)
+      df.withColumn(out,
+        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+    }
+    case "flatten_schema" => df =>
+      SchemaTools.flatten(df,
+        num(args, "max_depth").map(_.toInt).getOrElse(10),
+        str(args, "separator").getOrElse("_"))
+    case "explode_columns" => df => {
+      val arrayCols =
+        if (bool(args, "explode_arrays"))
+          df.schema.fields.filter(_.dataType.typeName == "array").map(_.name).toSeq
+        else strSeq(args, "array_cols_to_explode")
+      val mapCols =
+        if (bool(args, "explode_maps"))
+          df.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSeq
+        else strSeq(args, "map_cols_to_explode")
+      val afterMaps = mapCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, explode_outer(map_entries(col(c)))))
+      arrayCols.foldLeft(afterMaps)((d, c) => d.withColumn(c, explode_outer(col(c))))
+    }
+    case "from_json" => df => {
+      val in = str(args, "input_col").get
+      val out = str(args, "output_col").getOrElse(in)
+      val schema = str(args, "schema").map(SchemaTools.schemaFromAny).get
+      val opts = strMap(args, "options")
+      val parsed = from_json(col(in).cast("string"), schema, opts)
+      if (bool(args, "keep_original", default = false) || out != in)
+        df.withColumn(out, parsed)
+      else df.withColumn(out, parsed)
+    }
+    case "to_json" => df => {
+      val inCols = strSeq(args, "in_cols") match {
+        case Seq("*") | Seq() => df.columns.toSeq
+        case cs => cs
+      }
+      df.withColumn(str(args, "out_col").getOrElse("payload"),
+        to_json(struct(inCols.map(col): _*), strMap(args, "options")))
+    }
+    case "from_avro" | "from_avro_with_registry" =>
+      _ => throw new UnsupportedOperationException(
+        s"$name: avro decoding requires the spark-avro module, not present in this build")
+    case "with_regex_value" => df =>
+      df.withColumn(str(args, "output_col").getOrElse("extracted_value"),
+        regexp_extract(col(str(args, "input_col").get), str(args, "regex").get,
+          num(args, "group_index").map(_.toInt).getOrElse(1)))
+    case "hash_masker" => df => {
+      val approach = str(args, "approach").getOrElse("SHA")
+      strSeq(args, "cols").foldLeft(df) { (d, c) =>
+        val suffix = str(args, "suffix").getOrElse("_hash")
+        val masked = approach.toUpperCase match {
+          case "MURMUR3" => hash(col(c)).cast("string")
+          case _ => sha2(col(c).cast("string"), num(args, "num_bits").map(_.toInt).getOrElse(256))
+        }
+        d.withColumn(c + suffix, masked)
+      }
+    }
+    case "column_dropper" => df => df.drop(strSeq(args, "cols"): _*)
+    case "replace_nulls" => df => {
+      val subset = strSeq(args, "subset")
+      val numeric = num(args, "replace_on_nums_value").getOrElse(0.0)
+      val string = str(args, "replace_on_strings_value").getOrElse("")
+      val replaceNums = bool(args, "replace_on_nums", default = true)
+      val replaceStrs = bool(args, "replace_on_strings", default = true)
+      val d1 = if (replaceNums) {
+        if (subset.nonEmpty) df.na.fill(numeric, subset) else df.na.fill(numeric)
+      } else df
+      if (replaceStrs) {
+        if (subset.nonEmpty) d1.na.fill(string, subset) else d1.na.fill(string)
+      } else d1
+    }
+
+    // ---- dates (§2.3) ---------------------------------------------------
+    case "add_current_date" => df =>
+      // deliberately a driver constant, as in the reference
+      // (`transformers/date_transformers.py:17-35`)
+      df.withColumn(str(args, "output_col").getOrElse("lhe_load_date"),
+        lit(java.sql.Timestamp.from(java.time.Instant.now())))
+    case "convert_to_date" => df =>
+      strSeq(args, "cols").foldLeft(df)((d, c) =>
+        d.withColumn(c, to_date(col(c), str(args, "source_format").getOrElse("yyyy-MM-dd"))))
+    case "convert_to_timestamp" => df =>
+      strSeq(args, "cols").foldLeft(df)((d, c) =>
+        d.withColumn(c, to_timestamp(col(c),
+          str(args, "source_format").getOrElse("yyyy-MM-dd HH:mm:ss"))))
+    case "format_date" => df =>
+      strSeq(args, "cols").foldLeft(df)((d, c) =>
+        d.withColumn(c, date_format(col(c), str(args, "target_format").getOrElse("yyyy-MM-dd"))))
+    case "get_date_hierarchy" => df =>
+      strSeq(args, "cols").foldLeft(df) { (d, c) =>
+        d.withColumn(s"${c}_day", dayofmonth(col(c)))
+          .withColumn(s"${c}_week", weekofyear(col(c)))
+          .withColumn(s"${c}_month", month(col(c)))
+          .withColumn(s"${c}_quarter", quarter(col(c)))
+          .withColumn(s"${c}_year", year(col(c)))
+      }
+
+    // ---- custom / sql ---------------------------------------------------
+    case "custom_transformation" =>
+      ctx.customFns(str(args, "function_name").getOrElse(
+        sys.error("custom_transformation needs function_name")))
+    case "sql_transformation" => _ => ctx.spark.sql(str(args, "sql").get)
+
+    // ---- joins (§2.4) ---------------------------------------------------
+    case "join" => df => {
+      val rightId = str(args, "join_with").get
+      var left = df.as("a")
+      var right = ctx.data(rightId).as("b")
+      anyMap(args, "left_watermark").foreach { case (c, d) =>
+        left = left.withWatermark(c, String.valueOf(d)) }
+      anyMap(args, "right_watermark").foreach { case (c, d) =>
+        right = right.withWatermark(c, String.valueOf(d)) }
+      val rightSide = if (bool(args, "broadcast_join")) broadcast(right) else right
+      val joined = left.join(rightSide,
+        expr(str(args, "join_condition").get),
+        str(args, "join_type").getOrElse("inner"))
+      strSeq(args, "select_cols") match {
+        case Seq() => joined
+        case cols => joined.selectExpr(cols: _*)
+      }
+    }
+
+    // ---- aggregations / condensation (§2.5) ----------------------------
+    case "get_max_value" => df =>
+      df.agg(max(col(str(args, "input_col").get)).as(str(args, "output_col").getOrElse("latest")))
+    case "condense_record_mode_cdc" => df =>
+      Condense.condenseRecordModeCdc(df,
+        businessKey = strSeq(args, "business_key"),
+        rankingDesc = strSeq(args, "ranking_key_desc"),
+        rankingAsc = strSeq(args, "ranking_key_asc"),
+        recordModeCol = str(args, "record_mode_col"),
+        validRecordModes = strSeq(args, "valid_record_modes"))
+    case "group_and_rank" => df =>
+      Condense.groupAndRank(df,
+        strSeq(args, "group_key").map(col),
+        strSeq(args, "ranking_key").map(c => col(c).desc),
+        num(args, "ranks_to_keep").map(_.toInt).getOrElse(1)).drop("lhe_rank")
+
+    // ---- set ops / unions (§2.6) ---------------------------------------
+    case "union" => df => {
+      val others = strSeq(args, "union_with").map(ctx.data)
+      val all = others.foldLeft(df)(_ union _)
+      if (bool(args, "deduplication", default = true)) all.distinct() else all
+    }
+    case "union_by_name" => df => {
+      val allowMissing = bool(args, "allow_missing_columns")
+      val others = strSeq(args, "union_with").map(ctx.data)
+      val all = others.foldLeft(df)((a, b) => a.unionByName(b, allowMissing))
+      if (bool(args, "deduplication", default = true)) all.distinct() else all
+    }
+    case "except" => df => {
+      val other = ctx.data(str(args, "except_with").get)
+      if (bool(args, "all")) df.exceptAll(other) else df.except(other)
+    }
+    case "intersect" => df => {
+      val other = ctx.data(str(args, "intersect_with").get)
+      if (bool(args, "all")) df.intersectAll(other) else df.intersect(other)
+    }
+
+    // ---- repartitioning / caching (§2.6) -------------------------------
+    case "repartition" => df => {
+      val cols = strSeq(args, "cols").map(col)
+      num(args, "num_partitions").map(_.toInt) match {
+        case Some(n) if cols.nonEmpty => df.repartition(n, cols: _*)
+        case Some(n) => df.repartition(n)
+        case None => df.repartition(cols: _*)
+      }
+    }
+    case "coalesce" => df => df.coalesce(num(args, "num_partitions").get.toInt)
+    case "cache" => df => df.cache()
+    case "persist" => df =>
+      df.persist(StorageLevel.fromString(str(args, "storage_level").getOrElse("MEMORY_AND_DISK")))
+    case "unpersist" => df => df.unpersist(bool(args, "blocking"))
+
+    // ---- streaming (§2.8) ----------------------------------------------
+    case "with_watermark" => df =>
+      df.withWatermark(str(args, "watermark_col").get,
+        str(args, "watermark_delay").getOrElse("10 minutes"))
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown transformer: $other")
+  }
+
+  /** Ordered key->value args map (JSON object order is preserved by the
+    * parser's LinkedHashMap). */
+  private def strMapOrdered(m: Map[String, Any], k: String): Seq[(String, String)] =
+    m.get(k).collect { case mm: collection.Map[_, _] =>
+      mm.toSeq.map { case (a, b) => a.toString -> String.valueOf(b) }
+    }.getOrElse(Seq.empty)
+
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).map(String.valueOf(_)).filter(_ != "null")
+  private def bool(m: Map[String, Any], k: String, default: Boolean = false): Boolean =
+    m.get(k).collect { case b: Boolean => b }.getOrElse(default)
+  private def num(m: Map[String, Any], k: String): Option[Double] =
+    m.get(k).collect { case n: Number => n.doubleValue() }
+  private def strMap(m: Map[String, Any], k: String): Map[String, String] =
+    strMapOrdered(m, k).toMap
+  private def anyMap(m: Map[String, Any], k: String): Map[String, Any] =
+    m.get(k).collect { case mm: collection.Map[_, _] =>
+      mm.map { case (a, b) => a.toString -> b }.toMap
+    }.getOrElse(Map.empty)
+  private def strSeq(m: Map[String, Any], k: String): Seq[String] =
+    m.get(k).collect {
+      case s: Seq[_] => s.map(String.valueOf(_))
+      case s: String => Seq(s)
+    }.getOrElse(Seq.empty)
+}

@@ -1,0 +1,139 @@
+package graft.algo
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** End-to-end ACON pipeline tests, mirroring the reference's feature-test
+  * structure (csv fixture -> load_data(acon) -> golden compare). */
+class DataLoaderSpec extends SparkSpec {
+
+  private def writeFixture(dir: String): Unit = {
+    val csv =
+      """salesorder|item|date|customer|article|amount
+        |1|1|20211201|cust_a|art_a|10
+        |1|2|20211201|cust_a|art_b|6
+        |2|1|20211205|cust_b|art_c|3
+        |3|1|20211208|cust_c|art_d|-5
+        |4|1|20211209|cust_d|art_e|8
+        |""".stripMargin
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/part-01.csv"), csv)
+  }
+
+  test("full load with filter: csv -> expression_filter -> parquet (reference full_load/with_filter)") {
+    val in = tmpDir("dl-in")
+    val out = tmpDir("dl-out") + "/data"
+    writeFixture(in)
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "sales_source", "read_type": "batch", "data_format": "csv",
+         |    "location": "$in",
+         |    "options": {"header": "true", "delimiter": "|", "inferSchema": "true"}
+         |  }],
+         |  "transform_specs": [{
+         |    "spec_id": "filtered_sales", "input_id": "sales_source",
+         |    "transformers": [
+         |      {"function": "expression_filter", "args": {"exp": "amount > 0"}},
+         |      {"function": "with_literals", "args": {"literals": {"source_system": "sap"}}}
+         |    ]
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "sales_bronze", "input_id": "filtered_sales",
+         |    "write_type": "overwrite", "data_format": "parquet", "location": "$out"
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon)
+    val result = spark.read.parquet(out)
+    assert(result.count() == 4) // the -5 row filtered out
+    assert(result.columns.contains("source_system"))
+    assert(result.where("amount <= 0").count() == 0)
+  }
+
+  test("merge load: init + changes -> native MERGE equals full recompute") {
+    import spark.implicits._
+    val out = tmpDir("dl-merge") + "/t"
+    val init = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "name", "amount")
+    val changes = Seq((2, "b", 25.0), (4, "d", 40.0))
+      .toDF("id", "name", "amount")
+
+    def acon(dfName: String) =
+      s"""{
+         |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "$dfName"}],
+         |  "output_specs": [{
+         |    "spec_id": "tgt", "input_id": "src", "write_type": "merge",
+         |    "data_format": "parquet", "location": "$out",
+         |    "merge_opts": {"merge_predicate": "current.id = new.id"}
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon("init"), dfs = Map("init" -> init))
+    DataLoader.loadData(spark, acon("changes"), dfs = Map("changes" -> changes))
+    val result = spark.read.parquet(out)
+    val expected = Seq((1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0))
+      .toDF("id", "name", "amount")
+    assertSameRows(result, expected)
+  }
+
+  test("streaming load with availableNow: unsupported transformer is re-planned into foreachBatch") {
+    val in = tmpDir("dl-stream-in")
+    val out = tmpDir("dl-stream-out") + "/data"
+    val ckpt = tmpDir("dl-stream-ckpt")
+    writeFixture(in)
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "data_format": "csv",
+         |    "location": "$in",
+         |    "schema": "salesorder INT, item INT, date INT, customer STRING, article STRING, amount INT",
+         |    "options": {"header": "true", "delimiter": "|"}
+         |  }],
+         |  "transform_specs": [{
+         |    "spec_id": "condensed", "input_id": "src",
+         |    "transformers": [{
+         |      "function": "group_and_rank",
+         |      "args": {"group_key": ["salesorder"], "ranking_key": ["item"]}
+         |    }]
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "condensed",
+         |    "write_type": "append", "data_format": "parquet", "location": "$out",
+         |    "streaming_trigger": "availableNow",
+         |    "options": {"checkpointLocation": "$ckpt"}
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon)
+    val result = spark.read.parquet(out)
+    // group_and_rank(salesorder, max item) keeps one row per salesorder
+    assert(result.count() == 4)
+    assert(result.where("salesorder = 1 AND item = 2").count() == 1)
+  }
+
+  test("dq spec: failing expectation raises; tagging adds dq_validations") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, null.asInstanceOf[String]), (3, "z")).toDF("id", "name")
+    val aconFail =
+      """{
+        |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "d"}],
+        |  "dq_specs": [{
+        |    "spec_id": "dq1", "input_id": "src",
+        |    "dq_functions": [
+        |      {"function": "expect_column_values_to_not_be_null", "args": {"column": "name"}}
+        |    ],
+        |    "fail_on_error": true
+        |  }]
+        |}""".stripMargin
+    intercept[graft.dq.DQValidationFailedException] {
+      DataLoader.loadData(spark, aconFail, dfs = Map("d" -> df))
+    }
+
+    val aconTag = aconFail
+      .replace("\"fail_on_error\": true",
+        "\"fail_on_error\": false, \"tag_source_data\": true, \"max_percentage_failure\": 1.0")
+    val outs = DataLoader.loadData(spark, aconTag, dfs = Map("d" -> df))
+    val tagged = outs("src")
+    assert(tagged.columns.contains("dq_validations"))
+    assert(tagged.where("dq_validations.run_row_success = false").count() == 1)
+    assert(tagged.where("dq_validations.run_row_success = true").count() == 2)
+  }
+}

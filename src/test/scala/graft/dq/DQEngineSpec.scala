@@ -1,0 +1,92 @@
+package graft.dq
+
+import graft.SparkSpec
+import graft.spec.{DQFunctionSpec, DQSpec}
+
+class DQEngineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, "a", 10.0, "2030-01-01"), (2, "b", 20.0, "2030-01-02"),
+    (3, null.asInstanceOf[String], 30.0, "2030-01-03"), (4, "d", -1.0, "2030-01-04"))
+    .toDF("id", "name", "amount", "d")
+
+  private def spec(fns: (String, Map[String, Any])*): DQSpec =
+    DQSpec("t", "t", dqFunctions = fns.map { case (f, a) => DQFunctionSpec(f, a) },
+      failOnError = false, maxPercentageFailure = Some(1.0))
+
+  test("row-level expectations evaluate in one pass with correct counts") {
+    val r = DQEngine.run(spark, df, spec(
+      "expect_column_values_to_not_be_null" -> Map("column" -> "name"),
+      "expect_column_values_to_be_between" -> Map("column" -> "amount", "min_value" -> 0),
+      "expect_column_values_to_be_in_set" -> Map("column" -> "id", "value_set" -> Seq(1, 2, 3, 4))))
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    assert(byFn("expect_column_values_to_not_be_null").unexpectedCount == 1)
+    assert(byFn("expect_column_values_to_be_between").unexpectedCount == 1)
+    assert(byFn("expect_column_values_to_be_in_set").success)
+    assert(!r.success)
+  }
+
+  test("mostly threshold tolerates a failing fraction") {
+    val r = DQEngine.run(spark, df, spec(
+      "expect_column_values_to_not_be_null" -> Map("column" -> "name", "mostly" -> 0.7)))
+    assert(r.outcomes.head.success) // 3/4 = 0.75 >= 0.7
+  }
+
+  test("custom pair expectations") {
+    val pairs = Seq((1.0, 2.0, "x", "x"), (5.0, 3.0, "y", "z")).toDF("a", "b", "s1", "s2")
+    val r = DQEngine.run(spark, pairs, spec(
+      "expect_column_pair_a_to_be_smaller_or_equal_than_b" ->
+        Map("column_A" -> "a", "column_B" -> "b"),
+      "expect_column_pair_a_to_be_not_equal_to_b" ->
+        Map("column_A" -> "s1", "column_B" -> "s2")))
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    assert(byFn("expect_column_pair_a_to_be_smaller_or_equal_than_b").unexpectedCount == 1)
+    assert(byFn("expect_column_pair_a_to_be_not_equal_to_b").unexpectedCount == 1)
+  }
+
+  test("table-level expectations") {
+    val r = DQEngine.run(spark, df, spec(
+      "expect_table_row_count_to_be_between" -> Map("min_value" -> 1, "max_value" -> 10),
+      "expect_column_values_to_be_unique" -> Map("column" -> "id"),
+      "expect_queried_column_agg_value_to_be" ->
+        Map("query" -> "SELECT sum(amount) FROM {table}", "min_value" -> 0, "max_value" -> 100)))
+    assert(r.outcomes.forall(_.success))
+  }
+
+  test("fail_on_error raises; critical functions escalate") {
+    intercept[DQValidationFailedException] {
+      DQEngine.run(spark, df, DQSpec("t", "t",
+        dqFunctions = Seq(DQFunctionSpec(
+          "expect_column_values_to_not_be_null", Map("column" -> "name"))),
+        failOnError = true))
+    }
+    intercept[DQValidationFailedException] {
+      DQEngine.run(spark, df, DQSpec("t", "t",
+        criticalFunctions = Seq(DQFunctionSpec(
+          "expect_column_values_to_not_be_null", Map("column" -> "name"))),
+        failOnError = false))
+    }
+  }
+
+  test("row tagging builds the dq_validations struct") {
+    val s = spec("expect_column_values_to_not_be_null" -> Map("column" -> "name"))
+    val r = DQEngine.run(spark, df, s)
+    val tagged = DQEngine.tagSource(df, s, r)
+    assert(tagged.where("dq_validations.run_row_success = false").count() == 1)
+    val detail = tagged.where("id = 3")
+      .selectExpr("dq_validations.dq_failure_details[0].expectation_type")
+      .as[String].collect().head
+    assert(detail == "expect_column_values_to_not_be_null")
+  }
+
+  test("result sink dataframe has the exploded per-expectation layout") {
+    val s = spec("expect_column_values_to_not_be_null" -> Map("column" -> "name"))
+    val r = DQEngine.run(spark, df, s)
+    val sink = DQEngine.resultSinkDf(spark, r, "t")
+    assert(sink.columns.toSet.contains("expectation_type"))
+    assert(sink.count() == 1)
+    assert(sink.select("unexpected_count").as[Long].collect().head == 1)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Condense
+import org.apache.spark.sql.functions._
+
+class DedupAndSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "another unrelated document with its own words entirely"))
+    .toDF("doc_id", "text")
+
+  test("minhash near-duplicates finds the near pair and the exact pair") {
+    // 16 bands of 2 rows: P(miss) for a 0.78-jaccard pair is ~3e-7, so the
+    // assertion is deterministic in practice
+    val pairs = DedupFunctions.minhashNearDuplicates(
+      docs, "doc_id", "text", shingleSize = 2, numHashes = 32, numBands = 16,
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard of exact duplicates is 1.0") {
+    val pairs = DedupFunctions.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+  }
+
+  test("simhash: identical docs have distance 0, different docs don't collide") {
+    val sims = docs.select(col("doc_id"),
+      DedupFunctions.simhash32(TextFunctions.whitespaceTokens(col("text"))).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(4L))
+    assert(sims(1L) != sims(3L))
+    val pairs = DedupFunctions.simhashNearDuplicates(docs, "doc_id", "text", maxDistance = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("condense is idempotent: condense(condense(x)) == condense(x)") {
+    val cdc = Seq(
+      (1, "t3", 30), (1, "t1", 10), (1, "t2", 20),
+      (2, "t1", 1), (2, "t2", 2)).toDF("k", "ts", "v")
+    val once = Condense.condenseRecordModeCdc(cdc, Seq("k"), Seq("ts"))
+    val twice = Condense.condenseRecordModeCdc(once, Seq("k"), Seq("ts"))
+    assertSameRows(once, twice)
+    assert(once.where("k = 1 AND v = 30").count() == 1)
+  }
+
+  test("cosine top-k: self-similar vectors rank first; scores in [-1, 1]") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // nearly vec 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val topk = SimilarityFunctions.bruteForceTopK(
+      vecs, "vec_id", "embedding", vecs.where("vec_id = 0"), "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "score", "rnk").as[(Long, Double, Int)].collect()
+      .sortBy(_._3)
+    assert(topk.head._1 == 1L)
+    assert(topk.forall(t => t._2 >= -1.0 && t._2 <= 1.0))
+  }
+
+  test("LSH ANN candidates are a subset re-ranked by exact cosine") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (math.sin(i * 31 + j * 7) * 100).toFloat))).toDF("vec_id", "embedding")
+    val ann = SimilarityFunctions.lshTopK(
+      vecs, "vec_id", "embedding", vecs.where("vec_id < 3"), "vec_id", "embedding",
+      dim = 8, k = 3)
+    val rows = ann.select("query_id", "rnk").as[(Long, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_._1).forall(_._2.length <= 3))
+  }
+
+  test("text quality features are sane") {
+    val q = docs.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.stopwordRatio(col("text")).as("sw"),
+      TextFunctions.languageId(col("text")).as("lang"))
+    val rows = q.as[(Int, Double, String)].collect()
+    assert(rows.forall(_._1 > 0))
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    assert(rows.count(_._3 == "en") >= 3) // "the/over" markers fire
+  }
+}

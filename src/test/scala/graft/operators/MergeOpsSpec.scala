@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.spec.MergeOptions
+import org.apache.spark.sql.functions._
+
+class MergeOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def target = Seq(
+    (1, "a", 10.0, "F"), (2, "b", 20.0, "O"), (3, "c", 30.0, "O"))
+    .toDF("id", "name", "amount", "status")
+
+  private def source = Seq(
+    (2, "b2", 25.0, "O"), (3, "c2", 35.0, "F"), (4, "d", 40.0, "O"))
+    .toDF("id", "name", "amount", "status")
+
+  test("upsert: update-all on match, insert-all on no-match") {
+    val out = MergeOps.merge(target, source, Seq("id"))
+    assert(out.count() == 4)
+    assert(out.where("id = 2 AND name = 'b2' AND amount = 25.0").count() == 1)
+    assert(out.where("id = 1 AND name = 'a'").count() == 1)
+    assert(out.where("id = 4").count() == 1)
+  }
+
+  test("matched delete clause") {
+    val out = MergeOps.merge(target, source, Seq("id"),
+      deleteCondition = Some(col("s.status") === "F"))
+    assert(out.where("id = 3").count() == 0) // deleted
+    assert(out.count() == 3) // 1 kept, 2 updated, 4 inserted
+  }
+
+  test("update column set + predicates") {
+    val out = MergeOps.merge(target, source, Seq("id"),
+      updateCondition = Some(col("s.amount") > col("t.amount")),
+      updateSet = Map("amount" -> col("s.amount")))
+    // only amount updated, name untouched
+    assert(out.where("id = 2 AND name = 'b' AND amount = 25.0").count() == 1)
+  }
+
+  test("insert_only suppresses matched actions") {
+    val out = MergeOps.merge(target, source, Seq("id"), insertOnly = true)
+    assert(out.where("id = 2 AND name = 'b' AND amount = 20.0").count() == 1)
+    assert(out.where("id = 4").count() == 1)
+  }
+
+  test("merge options with current./new. aliases and insert predicate") {
+    val out = MergeOps.mergeWithOptions(target, source, MergeOptions(
+      mergePredicate = "current.id = new.id",
+      insertPredicate = Some("new.status = 'O'")))
+    assert(out.where("id = 4").count() == 1)
+    // idempotence: merging the merged result with the same source changes nothing
+    val again = MergeOps.mergeWithOptions(out, source, MergeOptions(
+      mergePredicate = "current.id = new.id",
+      insertPredicate = Some("new.status = 'O'")))
+    assertSameRows(out, again)
+  }
+
+  test("merge(init) + merge(delta) == full recompute (reference delta-load invariant)") {
+    val init = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    val delta1 = Seq((2, 21.0), (3, 30.0)).toDF("id", "v")
+    val delta2 = Seq((1, 11.0), (3, 31.0)).toDF("id", "v")
+    val incremental = MergeOps.merge(
+      MergeOps.merge(init, delta1, Seq("id")), delta2, Seq("id"))
+    val expected = Seq((1, 11.0), (2, 21.0), (3, 31.0)).toDF("id", "v")
+    assertSameRows(incremental, expected)
+  }
+}
