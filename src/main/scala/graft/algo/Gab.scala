@@ -1,0 +1,137 @@
+package graft.algo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gold Asset Builder: templated cadence aggregation over a calendar.
+  *
+  * Capability parity with the reference GAB
+  * (`lakehouse_engine/algorithms/gab.py`, `core/gab_manager.py`,
+  * `core/gab_sql_generator.py`): for a configured use case, aggregate the
+  * source at each requested cadence (DAY/WEEK/MONTH/QUARTER/YEAR),
+  * union the cadences into one unified insights dataset (the reference's
+  * DELETE+INSERT into a unified table), and attach computed metrics —
+  * formula-derived columns and window/lag metrics over previous cadence
+  * periods (`core/gab_manager.py:630-838`).
+  *
+  * Scale shape: one shuffle per cadence (partial aggregation map-side),
+  * cadence windows derived with `date_trunc` — no calendar-table join
+  * needed for standard cadences; a custom calendar join (range BETWEEN)
+  * is available via [[calendarJoin]] for fiscal variants.
+  */
+object Gab {
+
+  /** One metric: output name -> aggregation expression over the source. */
+  final case class Metric(name: String, agg: String, sourceCol: String)
+
+  /** Formula metric computed over the aggregated row (any SQL expr). */
+  final case class DerivedMetric(name: String, formula: String)
+
+  /** Window metric over previous cadence periods per dimension group. */
+  final case class WindowMetric(name: String, metric: String, agg: String,
+      fromLag: Int, toLag: Int)
+
+  final case class UseCase(
+      name: String,
+      dateCol: String,
+      dimensions: Seq[String],
+      metrics: Seq[Metric],
+      cadences: Seq[String],
+      derived: Seq[DerivedMetric] = Seq.empty,
+      windows: Seq[WindowMetric] = Seq.empty)
+
+  private def aggCol(m: Metric): Column = (m.agg.toLowerCase match {
+    case "sum" => sum(col(m.sourceCol))
+    case "avg" | "mean" => avg(col(m.sourceCol))
+    case "min" => min(col(m.sourceCol))
+    case "max" => max(col(m.sourceCol))
+    case "count" => count(col(m.sourceCol))
+    case "count_distinct" => countDistinct(col(m.sourceCol))
+    case other => expr(s"$other(`${m.sourceCol}`)")
+  }).as(m.name)
+
+  /** Aggregate one cadence; returns dims + cadence window + metrics. */
+  def aggregateCadence(source: DataFrame, uc: UseCase, cadence: String): DataFrame = {
+    val trunc = cadence.toUpperCase match {
+      case "DAY" => date_trunc("day", col(uc.dateCol))
+      case "WEEK" => date_trunc("week", col(uc.dateCol))
+      case "MONTH" => date_trunc("month", col(uc.dateCol))
+      case "QUARTER" => date_trunc("quarter", col(uc.dateCol))
+      case "YEAR" => date_trunc("year", col(uc.dateCol))
+      case other => sys.error(s"unknown cadence: $other")
+    }
+    val grouped = source
+      .groupBy((uc.dimensions.map(col) :+ trunc.cast("date").as("from_date")): _*)
+      .agg(aggCol(uc.metrics.head), uc.metrics.tail.map(aggCol): _*)
+      .withColumn("cadence", lit(cadence.toUpperCase))
+      .withColumn("to_date", cadence.toUpperCase match {
+        case "DAY" => date_add(col("from_date"), 1)
+        case "WEEK" => date_add(col("from_date"), 7)
+        case "MONTH" => add_months(col("from_date"), 1)
+        case "QUARTER" => add_months(col("from_date"), 3)
+        case "YEAR" => add_months(col("from_date"), 12)
+      })
+    val withDerived = uc.derived.foldLeft(grouped)((df, d) =>
+      df.withColumn(d.name, expr(d.formula)))
+    uc.windows.foldLeft(withDerived) { (df, w) =>
+      val win = Window.partitionBy((uc.dimensions :+ "cadence").map(col): _*)
+        .orderBy(col("from_date"))
+        .rowsBetween(-w.fromLag, -w.toLag)
+      val a = w.agg.toLowerCase match {
+        case "sum" => sum(col(w.metric)).over(win)
+        case "avg" | "mean" => avg(col(w.metric)).over(win)
+        case "min" => min(col(w.metric)).over(win)
+        case "max" => max(col(w.metric)).over(win)
+        case "lag" => lag(col(w.metric), w.fromLag)
+          .over(Window.partitionBy((uc.dimensions :+ "cadence").map(col): _*)
+            .orderBy(col("from_date")))
+      }
+      df.withColumn(w.name, a)
+    }
+  }
+
+  /** Build the unified insights dataset: union of all cadences. */
+  def buildInsights(source: DataFrame, uc: UseCase): DataFrame =
+    uc.cadences.map(c => aggregateCadence(source, uc, c))
+      .reduce(_ unionByName _)
+      .withColumn("use_case", lit(uc.name))
+
+  /** Execute a use case into a parquet insights location, replacing that
+    * use case's rows (the reference's DELETE+INSERT —
+    * `algorithms/gab.py:485-532`). */
+  def execute(spark: SparkSession, source: DataFrame, uc: UseCase, insightsLocation: String): DataFrame = {
+    val insights = buildInsights(source, uc)
+    val fs = new org.apache.hadoop.fs.Path(insightsLocation)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(insightsLocation)))
+        Some(spark.read.parquet(insightsLocation).where(col("use_case") =!= uc.name))
+      else None
+    val unioned = existing.map(_.unionByName(insights, allowMissingColumns = true))
+      .getOrElse(insights)
+    val stage = insightsLocation.stripSuffix("/") + "__stage"
+    unioned.write.mode("overwrite").parquet(stage)
+    val old = new org.apache.hadoop.fs.Path(insightsLocation.stripSuffix("/") + "__old")
+    fs.delete(old, true)
+    if (fs.exists(new org.apache.hadoop.fs.Path(insightsLocation)))
+      fs.rename(new org.apache.hadoop.fs.Path(insightsLocation), old)
+    fs.rename(new org.apache.hadoop.fs.Path(stage),
+      new org.apache.hadoop.fs.Path(insightsLocation))
+    fs.delete(old, true)
+    spark.read.parquet(insightsLocation)
+  }
+
+  /** Generate a calendar dimension (one row per day) for range joins. */
+  def calendar(spark: SparkSession, from: String, to: String): DataFrame =
+    spark.sql(
+      s"""SELECT explode(sequence(DATE '$from', DATE '$to', INTERVAL 1 DAY)) AS calendar_date""")
+
+  /** GAB-style calendar range join: attach cadence windows to fact rows
+    * via BETWEEN (`algorithms/gab.py:668-684`). The calendar side is tiny
+    * and broadcast, so Catalyst plans a broadcast nested-loop join — the
+    * right shape for a range condition against a small dimension. */
+  def calendarJoin(fact: DataFrame, dateCol: String, windows: DataFrame): DataFrame =
+    fact.join(broadcast(windows),
+      col(dateCol) >= col("cadence_start_date") && col(dateCol) < col("cadence_end_date"))
+}

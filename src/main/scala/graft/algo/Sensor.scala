@@ -1,0 +1,124 @@
+package graft.algo
+
+import graft.io.Readers
+import graft.operators.MergeOps
+import graft.spec.InputSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Upstream new-data detection with a persistent control table.
+  *
+  * Capability parity with `lakehouse_engine/algorithms/sensor.py:25-167`
+  * and `core/sensor_manager.py`: a sensor reads its upstream (any reader
+  * spec), optionally pre-filters with a query over the `sensor_new_data`
+  * view, and flips its control-table row to ACQUIRED_NEW_DATA when rows
+  * exist. Downstream jobs mark PROCESSED_NEW_DATA after consuming. The
+  * control table is a parquet location maintained via the native MERGE
+  * (Delta in the reference — `core/definitions.py:1145-1169`).
+  */
+final class Sensor(spark: SparkSession, controlLocation: String) {
+
+  import Sensor._
+
+  def controlDf(): DataFrame = {
+    val fs = new Path(controlLocation).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(controlLocation)))
+      spark.read.schema(ControlSchema).parquet(controlLocation)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ControlSchema)
+  }
+
+  /** Check one sensor's upstream; returns true when new data was acquired. */
+  def checkUpstream(
+      sensorId: String,
+      upstream: InputSpec,
+      preprocessQuery: Option[String] = None,
+      assets: Seq[String] = Seq.empty): Boolean = {
+    val raw = Readers.read(spark, upstream)
+    val candidate = preprocessQuery match {
+      case Some(q) =>
+        raw.createOrReplaceTempView("sensor_new_data")
+        spark.sql(q)
+      case None => raw
+    }
+    val hasNew = candidate.limit(1).count() > 0
+    if (hasNew) updateStatus(sensorId, Acquired, assets)
+    hasNew
+  }
+
+  /** Mark a sensor's data as consumed. */
+  def markProcessed(sensorId: String): Unit =
+    updateStatus(sensorId, Processed, Seq.empty)
+
+  def status(sensorId: String): Option[String] =
+    controlDf().where(col("sensor_id") === sensorId)
+      .select("status").collect().headOption.map(_.getString(0))
+
+  private def updateStatus(sensorId: String, status: String, assets: Seq[String]): Unit = {
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    import spark.implicits._
+    val update = Seq((sensorId, assets, status, now, s"$controlLocation/../checkpoints/$sensorId"))
+      .toDF("sensor_id", "assets", "status", "status_change_timestamp", "checkpoint_location")
+    val merged = MergeOps.merge(
+      controlDf(), update.select(ControlSchema.fieldNames.map(col): _*), Seq("sensor_id"))
+    val stage = controlLocation.stripSuffix("/") + "__stage"
+    merged.coalesce(1).write.mode("overwrite").parquet(stage)
+    val fs = new Path(controlLocation).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(controlLocation.stripSuffix("/") + "__old")
+    fs.delete(old, true)
+    if (fs.exists(new Path(controlLocation))) fs.rename(new Path(controlLocation), old)
+    fs.rename(new Path(stage), new Path(controlLocation))
+    fs.delete(old, true)
+  }
+}
+
+object Sensor {
+  val Acquired = "ACQUIRED_NEW_DATA"
+  val Processed = "PROCESSED_NEW_DATA"
+
+  /** Reference SENSOR_SCHEMA (`core/definitions.py:1145-1155`). */
+  val ControlSchema: StructType = StructType(Seq(
+    StructField("sensor_id", StringType, nullable = false),
+    StructField("assets", ArrayType(StringType)),
+    StructField("status", StringType, nullable = false),
+    StructField("status_change_timestamp", TimestampType, nullable = false),
+    StructField("checkpoint_location", StringType)))
+}
+
+/** Stand-alone data-quality validation over any readable input.
+  *
+  * Capability parity with `lakehouse_engine/algorithms/dq_validator.py`:
+  * read via the reader factory (streaming inputs are drained with a
+  * trigger-once foreachBatch, as in the reference), run the DQ engine,
+  * optionally write the result sink. Delta RESTORE-on-failure has no
+  * OSS-parquet equivalent in this build and is intentionally absent.
+  */
+object DQValidator {
+
+  def validate(
+      spark: SparkSession,
+      input: InputSpec,
+      dqSpec: graft.spec.DQSpec): graft.dq.DQRunResult = {
+    val df = Readers.read(spark, input)
+    val batchDf =
+      if (!df.isStreaming) df
+      else {
+        // drain the stream once into a temp batch view (reference
+        // `dq_validator.py:105-117`)
+        val tmp = java.nio.file.Files.createTempDirectory("dq-validate").toString
+        df.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/data")
+          }.start().awaitTermination()
+        spark.read.parquet(s"$tmp/data")
+      }
+    val result = graft.dq.DQEngine.run(spark, batchDf, dqSpec)
+    dqSpec.resultSink.foreach(sink => graft.io.Writers.writeBatch(
+      spark, sink, graft.dq.DQEngine.resultSinkDf(spark, result, dqSpec.specId)))
+    result
+  }
+}

@@ -1,0 +1,103 @@
+package graft.maintain
+
+import graft.algo.FileCompaction
+import graft.util.SqlSplitter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table DDL / maintenance operations.
+  *
+  * Capability parity with `lakehouse_engine/core/table_manager.py:16-289`:
+  * create/drop/truncate/describe/show properties/analyze/repair/
+  * delete-where/execute-sql (with the multi-statement splitter), plus
+  * OPTIMIZE/VACUUM analogues for this Delta-less build (parquet
+  * compaction; vacuum is a no-op without a transaction log). */
+final class TableManager(spark: SparkSession) {
+
+  def createTable(sql: String): Unit = executeSql(sql)
+
+  /** Execute every statement in a SQL script (quote/comment-aware split,
+    * reference `utils/sql_parser_utils.py`). */
+  def executeSql(script: String): Seq[DataFrame] =
+    SqlSplitter.split(script).map(spark.sql)
+
+  def dropTable(table: String, ifExists: Boolean = true): Unit =
+    spark.sql(s"DROP TABLE ${if (ifExists) "IF EXISTS " else ""}$table")
+
+  def dropView(view: String, ifExists: Boolean = true): Unit =
+    spark.sql(s"DROP VIEW ${if (ifExists) "IF EXISTS " else ""}$view")
+
+  def truncate(table: String): Unit = spark.sql(s"TRUNCATE TABLE $table")
+
+  def describe(table: String): DataFrame = spark.sql(s"DESCRIBE TABLE $table")
+
+  def showTblProperties(table: String): DataFrame =
+    spark.sql(s"SHOW TBLPROPERTIES $table")
+
+  /** Primary key columns from the `lakehouse.primary_key` table property
+    * (reference `core/table_manager.py` get_tbl_pk). */
+  def getTablePk(table: String): Seq[String] = {
+    val props = showTblProperties(table).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("lakehouse.primary_key").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  }
+
+  def computeTableStatistics(table: String): Unit =
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+
+  def repairTable(table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE $table")
+
+  /** DELETE FROM ... WHERE for parquet locations: filtered rewrite with
+    * staged swap (no transaction log in this build). */
+  def deleteWhere(location: String, condition: String): Unit = {
+    val df = spark.read.parquet(location).where(s"NOT ($condition)")
+    val stage = location.stripSuffix("/") + "__delete"
+    df.write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__old")
+    fs.delete(old, true)
+    fs.rename(new org.apache.hadoop.fs.Path(location), old)
+    fs.rename(new org.apache.hadoop.fs.Path(stage),
+      new org.apache.hadoop.fs.Path(location))
+    fs.delete(old, true)
+  }
+
+  /** OPTIMIZE analogue: compact a parquet location's small files. */
+  def optimize(location: String, targetPartitions: Int = 0): Unit =
+    FileCompaction.compact(spark, location, targetPartitions)
+
+  /** VACUUM is a transaction-log operation; without Delta the staged-swap
+    * writers already leave no stale files, so this is a documented no-op. */
+  def vacuum(location: String, retentionHours: Int = 168): Unit = ()
+}
+
+/** Driver-side file management (reference `core/s3_file_manager.py` /
+  * `core/dbfs_file_manager.py`) via the Hadoop FileSystem API — works for
+  * local, HDFS and S3A uniformly. */
+final class FileManager(spark: SparkSession) {
+  import org.apache.hadoop.fs.Path
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def list(path: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.toString).toSeq.sorted
+  }
+
+  def delete(path: String, dryRun: Boolean = false): Boolean =
+    if (dryRun) fs(path).exists(new Path(path))
+    else fs(path).delete(new Path(path), true)
+
+  def copy(src: String, dst: String): Boolean =
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs(src), new Path(src), fs(dst), new Path(dst),
+      false, spark.sparkContext.hadoopConfiguration)
+
+  def move(src: String, dst: String): Boolean =
+    fs(src).rename(new Path(src), new Path(dst))
+}

@@ -523,6 +523,67 @@ object QueryCatalog {
         WHERE t.o_orderkey IS NULL AND s.o_orderstatus = 'O')
       WHERE deleted = 0 ORDER BY o_orderkey"""))
 
+  private val q29 = QueryDef(
+    "q29_gab_cadence",
+    (s, dir) => {
+      val uc = graft.algo.Gab.UseCase(
+        name = "order_insights", dateCol = "o_orderdate",
+        dimensions = Seq("o_orderstatus"),
+        metrics = Seq(
+          graft.algo.Gab.Metric("revenue", "sum", "o_totalprice"),
+          graft.algo.Gab.Metric("n_orders", "count", "o_orderkey")),
+        cadences = Seq("MONTH", "QUARTER"))
+      graft.algo.Gab.buildInsights(T(s, dir, "orders"), uc)
+        .select(col("use_case"), col("cadence"), col("o_orderstatus").as("status"),
+          date_format(col("from_date"), "yyyy-MM-dd").as("from_date"),
+          date_format(col("to_date"), "yyyy-MM-dd").as("to_date"),
+          round(col("revenue"), 2).as("revenue"), col("n_orders"))
+        .orderBy(col("cadence"), col("status"), col("from_date"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT 'MONTH' AS cadence, o_orderstatus AS status,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS from_date,
+               round(sum(o_totalprice), 2) AS revenue, count(o_orderkey) AS n_orders
+        FROM orders GROUP BY 2, 3),
+      q AS (
+        SELECT 'QUARTER' AS cadence, o_orderstatus AS status,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS from_date,
+               round(sum(o_totalprice), 2) AS revenue, count(o_orderkey) AS n_orders
+        FROM orders GROUP BY 2, 3),
+      u AS (SELECT * FROM m UNION ALL SELECT * FROM q)
+      SELECT 'order_insights' AS use_case, cadence, status,
+             strftime(from_date, '%Y-%m-%d') AS from_date,
+             strftime(CAST(from_date + (CASE WHEN cadence = 'MONTH'
+               THEN INTERVAL 1 MONTH ELSE INTERVAL 3 MONTH END) AS DATE),
+               '%Y-%m-%d') AS to_date,
+             revenue, n_orders
+      FROM u ORDER BY cadence, status, from_date"""))
+
+  private val q44 = QueryDef(
+    "q44_range_join",
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val windows = orders
+        .select(date_trunc("quarter", col("o_orderdate")).cast("date").as("cadence_start_date"))
+        .distinct()
+        .withColumn("cadence_end_date", add_months(col("cadence_start_date"), 3))
+      graft.algo.Gab.calendarJoin(orders, "o_orderdate", windows)
+        .groupBy(date_format(col("cadence_start_date"), "yyyy-MM-dd").as("window_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("window_start"))
+    },
+    Some("""
+      WITH windows AS (
+        SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS ws,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) + INTERVAL 3 MONTH AS we
+        FROM orders)
+      SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      FROM orders JOIN windows ON o_orderdate >= ws AND o_orderdate < we
+      GROUP BY ws ORDER BY window_start"""))
+
   // ---------------------------------------------------------------------
   // LLM-pipeline parity-plus operators (dedup / text / similarity)
   // ---------------------------------------------------------------------
@@ -752,7 +813,8 @@ object QueryCatalog {
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
+    q44,
     q41, q42, q43, q45)
 }

@@ -1,0 +1,127 @@
+package graft.algo
+
+import graft.SparkSpec
+import graft.spec.{DQFunctionSpec, DQSpec, InputSpec}
+import graft.util.SqlSplitter
+import java.nio.file.{Files, Paths}
+
+/** Sensor, DQValidator, GAB, TableManager, SqlSplitter coverage. */
+class AlgorithmsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("sql splitter respects quotes and comments") {
+    val script =
+      """CREATE TABLE t (a INT); -- trailing; comment
+        |INSERT INTO t VALUES (1); /* block; ; comment */
+        |SELECT 'semi;colon' AS s FROM t;
+        |SELECT "quoted;too" FROM t
+        |""".stripMargin
+    val stmts = SqlSplitter.split(script)
+    assert(stmts.length == 4)
+    assert(stmts(2).contains("'semi;colon'"))
+  }
+
+  test("sensor acquires on new data and records control state") {
+    val ctl = tmpDir("sensor") + "/control"
+    val dataDir = tmpDir("sensor-data")
+    Seq((1, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$dataDir/up")
+    val sensor = new Sensor(spark, ctl)
+    val spec = InputSpec(specId = "up", dataFormat = Some("parquet"),
+      location = Some(s"$dataDir/up"))
+    assert(sensor.checkUpstream("s1", spec))
+    assert(sensor.status("s1").contains(Sensor.Acquired))
+    sensor.markProcessed("s1")
+    assert(sensor.status("s1").contains(Sensor.Processed))
+    // preprocess query that matches nothing -> no new data
+    assert(!sensor.checkUpstream("s2", spec,
+      preprocessQuery = Some("SELECT * FROM sensor_new_data WHERE id > 100")))
+    assert(sensor.status("s2").isEmpty)
+  }
+
+  test("dq validator over a file input") {
+    val dir = tmpDir("dqv")
+    Seq((1, "a"), (2, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val result = DQValidator.validate(spark,
+      InputSpec(specId = "in", dataFormat = Some("parquet"), location = Some(s"$dir/in")),
+      DQSpec("dq", "in", dqFunctions = Seq(
+        DQFunctionSpec("expect_column_values_to_not_be_null", Map("column" -> "name")))))
+    assert(result.success)
+  }
+
+  test("gab builds unified multi-cadence insights with window metrics") {
+    val src = Seq(
+      ("2024-01-05", "A", 10.0), ("2024-01-20", "A", 5.0),
+      ("2024-02-10", "A", 7.0), ("2024-02-15", "B", 3.0),
+      ("2024-04-01", "A", 2.0))
+      .toDF("d", "grp", "v")
+      .selectExpr("CAST(d AS DATE) AS d", "grp", "v")
+    val uc = Gab.UseCase(
+      name = "t", dateCol = "d", dimensions = Seq("grp"),
+      metrics = Seq(Gab.Metric("total", "sum", "v"), Gab.Metric("n", "count", "v")),
+      cadences = Seq("MONTH", "QUARTER"),
+      derived = Seq(Gab.DerivedMetric("avg_v", "total / n")),
+      windows = Seq(Gab.WindowMetric("prev_total", "total", "lag", 1, 1)))
+    val insights = Gab.buildInsights(src, uc)
+    val jan = insights.where("cadence = 'MONTH' AND grp = 'A' AND from_date = '2024-01-01'")
+    assert(jan.select("total").as[Double].collect().head == 15.0)
+    val feb = insights.where("cadence = 'MONTH' AND grp = 'A' AND from_date = '2024-02-01'")
+    assert(feb.select("prev_total").as[Double].collect().head == 15.0)
+    val q1 = insights.where("cadence = 'QUARTER' AND grp = 'A' AND from_date = '2024-01-01'")
+    assert(q1.select("n").as[Long].collect().head == 3)
+    // delete+insert semantics: re-running a use case replaces its rows
+    val loc = tmpDir("gab") + "/insights"
+    Gab.execute(spark, src, uc, loc)
+    val again = Gab.execute(spark, src, uc, loc)
+    assert(again.count() == insights.count())
+  }
+
+  test("table manager: create/describe/properties/pk/drop via catalog") {
+    val tm = new graft.maintain.TableManager(spark)
+    tm.executeSql(
+      """CREATE TABLE IF NOT EXISTS graft_tm_test (id INT, name STRING)
+        |USING parquet TBLPROPERTIES ('lakehouse.primary_key' = 'id, name');
+        |INSERT INTO graft_tm_test VALUES (1, 'x')""".stripMargin)
+    assert(tm.getTablePk("graft_tm_test") == Seq("id", "name"))
+    assert(spark.table("graft_tm_test").count() == 1)
+    tm.truncate("graft_tm_test")
+    assert(spark.table("graft_tm_test").count() == 0)
+    tm.dropTable("graft_tm_test")
+  }
+
+  test("table manager delete_where rewrites a parquet location") {
+    val loc = tmpDir("tm") + "/t"
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").write.parquet(loc)
+    new graft.maintain.TableManager(spark).deleteWhere(loc, "id = 2")
+    val rest = spark.read.parquet(loc)
+    assert(rest.count() == 2)
+    assert(rest.where("id = 2").count() == 0)
+  }
+
+  test("file manager list/copy/move/delete") {
+    val fm = new graft.maintain.FileManager(spark)
+    val dir = tmpDir("fm")
+    Files.writeString(Paths.get(s"$dir/a.txt"), "x")
+    assert(fm.list(dir).exists(_.endsWith("a.txt")))
+    assert(fm.copy(s"$dir/a.txt", s"$dir/b.txt"))
+    assert(fm.move(s"$dir/b.txt", s"$dir/c.txt"))
+    assert(fm.delete(s"$dir/c.txt"))
+    assert(!fm.list(dir).exists(_.endsWith("c.txt")))
+  }
+
+  test("reconciliator thresholds: green within, raises on red") {
+    val truth = Seq(("A", 100.0), ("B", 50.0)).toDF("k", "m")
+    val current = Seq(("A", 99.0), ("B", 50.0)).toDF("k", "m")
+    val statuses = Reconciliator.reconcile(truth, current, Seq("k"),
+      Seq("m" -> "m"), agg = "max",
+      thresholds = Map("max_percentage_diff" -> (0.05, 0.2)))
+    assert(statuses.forall(_.status == "green"))
+    intercept[IllegalStateException] {
+      Reconciliator.reconcile(truth,
+        Seq(("A", 10.0), ("B", 50.0)).toDF("k", "m"), Seq("k"),
+        Seq("m" -> "m"), agg = "max",
+        thresholds = Map("max_percentage_diff" -> (0.05, 0.2)))
+    }
+  }
+}
