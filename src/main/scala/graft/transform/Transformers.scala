@@ -188,6 +188,9 @@ object Transformers {
       }
 
     // ---- custom / sql ---------------------------------------------------
+    case "temp_view" => df => {
+      df.createOrReplaceTempView(str(args, "name").get); df
+    }
     case "custom_transformation" =>
       ctx.customFns(str(args, "function_name").getOrElse(
         sys.error("custom_transformation needs function_name")))

@@ -1,0 +1,77 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.spec.InputSpec
+import java.util.concurrent.ConcurrentLinkedQueue
+
+class IoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("sap bw init/delta queries embed changelog + activation semantics") {
+    val cfg = SapExtraction.BwConfig(odsobject = "ZSALES")
+    val init = SapExtraction.bwInitQuery(cfg)
+    assert(init.contains("/BIC/AZSALES00"))
+    assert(init.contains("RSODSACTREQ"))
+    assert(init.contains("actrequest_timestamp"))
+    val delta = SapExtraction.bwDeltaQuery(cfg, "20240101000000")
+    assert(delta.contains("/BIC/AZSALES40"))
+    assert(delta.contains("> 20240101000000"))
+    assert(delta.startsWith("(SELECT") && delta.endsWith(") t"))
+  }
+
+  test("sap b4 queries use REQTSN watermark") {
+    val cfg = SapExtraction.B4Config(adsoName = "ZORDERS")
+    assert(SapExtraction.b4InitQuery(cfg).contains("/BIC/AZORDERS2"))
+    val delta = SapExtraction.b4DeltaQuery(cfg, "20240101000000000000000")
+    assert(delta.contains("/BIC/AZORDERS3"))
+    assert(delta.contains("RSPMREQUEST"))
+    assert(delta.contains("STATUS = 'GG'"))
+  }
+
+  test("rest api writer streams payloads through partitions") {
+    val sent = IoSpec.sentQueue
+    sent.clear()
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").repartition(2)
+    val failures = RestApiWriter.writeColumns(df, Seq("id", "v"), IoSpec.recordingSender)
+    assert(failures == 1) // id=2 payload rejected by the fake
+    val payloads = sent.toArray.map(_.toString).toSet
+    assert(payloads == Set("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}""", """{"id":3,"v":"c"}"""))
+  }
+
+  test("reader factory reads csv with schema and filepath projection") {
+    val dir = tmpDir("reader")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/f.csv"), "id|v\n1|x\n2|y\n")
+    val df = Readers.read(spark, InputSpec(
+      specId = "in", dataFormat = Some("csv"), location = Some(dir),
+      schema = Some("id INT, v STRING"),
+      options = Map("header" -> "true", "delimiter" -> "|"),
+      withFilepath = true))
+    assert(df.count() == 2)
+    assert(df.columns.contains("lhe_extraction_filepath"))
+    assert(df.select("lhe_extraction_filepath").as[String].collect()
+      .forall(_.endsWith("f.csv")))
+  }
+
+  test("query reader and temp view registration") {
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("io_spec_src")
+    val df = Readers.read(spark, InputSpec(
+      specId = "q", query = Some("SELECT * FROM io_spec_src"),
+      tempView = Some("io_spec_out")))
+    assert(df.count() == 1)
+    assert(spark.table("io_spec_out").count() == 1)
+  }
+}
+
+object IoSpec {
+  val sentQueue = new ConcurrentLinkedQueue[String]()
+
+  /** Recording fake transport: local[N] executors share this JVM. */
+  val recordingSender: RestApiWriter.Sender = new RestApiWriter.Sender {
+    override def send(payload: String): Int = {
+      sentQueue.add(payload)
+      if (payload.contains("\"id\":2")) 500 else 200
+    }
+  }
+}
