@@ -37,13 +37,34 @@ final class Sensor(spark: SparkSession, controlLocation: String) {
       preprocessQuery: Option[String] = None,
       assets: Seq[String] = Seq.empty): Boolean = {
     val raw = Readers.read(spark, upstream)
-    val candidate = preprocessQuery match {
-      case Some(q) =>
-        raw.createOrReplaceTempView("sensor_new_data")
-        spark.sql(q)
-      case None => raw
-    }
-    val hasNew = candidate.limit(1).count() > 0
+    val hasNew =
+      if (raw.isStreaming) {
+        // streaming sensor: drain availableNow, flag when any batch has
+        // rows (reference `algorithms/sensor.py:90-108`)
+        val found = new java.util.concurrent.atomic.AtomicBoolean(false)
+        raw.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            s"${controlLocation.stripSuffix("/")}__ckpt/$sensorId")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val candidate = preprocessQuery match {
+              case Some(q) =>
+                batch.createOrReplaceTempView("sensor_new_data")
+                spark.sql(q)
+              case None => batch
+            }
+            if (candidate.limit(1).count() > 0) found.set(true)
+          }.start().awaitTermination()
+        found.get()
+      } else {
+        val candidate = preprocessQuery match {
+          case Some(q) =>
+            raw.createOrReplaceTempView("sensor_new_data")
+            spark.sql(q)
+          case None => raw
+        }
+        candidate.limit(1).count() > 0
+      }
     if (hasNew) updateStatus(sensorId, Acquired, assets)
     hasNew
   }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** Structured Streaming semantics: event-time windows + watermarks,
+  * streaming dedup, streaming sensor (reference §2.8 surface). */
+class StreamingSpec extends SparkSpec {
+
+  private def writeEvents(dir: String, lines: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/part-${System.nanoTime()}.csv"),
+      "ts,user,value\n" + lines)
+  }
+
+  test("event-time tumbling window aggregation with watermark (availableNow)") {
+    val in = tmpDir("st-in")
+    val out = tmpDir("st-out") + "/data"
+    val ckpt = tmpDir("st-ckpt")
+    writeEvents(in,
+      """2024-01-01 10:05:00,u1,1.0
+        |2024-01-01 10:20:00,u1,2.0
+        |2024-01-01 11:10:00,u2,3.0
+        |""".stripMargin)
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, user STRING, value DOUBLE")
+        .option("header", "true").csv(in)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("user"))
+        .agg(sum("value").as("total"))
+        .select(col("window.start").as("ws"), col("user"), col("total"))
+      stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }.start().awaitTermination()
+    }
+    drain()
+    // append mode emits a window only once the watermark passes its end:
+    // the 10:00 window (u1) is final after the 11:10 event, the 11:00
+    // window (u2) is still open
+    val first = spark.read.parquet(out)
+    assert(first.where("user = 'u1' AND total = 3.0").count() == 1)
+    assert(first.where("user = 'u2'").count() == 0)
+    // a later event advances the watermark past 12:00 and flushes u2
+    writeEvents(in, "2024-01-01 12:30:00,u3,4.0\n")
+    drain()
+    val second = spark.read.parquet(out)
+    assert(second.where("user = 'u2' AND total = 3.0").count() == 1)
+  }
+
+  test("streaming drop_duplicate_rows with watermark via the registry") {
+    val in = tmpDir("st-dedup-in")
+    val out = tmpDir("st-dedup-out") + "/data"
+    val ckpt = tmpDir("st-dedup-ckpt")
+    writeEvents(in,
+      """2024-01-01 10:00:00,u1,1.0
+        |2024-01-01 10:00:00,u1,1.0
+        |2024-01-01 10:05:00,u2,2.0
+        |""".stripMargin)
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "data_format": "csv",
+         |    "location": "$in", "schema": "ts TIMESTAMP, user STRING, value DOUBLE",
+         |    "options": {"header": "true"}
+         |  }],
+         |  "transform_specs": [{
+         |    "spec_id": "deduped", "input_id": "src",
+         |    "transformers": [{
+         |      "function": "drop_duplicate_rows",
+         |      "args": {"cols": ["ts", "user"], "watermark_col": "ts",
+         |               "watermark_delay": "10 minutes"}
+         |    }]
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "deduped", "write_type": "append",
+         |    "data_format": "parquet", "location": "$out",
+         |    "streaming_trigger": "availableNow",
+         |    "options": {"checkpointLocation": "$ckpt"}, "with_batch_id": true
+         |  }]
+         |}""".stripMargin
+    graft.algo.DataLoader.loadData(spark, acon)
+    val result = spark.read.parquet(out)
+    assert(result.count() == 2)
+  }
+
+  test("streaming sensor acquires from a file stream") {
+    val dataDir = tmpDir("st-sensor")
+    val ctl = tmpDir("st-sensor-ctl") + "/control"
+    writeEvents(s"$dataDir/up", "2024-01-01 10:00:00,u1,1.0\n")
+    val sensor = new graft.algo.Sensor(spark, ctl)
+    val spec = graft.spec.InputSpec(
+      specId = "up", readType = "streaming", dataFormat = Some("csv"),
+      location = Some(s"$dataDir/up"),
+      schema = Some("ts TIMESTAMP, user STRING, value DOUBLE"),
+      options = Map("header" -> "true"))
+    assert(sensor.checkUpstream("s-stream", spec))
+    assert(sensor.status("s-stream").contains(graft.algo.Sensor.Acquired))
+    // a sensor over an empty directory acquires nothing
+    val emptyDir = s"$dataDir/empty"
+    Files.createDirectories(Paths.get(emptyDir))
+    assert(!sensor.checkUpstream("s-empty",
+      spec.copy(specId = "up-empty", location = Some(emptyDir))))
+    assert(sensor.status("s-empty").isEmpty)
+  }
+}
