@@ -65,7 +65,7 @@ final class DataLoader(
   }
 
   def processDq(): this.type = {
-    acon.dqSpecs.foreach { dq =>
+    acon.dqSpecs.map(resolvePrisma).foreach { dq =>
       val df = data(dq.inputId)
       if (!df.isStreaming) {
         val result = DQEngine.run(spark, df, dq)
@@ -79,6 +79,17 @@ final class DataLoader(
     }
     this
   }
+
+  /** PRISMA: resolve dq functions from a rules table before running
+    * (reference `utils/dq_utils.py`, `dq_factory.py:359-371`). */
+  private def resolvePrisma(dq: DQSpec): DQSpec =
+    if (dq.dqType != "prisma") dq
+    else {
+      val src = dq.rulesTable.getOrElse(sys.error("prisma dq_spec needs rules_table"))
+      val rulesDf =
+        if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
+      dq.copy(dqFunctions = DQEngine.rulesFromTable(spark, rulesDf))
+    }
 
   def write(): this.type = {
     acon.outputSpecs.foreach { out =>

@@ -183,6 +183,39 @@ object DQEngine {
     result
   }
 
+  /** PRISMA variant: load expectation rows from a rules table
+    * (reference `utils/dq_utils.py:18-284`). Rule rows carry
+    * (dq_rule_id, dq_tech_function as "name(argJson)", execution_point,
+    * dimension, filter_exp); rule ids must be unique. */
+  def rulesFromTable(
+      spark: SparkSession,
+      rulesDf: DataFrame,
+      executionPoint: Option[String] = None): Seq[DQFunctionSpec] = {
+    val filtered = executionPoint match {
+      case Some(ep) => rulesDf.where(col("execution_point") === ep)
+      case None => rulesDf
+    }
+    val rows = filtered.select("dq_rule_id", "dq_tech_function").collect()
+    val ids = rows.map(_.getString(0))
+    val dupIds = ids.groupBy(identity).collect { case (id, g) if g.length > 1 => id }
+    if (dupIds.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate dq_rule_id values in rules table: ${dupIds.mkString(", ")}")
+    rows.toSeq.map { r =>
+      val spec = r.getString(1)
+      val open = spec.indexOf('(')
+      if (open < 0) DQFunctionSpec(spec.trim)
+      else {
+        val fn = spec.substring(0, open).trim
+        val argsJson = spec.substring(open + 1, spec.lastIndexOf(')')).trim
+        val args =
+          if (argsJson.isEmpty) Map.empty[String, Any]
+          else graft.spec.Specs.parseJsonMap(argsJson)
+        DQFunctionSpec(fn, args)
+      }
+    }
+  }
+
   /** Tag each source row with the reference's `dq_validations` struct
     * (`core/definitions.py:563-588`): pure projection, no join — each
     * row-level expectation contributes a failure detail when its

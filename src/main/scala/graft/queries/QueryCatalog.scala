@@ -809,6 +809,37 @@ object QueryCatalog {
              md5(text) AS content_md5
       FROM documents ORDER BY doc_id"""))
 
+  private val q46 = QueryDef(
+    "q46_rollup",
+    (s, dir) => T(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  private val q47 = QueryDef(
+    "q47_salted_join",
+    (s, dir) => {
+      // skew-mitigation join must produce byte-identical results to the
+      // plain join (q04) — the oracle is the unsalted formulation
+      val part = T(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.ScaleOps.saltedJoin(
+          T(s, dir, "lineitem"), part, Seq("l_partkey"), salts = 4)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -816,5 +847,5 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
-    q41, q42, q43, q45)
+    q41, q42, q43, q45, q46, q47)
 }

@@ -46,7 +46,9 @@ final case class DQSpec(
     maxPercentageFailure: Option[Double] = None,
     tagSourceData: Boolean = false,
     unexpectedRowsPk: Seq[String] = Seq.empty,
-    resultSink: Option[OutputSpec] = None)
+    resultSink: Option[OutputSpec] = None,
+    /** prisma variant: table name or parquet location holding rule rows */
+    rulesTable: Option[String] = None)
 
 final case class MergeOptions(
     mergePredicate: String,
@@ -147,7 +149,8 @@ object Specs {
     unexpectedRowsPk = strSeq(m, "unexpected_rows_pk"),
     resultSink = m.get("result_sink").collect { case mm: Map[_, _] =>
       outputSpec(mm.map { case (a, b) => a.toString -> b })
-    })
+    },
+    rulesTable = str(m, "rules_table"))
 
   def mergeOptions(m: Map[String, Any]): MergeOptions = MergeOptions(
     mergePredicate = str(m, "merge_predicate").getOrElse(sys.error("merge needs merge_predicate")),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.dq.DQEngine
+import graft.spec.{DQFunctionSpec, DQSpec}
+
+class ScaleOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("salted join equals plain join") {
+    val left = (1 to 100).map(i => (i % 3, i)).toDF("k", "v") // skewed: 3 keys
+    val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val salted = ScaleOps.saltedJoin(left, right, Seq("k"), salts = 8)
+    val plain = left.join(right, Seq("k"))
+    assertSameRows(salted.select("k", "v", "name"), plain.select("k", "v", "name"))
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "av")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "bv")
+    ScaleOps.writeBucketed(a, "graft_bucket_a", Seq("id"), 4)
+    ScaleOps.writeBucketed(b, "graft_bucket_b", Seq("id"), 4)
+    try {
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), Seq("id"))
+      joined.count() // materialize so AQE finalizes the plan
+      assert(ScaleOps.countShuffles(joined) == 0,
+        s"expected shuffle-free bucketed join:\n${joined.queryExecution.executedPlan}")
+      // and the same join on raw dataframes DOES shuffle (force a
+      // sort-merge plan: the tiny test inputs would otherwise broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val unbucketed = a.join(b, Seq("id"))
+        unbucketed.count()
+        assert(ScaleOps.countShuffles(unbucketed) > 0)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
+  test("prisma rules load from a table with unique-id validation") {
+    val rules = Seq(
+      ("r1", """expect_column_values_to_not_be_null({"column": "name"})""", "in_motion"),
+      ("r2", """expect_table_row_count_to_be_between({"min_value": 1})""", "in_motion"),
+      ("r3", """expect_column_values_to_not_be_null({"column": "other"})""", "at_rest"))
+      .toDF("dq_rule_id", "dq_tech_function", "execution_point")
+    val fns = DQEngine.rulesFromTable(spark, rules, executionPoint = Some("in_motion"))
+    assert(fns.map(_.function) ==
+      Seq("expect_column_values_to_not_be_null", "expect_table_row_count_to_be_between"))
+    assert(fns.head.args("column") == "name")
+
+    val dup = rules.union(rules)
+    intercept[IllegalArgumentException] {
+      DQEngine.rulesFromTable(spark, dup)
+    }
+
+    // end-to-end: prisma rules drive a run
+    val data = Seq((1, "x"), (2, "y")).toDF("id", "name")
+    val result = DQEngine.run(spark, data,
+      DQSpec("p", "p", dqFunctions = fns, failOnError = true))
+    assert(result.success)
+  }
+}
