@@ -15,7 +15,10 @@ final case class ExpectationOutcome(
     success: Boolean,
     elementCount: Long,
     unexpectedCount: Long,
-    observedValue: Option[Double] = None)
+    observedValue: Option[Double] = None,
+    /** sample of failing PK tuples rendered as JSON (bounded, like the
+      * reference's chunked unexpected_index_list) */
+    unexpectedIndexList: Seq[String] = Seq.empty)
 
 /** Result of a full DQ run. */
 final case class DQRunResult(
@@ -40,6 +43,9 @@ final case class DQRunResult(
   *     (`core/definitions.py:563-588`) as a pure projection — no join.
   */
 object DQEngine {
+
+  /** Max failing-PK samples collected per expectation. */
+  val UnexpectedSampleLimit = 1000
 
   private def str(m: Map[String, Any], k: String): Option[String] =
     m.get(k).map(String.valueOf(_)).filter(_ != "null")
@@ -156,13 +162,27 @@ object DQEngine {
           ExpectationOutcome(f.function, f.args, okFraction >= mostly, n, unexpected)
         }
       }
+    // bounded failing-PK collection per failing expectation (reference
+    // `dq_factory.py:851-994` chunks these to protect the driver)
+    val rowOutcomesWithIdx =
+      if (spec.unexpectedRowsPk.isEmpty) rowOutcomes
+      else rowOutcomes.zip(rowFns).map { case (o, (_, pred)) =>
+        if (o.success || o.unexpectedCount == 0) o
+        else {
+          val sample = df.where(!coalesce(pred, lit(false)))
+            .select(to_json(struct(spec.unexpectedRowsPk.map(col): _*)))
+            .limit(UnexpectedSampleLimit)
+            .collect().map(_.getString(0)).toSeq
+          o.copy(unexpectedIndexList = sample)
+        }
+      }
     val tableOutcomes = tableFns.flatMap(f => tableExpectation(spark, df, f))
     val unknown = tableFns.filterNot(f => tableOutcomes.exists(_.function == f.function))
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"unknown dq functions: ${unknown.map(_.function).mkString(", ")}")
 
-    val outcomes = rowOutcomes ++ tableOutcomes
+    val outcomes = rowOutcomesWithIdx ++ tableOutcomes
     val failed = outcomes.filterNot(_.success)
     val criticalNames = spec.criticalFunctions.map(_.function).toSet
     val criticalFailed = failed.filter(o => criticalNames.contains(o.function))
@@ -249,10 +269,11 @@ object DQEngine {
       (result.runName, specId, o.function,
         o.args.map { case (k, v) => s"$k=$v" }.mkString(", "),
         o.success, o.elementCount, o.unexpectedCount,
-        o.observedValue.getOrElse(Double.NaN), now.toString)
+        o.observedValue.getOrElse(Double.NaN), o.unexpectedIndexList, now.toString)
     }
     rows.toDF("run_name", "spec_id", "expectation_type", "kwargs",
-        "success", "element_count", "unexpected_count", "observed_value", "run_time")
+        "success", "element_count", "unexpected_count", "observed_value",
+        "unexpected_index_list", "run_time")
       .withColumn("run_time", to_timestamp(col("run_time")))
       .withColumn("year", year(col("run_time")))
       .withColumn("month", month(col("run_time")))

@@ -70,7 +70,8 @@ object Multimodal {
     df.select(col(idCol), col(binaryCol).cast("binary").as("payload"))
       .withColumn("n_bytes", octet_length(col("payload")))
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest((col("n_bytes") - 1) / everyK, lit(0)))))
+        explode(sequence(lit(0),
+          greatest(floor((col("n_bytes") - 1) / everyK).cast("int"), lit(0)))))
       .select(col(idCol), col("frame_idx"),
         (col("frame_idx") * everyK).as("frame_offset"))
 }

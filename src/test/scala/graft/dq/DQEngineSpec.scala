@@ -81,6 +81,19 @@ class DQEngineSpec extends SparkSpec {
     assert(detail == "expect_column_values_to_not_be_null")
   }
 
+  test("unexpected_rows_pk collects bounded failing-key samples") {
+    val s = DQSpec("t", "t",
+      dqFunctions = Seq(DQFunctionSpec(
+        "expect_column_values_to_not_be_null", Map("column" -> "name"))),
+      failOnError = false, maxPercentageFailure = Some(1.0),
+      unexpectedRowsPk = Seq("id"))
+    val r = DQEngine.run(spark, df, s)
+    assert(r.outcomes.head.unexpectedIndexList == Seq("""{"id":3}"""))
+    val sink = DQEngine.resultSinkDf(spark, r, "t")
+    assert(sink.selectExpr("unexpected_index_list[0]").as[String].collect().head
+      == """{"id":3}""")
+  }
+
   test("result sink dataframe has the exploded per-expectation layout") {
     val s = spec("expect_column_values_to_not_be_null" -> Map("column" -> "name"))
     val r = DQEngine.run(spark, df, s)

@@ -81,6 +81,19 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(rows.groupBy(_._1).forall(_._2.length <= 3))
   }
 
+  test("multimodal: per-partition feature extraction and frame sampling") {
+    val bins = Seq((1L, "abcdef"), (2L, "xy")).toDF("id", "payload")
+      .select(col("id"), col("payload").cast("binary").as("payload"))
+    val feats = graft.operators.Multimodal.extractFeatures(bins, "id", "payload")
+    assert(feats.schema == graft.operators.Multimodal.FeatureSchema)
+    val row = feats.where("id = 1").collect()(0)
+    assert(row.getLong(1) == 6L) // n_bytes
+    assert(row.getSeq[Float](2).length == 8)
+    val frames = graft.operators.Multimodal.sampleFrames(bins, "id", "payload", everyK = 2)
+    assert(frames.where("id = 1").count() == 3) // offsets 0,2,4
+    assert(frames.where("id = 2").count() == 1)
+  }
+
   test("text quality features are sane") {
     val q = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),
