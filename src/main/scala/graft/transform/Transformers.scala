@@ -129,9 +129,24 @@ object Transformers {
       df.withColumn(str(args, "out_col").getOrElse("payload"),
         to_json(struct(inCols.map(col): _*), strMap(args, "options")))
     }
-    case "from_avro" | "from_avro_with_registry" =>
+    case "from_avro" => df => {
+      val in = str(args, "input_col").getOrElse("value")
+      val out = str(args, "output_col").getOrElse(in)
+      df.withColumn(out,
+        graft.functions.AvroCodec.fromAvro(col(in), str(args, "schema").get))
+    }
+    case "to_avro" => df => {
+      val inCols = strSeq(args, "in_cols")
+      val out = str(args, "out_col").getOrElse("value")
+      val schema = str(args, "schema").get
+      val input = if (inCols.isEmpty) col(str(args, "input_col").get)
+        else struct(inCols.map(col): _*)
+      df.withColumn(out, graft.functions.AvroCodec.toAvro(input, schema))
+    }
+    case "from_avro_with_registry" =>
       _ => throw new UnsupportedOperationException(
-        s"$name: avro decoding requires the spark-avro module, not present in this build")
+        "from_avro_with_registry: schema-registry access requires network egress; " +
+          "use from_avro with an explicit schema")
     case "with_regex_value" => df =>
       df.withColumn(str(args, "output_col").getOrElse("extracted_value"),
         regexp_extract(col(str(args, "input_col").get), str(args, "regex").get,
