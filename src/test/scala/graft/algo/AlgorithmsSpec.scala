@@ -110,6 +110,33 @@ class AlgorithmsSpec extends SparkSpec {
     assert(!fm.list(dir).exists(_.endsWith("c.txt")))
   }
 
+  test("heartbeat sweeps sensors and triggers jobs for acquired sources") {
+    val base = tmpDir("hb")
+    Seq((1, "x")).toDF("id", "v").write.parquet(s"$base/up1")
+    Files.createDirectories(Paths.get(s"$base/up2"))
+    Seq((2, "y")).toDF("id", "v").write.mode("overwrite").parquet(s"$base/up2")
+    val triggered = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val results = Heartbeat.run(spark, s"$base/control",
+      Seq(
+        Heartbeat.Source("hb1", s"$base/up1", jobId = "job-1"),
+        Heartbeat.Source("hb2", s"$base/up2", jobId = "job-2", enabled = false),
+        Heartbeat.Source("hb3", {
+          val d = s"$base/empty"; Files.createDirectories(Paths.get(d)); d
+        }, dataFormat = "csv", jobId = "job-3",
+          schema = Some("id INT, v STRING"),
+          options = Map("header" -> "true"))),
+      (jobId: String, sensorId: String) => triggered += (jobId -> sensorId))
+    assert(results.map(_.sensorId) == Seq("hb1", "hb3")) // hb2 disabled
+    assert(results.find(_.sensorId == "hb1").get.triggeredJob.contains("job-1"))
+    assert(results.find(_.sensorId == "hb3").get.triggeredJob.isEmpty)
+    assert(triggered.toSeq == Seq("job-1" -> "hb1"))
+    // control df loading path
+    val ctl = Seq(("hb9", s"$base/up1", "parquet", "batch", "job-9", true))
+      .toDF("sensor_id", "location", "data_format", "read_type", "job_id", "enabled")
+    val srcs = Heartbeat.sourcesFrom(ctl)
+    assert(srcs == Seq(Heartbeat.Source("hb9", s"$base/up1", jobId = "job-9")))
+  }
+
   test("reconciliator thresholds: green within, raises on red") {
     val truth = Seq(("A", 100.0), ("B", 50.0)).toDF("k", "m")
     val current = Seq(("A", 99.0), ("B", 50.0)).toDF("k", "m")
