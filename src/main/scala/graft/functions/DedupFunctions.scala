@@ -42,19 +42,22 @@ object DedupFunctions {
     * all minima via `zip_with` against a literal coefficient array: the
     * expression tree stays small (codegen-friendly) and each shingle is
     * hashed exactly once, instead of `numHashes` duplicated traversals. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(
+      transform(shinglesCol, s => pmod(hash(s).cast("long"), lit(MinhashPrime))),
+      numHashes)
+
+  /** MinHash signature over already mod-p-hashed shingles (array<long>);
+    * computed by a tight-loop kernel ([[Kernels.minhashSignature]]). */
+  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column = {
     import scala.util.hashing.MurmurHash3
-    val coeffs = typedLit((0 until numHashes).map { i =>
-      val a = (MurmurHash3.stringHash(s"minhash-a-$i").toLong & 0x7fffffffL) % (MinhashPrime - 1) + 1
-      val b = (MurmurHash3.stringHash(s"minhash-b-$i").toLong & 0x7fffffffL) % MinhashPrime
-      (a, b)
-    })
-    val hashes = transform(shinglesCol, s => pmod(hash(s).cast("long"), lit(MinhashPrime)))
-    aggregate(
-      hashes,
-      typedLit(Seq.fill(numHashes)(MinhashPrime)),
-      (acc, h) => zip_with(acc, coeffs,
-        (m, c) => least(m, pmod(h * c.getField("_1") + c.getField("_2"), lit(MinhashPrime)))))
+    val as = (0 until numHashes).map { i =>
+      (MurmurHash3.stringHash(s"minhash-a-$i").toLong & 0x7fffffffL) % (MinhashPrime - 1) + 1
+    }.toArray
+    val bs = (0 until numHashes).map { i =>
+      (MurmurHash3.stringHash(s"minhash-b-$i").toLong & 0x7fffffffL) % MinhashPrime
+    }.toArray
+    Kernels.minhashSignature(hashesCol, as, bs, MinhashPrime)
   }
 
   /** LSH band keys for a minhash signature: `numBands` hashes, one per
@@ -83,11 +86,17 @@ object DedupFunctions {
       numHashes: Int = 32,
       numBands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // Verification carries hashed shingles (array<long>) rather than the
+    // strings: cheaper to shuffle and to intersect; murmur3-mod-p
+    // collisions are negligible for jaccard estimation at these sizes.
     val withSig = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
-      .select(col("id"), shingles(col("toks"), shingleSize).as("sh"))
-      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig")))
+      .select(col("id"), shingles(col("toks"), shingleSize).as("shs"))
+      .select(col("id"),
+        array_distinct(transform(col("shs"),
+          s => pmod(hash(s).cast("long"), lit(MinhashPrime)))).as("sh"))
+      .select(col("id"), col("sh"), minhashSignatureFromHashes(col("sh"), numHashes).as("sig")))
     val banded = withSig
       .select(col("id"), col("sh"),
         explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
@@ -105,31 +114,25 @@ object DedupFunctions {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash of a token array, computed shuffle-free as a single
-    * projection: ONE `aggregate` pass over xxhash64(token) updates all 32
-    * signed bit-votes via `zip_with` against a literal bitmask array, then
-    * a final fold reassembles the sign bits into a long bitmap. Single
-    * traversal, small expression tree (codegen-friendly). */
-  def simhash32(tokens: Column): Column = {
-    val masks = typedLit((0 until 32).map(i => 1L << i))
-    val hashes = transform(tokens, t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      typedLit(Seq.fill(32)(0L)),
-      (acc, h) => zip_with(acc, masks,
-        (v, m) => v + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
-  }
+  /** SimHash of a token array: signed per-bit votes over 64-bit token
+    * hashes, sign -> bit. Shuffle-free projection backed by a tight-loop
+    * kernel ([[Kernels.simhash]]); bit 63 unused so the bitmap stays a
+    * non-negative long. */
+  def simhash(tokens: Column, bits: Int = 32): Column =
+    Kernels.simhash(tokens, bits)
+
+  /** 32-bit SimHash (kept for API compatibility). */
+  def simhash32(tokens: Column): Column = simhash(tokens, 32)
 
   /** Hamming distance between two simhash bitmaps. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxDistance,
-    * banded on byte blocks (pigeonhole: distance<=3 over 4 blocks means
-    * at least one block matches exactly) to avoid the cross join. */
+    * banded on 15-bit blocks of a 60-bit simhash (pigeonhole: distance<=3
+    * over 4 blocks means at least one block matches exactly) to avoid the
+    * cross join. Wide blocks (2^15 buckets each) keep candidate volume
+    * low even on highly self-similar corpora. */
   def simhashNearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -138,12 +141,12 @@ object DedupFunctions {
     val withSim = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
-      .select(col("id"), simhash32(col("toks")).as("sim")))
+      .select(col("id"), simhash(col("toks"), 60).as("sim")))
     val blocks = 4
     val banded = withSim.select(col("id"), col("sim"),
       explode(array((0 until blocks).map { i =>
         struct(lit(i).as("block"),
-          shiftright(col("sim"), i * 8).bitwiseAND(lit(0xffL)).as("key"))
+          shiftright(col("sim"), i * 15).bitwiseAND(lit(0x7fffL)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.block").as("block"), col("bk.key").as("key"))
     val a = banded.select(col("block"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))

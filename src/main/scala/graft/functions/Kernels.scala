@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Tight-loop JVM kernels for per-row array math.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`) are
+  * CodegenFallback expressions: every element evaluates an interpreted
+  * expression tree, and `zip_with` allocates an intermediate array per
+  * step — O(tokens x bits) allocations for a simhash. These kernels do the
+  * same math as a single JVM loop behind a Scala UDF (the middle tier of
+  * the preference order: native Expression > Scala UDF > interpreted HOF
+  * for this shape). Where a kernel backs an oracle-checked query (cosine),
+  * the loop preserves the exact left-to-right double fold order of the
+  * HOF formulation so results stay bit-identical.
+  */
+object Kernels {
+
+  /** splitmix64 finalizer: turns a weak 32-bit hash into 64 mixed bits. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit token hash (deterministic, engine-internal). */
+  @inline def tokenHash64(t: String): Long =
+    mix64(scala.util.hashing.MurmurHash3.stringHash(t).toLong)
+
+  /** SimHash bitmap over tokens: signed per-bit votes, sign -> bit. */
+  def simhash(tokens: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 63, "simhash supports 1..63 bits")
+    val f = udf { (toks: Seq[String]) =>
+      if (toks == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val votes = new Array[Int](bits)
+        val it = toks.iterator
+        while (it.hasNext) {
+          val h = tokenHash64(it.next())
+          var i = 0
+          while (i < bits) {
+            if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+        var sig = 0L
+        var i = 0
+        while (i < bits) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+        java.lang.Long.valueOf(sig)
+      }
+    }
+    f(tokens)
+  }
+
+  /** MinHash signature over mod-p shingle hashes with (a*h+b) mod p. */
+  def minhashSignature(hashes: Column, as: Array[Long], bs: Array[Long], p: Long): Column = {
+    val n = as.length
+    val f = udf { (hs: Seq[Long]) =>
+      if (hs == null) null
+      else {
+        val sig = Array.fill(n)(p)
+        val it = hs.iterator
+        while (it.hasNext) {
+          val h = it.next()
+          var i = 0
+          while (i < n) {
+            val v = (as(i) * h + bs(i)) % p
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        sig
+      }
+    }
+    f(hashes)
+  }
+
+  /** Cosine similarity in double precision. Fold order is ascending index
+    * (identical to the `aggregate`/`zip_with` formulation and to the
+    * DuckDB oracle's list_sum over list_transform), so results are
+    * bit-exact across all three. */
+  def cosine(a: Column, b: Column): Column = {
+    val f = udf { (x: Seq[Float], y: Seq[Float]) =>
+      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val n = math.min(x.length, y.length)
+        var dot = 0.0
+        var nx = 0.0
+        var ny = 0.0
+        var i = 0
+        while (i < n) {
+          val xi = x(i).toDouble
+          val yi = y(i).toDouble
+          dot += xi * yi
+          nx += xi * xi
+          ny += yi * yi
+          i += 1
+        }
+        java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+      }
+    }
+    f(a, b)
+  }
+}

