@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a janino class per stage; across a ~50-query
+  // run the default 240m code cache fills and the JIT silently stops
+  // compiling (intermittent 5-10x slowdowns on later queries).
+  "-XX:ReservedCodeCacheSize=512m",
 )

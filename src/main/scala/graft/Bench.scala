@@ -15,7 +15,9 @@ object Bench {
         "spark.sql.shuffle.partitions" -> cpus,
         "spark.ui.enabled" -> "false"))
     // Warm up the JVM/codegen/parquet-footer paths so per-query timings
-    // measure the queries, not session startup.
+    // measure the queries, not session startup. (Deliberately NOT a full
+    // catalog warm-up pass: accumulated shuffle/broadcast state from ~50
+    // warm-up queries measurably slows the timed runs.)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
