@@ -750,6 +750,19 @@ object QueryCatalog {
     },
     None) // approximate: recall depends on LSH banding; rows-only check
 
+  private val q50 = QueryDef(
+    "q50_ann_ivf",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      SimilarityFunctions.ivfTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    None) // approximate: recall depends on probed cells; rows-only check
+
   private val q40 = QueryDef(
     "q40_embedding_neardup",
     (s, dir) => SimilarityFunctions.embeddingNearDuplicates(
@@ -840,6 +853,97 @@ object QueryCatalog {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  private val q48 = QueryDef(
+    "q48_snapshot_diff",
+    (s, dir) => {
+      val base = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val prev = base.where(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val cur = base.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.operators.ChangeCapture.snapshotDiff(prev, cur, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("_change_type"))
+    },
+    Some("""
+      WITH prev AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 0),
+      cur AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT * FROM (
+        SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+               'insert' AS _change_type
+        FROM cur c LEFT JOIN prev p ON c.o_orderkey = p.o_orderkey
+        WHERE p.o_orderkey IS NULL
+        UNION ALL
+        SELECT p.o_orderkey, p.o_orderstatus, p.o_totalprice, 'delete'
+        FROM prev p LEFT JOIN cur c ON c.o_orderkey = p.o_orderkey
+        WHERE c.o_orderkey IS NULL
+        UNION ALL
+        SELECT p.o_orderkey, p.o_orderstatus, p.o_totalprice, 'update_preimage'
+        FROM prev p JOIN cur c ON c.o_orderkey = p.o_orderkey
+        WHERE p.o_totalprice <> c.o_totalprice OR p.o_orderstatus <> c.o_orderstatus
+        UNION ALL
+        SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice, 'update_postimage'
+        FROM prev p JOIN cur c ON c.o_orderkey = p.o_orderkey
+        WHERE p.o_totalprice <> c.o_totalprice OR p.o_orderstatus <> c.o_orderstatus)
+      ORDER BY o_orderkey, _change_type"""))
+
+  private val q49 = QueryDef(
+    "q49_training_pipeline",
+    (s, dir) => {
+      // Flagship LLM-data curation run through the declarative engine:
+      // quality-filter -> exact-dedup -> per-language counts.
+      val acon =
+        s"""{
+           |  "input_specs": [{
+           |    "spec_id": "docs", "read_type": "batch", "data_format": "parquet",
+           |    "location": "$dir/documents.parquet"
+           |  }],
+           |  "transform_specs": [{
+           |    "spec_id": "curated", "input_id": "docs",
+           |    "transformers": [
+           |      {"function": "temp_view", "args": {"name": "docs_v"}},
+           |      {"function": "sql_transformation", "args": {"sql": "
+           |        WITH scored AS (
+           |          SELECT doc_id, lang,
+           |                 size(filter(split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+           |                 md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS fp
+           |          FROM docs_v),
+           |        filtered AS (SELECT * FROM scored WHERE n_tokens >= 10),
+           |        deduped AS (
+           |          SELECT min(doc_id) AS keeper_id, min(lang) AS lang,
+           |                 min(n_tokens) AS n_tokens
+           |          FROM filtered GROUP BY fp)
+           |        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |        FROM deduped GROUP BY lang ORDER BY lang"}}
+           |    ]
+           |  }],
+           |  "output_specs": [{
+           |    "spec_id": "result", "input_id": "curated", "data_format": "dataframe"
+           |  }]
+           |}""".stripMargin.replace("\n", " ")
+      graft.algo.DataLoader.loadData(s, acon)("curated")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tokens,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents),
+      filtered AS (SELECT * FROM scored WHERE n_tokens >= 10),
+      deduped AS (
+        SELECT min(doc_id) AS keeper_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+        FROM filtered GROUP BY fp)
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM deduped GROUP BY lang ORDER BY lang"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -847,5 +951,5 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
-    q41, q42, q43, q45, q46, q47)
+    q41, q42, q43, q45, q46, q47, q48, q49, q50)
 }

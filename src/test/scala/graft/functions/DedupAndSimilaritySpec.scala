@@ -81,6 +81,23 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(rows.groupBy(_._1).forall(_._2.length <= 3))
   }
 
+  test("IVF ANN: clusters probe correctly and find the exact nearest neighbor") {
+    // two well-separated clusters; the true NN of each query is in its own cluster
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      (i.toLong, Array.tabulate(8)(j => base + (i * 7 + j) % 3 * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val topk = SimilarityFunctions.ivfTopK(
+      vecs, "vec_id", "embedding", vecs.where("vec_id < 2"), "vec_id", "embedding",
+      k = 3, nLists = 4, nProbe = 2)
+    val rows = topk.select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    // every returned neighbor of query 0 (cluster even) is from the even cluster
+    assert(rows.filter(_._1 == 0L).forall(r => r._2 % 2 == 0))
+    assert(rows.filter(_._1 == 1L).forall(r => r._2 % 2 == 1))
+  }
+
   test("multimodal: per-partition feature extraction and frame sampling") {
     val bins = Seq((1L, "abcdef"), (2L, "xy")).toDF("id", "payload")
       .select(col("id"), col("payload").cast("binary").as("payload"))

@@ -90,6 +90,40 @@ class StreamingSpec extends SparkSpec {
     assert(result.count() == 2)
   }
 
+  test("stream-stream join with per-side watermarks through the registry") {
+    val inA = tmpDir("ss-a")
+    val inB = tmpDir("ss-b")
+    val out = tmpDir("ss-out") + "/data"
+    val ckpt = tmpDir("ss-ckpt")
+    writeEvents(inA,
+      """2024-01-01 10:00:00,u1,1.0
+        |2024-01-01 10:01:00,u2,2.0
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$inB/part-0.csv"),
+      "ts2,user2,label\n2024-01-01 10:00:30,u1,x\n")
+    val a = spark.readStream.schema("ts TIMESTAMP, user STRING, value DOUBLE")
+      .option("header", "true").csv(inA)
+    val b = spark.readStream.schema("ts2 TIMESTAMP, user2 STRING, label STRING")
+      .option("header", "true").csv(inB)
+    val ctx = graft.transform.TransformContext(spark, data = { case "b" => b })
+    val joined = a.transform(graft.transform.Transformers.resolve("join", Map(
+      "join_with" -> "b",
+      "join_condition" ->
+        "a.user = b.user2 AND b.ts2 BETWEEN a.ts - INTERVAL 5 MINUTES AND a.ts + INTERVAL 5 MINUTES",
+      "join_type" -> "inner",
+      "left_watermark" -> Map("ts" -> "10 minutes"),
+      "right_watermark" -> Map("ts2" -> "10 minutes")), ctx))
+    joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }.start().awaitTermination()
+    val result = spark.read.parquet(out)
+    assert(result.count() == 1)
+    assert(result.where("user = 'u1' AND label = 'x'").count() == 1)
+  }
+
   test("streaming sensor acquires from a file stream") {
     val dataDir = tmpDir("st-sensor")
     val ctl = tmpDir("st-sensor-ctl") + "/control"
