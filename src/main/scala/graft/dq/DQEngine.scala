@@ -123,6 +123,20 @@ object DQEngine {
           .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
         val n = df.count()
         Some(ExpectationOutcome(f.function, a, dups == 0, n, dups))
+      case "expect_column_mean_to_be_between" | "expect_column_sum_to_be_between" |
+           "expect_column_max_to_be_between" | "expect_column_min_to_be_between" |
+           "expect_column_stdev_to_be_between" =>
+        val c = str(a, "column").get
+        val aggFn = f.function match {
+          case "expect_column_mean_to_be_between" => avg(col(c))
+          case "expect_column_sum_to_be_between" => sum(col(c))
+          case "expect_column_max_to_be_between" => max(col(c))
+          case "expect_column_min_to_be_between" => min(col(c))
+          case _ => stddev(col(c))
+        }
+        val v = df.agg(aggFn.cast("double")).collect()(0).getDouble(0)
+        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
+        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1, Some(v)))
       case "expect_queried_column_agg_value_to_be" =>
         // templated SQL aggregate compared to bounds
         // (reference `expect_queried_column_agg_value_to_be.py`)

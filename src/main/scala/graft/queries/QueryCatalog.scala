@@ -944,6 +944,58 @@ object QueryCatalog {
       SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM deduped GROUP BY lang ORDER BY lang"""))
 
+  private val q51 = QueryDef(
+    "q51_dq_summary",
+    (s, dir) => {
+      // DQ engine output is itself a queryable dataset: run a suite over
+      // customer and emit the per-expectation summary (deterministic
+      // columns only).
+      val spec = graft.spec.DQSpec("cust", "cust",
+        dqFunctions = Seq(
+          graft.spec.DQFunctionSpec("expect_column_values_to_not_be_null",
+            Map("column" -> "c_name")),
+          graft.spec.DQFunctionSpec("expect_column_values_to_be_between",
+            Map("column" -> "c_acctbal", "min_value" -> 0)),
+          graft.spec.DQFunctionSpec("expect_column_values_to_match_regex",
+            Map("column" -> "c_name", "regex" -> "^Customer#")),
+          graft.spec.DQFunctionSpec("expect_column_values_to_be_unique",
+            Map("column" -> "c_custkey"))),
+        failOnError = false, maxPercentageFailure = Some(1.0))
+      val result = graft.dq.DQEngine.run(s, T(s, dir, "customer"), spec)
+      graft.dq.DQEngine.resultSinkDf(s, result, "cust")
+        .select(col("expectation_type"), col("success"),
+          col("element_count"), col("unexpected_count"))
+        .orderBy(col("expectation_type"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'expect_column_values_to_not_be_null' AS expectation_type,
+               count(*) FILTER (WHERE c_name IS NULL) = 0 AS success,
+               count(*) AS element_count,
+               count(*) FILTER (WHERE c_name IS NULL) AS unexpected_count
+        FROM customer
+        UNION ALL
+        SELECT 'expect_column_values_to_be_between',
+               count(*) FILTER (WHERE NOT coalesce(c_acctbal >= 0, FALSE)) = 0,
+               count(*),
+               count(*) FILTER (WHERE NOT coalesce(c_acctbal >= 0, FALSE))
+        FROM customer
+        UNION ALL
+        SELECT 'expect_column_values_to_match_regex',
+               count(*) FILTER (WHERE NOT coalesce(regexp_matches(c_name, '^Customer#'), FALSE)) = 0,
+               count(*),
+               count(*) FILTER (WHERE NOT coalesce(regexp_matches(c_name, '^Customer#'), FALSE))
+        FROM customer
+        UNION ALL
+        SELECT 'expect_column_values_to_be_unique',
+               coalesce((SELECT CAST(sum(n) AS BIGINT) FROM
+                 (SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1)), 0) = 0,
+               count(*),
+               coalesce((SELECT CAST(sum(n) AS BIGINT) FROM
+                 (SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1)), 0)
+        FROM customer)
+      ORDER BY expectation_type"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -951,5 +1003,5 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
-    q41, q42, q43, q45, q46, q47, q48, q49, q50)
+    q41, q42, q43, q45, q46, q47, q48, q49, q50, q51)
 }

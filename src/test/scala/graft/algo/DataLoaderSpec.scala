@@ -109,6 +109,27 @@ class DataLoaderSpec extends SparkSpec {
     assert(result.where("salesorder = 1 AND item = 2").count() == 1)
   }
 
+  test("schema evolution: appends with new columns surface via mergeSchema") {
+    import spark.implicits._
+    val out = tmpDir("dl-evolve") + "/t"
+    def acon(df: String) =
+      s"""{
+         |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "$df"}],
+         |  "output_specs": [{
+         |    "spec_id": "tgt", "input_id": "src", "write_type": "append",
+         |    "data_format": "parquet", "location": "$out"
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon("v1"),
+      dfs = Map("v1" -> Seq((1, "a")).toDF("id", "name")))
+    DataLoader.loadData(spark, acon("v2"),
+      dfs = Map("v2" -> Seq((2, "b", 9.5)).toDF("id", "name", "score")))
+    val evolved = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(evolved.columns.toSet == Set("id", "name", "score"))
+    assert(evolved.where("id = 1 AND score IS NULL").count() == 1)
+    assert(evolved.where("id = 2 AND score = 9.5").count() == 1)
+  }
+
   test("dq spec: failing expectation raises; tagging adds dq_validations") {
     import spark.implicits._
     val df = Seq((1, "x"), (2, null.asInstanceOf[String]), (3, "z")).toDF("id", "name")

@@ -55,6 +55,23 @@ class DQEngineSpec extends SparkSpec {
     assert(r.outcomes.forall(_.success))
   }
 
+  test("aggregate bound expectations: mean/sum/max/min/stdev") {
+    val r = DQEngine.run(spark, df, spec(
+      "expect_column_mean_to_be_between" ->
+        Map("column" -> "amount", "min_value" -> 10, "max_value" -> 20),
+      "expect_column_sum_to_be_between" ->
+        Map("column" -> "amount", "min_value" -> 0, "max_value" -> 100),
+      "expect_column_max_to_be_between" ->
+        Map("column" -> "amount", "max_value" -> 29),
+      "expect_column_min_to_be_between" ->
+        Map("column" -> "amount", "min_value" -> -5)))
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    assert(byFn("expect_column_mean_to_be_between").success) // mean = 14.75
+    assert(byFn("expect_column_sum_to_be_between").success) // sum = 59
+    assert(!byFn("expect_column_max_to_be_between").success) // max = 30
+    assert(byFn("expect_column_min_to_be_between").success) // min = -1
+  }
+
   test("fail_on_error raises; critical functions escalate") {
     intercept[DQValidationFailedException] {
       DQEngine.run(spark, df, DQSpec("t", "t",
