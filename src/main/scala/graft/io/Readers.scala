@@ -79,23 +79,29 @@ object JdbcExtraction {
     val calcUpper = options.get("calculate_upper_bound").contains("true")
     val predicatesCol = options.get("generate_predicates_col")
     val base = options -- Seq("calculate_upper_bound", "generate_predicates_col")
+    // ANSI identifier quoting for the generated pushdown SQL (many sources
+    // store Spark-written columns as case-sensitive quoted identifiers)
+    def q(ident: String): String =
+      if (ident.startsWith("\"")) ident else "\"" + ident + "\""
     (calcUpper, predicatesCol) match {
       case (_, Some(pcol)) =>
         // distinct partition values -> one predicate per value (+ IS NULL)
         val table = base("dbtable")
         val distinctDf = spark.read.format("jdbc").options(base)
-          .option("dbtable", s"(SELECT DISTINCT $pcol FROM $table) t").load()
+          .option("dbtable", s"(SELECT DISTINCT ${q(pcol)} FROM $table) t").load()
         val values = distinctDf.collect().map(_.get(0)).toSeq
-        val predicates = values.collect { case v if v != null => s"$pcol = '$v'" } :+
-          s"$pcol IS NULL"
+        val predicates = values.collect { case v if v != null => s"${q(pcol)} = '$v'" } :+
+          s"${q(pcol)} IS NULL"
         val props = new java.util.Properties()
         base.foreach { case (k, v) => props.setProperty(k, v) }
         spark.read.jdbc(base("url"), table, predicates.toArray, props)
       case (true, None) =>
         val pcol = base("partitionColumn")
         val table = base("dbtable")
-        val maxDf = spark.read.format("jdbc").options(base)
-          .option("dbtable", s"(SELECT MAX($pcol) AS mx FROM $table) t").load()
+        // the 1-row probe must not carry the partitioning options
+        val probeOpts = base -- Seq("partitionColumn", "lowerBound", "upperBound", "numPartitions")
+        val maxDf = spark.read.format("jdbc").options(probeOpts)
+          .option("dbtable", s"(SELECT MAX(${q(pcol)}) AS mx FROM $table) t").load()
         val upper = String.valueOf(maxDf.collect()(0).get(0))
         spark.read.format("jdbc").options(base).option("upperBound", upper).load()
       case _ =>

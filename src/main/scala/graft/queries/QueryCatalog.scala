@@ -996,6 +996,49 @@ object QueryCatalog {
         FROM customer)
       ORDER BY expectation_type"""))
 
+  private val q52 = QueryDef(
+    "q52_cube",
+    (s, dir) => T(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  private val q53 = QueryDef(
+    "q53_intersect",
+    (s, dir) => {
+      val urgent = T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val bigSpender = T(s, dir, "orders").where(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersect(bigSpender).orderBy(col("custkey"))
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+      ORDER BY custkey"""))
+
+  private val q54 = QueryDef(
+    "q54_union_missing_cols",
+    (s, dir) => {
+      val a = T(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val b = T(s, dir, "orders").where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
+      ORDER BY o_orderkey"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1003,5 +1046,6 @@ object QueryCatalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
-    q41, q42, q43, q45, q46, q47, q48, q49, q50, q51)
+    q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
+    q52, q53, q54)
 }

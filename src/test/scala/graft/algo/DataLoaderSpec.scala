@@ -109,6 +109,58 @@ class DataLoaderSpec extends SparkSpec {
     assert(result.where("salesorder = 1 AND item = 2").count() == 1)
   }
 
+  test("partitioned write: layout on disk + partition pruning on read") {
+    import spark.implicits._
+    val out = tmpDir("dl-part") + "/t"
+    val df = Seq((1, "2024-01", 5.0), (2, "2024-01", 6.0), (3, "2024-02", 7.0))
+      .toDF("id", "month", "v")
+    val acon =
+      s"""{
+         |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "d"}],
+         |  "output_specs": [{
+         |    "spec_id": "tgt", "input_id": "src", "write_type": "overwrite",
+         |    "data_format": "parquet", "location": "$out", "partitions": ["month"]
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon, dfs = Map("d" -> df))
+    assert(new java.io.File(s"$out/month=2024-01").isDirectory)
+    val pruned = spark.read.parquet(out).where("month = '2024-02'")
+    assert(pruned.count() == 1)
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("month"), s"expected partition pruning:\n$scan")
+  }
+
+  test("streaming merge: upserts per micro-batch through foreachBatch") {
+    import spark.implicits._
+    val in = tmpDir("dl-smerge-in")
+    val out = tmpDir("dl-smerge-out") + "/t"
+    val ckpt = tmpDir("dl-smerge-ckpt")
+    // seed the target, then stream a changes file into it
+    Seq((1, 10.0), (2, 20.0)).toDF("id", "v").write.parquet(out)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/changes.csv"), "id,v\n2,25.0\n3,30.0\n")
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "data_format": "csv",
+         |    "location": "$in", "schema": "id INT, v DOUBLE",
+         |    "options": {"header": "true"}
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "tgt", "input_id": "src", "write_type": "merge",
+         |    "data_format": "parquet", "location": "$out",
+         |    "streaming_trigger": "availableNow",
+         |    "options": {"checkpointLocation": "$ckpt"},
+         |    "merge_opts": {"merge_predicate": "current.id = new.id"}
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon)
+    val result = spark.read.parquet(out)
+    val expected = Seq((1, 10.0), (2, 25.0), (3, 30.0)).toDF("id", "v")
+    assertSameRows(result, expected)
+  }
+
   test("schema evolution: appends with new columns surface via mergeSchema") {
     import spark.implicits._
     val out = tmpDir("dl-evolve") + "/t"
