@@ -15,6 +15,7 @@ object ExecEnv {
 
   /** Engine-default Spark confs, applied unless the caller overrides. */
   val defaultConfs: Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.exec.GraftExtensions",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",

@@ -27,10 +27,12 @@ object SimilarityFunctions {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity between two array<float> columns (tight-loop
-    * kernel; identical fold order to the HOF formulation, so oracle
-    * results are bit-stable). */
-  def cosine(a: Column, b: Column): Column = Kernels.cosine(a, b)
+  /** Cosine similarity between two array<float> columns: native codegen
+    * Catalyst expression ([[org.apache.spark.sql.graft.CosineSimilarity]]);
+    * identical ascending fold order across the expression, the UDF kernel
+    * and the DuckDB oracle, so results are bit-stable. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.cosineSim(a, b)
 
   /** Exact brute-force cosine top-k neighbors for each query vector.
     *
