@@ -97,16 +97,54 @@ object Gab {
       .reduce(_ unionByName _)
       .withColumn("use_case", lit(uc.name))
 
+  /** Start date of the reconciliation window: the cutoff `nPeriods`
+    * cadence periods back from the source's max date (reference
+    * `core/gab_manager.py` recon-window computation). */
+  def reconWindowStart(source: DataFrame, uc: UseCase, cadence: String, nPeriods: Int): java.sql.Date = {
+    val trunc = date_trunc(cadence.toLowerCase, max(col(uc.dateCol)))
+    val shifted = cadence.toUpperCase match {
+      case "DAY" => date_add(trunc, -(nPeriods - 1))
+      case "WEEK" => date_add(trunc, -7 * (nPeriods - 1))
+      case "MONTH" => add_months(trunc, -(nPeriods - 1))
+      case "QUARTER" => add_months(trunc, -3 * (nPeriods - 1))
+      case "YEAR" => add_months(trunc, -12 * (nPeriods - 1))
+    }
+    source.agg(shifted.cast("date")).collect()(0).getDate(0)
+  }
+
   /** Execute a use case into a parquet insights location, replacing that
     * use case's rows (the reference's DELETE+INSERT —
-    * `algorithms/gab.py:485-532`). */
-  def execute(spark: SparkSession, source: DataFrame, uc: UseCase, insightsLocation: String): DataFrame = {
-    val insights = buildInsights(source, uc)
+    * `algorithms/gab.py:485-532`).
+    *
+    * @param reconWindow when set, only the last N cadence periods are
+    *        recomputed and replaced (the reference's reconciliation
+    *        window) — older periods of the use case stay untouched, so an
+    *        incremental refresh reads a bounded slice of the source.
+    */
+  def execute(spark: SparkSession, source: DataFrame, uc: UseCase,
+      insightsLocation: String, reconWindow: Option[Int] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(insightsLocation)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(insightsLocation))
+    val (insights, keepOld): (DataFrame, DataFrame => DataFrame) = reconWindow match {
+      case Some(n) if exists =>
+        // per-cadence cutoffs; source pruned to the widest window
+        val cutoffs = uc.cadences.map(c => c -> reconWindowStart(source, uc, c, n)).toMap
+        val minCutoff = cutoffs.values.min(Ordering.by((d: java.sql.Date) => d.getTime))
+        val pruned = source.where(col(uc.dateCol) >= lit(minCutoff))
+        val rebuilt = buildInsights(pruned, uc)
+          .where(uc.cadences.map(c =>
+            col("cadence") === c.toUpperCase && col("from_date") >= lit(cutoffs(c)))
+            .reduce(_ || _))
+        (rebuilt, old => old.where(col("use_case") =!= uc.name ||
+          uc.cadences.map(c =>
+            col("cadence") === c.toUpperCase && col("from_date") < lit(cutoffs(c)))
+            .reduce(_ || _)))
+      case _ =>
+        (buildInsights(source, uc), old => old.where(col("use_case") =!= uc.name))
+    }
     val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(insightsLocation)))
-        Some(spark.read.parquet(insightsLocation).where(col("use_case") =!= uc.name))
+      if (exists) Some(keepOld(spark.read.parquet(insightsLocation)))
       else None
     val unioned = existing.map(_.unionByName(insights, allowMissingColumns = true))
       .getOrElse(insights)

@@ -77,6 +77,32 @@ class AlgorithmsSpec extends SparkSpec {
     assert(again.count() == insights.count())
   }
 
+  test("gab reconciliation window: only the last N periods are recomputed") {
+    val loc = tmpDir("gab-recon") + "/insights"
+    val uc = Gab.UseCase(
+      name = "rw", dateCol = "d", dimensions = Seq("grp"),
+      metrics = Seq(Gab.Metric("total", "sum", "v")),
+      cadences = Seq("MONTH"))
+    def src(rows: Seq[(String, String, Double)]) =
+      rows.toDF("d", "grp", "v").selectExpr("CAST(d AS DATE) AS d", "grp", "v")
+    // initial full build: Jan + Feb + Mar
+    Gab.execute(spark, src(Seq(
+      ("2024-01-10", "A", 1.0), ("2024-02-10", "A", 2.0), ("2024-03-10", "A", 3.0))),
+      uc, loc)
+    // incremental refresh with a corrected Mar + new Apr, window = 2 months;
+    // the source slice omits Jan/Feb entirely (as an incremental load would)
+    val out = Gab.execute(spark, src(Seq(
+      ("2024-03-10", "A", 30.0), ("2024-04-10", "A", 4.0))),
+      uc, loc, reconWindow = Some(2))
+    val byMonth = out.where("grp = 'A'")
+      .selectExpr("CAST(from_date AS STRING)", "total")
+      .as[(String, Double)].collect().toMap
+    assert(byMonth("2024-01-01") == 1.0) // untouched
+    assert(byMonth("2024-02-01") == 2.0) // untouched
+    assert(byMonth("2024-03-01") == 30.0) // recomputed
+    assert(byMonth("2024-04-01") == 4.0) // new
+  }
+
   test("table manager: create/describe/properties/pk/drop via catalog") {
     val tm = new graft.maintain.TableManager(spark)
     tm.executeSql(
