@@ -1039,6 +1039,33 @@ object QueryCatalog {
       SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
       ORDER BY o_orderkey"""))
 
+  private val q55 = QueryDef(
+    "q55_sessionize",
+    (s, dir) => T(s, dir, "events")
+      .withColumn("t", expr(tsNsToMicros))
+      .groupBy(session_window(col("t"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      marked AS (
+        SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      sess AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked)
+      SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1047,5 +1074,5 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54)
+    q52, q53, q54, q55)
 }

@@ -98,6 +98,24 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(rows.filter(_._1 == 1L).forall(r => r._2 % 2 == 1))
   }
 
+  test("IvfIndex: build once, search repeatedly, survive persistence") {
+    val vecs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      (i.toLong, Array.tabulate(8)(j => base + (i * 13 + j) % 5 * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val index = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 4)
+    val r1 = index.search(vecs.where("vec_id < 2"), "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(r1.nonEmpty && r1.filter(_._1 == 0L).forall(_._2 % 2 == 0))
+    // persisted layout is partitioned by cell and returns the same results
+    val loc = tmpDir("ivf") + "/index"
+    val stored = index.persisted(loc)
+    assert(new java.io.File(loc).listFiles().exists(_.getName.startsWith("cell=")))
+    val r2 = stored.search(vecs.where("vec_id < 2"), "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(r1.toSet == r2.toSet)
+  }
+
   test("multimodal: per-partition feature extraction and frame sampling") {
     val bins = Seq((1L, "abcdef"), (2L, "xy")).toDF("id", "payload")
       .select(col("id"), col("payload").cast("binary").as("payload"))
