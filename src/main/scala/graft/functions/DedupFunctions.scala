@@ -159,6 +159,28 @@ object DedupFunctions {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Resolve near-duplicate pairs into clusters: connected components
+    * over the pair graph (GraphX Pregel CC — iterative, executor-side,
+    * no driver union-find), each member mapped to its cluster's minimum
+    * id as the canonical representative.
+    *
+    * This is the terminal step of fuzzy dedup at corpus scale: candidate
+    * pairs from minhash/simhash feed in, and `keep = (id == canonical_id)`
+    * drops every duplicate but one per cluster.
+    *
+    * @param pairs DataFrame with long columns (id_a, id_b)
+    * @return (id, canonical_id) for every id that appears in any pair
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+    import spark.implicits._
+    cc.vertices.toDF("id", "canonical_id")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 n-gram.
     * Inverted-index join (explode n-grams, equi-join on the n-gram) — the
     * standard scalable formulation; hot n-grams can be frequency-capped

@@ -1039,6 +1039,16 @@ object QueryCatalog {
       SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
       ORDER BY o_orderkey"""))
 
+  private val q56 = QueryDef(
+    "q56_dedup_clusters",
+    (s, dir) => {
+      val pairs = DedupFunctions.minhashNearDuplicates(
+        T(s, dir, "documents"), "doc_id", "text", threshold = 0.4)
+      DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b"))
+        .orderBy(col("id"))
+    },
+    None) // iterative CC over approximate pairs; rows-only check
+
   private val q55 = QueryDef(
     "q55_sessionize",
     (s, dir) => T(s, dir, "events")
@@ -1074,5 +1084,5 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55)
+    q52, q53, q54, q55, q56)
 }

@@ -98,6 +98,16 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(rows.filter(_._1 == 1L).forall(r => r._2 % 2 == 1))
   }
 
+  test("duplicate clusters: connected components map members to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 8L))
+      .toDF("id_a", "id_b")
+    val clusters = DedupFunctions.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(5L) == 5L && clusters(6L) == 5L)
+    assert(Set(8L, 9L, 10L).map(clusters) == Set(8L))
+  }
+
   test("IvfIndex: build once, search repeatedly, survive persistence") {
     val vecs = (0 until 60).map { i =>
       val base = if (i % 2 == 0) 10.0f else -10.0f
