@@ -66,7 +66,7 @@ object IvfIndex {
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val train = corpus.select(toVec(col(vecCol)).as("features")).limit(trainSampleSize)
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5).setTol(1e-3).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val assignCell = udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue

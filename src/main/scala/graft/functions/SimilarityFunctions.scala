@@ -143,7 +143,7 @@ object SimilarityFunctions {
       Vectors.dense(a.map(_.toDouble).toArray))
     val train = corpus.select(toVec(col(corpusVec)).as("features"))
       .limit(trainSampleSize)
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5).setTol(1e-3).fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
 
     // nearest-cell and nProbe-nearest-cells as tight-loop kernels over the
