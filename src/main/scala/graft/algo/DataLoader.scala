@@ -188,12 +188,6 @@ object FileCompaction {
       else math.max(1, (df.inputFiles.length / 8.0).ceil.toInt)
     val stage = location.stripSuffix("/") + "__compact"
     df.repartition(n).write.mode("overwrite").parquet(stage)
-    val fs = new org.apache.hadoop.fs.Path(location)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__old")
-    fs.delete(old, true)
-    fs.rename(new org.apache.hadoop.fs.Path(location), old)
-    fs.rename(new org.apache.hadoop.fs.Path(stage), new org.apache.hadoop.fs.Path(location))
-    fs.delete(old, true)
+    graft.io.StagedSwap.commit(spark.sparkContext.hadoopConfiguration, location, stage)
   }
 }

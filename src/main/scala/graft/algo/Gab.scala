@@ -150,13 +150,8 @@ object Gab {
       .getOrElse(insights)
     val stage = insightsLocation.stripSuffix("/") + "__stage"
     unioned.write.mode("overwrite").parquet(stage)
-    val old = new org.apache.hadoop.fs.Path(insightsLocation.stripSuffix("/") + "__old")
-    fs.delete(old, true)
-    if (fs.exists(new org.apache.hadoop.fs.Path(insightsLocation)))
-      fs.rename(new org.apache.hadoop.fs.Path(insightsLocation), old)
-    fs.rename(new org.apache.hadoop.fs.Path(stage),
-      new org.apache.hadoop.fs.Path(insightsLocation))
-    fs.delete(old, true)
+    graft.io.StagedSwap.commit(
+      spark.sparkContext.hadoopConfiguration, insightsLocation, stage)
     spark.read.parquet(insightsLocation)
   }
 

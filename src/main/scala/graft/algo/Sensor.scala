@@ -86,12 +86,8 @@ final class Sensor(spark: SparkSession, controlLocation: String) {
       controlDf(), update.select(ControlSchema.fieldNames.map(col): _*), Seq("sensor_id"))
     val stage = controlLocation.stripSuffix("/") + "__stage"
     merged.coalesce(1).write.mode("overwrite").parquet(stage)
-    val fs = new Path(controlLocation).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(controlLocation.stripSuffix("/") + "__old")
-    fs.delete(old, true)
-    if (fs.exists(new Path(controlLocation))) fs.rename(new Path(controlLocation), old)
-    fs.rename(new Path(stage), new Path(controlLocation))
-    fs.delete(old, true)
+    graft.io.StagedSwap.commit(
+      spark.sparkContext.hadoopConfiguration, controlLocation, stage)
   }
 }
 

@@ -156,57 +156,68 @@ object DQEngine {
   /** Run a DQ spec: one scan for all row-level expectations + one action
     * per table-level expectation; apply the failure policy. */
   def run(spark: SparkSession, df: DataFrame, spec: DQSpec): DQRunResult = {
-    val allFns = spec.dqFunctions ++ spec.criticalFunctions
-    val rowFns = allFns.flatMap(f => rowPredicate(f).map(f -> _))
-    val tableFns = allFns.filter(f => rowPredicate(f).isEmpty)
+    // Each function instance carries its own critical flag — the same
+    // function name may appear in both lists with different args, so
+    // outcomes must never be classified by name.
+    val allFns: Seq[(DQFunctionSpec, Boolean)] =
+      spec.dqFunctions.map(_ -> false) ++ spec.criticalFunctions.map(_ -> true)
+    val rowFns = allFns.flatMap { case (f, crit) => rowPredicate(f).map(p => (f, crit, p)) }
+    val tableFns = allFns.filter { case (f, _) => rowPredicate(f).isEmpty }
 
-    val rowOutcomes: Seq[ExpectationOutcome] =
+    val rowOutcomes: Seq[(ExpectationOutcome, Boolean)] =
       if (rowFns.isEmpty) Seq.empty
       else {
         val aggs = count(lit(1)).as("__n") +:
-          rowFns.zipWithIndex.map { case ((_, pred), i) =>
+          rowFns.zipWithIndex.map { case ((_, _, pred), i) =>
             sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__u$i")
           }
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val n = row.getLong(0)
-        rowFns.zipWithIndex.map { case ((f, _), i) =>
+        rowFns.zipWithIndex.map { case ((f, crit, _), i) =>
           val unexpected = row.getLong(i + 1)
           val mostly = num(f.args, "mostly").getOrElse(1.0)
           val okFraction = if (n == 0) 1.0 else 1.0 - unexpected.toDouble / n
-          ExpectationOutcome(f.function, f.args, okFraction >= mostly, n, unexpected)
+          ExpectationOutcome(f.function, f.args, okFraction >= mostly, n, unexpected) -> crit
         }
       }
     // bounded failing-PK collection per failing expectation (reference
     // `dq_factory.py:851-994` chunks these to protect the driver)
     val rowOutcomesWithIdx =
       if (spec.unexpectedRowsPk.isEmpty) rowOutcomes
-      else rowOutcomes.zip(rowFns).map { case (o, (_, pred)) =>
-        if (o.success || o.unexpectedCount == 0) o
+      else rowOutcomes.zip(rowFns).map { case ((o, crit), (_, _, pred)) =>
+        if (o.success || o.unexpectedCount == 0) (o, crit)
         else {
           val sample = df.where(!coalesce(pred, lit(false)))
             .select(to_json(struct(spec.unexpectedRowsPk.map(col): _*)))
             .limit(UnexpectedSampleLimit)
             .collect().map(_.getString(0)).toSeq
-          o.copy(unexpectedIndexList = sample)
+          (o.copy(unexpectedIndexList = sample), crit)
         }
       }
-    val tableOutcomes = tableFns.flatMap(f => tableExpectation(spark, df, f))
-    val unknown = tableFns.filterNot(f => tableOutcomes.exists(_.function == f.function))
+    val tableOutcomes: Seq[(ExpectationOutcome, Boolean)] =
+      tableFns.flatMap { case (f, crit) => tableExpectation(spark, df, f).map(_ -> crit) }
+    val unknown = tableFns.filterNot { case (f, _) =>
+      tableOutcomes.exists(_._1.function == f.function)
+    }
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
-        s"unknown dq functions: ${unknown.map(_.function).mkString(", ")}")
+        s"unknown dq functions: ${unknown.map(_._1.function).mkString(", ")}")
 
-    val outcomes = rowOutcomesWithIdx ++ tableOutcomes
-    val failed = outcomes.filterNot(_.success)
-    val criticalNames = spec.criticalFunctions.map(_.function).toSet
-    val criticalFailed = failed.filter(o => criticalNames.contains(o.function))
+    val outcomePairs = rowOutcomesWithIdx ++ tableOutcomes
+    val outcomes = outcomePairs.map(_._1)
+    val failedPairs = outcomePairs.filterNot(_._1.success)
+    val failed = failedPairs.map(_._1)
+    val criticalFailed = failedPairs.collect { case (o, true) => o }
     val pctFailed =
       if (outcomes.isEmpty) 0.0 else failed.size.toDouble / outcomes.size
+    // Policy: any critical-instance failure raises; max_percentage_failure
+    // bounds overall failure rate; fail_on_error raises on any failure
+    // unless a percentage bound was given (which then governs) — critical
+    // functions being present does NOT disable fail_on_error.
     val policyBreached =
       criticalFailed.nonEmpty ||
         spec.maxPercentageFailure.exists(pctFailed > _) ||
-        (spec.failOnError && failed.nonEmpty && spec.maxPercentageFailure.isEmpty &&
-          criticalNames.isEmpty)
+        (spec.failOnError && failed.nonEmpty && spec.maxPercentageFailure.isEmpty)
 
     val result = DQRunResult(s"dq_${spec.specId}", failed.isEmpty, outcomes)
     if (policyBreached)

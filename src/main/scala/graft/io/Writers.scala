@@ -75,10 +75,11 @@ object Writers {
   // ---- merge (native, no Delta in this build) ---------------------------
 
   /** MERGE into a parquet location/table: read current target, apply
-    * Delta-semantics merge, write staged, swap atomically. At cluster
-    * scale the target should be bucketed/partitioned by the merge key so
-    * the join co-locates; rewrite cost is bounded by touched partitions
-    * when a partition filter is part of the merge predicate. */
+    * Delta-semantics merge, write staged, swap via [[StagedSwap]] (checked
+    * renames; see its doc for the crash window). At cluster scale the
+    * target should be bucketed/partitioned by the merge key so the join
+    * co-locates; rewrite cost is bounded by touched partitions when a
+    * partition filter is part of the merge predicate. */
   private def mergeWrite(spark: SparkSession, spec: OutputSpec, source: DataFrame): Unit = {
     val opts = spec.mergeOpts.getOrElse(sys.error("merge write_type needs merge_opts"))
     val loc = spec.location.getOrElse(sys.error("native merge needs a location"))
@@ -95,11 +96,7 @@ object Writers {
       val w = merged.write.format(spec.dataFormat.getOrElse("parquet"))
         .options(spec.options).mode("overwrite")
       (if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w).save(stage)
-      val old = new Path(loc.stripSuffix("/") + "__old")
-      fs.delete(old, true)
-      fs.rename(new Path(loc), old)
-      fs.rename(new Path(stage), new Path(loc))
-      fs.delete(old, true)
+      StagedSwap.commit(spark.sparkContext.hadoopConfiguration, loc, stage)
     }
   }
 

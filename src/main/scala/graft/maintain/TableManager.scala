@@ -54,14 +54,7 @@ final class TableManager(spark: SparkSession) {
     val df = spark.read.parquet(location).where(s"NOT ($condition)")
     val stage = location.stripSuffix("/") + "__delete"
     df.write.mode("overwrite").parquet(stage)
-    val fs = new org.apache.hadoop.fs.Path(location)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__old")
-    fs.delete(old, true)
-    fs.rename(new org.apache.hadoop.fs.Path(location), old)
-    fs.rename(new org.apache.hadoop.fs.Path(stage),
-      new org.apache.hadoop.fs.Path(location))
-    fs.delete(old, true)
+    graft.io.StagedSwap.commit(spark.sparkContext.hadoopConfiguration, location, stage)
   }
 
   /** OPTIMIZE analogue: compact a parquet location's small files. */

@@ -51,11 +51,35 @@ object MergeOps {
   }
 
   /** Rewrite `current.x` / `new.x` references to the internal `t`/`s`
-    * struct aliases (word-boundary safe). */
-  private[operators] def translateAliases(predicate: String): String =
-    predicate
-      .replaceAll("(?i)\\bcurrent\\.", "t.")
-      .replaceAll("(?i)\\bnew\\.", "s.")
+    * struct aliases. Quote-aware: occurrences inside single/double-quoted
+    * string literals or backquoted identifiers (e.g. `status = 'new.pending'`)
+    * are left untouched; word-boundary safe outside quotes. */
+  private[operators] def translateAliases(predicate: String): String = {
+    val sb = new StringBuilder(predicate.length)
+    val n = predicate.length
+    var i = 0
+    var quote: Char = 0 // 0 = outside quotes; else the active quote char
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = predicate.charAt(i)
+      if (quote != 0) {
+        sb += c
+        if (c == '\\' && i + 1 < n) { sb += predicate.charAt(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; sb += c; i += 1
+      } else {
+        val boundary = i == 0 || !isWordChar(predicate.charAt(i - 1))
+        def at(kw: String): Boolean =
+          boundary && predicate.regionMatches(true, i, kw, 0, kw.length)
+        if (at("current.")) { sb ++= "t."; i += 8 }
+        else if (at("new.")) { sb ++= "s."; i += 4 }
+        else { sb += c; i += 1 }
+      }
+    }
+    sb.toString
+  }
 
   /** General MERGE on an arbitrary condition over `t`/`s` struct aliases.
     *

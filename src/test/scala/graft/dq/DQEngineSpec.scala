@@ -119,4 +119,30 @@ class DQEngineSpec extends SparkSpec {
     assert(sink.count() == 1)
     assert(sink.select("unexpected_count").as[Long].collect().head == 1)
   }
+
+  test("criticality is per instance, not per function name") {
+    // Same function NAME in both lists: the non-critical one fails
+    // (name has a null), the critical one passes (id has none). A
+    // name-based policy would misclassify the failure as critical.
+    val s = DQSpec("t", "t",
+      dqFunctions = Seq(DQFunctionSpec(
+        "expect_column_values_to_not_be_null", Map("column" -> "name"))),
+      criticalFunctions = Seq(DQFunctionSpec(
+        "expect_column_values_to_not_be_null", Map("column" -> "id"))),
+      failOnError = false)
+    val r = DQEngine.run(spark, df, s) // must NOT throw
+    assert(!r.success)
+    assert(r.outcomes.count(_.success) == 1)
+  }
+
+  test("fail_on_error still applies when critical functions are present") {
+    intercept[DQValidationFailedException] {
+      DQEngine.run(spark, df, DQSpec("t", "t",
+        dqFunctions = Seq(DQFunctionSpec(
+          "expect_column_values_to_not_be_null", Map("column" -> "name"))),
+        criticalFunctions = Seq(DQFunctionSpec(
+          "expect_column_values_to_not_be_null", Map("column" -> "id"))),
+        failOnError = true))
+    }
+  }
 }

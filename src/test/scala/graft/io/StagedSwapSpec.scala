@@ -1,0 +1,69 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+class StagedSwapSpec extends SparkSpec {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def writeDir(dir: String, marker: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "data.txt"), true)
+    out.write(marker.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readMarker(dir: String): String = {
+    val p = new Path(dir, "data.txt")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes = new Array[Byte](64)
+    val n = in.read(bytes)
+    in.close()
+    new String(bytes, 0, n, "UTF-8")
+  }
+
+  test("commit swaps stage into place and cleans up __old") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    writeDir(live, "v1")
+    writeDir(s"${live}__stage", "v2")
+    StagedSwap.commit(conf, live, s"${live}__stage")
+    assert(readMarker(live) == "v2")
+    val fs = new Path(live).getFileSystem(conf)
+    assert(!fs.exists(new Path(live + "__old")))
+    assert(!fs.exists(new Path(live + "__stage")))
+  }
+
+  test("commit with no existing live dir installs the stage") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    writeDir(s"${live}__stage", "v1")
+    StagedSwap.commit(conf, live, s"${live}__stage")
+    assert(readMarker(live) == "v1")
+  }
+
+  test("commit recovers a crash that left data only at __old") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    // simulate a crash between the two renames of a previous swap:
+    // live is missing, previous contents sit at __old
+    writeDir(s"${live}__old", "v1")
+    writeDir(s"${live}__stage", "v2")
+    StagedSwap.commit(conf, live, s"${live}__stage")
+    assert(readMarker(live) == "v2")
+  }
+
+  test("commit refuses a missing stage dir") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    writeDir(live, "v1")
+    intercept[IllegalArgumentException] {
+      StagedSwap.commit(conf, live, s"${live}__stage")
+    }
+    assert(readMarker(live) == "v1") // live untouched
+  }
+}

@@ -57,6 +57,19 @@ class MergeOpsSpec extends SparkSpec {
     assertSameRows(out, again)
   }
 
+  test("translateAliases is quote-aware and word-boundary safe") {
+    assert(MergeOps.translateAliases("current.id = new.id") == "t.id = s.id")
+    // aliases inside string literals / backquoted identifiers survive
+    assert(MergeOps.translateAliases("status = 'new.pending' AND current.id = new.id")
+      == "status = 'new.pending' AND t.id = s.id")
+    assert(MergeOps.translateAliases("`current.weird` = new.x") == "`current.weird` = s.x")
+    assert(MergeOps.translateAliases("note = \"current.raw\"") == "note = \"current.raw\"")
+    // escaped quote inside a literal does not terminate the string
+    assert(MergeOps.translateAliases("s = 'a\\'new.b' AND new.ok") == "s = 'a\\'new.b' AND s.ok")
+    // word boundaries: renew.x is not new.x
+    assert(MergeOps.translateAliases("renew.x = concurrent.y") == "renew.x = concurrent.y")
+  }
+
   test("merge(init) + merge(delta) == full recompute (reference delta-load invariant)") {
     val init = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
     val delta1 = Seq((2, 21.0), (3, 30.0)).toDF("id", "v")
