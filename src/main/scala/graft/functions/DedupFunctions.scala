@@ -72,9 +72,20 @@ object DedupFunctions {
 
   /** MinHash-LSH candidate pairs with exact Jaccard verification.
     *
-    * Plan shape at scale: narrow map (shingle+sign) -> explode bands ->
-    * shuffle on (band, bucket) -> self-equi-join inside buckets ->
-    * Jaccard verify on the (small) candidate set. No cartesian products.
+    * Plan shape at scale: ONE narrow pass computes shingle hashes +
+    * signature per doc and is persisted (the in-session analogue of
+    * staging signatures to a table before the bucket join); candidate
+    * generation then works on (id, band, bucket) only — explode band
+    * keys, groupBy bucket collecting member ids, expand pairs inside the
+    * bucket — so no array ever enters the candidate shuffle; finally the
+    * hashed shingle arrays are joined back for exact Jaccard
+    * verification. No self-join recompute, no cartesian products.
+    *
+    * Buckets larger than `maxBucketSize` are dropped before the O(B^2)
+    * pair expansion: at corpus scale an over-full LSH bucket means a
+    * degenerate near-identical cluster (or hash collapse), and the
+    * standard practice is to discard it rather than let one hot bucket
+    * dominate the stage (default keeps every bucket at test scales).
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
@@ -85,7 +96,8 @@ object DedupFunctions {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       numBands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 100000): DataFrame = {
     // Verification carries hashed shingles (array<long>) rather than the
     // strings: cheaper to shuffle and to intersect; murmur3-mod-p
     // collisions are negligible for jaccard estimation at these sizes.
@@ -97,20 +109,28 @@ object DedupFunctions {
         array_distinct(transform(col("shs"),
           s => pmod(hash(s).cast("long"), lit(MinhashPrime)))).as("sh"))
       .select(col("id"), col("sh"), minhashSignatureFromHashes(col("sh"), numHashes).as("sig")))
-    val banded = withSig
-      .select(col("id"), col("sh"),
-        explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cands = a.join(b, Seq("band", "bucket"))
+    val cachedSig = withSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = cachedSig
+      .select(col("id"), explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
-    cands
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
+    // |union| = |A| + |B| - |intersect| (both sides are distinct sets),
+    // so one array_intersect per pair suffices.
+    val shA = cachedSig.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = cachedSig.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double").as("szsum"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("szsum") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -173,12 +193,20 @@ object DedupFunctions {
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
+    // Persist the candidate-pair pipeline before handing it to GraphX:
+    // Graph/Pregel materialize the edge RDD several times, and the pairs
+    // upstream (minhash shingle+band join) is the expensive part.
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
     val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
     import spark.implicits._
-    cc.vertices.toDF("id", "canonical_id")
+    // Pregel has fully materialized (and cached) the result graph by the
+    // time run() returns, so the input edge cache can be released.
+    val out = cc.vertices.toDF("id", "canonical_id")
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 n-gram.

@@ -57,17 +57,90 @@ final class IvfIndex private (
 
 object IvfIndex {
 
-  /** Build the index: KMeans over a bounded deterministic sample, then
-    * cell-tag the full corpus with a tight-loop assignment kernel. */
+  /** Session-level centroid cache keyed by (corpus semantic hash, params):
+    * training is deterministic, so re-building the index over the same
+    * corpus (e.g. repeated queries in one session) reuses the centroids
+    * instead of re-collecting the sample and re-running Lloyd's. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** Driver-local Lloyd's KMeans over a bounded sample.
+    *
+    * The training sample is bounded by design (`trainSampleSize`), so
+    * clustering it is a driver-sized problem — ~10k x 64 doubles, ~50M
+    * flops for 5 iterations — and running it locally avoids the many
+    * tiny Spark jobs a distributed trainer schedules per iteration. The
+    * full-corpus cell ASSIGNMENT stays distributed (broadcast centroid
+    * matrix, tight-loop kernel), which is the part that actually scales
+    * with data size. Deterministic: seeded init, fixed iteration order. */
+  private[functions] def lloyd(
+      points: Array[Array[Double]], k: Int, maxIter: Int, tol: Double, seed: Long)
+      : Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans: empty training sample")
+    val dim = points(0).length
+    val n = points.length
+    val rnd = new scala.util.Random(seed)
+    // init: k distinct sample points, seeded shuffle
+    val centroids = rnd.shuffle(points.indices.toList).take(math.min(k, n))
+      .map(i => points(i).clone()).toArray
+    val kk = centroids.length
+    val sums = Array.ofDim[Double](kk, dim)
+    val counts = new Array[Long](kk)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val ctr = centroids(c)
+          var d = 0.0; var i = 0
+          while (i < dim) { val diff = v(i) - ctr(i); d += diff * diff; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      moved = 0.0
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            val nv = sums(c)(i) / counts(c)
+            val diff = nv - centroids(c)(i)
+            moved += diff * diff
+            centroids(c)(i) = nv
+            i += 1
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Build the index: Lloyd's KMeans over a bounded deterministic sample
+    * (driver-local, cached per corpus+params), then cell-tag the full
+    * corpus with a tight-loop assignment kernel. */
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, trainSampleSize: Int = 10000): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val train = corpus.select(toVec(col(vecCol)).as("features")).limit(trainSampleSize)
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5).setTol(1e-3).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    val key = (corpus.select(col(vecCol)).semanticHash(), nLists, trainSampleSize)
+    val centroids = centroidCache.computeIfAbsent(key, _ => {
+      val sample = corpus.select(col(vecCol)).limit(trainSampleSize)
+        .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      lloyd(sample, nLists, maxIter = 5, tol = 1e-3, seed = 42L)
+    })
     val assignCell = udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0

@@ -136,54 +136,9 @@ object SimilarityFunctions {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nLists: Int = 16, nProbe: Int = 4,
-      trainSampleSize: Int = 10000): DataFrame = {
-    import org.apache.spark.ml.linalg.Vectors
-    import org.apache.spark.ml.clustering.KMeans
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val train = corpus.select(toVec(col(corpusVec)).as("features"))
-      .limit(trainSampleSize)
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5).setTol(1e-3).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-
-    // nearest-cell and nProbe-nearest-cells as tight-loop kernels over the
-    // broadcast centroid matrix
-    val assignCell = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val ctr = centroids(c)
-        var d = 0.0; var i = 0
-        val n = math.min(ctr.length, v.length)
-        while (i < n) { val diff = v(i) - ctr(i); d += diff * diff; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val probeCells = udf { (v: Seq[Float]) =>
-      centroids.indices.map { c =>
-        val ctr = centroids(c)
-        var d = 0.0; var i = 0
-        val n = math.min(ctr.length, v.length)
-        while (i < n) { val diff = v(i) - ctr(i); d += diff * diff; i += 1 }
-        (d, c)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    }
-
-    val cellCorpus = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("cvec"), assignCell(col(corpusVec)).as("cell"))
-    val cellQueries = queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("qvec"), explode(probeCells(col(queryVec))).as("cell"))
-    val cands = cellCorpus.join(cellQueries, Seq("cell"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    cands.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
-  }
+      trainSampleSize: Int = 10000): DataFrame =
+    IvfIndex.build(corpus, corpusId, corpusVec, nLists, trainSampleSize)
+      .search(queries, queryId, queryVec, k, nProbe)
 
   /** All corpus pairs with cosine similarity >= threshold via LSH buckets
     * (embedding near-duplicate detection). */

@@ -11,12 +11,15 @@ object Profile {
       Map("spark.sql.shuffle.partitions" -> "16", "spark.ui.enabled" -> "false"))
     spark.range(100).count()
     QueryCatalog.all.filter(q => names.isEmpty || names(q.name)).foreach { q =>
-      val df = q.run(spark, sfDir)
+      // Time construction + count: some operators (GraphX CC, KMeans
+      // training) run jobs eagerly while the DataFrame is being built,
+      // exactly as Bench measures them.
       val t0 = System.nanoTime()
+      val df = q.run(spark, sfDir)
       val n = df.count()
       val t1 = (System.nanoTime() - t0) / 1e9
       val t2 = System.nanoTime()
-      df.count()
+      q.run(spark, sfDir).count()
       val t3 = (System.nanoTime() - t2) / 1e9
       println(f"== ${q.name}: rows=$n cold=$t1%.2fs warm=$t3%.2fs")
       if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")

@@ -19,7 +19,14 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   */
 object PlanBarrier {
 
+  /** Singleton identity function: two `fence` calls over equal inputs
+    * produce canonically-equal plans (a fresh lambda per call would make
+    * every fence plan unique), so CacheManager can substitute a persisted
+    * copy of one pipeline into another query that derives the same data. */
+  private val identityFn: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row] =
+    it => it
+
   /** Identity map-partitions barrier preserving the schema. */
   def fence(df: DataFrame): DataFrame =
-    df.mapPartitions(it => it)(Encoders.row(df.schema))
+    df.mapPartitions(identityFn)(Encoders.row(df.schema))
 }
