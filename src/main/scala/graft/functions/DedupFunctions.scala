@@ -47,9 +47,8 @@ object DedupFunctions {
       transform(shinglesCol, s => pmod(hash(s).cast("long"), lit(MinhashPrime))),
       numHashes)
 
-  /** MinHash signature over already mod-p-hashed shingles (array<long>);
-    * computed by a tight-loop kernel ([[Kernels.minhashSignature]]). */
-  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column = {
+  /** Deterministic universal-hash coefficients for `numHashes` positions. */
+  private def minhashCoefficients(numHashes: Int): (Array[Long], Array[Long]) = {
     import scala.util.hashing.MurmurHash3
     val as = (0 until numHashes).map { i =>
       (MurmurHash3.stringHash(s"minhash-a-$i").toLong & 0x7fffffffL) % (MinhashPrime - 1) + 1
@@ -57,6 +56,13 @@ object DedupFunctions {
     val bs = (0 until numHashes).map { i =>
       (MurmurHash3.stringHash(s"minhash-b-$i").toLong & 0x7fffffffL) % MinhashPrime
     }.toArray
+    (as, bs)
+  }
+
+  /** MinHash signature over already mod-p-hashed shingles (array<long>);
+    * computed by a tight-loop kernel ([[Kernels.minhashSignature]]). */
+  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int): Column = {
+    val (as, bs) = minhashCoefficients(numHashes)
     Kernels.minhashSignature(hashesCol, as, bs, MinhashPrime)
   }
 
@@ -99,17 +105,22 @@ object DedupFunctions {
       threshold: Double = 0.5,
       maxBucketSize: Int = 100000): DataFrame = {
     // Verification carries hashed shingles (array<long>) rather than the
-    // strings: cheaper to shuffle and to intersect; murmur3-mod-p
-    // collisions are negligible for jaccard estimation at these sizes.
+    // strings: cheaper to shuffle and to intersect; hash collisions are
+    // negligible for jaccard estimation at these sizes. The fused kernel
+    // ([[Kernels.shingleMinhash]]) computes shingle hashes + signature in
+    // one pass without materializing shingle strings.
+    val (as, bs) = minhashCoefficients(numHashes)
     val withSig = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
-        TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
-      .select(col("id"), shingles(col("toks"), shingleSize).as("shs"))
-      .select(col("id"),
-        array_distinct(transform(col("shs"),
-          s => pmod(hash(s).cast("long"), lit(MinhashPrime)))).as("sh"))
-      .select(col("id"), col("sh"), minhashSignatureFromHashes(col("sh"), numHashes).as("sig")))
-    val cachedSig = withSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Kernels.shingleMinhash(TextFunctions.whitespaceTokens(col(textCol)),
+          shingleSize, as, bs, MinhashPrime).as("ss"))
+      .select(col("id"), col("ss._1").as("sh"), col("ss._2").as("sig")))
+    // Eager RDD-level materialization: computed once, consumed by banding
+    // and twice by verification. localCheckpoint stores plain rows (no
+    // columnar cache encode/decode, which dominates for long-array columns)
+    // and truncates lineage. At cluster scale the equivalent move is
+    // staging signatures to a table; executor loss replays from there.
+    val cachedSig = withSig.localCheckpoint(true)
     val banded = cachedSig
       .select(col("id"), explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

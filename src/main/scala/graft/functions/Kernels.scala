@@ -77,6 +77,60 @@ object Kernels {
     f(hashes)
   }
 
+  /** Fused shingle + MinHash kernel: word k-shingle hashes (polynomial
+    * combine of token hashes over a sliding window — no shingle string is
+    * ever materialized) deduplicated, plus the (a*h+b) mod p signature,
+    * in one pass. Returns struct(_1 = distinct shingle hashes asc,
+    * _2 = signature). Docs shorter than k get one whole-doc shingle,
+    * mirroring [[DedupFunctions.shingles]].
+    */
+  def shingleMinhash(
+      tokens: Column, k: Int, as: Array[Long], bs: Array[Long], p: Long): Column = {
+    val nh = as.length
+    val f = udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        val n = toks.length
+        val th = new Array[Long](n)
+        var i = 0
+        while (i < n) { th(i) = java.lang.Math.floorMod(tokenHash64(toks(i)), p); i += 1 }
+        val m = if (n >= k) n - k + 1 else 1
+        val win = math.min(k, n)
+        val hs = new Array[Long](m)
+        var s = 0
+        while (s < m) {
+          var h = 0L
+          var j = 0
+          while (j < win) { h = (h * 1000003L + th(s + j)) % p; j += 1 }
+          hs(s) = h
+          s += 1
+        }
+        java.util.Arrays.sort(hs)
+        var distinct = 0
+        i = 0
+        while (i < m) {
+          if (i == 0 || hs(i) != hs(i - 1)) { hs(distinct) = hs(i); distinct += 1 }
+          i += 1
+        }
+        val sh = java.util.Arrays.copyOf(hs, distinct)
+        val sig = Array.fill(nh)(p)
+        i = 0
+        while (i < distinct) {
+          val h = sh(i)
+          var b = 0
+          while (b < nh) {
+            val v = (as(b) * h + bs(b)) % p
+            if (v < sig(b)) sig(b) = v
+            b += 1
+          }
+          i += 1
+        }
+        (sh, sig)
+      }
+    }
+    f(tokens)
+  }
+
   /** Cosine similarity in double precision. Fold order is ascending index
     * (identical to the `aggregate`/`zip_with` formulation and to the
     * DuckDB oracle's list_sum over list_transform), so results are
