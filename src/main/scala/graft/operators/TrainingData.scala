@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: deterministic sampling and source
+  * mixing, fixed-budget sequence packing, and distinctive-term
+  * extraction.
+  *
+  * Everything here is reproducible pure arithmetic — no RNG state, no
+  * driver-side loops — so results are identical across engines, runs and
+  * partitionings, and every operator parallelizes trivially at 100 TB.
+  */
+object TrainingData {
+
+  /** Knuth's multiplicative-hash constant (2^32 / phi). */
+  private val HashMultiplier = 2654435761L
+  private val HashBuckets = 1000000L
+
+  /** Deterministic hash sample: keep rows whose multiplicative key hash
+    * lands below `fraction` of the bucket space. Embarrassingly parallel
+    * (a map-side filter, no shuffle, no RNG), stable across re-runs, and
+    * disjoint samples can be drawn with different salts. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double, salt: Long = 0L): DataFrame =
+    df.where(
+      pmod((key.cast("long") + salt) * HashMultiplier, lit(HashBuckets)) <
+        math.round(fraction * HashBuckets))
+
+  /** Weighted mix of sources: hash-sample each source at its weight and
+    * union by name — the standard "data mixing" step of a pre-training
+    * pipeline, as a pure map-side plan. */
+  def mixSources(sources: Seq[(DataFrame, Double)], keyCol: String, salt: Long = 0L): DataFrame =
+    sources.map { case (df, w) => hashSample(df, col(keyCol), w, salt) }
+      .reduce(_.unionByName(_))
+
+  /** Fixed-budget sequence packing: within each shard, documents fill
+    * context windows of `tokenBudget` tokens in id order; a document's
+    * pack is `floor(tokens-before-it / budget)` (prefix-sum packing, so
+    * a document may straddle a boundary — the deterministic, one-window
+    * formulation used to batch corpora for training).
+    *
+    * Sharding bounds the window state: each shard's prefix sum is an
+    * independent partition of the window shuffle, so packing 100 TB is
+    * `nShards`-way parallel, not one global sort.
+    *
+    * @return one row per (shard, pack_id): n_docs, pack_tokens, doc span
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int, nShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / tokenBudget))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+  }
+
+  /** Top-k distinctive terms per document, scored by tf * N / df (the
+    * log-free tf-idf variant: exact integer ratios in double, so the
+    * score is bit-identical across engines). Ties break on the term
+    * itself for a deterministic ranking.
+    *
+    * Plan shape: explode tokens -> two hash aggregations (term frequency
+    * per doc, document frequency per term) -> broadcast-friendly join on
+    * term -> per-doc rank window. The doc-frequency side is |vocab|-sized
+    * — orders of magnitude smaller than the corpus.
+    */
+  def distinctiveTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val nDocs = df.count()
+    val terms = df
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.whitespaceTokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf") * nDocs / col("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("id"), col("term"), col("score"), col("rnk"))
+  }
+}

@@ -1076,6 +1076,114 @@ object QueryCatalog {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_start"""))
 
+  // ---------------------------------------------------------------------
+  // Training-data assembly (sampling/mixing, packing, distinctive terms,
+  // oracle-verified duplicate clustering)
+  // ---------------------------------------------------------------------
+
+  /** Connected components over EXACT n-gram Jaccard pairs: the same
+    * GraphX clustering as q56, but fed by an oracle-expressible pair
+    * generator so the cluster assignment itself is hash-verified against
+    * a DuckDB recursive-CTE reachability closure. */
+  private val q57 = QueryDef(
+    "q57_clusters_exact",
+    (s, dir) => {
+      val pairs = DedupFunctions.ngramJaccardPairs(
+        T(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
+        n = 3, threshold = 0.2)
+      DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b"))
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents WHERE doc_id < 300),
+      grams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [array_to_string(tk, ' ')] END) AS gs
+        FROM toks),
+      sized AS (SELECT doc_id, gs, len(gs) AS n_grams FROM grams),
+      exploded AS (SELECT doc_id, n_grams, unnest(gs) AS g FROM sized),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_grams, b.n_grams
+        HAVING count(*) / CAST(a.n_grams + b.n_grams - count(*) AS DOUBLE) >= 0.2),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+      SELECT id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY id"""))
+
+  private val q58 = QueryDef(
+    "q58_sequence_pack",
+    (s, dir) => graft.operators.TrainingData.packSequences(
+        T(s, dir, "documents"), "doc_id", "text", tokenBudget = 2048, nShards = 8)
+      .orderBy(col("shard"), col("pack_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      packed AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM toks)
+      SELECT shard, CAST(cum_before // 2048 AS BIGINT) AS pack_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM packed GROUP BY 1, 2 ORDER BY shard, pack_id"""))
+
+  private val q59 = QueryDef(
+    "q59_source_mix",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.TrainingData.mixSources(Seq(
+          docs.where(col("lang") === "en") -> 0.8,
+          docs.where(col("lang") =!= "en") -> 0.3), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source FROM documents WHERE lang = 'en'
+          AND (doc_id * 2654435761) % 1000000 < 800000
+        UNION ALL
+        SELECT doc_id, lang, source FROM documents WHERE lang <> 'en'
+          AND (doc_id * 2654435761) % 1000000 < 300000)
+      ORDER BY doc_id"""))
+
+  private val q60 = QueryDef(
+    "q60_distinctive_terms",
+    (s, dir) => graft.operators.TrainingData.distinctiveTerms(
+        T(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text", k = 3)
+      .orderBy(col("id"), col("rnk")),
+    Some("""
+      WITH terms AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS term
+        FROM documents WHERE doc_id < 100),
+      tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(DISTINCT id) AS df FROM terms GROUP BY 1),
+      scored AS (
+        SELECT tf.id, tf.term,
+               tf.tf * (SELECT count(*) FROM documents WHERE doc_id < 100) / CAST(dfreq.df AS DOUBLE)
+                 AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term),
+      ranked AS (
+        SELECT id, term, score,
+               row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rnk
+        FROM scored)
+      SELECT id, term, score, rnk FROM ranked WHERE rnk <= 3 ORDER BY id, rnk"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1084,5 +1192,5 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

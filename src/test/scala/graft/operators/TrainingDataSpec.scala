@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingDataSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox", "en"),
+    (2L, "der schnelle braune fuchs", "de"),
+    (3L, "one two three four five six seven eight", "en"),
+    (4L, "uno dos tres", "es"),
+    (5L, "alpha beta gamma delta epsilon", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("hashSample is deterministic, map-side, and roughly proportional") {
+    val big = spark.range(10000).toDF("id")
+    val s1 = TrainingData.hashSample(big, col("id"), 0.3).collect().map(_.getLong(0))
+    val s2 = TrainingData.hashSample(big, col("id"), 0.3).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2)) // reproducible
+    assert(math.abs(s1.length - 3000) < 300) // ~30%
+    // different salt draws a different sample
+    val s3 = TrainingData.hashSample(big, col("id"), 0.3, salt = 7).collect().map(_.getLong(0))
+    assert(!s1.sameElements(s3))
+    // a sample at a smaller fraction is a subset of the larger one
+    val s4 = TrainingData.hashSample(big, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    assert(s4.subsetOf(s1.toSet))
+  }
+
+  test("mixSources applies per-source weights") {
+    val mixed = TrainingData.mixSources(Seq(
+      docs.where(col("lang") === "en") -> 1.0,
+      docs.where(col("lang") =!= "en") -> 0.0), "doc_id")
+    assert(mixed.select("lang").distinct().as[String].collect().toSet == Set("en"))
+    assert(mixed.count() == 4) // all en docs kept, nothing else
+  }
+
+  test("packSequences fills budgets in id order per shard") {
+    val packed = TrainingData.packSequences(docs, "doc_id", "text",
+      tokenBudget = 10, nShards = 1).orderBy("pack_id")
+    val rows = packed.select("pack_id", "n_docs", "pack_tokens").as[(Long, Long, Long)].collect()
+    // 9+4+4+8+3+5 tokens, budget 10: packs split on the running prefix sum
+    assert(rows.map(_._3).sum == 33L)
+    assert(rows.map(_._2).sum == 6L)
+    // pack assignment is cum_before / budget: doc0 (cum 0) -> pack 0,
+    // doc1 (cum 9) -> pack 0, doc2 (cum 13) -> pack 1, ...
+    assert(rows.head._1 == 0L && rows.head._2 == 2L)
+    // sharding keeps every doc exactly once
+    val sharded = TrainingData.packSequences(docs, "doc_id", "text",
+      tokenBudget = 10, nShards = 3)
+    assert(sharded.agg(sum("n_docs")).as[Long].collect().head == 6L)
+  }
+
+  test("distinctiveTerms ranks rare terms above common ones") {
+    val terms = TrainingData.distinctiveTerms(docs, "doc_id", "text", k = 2)
+    val top0 = terms.where("id = 0 AND rnk = 1").select("term").as[String].collect().head
+    // "the" appears in 2 docs; doc 0's top term must be one of its unique words
+    assert(top0 != "the")
+    assert(terms.where("rnk > 2").count() == 0)
+    assert(terms.groupBy("id").count().where("count > 2").count() == 0)
+  }
+}
