@@ -1090,7 +1090,7 @@ object QueryCatalog {
     (s, dir) => {
       val pairs = DedupFunctions.ngramJaccardPairs(
         T(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
-        n = 3, threshold = 0.2)
+        n = 2, threshold = 0.1)
       DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b"))
         .orderBy(col("id"))
     },
@@ -1100,9 +1100,9 @@ object QueryCatalog {
         FROM documents WHERE doc_id < 300),
       grams AS (
         SELECT doc_id,
-               list_distinct(CASE WHEN len(tk) >= 3
-                 THEN list_transform(range(1, len(tk) - 1),
-                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               list_distinct(CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])
                  ELSE [array_to_string(tk, ' ')] END) AS gs
         FROM toks),
       sized AS (SELECT doc_id, gs, len(gs) AS n_grams FROM grams),
@@ -1111,7 +1111,7 @@ object QueryCatalog {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id, a.n_grams, b.n_grams
-        HAVING count(*) / CAST(a.n_grams + b.n_grams - count(*) AS DOUBLE) >= 0.2),
+        HAVING count(*) / CAST(a.n_grams + b.n_grams - count(*) AS DOUBLE) >= 0.1),
       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
       nodes AS (SELECT DISTINCT u AS id FROM edges),
