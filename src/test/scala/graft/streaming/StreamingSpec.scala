@@ -54,6 +54,40 @@ class StreamingSpec extends SparkSpec {
     assert(second.where("user = 'u2' AND total = 3.0").count() == 1)
   }
 
+  test("stateful latest-per-key condensation emits only changed keys") {
+    val in = tmpDir("sc-in")
+    val out = tmpDir("sc-out") + "/data"
+    val ckpt = tmpDir("sc-ckpt")
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("k STRING, v BIGINT, payload STRING")
+        .option("header", "true").csv(in)
+      StatefulCondense.latestPerKey(stream, Seq("k"), "v")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }.start().awaitTermination()
+    }
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/b1.csv"),
+      "k,v,payload\nk1,1,a\nk2,1,b\n")
+    drain()
+    // batch 2: k1 advances, k2 arrives stale (must not emit), k3 is new
+    Files.writeString(Paths.get(s"$in/b2.csv"),
+      "k,v,payload\nk1,5,a2\nk2,0,stale\nk3,1,c\n")
+    drain()
+    val emitted = spark.read.parquet(out)
+    assert(emitted.count() == 4) // k1,k2 (batch1) + k1,k3 (batch2)
+    assert(emitted.where("k = 'k1'").count() == 2)
+    assert(emitted.where("k = 'k2' AND payload = 'stale'").count() == 0)
+    // the state-winning records are the latest versions
+    val latest = emitted.groupBy("k").agg(max_by(col("payload"), col("v")).as("p"))
+    assert(latest.where("k = 'k1' AND p = 'a2'").count() == 1)
+  }
+
   test("streaming drop_duplicate_rows with watermark via the registry") {
     val in = tmpDir("st-dedup-in")
     val out = tmpDir("st-dedup-out") + "/data"
