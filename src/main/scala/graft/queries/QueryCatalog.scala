@@ -1184,6 +1184,40 @@ object QueryCatalog {
         FROM scored)
       SELECT id, term, score, rnk FROM ranked WHERE rnk <= 3 ORDER BY id, rnk"""))
 
+  /** The stateful streaming condensation run in batch mode (Spark executes
+    * flatMapGroupsWithState with empty initial state): latest event per
+    * user, hash-verified against a window oracle. (user_id, ts) is unique
+    * in the events table, so the winner is deterministic. */
+  private val q61 = QueryDef(
+    "q61_stateful_condense",
+    // DuckDB truncates parquet TIMESTAMP(NANOS) to micros, so the emitted
+    // ts is micro-normalized on both sides ((user_id, micro-ts) is still
+    // unique, so the per-key winner is identical).
+    (s, dir) => graft.streaming.StatefulCondense
+      .latestPerKey(T(s, dir, "events"), Seq("user_id"), "ts")
+      .withColumn("ts", expr("(ts div 1000) * 1000"))
+      .orderBy(col("user_id")),
+    Some("""
+      SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+      ORDER BY user_id"""))
+
+  private val q62 = QueryDef(
+    "q62_frame_sample",
+    (s, dir) => graft.operators.Multimodal
+      .sampleFrames(T(s, dir, "documents"), "doc_id", "text", everyK = 256)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_offset").cast("long").as("frame_offset"))
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             CAST(f * 256 AS BIGINT) AS frame_offset
+      FROM (SELECT doc_id,
+              unnest(range(0, greatest((octet_length(encode(text)) - 1) // 256, 0) + 1)) AS f
+            FROM documents)
+      ORDER BY doc_id, frame_idx"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1192,5 +1226,5 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }
