@@ -27,7 +27,9 @@ final class IvfIndex private (
     }.sortBy(_._1).take(nProbe).map(_._2)
   }
 
-  /** Approximate top-k for each query vector, probing `nProbe` cells. */
+  /** Approximate top-k for each query vector, probing `nProbe` cells.
+    * Ranking uses the bounded [[TopKAggregator]] (map-side partial top-k;
+    * see `SimilarityFunctions.rankTopK`). */
   def search(
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nProbe: Int = 4): DataFrame = {
@@ -37,10 +39,11 @@ final class IvfIndex private (
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         SimilarityFunctions.cosine(col("qvec"), col("cvec")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    cands.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+    cands.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k, col("neighbor_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rnk"))
   }
 
   /** Persist the cell-tagged corpus partitioned by cell (so each probe

@@ -53,12 +53,19 @@ object SimilarityFunctions {
         col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+    rankTopK(scored, k)
   }
+
+  /** Per-query top-k via the bounded [[TopKAggregator]]: map-side partial
+    * top-k means only ~k rows per query per partition are shuffled,
+    * instead of every scored candidate as a rank window would. Output is
+    * bit-identical to `row_number() OVER (ORDER BY score DESC, id ASC)`. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k, col("neighbor_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rnk"))
 
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes. The "random" hyperplane
@@ -117,10 +124,7 @@ object SimilarityFunctions {
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    cands.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+    rankTopK(cands, k)
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
