@@ -174,18 +174,27 @@ object DedupFunctions {
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
       .select(col("id"), simhash(col("toks"), 60).as("sim")))
     val blocks = 4
-    val banded = withSim.select(col("id"), col("sim"),
+    // Single pass: explode block keys, ONE shuffle groups (id, sim) by
+    // (block, key), pairs expand inside each bucket — the tokenize+simhash
+    // pipeline is never evaluated twice (a self-join computes both sides),
+    // and the carried state per member is 16 bytes, so bucket rows stay
+    // small even for hot buckets.
+    val banded = withSim.select(
       explode(array((0 until blocks).map { i =>
         struct(lit(i).as("block"),
           shiftright(col("sim"), i * 15).bitwiseAND(lit(0x7fffL)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sim"), col("bk.block").as("block"), col("bk.key").as("key"))
-    val a = banded.select(col("block"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("block"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("block", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      }: _*)).as("bk"),
+      struct(col("id"), col("sim")).as("m"))
+    val buckets = banded
+      .groupBy(col("bk.block").as("block"), col("bk.key").as("key"))
+      .agg(collect_list(col("m")).as("ms"))
+      .where(size(col("ms")) > 1)
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.sim"), col("b.sim")).as("hamming"))
       .where(col("hamming") <= maxDistance)
       .dropDuplicates("id_a", "id_b")
   }
@@ -235,12 +244,22 @@ object DedupFunctions {
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
       .select(col("id"), shingles(col("toks"), n).as("grams"))
       .select(col("id"), col("grams"), size(col("grams")).as("n_grams")))
-    val exploded = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("g"))
-    val a = exploded.select(col("g"), col("id").as("id_a"), col("n_grams").as("n_a"))
-    val b = exploded.select(col("g"), col("id").as("id_b"), col("n_grams").as("n_b"))
-    a.join(b, Seq("g"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    // Single pass over the gram pipeline: ONE shuffle groups (id, n_grams)
+    // by gram (the inverted-index posting list), pairs expand inside each
+    // posting — identical pair multiset to the self-join formulation (a
+    // posting of B docs yields the same B^2/2 pairs the equi-join would),
+    // but the tokenize+shingle chain is evaluated once, not per join side.
+    val postings = grams
+      .select(explode(col("grams")).as("g"), struct(col("id"), col("n_grams")).as("m"))
+      .groupBy(col("g"))
+      .agg(collect_list(col("m")).as("ms"))
+      .where(size(col("ms")) > 1)
+    postings
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_grams").as("n_a"), col("b.n_grams").as("n_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
