@@ -151,20 +151,31 @@ object SimilarityFunctions {
       dim: Int, threshold: Double,
       numBits: Int = 32, numBands: Int = 4): DataFrame = {
     val rows = numBits / numBands
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // Candidate generation is id-only (explode band keys -> ONE shuffle
+    // grouping ids by bucket -> in-bucket pair expansion -> narrow dedup);
+    // the float vectors are joined back only for the surviving pairs, so
+    // no vector is ever shuffled with the candidate stream. The vector
+    // projection is a cheap column-pruned scan, so reading it for the
+    // two verify joins beats carrying 2x vectors per banded row.
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), dim, numBits).as("sig"))
-      .select(col("id"), col("vec"),
-        explode(array((0 until numBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * rows)
-              .bitwiseAND(lit((1L << rows) - 1)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("id"), col("vec"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("band", "key"))
+    val banded = withSig.select(col("id"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rows)
+            .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+      }: _*)).as("bk"))
+    val cands = banded
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val va = withSig.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = withSig.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("score"))
       .where(col("score") >= threshold)
   }
