@@ -172,8 +172,7 @@ object Terminators {
             .getOrElse(0))
       }
     case "terminate_spark" => spark.stop()
-    case "notify" => // notification channels (SMTP/Graph) are external I/O;
-      // deliberately a no-op in this offline build
+    case "notify" => Notifier.notify(spec)
     case other =>
       throw new IllegalArgumentException(s"unknown terminator: $other")
   }

@@ -177,4 +177,35 @@ class AlgorithmsSpec extends SparkSpec {
         thresholds = Map("max_percentage_diff" -> (0.05, 0.2)))
     }
   }
+
+  test("notify terminator renders templates through the pluggable transport") {
+    import graft.spec.TerminatorSpec
+    val sent = scala.collection.mutable.ArrayBuffer.empty[Notifier.Notification]
+    val prev = Notifier.setTransport(sent += _)
+    try {
+      // free-form message with {{ var }} rendering
+      Notifier.notify(TerminatorSpec("notify", Map(
+        "to" -> Seq("ops@example.com"),
+        "subject" -> "load {{ status }}",
+        "message" -> "rows={{ rows }} unknown={{ nope }}",
+        "status" -> "done", "rows" -> 42)))
+      assert(sent.last.subject == "load done")
+      assert(sent.last.message == "rows=42 unknown=")
+      assert(sent.last.recipients == Seq("ops@example.com"))
+      // built-in failure template only fires on failure
+      val spec = TerminatorSpec("notify", Map(
+        "template" -> "failure_notification_email",
+        "job_name" -> "nightly", "exception" -> "boom"))
+      Notifier.notify(spec, failed = false)
+      assert(sent.length == 1)
+      Notifier.notify(spec, failed = true)
+      assert(sent.last.message.contains("nightly") && sent.last.message.contains("boom"))
+      intercept[IllegalArgumentException] {
+        Notifier.notify(TerminatorSpec("notify", Map("template" -> "nope")))
+      }
+      intercept[IllegalArgumentException] {
+        Notifier.notify(TerminatorSpec("notify", Map.empty))
+      }
+    } finally Notifier.setTransport(prev)
+  }
 }
