@@ -209,4 +209,49 @@ class DataLoaderSpec extends SparkSpec {
     assert(tagged.where("dq_validations.run_row_success = false").count() == 1)
     assert(tagged.where("dq_validations.run_row_success = true").count() == 2)
   }
+
+  test("full pipeline: transform + DQ gate + merge write + notify terminator") {
+    import spark.implicits._
+    val out = tmpDir("dl-e2e") + "/t"
+    val sent = scala.collection.mutable.ArrayBuffer.empty[Notifier.Notification]
+    val prev = Notifier.setTransport(sent += _)
+    try {
+      val init = Seq((1, "a", 10.0), (2, "b", -5.0), (3, "c", 30.0))
+        .toDF("id", "name", "amount")
+      val acon =
+        s"""{
+           |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "d"}],
+           |  "transform_specs": [{
+           |    "spec_id": "clean", "input_id": "src",
+           |    "transformers": [
+           |      {"function": "expression_filter", "args": {"exp": "amount > 0"}},
+           |      {"function": "with_literals", "args": {"literals": {"src_system": "unit"}}}
+           |    ]
+           |  }],
+           |  "dq_specs": [{
+           |    "spec_id": "gate", "input_id": "clean",
+           |    "dq_functions": [
+           |      {"function": "expect_column_values_to_not_be_null", "args": {"column": "name"}},
+           |      {"function": "expect_table_row_count_to_be_between", "args": {"min_value": 1}}
+           |    ],
+           |    "fail_on_error": true
+           |  }],
+           |  "output_specs": [{
+           |    "spec_id": "tgt", "input_id": "clean", "write_type": "merge",
+           |    "data_format": "parquet", "location": "$out",
+           |    "merge_opts": {"merge_predicate": "current.id = new.id"}
+           |  }],
+           |  "terminate_specs": [{
+           |    "function": "notify",
+           |    "args": {"to": "ops", "subject": "load {{ state }}",
+           |             "message": "done", "state": "ok"}
+           |  }]
+           |}""".stripMargin
+      DataLoader.loadData(spark, acon, dfs = Map("d" -> init))
+      val result = spark.read.parquet(out)
+      assert(result.count() == 2) // negative-amount row filtered before merge
+      assert(result.columns.contains("src_system"))
+      assert(sent.length == 1 && sent.head.subject == "load ok")
+    } finally Notifier.setTransport(prev)
+  }
 }

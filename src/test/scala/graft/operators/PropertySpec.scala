@@ -69,6 +69,46 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("packing laws: every doc packed once, budgets respected, shard-stable") {
+    import org.apache.spark.sql.functions._
+    for (seed <- Seq(5, 23)) {
+      val rng = new Random(seed)
+      val docs = (0 until 200).map { i =>
+        (i.toLong, Seq.fill(1 + rng.nextInt(40))("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val totalTokens = docs
+        .select(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .as[Long].collect().sum
+      for (shards <- Seq(1, 4, 16)) {
+        val packed = TrainingData.packSequences(docs, "doc_id", "text",
+          tokenBudget = 64, nShards = shards)
+        // conservation: every doc and every token lands in exactly one pack
+        assert(packed.agg(sum("n_docs")).as[Long].collect().head == 200L)
+        assert(packed.agg(sum("pack_tokens")).as[Long].collect().head == totalTokens)
+        // budget law: a pack holds more than one doc only while its
+        // prefix stays under budget, so overflow is bounded by one doc
+        val worst = packed.select(max("pack_tokens")).as[Long].collect().head
+        assert(worst <= 64 + 40, s"pack overflow beyond one straddling doc: $worst")
+      }
+    }
+  }
+
+  test("hash-sample laws: fraction nesting and disjoint-salt independence") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(5000).toDF("id")
+    val fracs = Seq(0.05, 0.2, 0.5, 0.9)
+    val sets = fracs.map(f =>
+      TrainingData.hashSample(ids, col("id"), f).as[Long].collect().toSet)
+    // nesting: a smaller fraction's sample is contained in every larger one
+    sets.sliding(2).foreach { case Seq(small, large) =>
+      assert(small.subsetOf(large))
+    }
+    // proportionality within 5 points at each fraction
+    fracs.zip(sets).foreach { case (f, s) =>
+      assert(math.abs(s.size / 5000.0 - f) < 0.05, s"fraction $f -> ${s.size}")
+    }
+  }
+
   test("snapshot diff round trip: applying the diff reproduces the target") {
     for (seed <- Seq(2, 17)) {
       val rng = new Random(seed)
