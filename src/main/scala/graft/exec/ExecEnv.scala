@@ -25,7 +25,11 @@ object ExecEnv {
     // as nanosecond longs and convert explicitly where needed.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.filterPushdown" -> "true",
-    "spark.sql.files.maxPartitionBytes" -> "134217728"
+    "spark.sql.files.maxPartitionBytes" -> "134217728",
+    // RDD-shuffle paths (GraphX connected components) serialize edge/vertex
+    // objects; Kryo halves their payload vs Java serialization. SQL/Tungsten
+    // paths are unaffected (they use UnsafeRow).
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer"
   )
 
   /** Create (or fetch) the engine SparkSession. */
