@@ -1218,6 +1218,32 @@ object QueryCatalog {
             FROM documents)
       ORDER BY doc_id, frame_idx"""))
 
+  /** As-of (point-in-time) join: every event is joined to the same user's
+    * most recent click at-or-before it. Spark lacks the operator;
+    * [[graft.operators.AsofJoin]] realizes it as union + running window
+    * (one shuffle, no row blow-up) and DuckDB's native ASOF JOIN is the
+    * oracle. Times are micro-normalized (DuckDB truncates parquet nanos;
+    * (user_id, micro-ts) is unique, so order is preserved). */
+  private val q63 = QueryDef(
+    "q63_asof_join",
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts"),
+          col("event_id").as("click_event_id"))
+      graft.operators.AsofJoin.asofJoin(ev, clicks, Seq("user_id"), "ts_us", "click_ts")
+        .orderBy(col("user_id"), col("ts_us"))
+    },
+    Some("""
+      SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, l.event_type,
+             epoch_us(r.ts) AS asof_click_ts, r.event_id AS asof_click_event_id
+      FROM events l ASOF LEFT JOIN
+        (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.user_id, ts_us"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1226,5 +1252,5 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 }

@@ -54,6 +54,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(sharded.agg(sum("n_docs")).as[Long].collect().head == 6L)
   }
 
+  test("asofJoin attaches the latest prior right row per key") {
+    val quotes = Seq( // (sym, t, px)
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+      ("B", 4L, 50.0)).toDF("sym", "t", "px")
+    val trades = Seq( // (sym, t, qty)
+      ("A", 0L, 1L), ("A", 5L, 2L), ("A", 7L, 3L), ("A", 100L, 4L),
+      ("B", 3L, 5L), ("C", 1L, 6L)).toDF("sym", "t", "qty")
+    val j = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "t")
+      .select("sym", "t", "qty", "asof_px").as[(String, Long, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._4).toMap
+    assert(j(("A", 0L)).isEmpty) // before any quote
+    assert(j(("A", 5L)).contains(11.0)) // exact-time match is inclusive
+    assert(j(("A", 7L)).contains(11.0))
+    assert(j(("A", 100L)).contains(12.0)) // latest quote, however old
+    assert(j(("B", 3L)).isEmpty)
+    assert(j(("C", 1L)).isEmpty) // key with no right side at all
+    // tolerance nulls out stale matches
+    val tol = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "t",
+        tolerance = Some(10L))
+      .select("sym", "t", "asof_px").as[(String, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(tol(("A", 100L)).isEmpty) // 100 - 9 > 10
+    assert(tol(("A", 7L)).contains(11.0))
+  }
+
   test("distinctiveTerms ranks rare terms above common ones") {
     val terms = TrainingData.distinctiveTerms(docs, "doc_id", "text", k = 2)
     val top0 = terms.where("id = 0 AND rnk = 1").select("term").as[String].collect().head
