@@ -33,6 +33,26 @@ object ScaleOps {
     salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Semi-join with a Bloom-filter pre-filter: build a sketch of the
+    * small side's keys, prune the big side map-side BEFORE its shuffle,
+    * then run the exact semi-join on the survivors. At 100 TB the win is
+    * that non-matching big-side rows (usually the vast majority) never
+    * enter the exchange — only bloom false positives (rate `fpp`) pay the
+    * shuffle, and the exact join removes them, so results are identical
+    * to a plain semi-join. Key must be integral (the sketch hashes longs).
+    */
+  def bloomSemiJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    big.where(mightContain(col(bigKey)))
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
+  }
+
   /** Write a DataFrame as a bucketed+sorted table: subsequent equi-joins
     * or aggregations on the bucket keys read shuffle-free. */
   def writeBucketed(

@@ -1244,6 +1244,30 @@ object QueryCatalog {
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.user_id, ts_us"""))
 
+  /** Bloom-prefiltered semi-join: identical results to the plain
+    * semi-join (the sketch only prunes; the exact join removes false
+    * positives), so the oracle is the unsketched formulation — same
+    * pattern as the salted-join parity check (q47). */
+  private val q64 = QueryDef(
+    "q64_bloom_semi",
+    (s, dir) => {
+      val bigOrders = T(s, dir, "orders").where(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"))
+      graft.operators.ScaleOps.bloomSemiJoin(
+          T(s, dir, "lineitem"), bigOrders, "l_orderkey", "o_orderkey",
+          expectedItems = 100000)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n_lines,
+             round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1252,5 +1276,5 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 }

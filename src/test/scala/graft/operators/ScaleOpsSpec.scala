@@ -63,4 +63,18 @@ class ScaleOpsSpec extends SparkSpec {
       DQSpec("p", "p", dqFunctions = fns, failOnError = true))
     assert(result.success)
   }
+
+  test("bloom-prefiltered semi-join equals the plain semi-join") {
+    val big = (0L until 5000L).map(i => (i, i % 97)).toDF("k", "v")
+    val small = (0L until 5000L by 37).map(i => Tuple1(i)).toDF("sk")
+    val bloom = ScaleOps.bloomSemiJoin(big, small, "k", "sk", expectedItems = 200)
+    val plain = big.join(small.withColumnRenamed("sk", "k"), Seq("k"), "left_semi")
+    assertSameRows(bloom, plain)
+    // the prefilter really prunes: far fewer rows pass the bloom stage
+    // than the big side holds (fpp 1% of 5000 non-matching ~ 50)
+    import org.apache.spark.sql.functions.col
+    val bf = small.stat.bloomFilter("sk", 200, 0.01)
+    val passed = big.collect().count(r => bf.mightContainLong(r.getLong(0)))
+    assert(passed < 500, s"bloom passed $passed of 5000")
+  }
 }
