@@ -64,6 +64,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(result.success)
   }
 
+  test("sketches stay within their error bounds vs exact answers") {
+    import graft.functions.Sketches
+    // zipf-ish: value v appears 5000/v times
+    val rows = (1L to 50L).flatMap(v => Seq.fill((5000 / v).toInt)(v))
+    val df = rows.toDF("v")
+    // count-min: one-sided (estimate >= truth), small overestimate
+    val est = Sketches.heavyHitterCounts(df, "v", Seq(1L, 2L, 10L), eps = 0.001)
+    est.foreach { case (v, e) =>
+      val truth = 5000 / v
+      assert(e >= truth && e <= truth + (0.001 * rows.size).toLong + 50,
+        s"cms estimate for $v: $e vs $truth")
+    }
+    // hll: within 3 * rsd relative error
+    val d = Sketches.approxDistinct(df, "v", rsd = 0.05)
+    assert(math.abs(d - 50.0) / 50.0 <= 0.15, s"hll: $d vs 50")
+    // gk quantiles: rank error <= relativeError * n
+    val Seq(p50) = Sketches.approxQuantiles(df, "v", Seq(0.5), relativeError = 0.01)
+    val sorted = rows.sorted
+    val rankOfEst = sorted.count(_ <= p50).toDouble / rows.size
+    assert(math.abs(rankOfEst - 0.5) <= 0.02 + 1.0 / rows.size,
+      s"gk p50=$p50 sits at rank $rankOfEst")
+  }
+
   test("bloom-prefiltered semi-join equals the plain semi-join") {
     val big = (0L until 5000L).map(i => (i, i % 97)).toDF("k", "v")
     val small = (0L until 5000L by 37).map(i => Tuple1(i)).toDF("sk")
