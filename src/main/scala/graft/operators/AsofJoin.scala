@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.StructType
   * streams. Right rows sort before left rows at equal times, so an
   * exact-time match is inclusive (DuckDB ASOF `l.t >= r.t` semantics).
   *
+  * Determinism: if the right side has several rows at the SAME (key,
+  * time), which of them attaches is unspecified (matching DuckDB ASOF);
+  * keep (key, rightTime) unique for reproducible output.
+  *
   * @param keys      equi-join key columns (same names both sides)
   * @param leftTime  left time column, castable to long
   * @param rightTime right time column, castable to long
