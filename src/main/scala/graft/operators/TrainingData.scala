@@ -62,6 +62,31 @@ object TrainingData {
         min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
   }
 
+  /** Symmetric int8 quantization stats for an embedding column: per
+    * vector, the max-abs scale (`max|v| / 127`) and the worst-case
+    * reconstruction error after quantize/dequantize with round-half-up
+    * (`floor(x/scale + 0.5)` — floor, not round(), so half-way cases are
+    * identical across engines; every op is exact IEEE double arithmetic,
+    * making the output hash-comparable to a SQL oracle).
+    *
+    * This is the storage-shrink step of an embedding pipeline (4x smaller
+    * vectors for ANN recall screening); the stats quantify the quality
+    * loss per vector. Zero vectors (scale 0) are excluded — quantization
+    * is undefined for them.
+    */
+  def int8QuantizationStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = col(vecCol)
+    val m = array_max(transform(x, e => abs(e.cast("double"))))
+    val scale = m / 127.0d
+    df.select(col(idCol), x.as("v"), scale.as("scale"))
+      .where(col("scale") > 0)
+      .select(col(idCol), col("scale"),
+        array_max(transform(col("v"), e =>
+          abs(e.cast("double") -
+            floor(e.cast("double") / col("scale") + 0.5d) * col("scale"))))
+          .as("max_abs_err"))
+  }
+
   /** Top-k distinctive terms per document, scored by tf * N / df (the
     * log-free tf-idf variant: exact integer ratios in double, so the
     * score is bit-identical across engines). Ties break on the term

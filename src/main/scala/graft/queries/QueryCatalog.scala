@@ -1268,6 +1268,23 @@ object QueryCatalog {
         (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val q65 = QueryDef(
+    "q65_int8_quantize",
+    (s, dir) => graft.operators.TrainingData
+      .int8QuantizationStats(T(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("vec_id")),
+    Some("""
+      WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+                 AS scale
+        FROM embeddings)
+      SELECT vec_id, scale,
+             list_max(list_transform(embedding, x ->
+               abs(CAST(x AS DOUBLE) -
+                   floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))) AS max_abs_err
+      FROM s WHERE scale > 0 ORDER BY vec_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1276,5 +1293,5 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }

@@ -79,6 +79,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(tol(("A", 7L)).contains(11.0))
   }
 
+  test("int8 quantization error is bounded by half a quantization step") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 127.0f)),
+      (2L, Array(0.001f, -0.002f, 0.0015f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: excluded
+      .toDF("vec_id", "embedding")
+    val stats = TrainingData.int8QuantizationStats(vecs, "vec_id", "embedding")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!stats.contains(3L))
+    stats.foreach { case (id, (scale, err)) =>
+      assert(scale > 0)
+      assert(err <= scale / 2 + 1e-12, s"vec $id err $err vs step $scale")
+    }
+  }
+
   test("distinctiveTerms ranks rare terms above common ones") {
     val terms = TrainingData.distinctiveTerms(docs, "doc_id", "text", k = 2)
     val top0 = terms.where("id = 0 AND rnk = 1").select("term").as[String].collect().head
