@@ -107,24 +107,33 @@ object SimilarityFunctions {
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int, numBits: Int = 16, numBands: Int = 4): DataFrame = {
     val rows = numBits / numBands
-    def banded(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) =
-      df.select(col(id).as(idOut), col(vec).as(vecOut),
+    // Candidate generation is id-only: the bucket join and the
+    // (query, neighbor) dedup shuffle carry no vectors; vectors join back
+    // only for surviving pairs (queries broadcast — small by construction;
+    // corpus vectors via a column-pruned scan).
+    def banded(df: DataFrame, id: String, vec: String, idOut: String) =
+      df.select(col(id).as(idOut),
         lshSignature(col(vec), dim, numBits).as("sig"))
-        .select(col(idOut), col(vecOut),
+        .select(col(idOut),
           explode(array((0 until numBands).map { b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), b * rows)
                 .bitwiseAND(lit((1L << rows) - 1)).as("key"))
           }: _*)).as("bk"))
-        .select(col(idOut), col(vecOut), col("bk.band").as("band"), col("bk.key").as("key"))
-    val c = banded(corpus, corpusId, corpusVec, "neighbor_id", "cvec")
-    val q = banded(queries, queryId, queryVec, "query_id", "qvec")
-    val cands = c.join(q, Seq("band", "key"))
+        .select(col(idOut), col("bk.band").as("band"), col("bk.key").as("key"))
+    val c = banded(corpus, corpusId, corpusVec, "neighbor_id")
+    val q = banded(queries, queryId, queryVec, "query_id")
+    val cands = c.join(broadcast(q), Seq("band", "key"))
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("qvec"))
+    val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cvec"))
+    val scored = cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("score"))
-    rankTopK(cands, k)
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
