@@ -210,14 +210,15 @@ object DQEngine {
     val criticalFailed = failedPairs.collect { case (o, true) => o }
     val pctFailed =
       if (outcomes.isEmpty) 0.0 else failed.size.toDouble / outcomes.size
-    // Policy: any critical-instance failure raises; max_percentage_failure
-    // bounds overall failure rate; fail_on_error raises on any failure
-    // unless a percentage bound was given (which then governs) — critical
-    // functions being present does NOT disable fail_on_error.
+    // Policy (reference `dq_factory.py` _log_or_fail): three INDEPENDENT
+    // checks — any critical-instance failure raises; max_percentage_failure
+    // bounds the overall failure rate; fail_on_error raises on any failure.
+    // A spec that wants the percentage bound to govern alone must set
+    // fail_on_error=false explicitly.
     val policyBreached =
       criticalFailed.nonEmpty ||
         spec.maxPercentageFailure.exists(pctFailed > _) ||
-        (spec.failOnError && failed.nonEmpty && spec.maxPercentageFailure.isEmpty)
+        (spec.failOnError && failed.nonEmpty)
 
     val result = DQRunResult(s"dq_${spec.specId}", failed.isEmpty, outcomes)
     if (policyBreached)

@@ -168,7 +168,8 @@ object DedupFunctions {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 100000): DataFrame = {
     val withSim = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
@@ -185,10 +186,14 @@ object DedupFunctions {
           shiftright(col("sim"), i * 15).bitwiseAND(lit(0x7fffL)).as("key"))
       }: _*)).as("bk"),
       struct(col("id"), col("sim")).as("m"))
+    // Same bounded-bucket guard as minhash: the collect_list buffer holds
+    // every bucket member in ONE aggregation row, so a degenerate hot
+    // bucket (hash collapse, boilerplate corpus) must be dropped before
+    // the O(B^2) expansion rather than OOM an executor.
     val buckets = banded
       .groupBy(col("bk.block").as("block"), col("bk.key").as("key"))
       .agg(collect_list(col("m")).as("ms"))
-      .where(size(col("ms")) > 1)
+      .where(size(col("ms")).between(2, maxBucketSize))
     buckets
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
@@ -230,15 +235,20 @@ object DedupFunctions {
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 n-gram.
-    * Inverted-index join (explode n-grams, equi-join on the n-gram) — the
-    * standard scalable formulation; hot n-grams can be frequency-capped
-    * upstream if skewed. */
+    * Inverted-index join (explode n-grams, group by n-gram into posting
+    * lists) — the standard scalable formulation. Postings longer than
+    * `maxPostingSize` are dropped before pair expansion: a stop-word
+    * n-gram shared by millions of docs would materialize them all in one
+    * aggregation buffer row AND contribute O(B^2) pairs; dropping it
+    * loses only pairs whose entire overlap is that degenerate n-gram
+    * (standard prefix-filtering practice). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxPostingSize: Int = 100000): DataFrame = {
     val grams = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
@@ -253,7 +263,7 @@ object DedupFunctions {
       .select(explode(col("grams")).as("g"), struct(col("id"), col("n_grams")).as("m"))
       .groupBy(col("g"))
       .agg(collect_list(col("m")).as("ms"))
-      .where(size(col("ms")) > 1)
+      .where(size(col("ms")).between(2, maxPostingSize))
     postings
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))

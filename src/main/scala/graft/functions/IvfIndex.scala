@@ -60,12 +60,46 @@ final class IvfIndex private (
 
 object IvfIndex {
 
-  /** Session-level centroid cache keyed by (corpus semantic hash, params):
-    * training is deterministic, so re-building the index over the same
-    * corpus (e.g. repeated queries in one session) reuses the centroids
-    * instead of re-collecting the sample and re-running Lloyd's. */
+  /** Session-level centroid cache keyed by (corpus semantic hash, data
+    * fingerprint, params): training is deterministic, so re-building the
+    * index over the same corpus (e.g. repeated queries in one session)
+    * reuses the centroids instead of re-collecting the sample and
+    * re-running Lloyd's. The fingerprint covers the backing files'
+    * paths + lengths + modification times, so rewriting data at the same
+    * path invalidates the entry (a bare plan hash would not), and it
+    * disambiguates Int semanticHash collisions across corpora. Bounded:
+    * cleared wholesale past `CentroidCacheMax` entries (rebuild cost is
+    * one bounded sample + driver-local Lloyd's — cheap relative to
+    * unbounded driver growth). */
+  private val CentroidCacheMax = 64
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int, Int), Array[Array[Double]]]()
+
+  /** Fingerprint of the DataFrame's backing files (path, length, mtime),
+    * order-independent. 0 for non-file-backed plans (in-memory test data):
+    * those fall back to the semantic hash alone, which is exact for a
+    * fully in-plan corpus. Capped stat fan-out: beyond `maxStat` files
+    * only the path-set hash is used (paths still catch re-writes that
+    * change the file listing, e.g. new part files). */
+  private def dataFingerprint(df: DataFrame, maxStat: Int = 1000): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty) 0L
+    else {
+      var acc = 0L
+      files.foreach(p => acc ^= scala.util.hashing.MurmurHash3.stringHash(p).toLong * 0x9e3779b97f4a7c15L)
+      if (files.length <= maxStat) {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        files.foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            val st = path.getFileSystem(conf).getFileStatus(path)
+            acc ^= java.lang.Long.rotateLeft(st.getLen * 31L + st.getModificationTime, 17)
+          } catch { case _: java.io.IOException => () }
+        }
+      }
+      acc
+    }
+  }
 
   /** Driver-local Lloyd's KMeans over a bounded sample.
     *
@@ -138,7 +172,9 @@ object IvfIndex {
   def build(
       corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int = 16, trainSampleSize: Int = 10000): IvfIndex = {
-    val key = (corpus.select(col(vecCol)).semanticHash(), nLists, trainSampleSize)
+    val key = (corpus.select(col(vecCol)).semanticHash(), dataFingerprint(corpus),
+      nLists, trainSampleSize)
+    if (centroidCache.size >= CentroidCacheMax) centroidCache.clear()
     val centroids = centroidCache.computeIfAbsent(key, _ => {
       val sample = corpus.select(col(vecCol)).limit(trainSampleSize)
         .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))

@@ -158,7 +158,8 @@ object SimilarityFunctions {
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
-      numBits: Int = 32, numBands: Int = 4): DataFrame = {
+      numBits: Int = 32, numBands: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
     val rows = numBits / numBands
     // Candidate generation is id-only (explode band keys -> ONE shuffle
     // grouping ids by bucket -> in-bucket pair expansion -> narrow dedup);
@@ -174,10 +175,13 @@ object SimilarityFunctions {
           shiftright(col("sig"), b * rows)
             .bitwiseAND(lit((1L << rows) - 1)).as("key"))
       }: _*)).as("bk"))
+    // Bounded buckets (same guard as the minhash/simhash generators): one
+    // hot LSH bucket would otherwise land every member in a single
+    // collect_list buffer row and expand O(B^2) pairs.
     val cands = banded
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")).between(2, maxBucketSize))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))

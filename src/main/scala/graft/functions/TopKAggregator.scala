@@ -22,8 +22,18 @@ object TopKAggregator {
 
   case class Scored(neighbor_id: Long, score: Double)
 
-  private val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.score, s.neighbor_id))
+  /** Mirrors `ORDER BY score DESC, neighbor_id ASC` under Spark's sort
+    * semantics, NaN included: Spark orders NaN as the LARGEST double, so
+    * descending puts NaN first. `Ordering.by(-score)` would get this
+    * wrong (-NaN is NaN, which java.lang.Double.compare sorts last in
+    * ascending order → NaN last), silently diverging from the window
+    * formulation when cosine yields NaN (zero-norm vectors). */
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    override def compare(x: Scored, y: Scored): Int = {
+      val c = java.lang.Double.compare(y.score, x.score) // DESC, NaN first
+      if (c != 0) c else java.lang.Long.compare(x.neighbor_id, y.neighbor_id)
+    }
+  }
 
   final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     private val cap = 2 * k + 8

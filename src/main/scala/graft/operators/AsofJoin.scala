@@ -47,7 +47,13 @@ object AsofJoin {
         lit(1).as("__side"),
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(rPayloadType).as("__r")): _*)
-    val rightU = right.select(
+    // Null right times never qualify under SQL comparison semantics
+    // (r.t <= l.t is NULL, not true) — drop them before the union so a
+    // null __t cannot sort NULLS FIRST into the running-last frame and
+    // attach to a null-time left row. Null-time LEFT rows are kept (LEFT
+    // as-of semantics) and get no match: with null right rows gone, every
+    // row preceding them in the NULLS FIRST frame is a left row (__r null).
+    val rightU = right.where(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).cast("long").as("__t"),
         lit(0).as("__side"),

@@ -145,4 +145,23 @@ class DQEngineSpec extends SparkSpec {
         failOnError = true))
     }
   }
+
+  test("fail_on_error raises independently of max_percentage_failure") {
+    // Reference _log_or_fail: the percentage bound does NOT soften
+    // fail_on_error — a spec that wants only the bound must set
+    // fail_on_error=false. Here the bound tolerates 100% failures but
+    // fail_on_error (the default) still raises on the single failure.
+    intercept[DQValidationFailedException] {
+      DQEngine.run(spark, df, DQSpec("t", "t",
+        dqFunctions = Seq(DQFunctionSpec(
+          "expect_column_values_to_not_be_null", Map("column" -> "name"))),
+        failOnError = true, maxPercentageFailure = Some(1.0)))
+    }
+    // and the bound alone still governs when fail_on_error is off
+    val r = DQEngine.run(spark, df, DQSpec("t", "t",
+      dqFunctions = Seq(DQFunctionSpec(
+        "expect_column_values_to_not_be_null", Map("column" -> "name"))),
+      failOnError = false, maxPercentageFailure = Some(1.0)))
+    assert(!r.success)
+  }
 }

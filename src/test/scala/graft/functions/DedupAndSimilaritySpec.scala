@@ -177,6 +177,46 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(frames.where("id = 2").count() == 1)
   }
 
+  test("bounded buckets drop degenerate hot postings in every generator") {
+    // 5 identical docs: every posting/bucket holds all 5 members, so a
+    // cap of 4 drops everything; the default cap keeps all 10 pairs.
+    val same = (0L until 5L).map(i => (i, "aa bb cc dd ee")).toDF("doc_id", "text")
+    assert(DedupFunctions.ngramJaccardPairs(same, "doc_id", "text",
+      n = 2, threshold = 0.0, maxPostingSize = 4).count() == 0)
+    assert(DedupFunctions.ngramJaccardPairs(same, "doc_id", "text",
+      n = 2, threshold = 0.0).count() == 10)
+    assert(DedupFunctions.simhashNearDuplicates(same, "doc_id", "text",
+      maxDistance = 3, maxBucketSize = 4).count() == 0)
+    assert(DedupFunctions.simhashNearDuplicates(same, "doc_id", "text",
+      maxDistance = 3).count() == 10)
+    val sameVecs = (0L until 5L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    assert(SimilarityFunctions.embeddingNearDuplicates(sameVecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.9, maxBucketSize = 4).count() == 0)
+    assert(SimilarityFunctions.embeddingNearDuplicates(sameVecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.9).count() == 10)
+  }
+
+  test("TopK aggregator matches the rank window when scores contain NaN") {
+    // Spark sorts NaN as the LARGEST double, so ORDER BY score DESC puts
+    // NaN rows first; the aggregator must agree (zero-norm vectors yield
+    // NaN cosine).
+    val scored = Seq(
+      (1L, 1L, 0.9), (1L, 2L, Double.NaN), (1L, 3L, 0.5), (1L, 4L, Double.NaN))
+      .toDF("query_id", "neighbor_id", "score")
+    val agg = scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(3, col("neighbor_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.neighbor_id")).as[Long].collect().toSeq
+    val win = scored.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rnk") <= 3).orderBy("rnk")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(win == Seq(2L, 4L, 1L)) // NaN first under DESC, id-asc ties
+    assert(agg == win)
+  }
+
   test("text quality features are sane") {
     val q = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),

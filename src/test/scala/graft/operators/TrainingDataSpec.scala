@@ -79,6 +79,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(tol(("A", 7L)).contains(11.0))
   }
 
+  test("asofJoin ignores null times on both sides (SQL comparison semantics)") {
+    val quotes = Seq(
+      ("A", Some(1L), 10.0), ("A", None, 99.0)) // null-time quote must never attach
+      .toDF("sym", "t", "px")
+    val trades = Seq(
+      ("A", Some(0L), 1L), // before all non-null quotes -> no match
+      ("A", Some(2L), 2L), // matches the t=1 quote
+      ("A", None, 3L)) // null-time left row: kept, no match (DuckDB ASOF parity)
+      .toDF("sym", "t", "qty")
+    val j = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "t")
+      .select("qty", "asof_px").as[(Long, Option[Double])].collect().toMap
+    assert(j.size == 3) // all left rows survive
+    assert(j(1L).isEmpty)
+    assert(j(2L).contains(10.0))
+    assert(j(3L).isEmpty)
+  }
+
   test("int8 quantization error is bounded by half a quantization step") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 127.0f)),
