@@ -87,4 +87,17 @@ object TextFunctions {
     * Stable under reflow/case changes — the cheap exact-near-dup key. */
   def fingerprint(c: Column): Column =
     md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
+  /** Email pattern, deliberately RE2-compatible (no lookaround, no
+    * backreferences) so the identical regex runs under java.util.regex
+    * (Spark) and RE2-based engines with the same matches. */
+  val EmailRegex: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII redaction for training corpora: mask email addresses, then any
+    * remaining run of 4+ digits (phone/account/ssn-ish). Codegen'd
+    * regexp_replace — a map-side projection, no UDF. Order matters:
+    * emails first, so their digits don't get half-masked as numbers. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRegex, "<EMAIL>"),
+      "[0-9]{4,}", "<NUM>")
 }

@@ -87,6 +87,97 @@ object TrainingData {
           .as("max_abs_err"))
   }
 
+  /** Deterministic train/validation/test split: assign each row a split
+    * label by where its multiplicative key hash lands in the cumulative
+    * fraction ranges. Pure map-side arithmetic — no RNG, no shuffle — so
+    * the assignment is stable across runs, engines and partitionings,
+    * and disjoint by construction (each bucket maps to exactly one
+    * split). The standard way to split a 100 TB corpus: a row's split is
+    * a function of its id alone, so late-arriving data lands in the same
+    * split without global coordination.
+    *
+    * @param splits ordered (name, fraction) pairs; fractions must sum to 1
+    */
+  def hashSplit(
+      df: DataFrame, key: Column, splits: Seq[(String, Double)],
+      salt: Long = 0L): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = pmod((key.cast("long") + salt) * HashMultiplier, lit(HashBuckets))
+    val cutoffs = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * HashBuckets))
+    val labeled = splits.zip(cutoffs).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        val cond = bucket < cut
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.get
+    df.withColumn("split", labeled)
+  }
+
+  /** Exact per-stratum sample: the first `nPerStratum` rows of each
+    * stratum in deterministic hash order (multiplicative hash of the key,
+    * key as tie-break). One rank window partitioned by the strata — the
+    * shuffle is on the strata key, and only the sampled rows survive.
+    * Equivalent to a seeded shuffle + LIMIT per group, but reproducible
+    * across engines and runs. */
+  def stratifiedSample(
+      df: DataFrame, strata: Seq[String], key: Column, nPerStratum: Int,
+      salt: Long = 0L): DataFrame = {
+    val bucket = pmod((key.cast("long") + salt) * HashMultiplier, lit(HashBuckets))
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(bucket, key)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
+
+  /** Benchmark decontamination: for every corpus document, the number of
+    * its distinct word n-grams that appear in ANY benchmark document
+    * (`contamination` = shared / total, in [0, 1]; filter on it to drop
+    * contaminated training docs).
+    *
+    * Plan shape for a 100 TB corpus vs a ~MB benchmark suite: the
+    * benchmark gram SET is distinct-ed (bounded by the benchmark's
+    * vocabulary, not the corpus) and BROADCAST, so the corpus side is a
+    * map-side explode + broadcast-hash left join; the only corpus
+    * shuffle is the per-doc count aggregation, which map-side combines.
+    */
+  def contamination(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def grams(df: DataFrame): Column =
+      graft.functions.DedupFunctions.shingles(
+        TextFunctions.whitespaceTokens(col(textCol)), n)
+    val benchGrams = bench.select(explode(grams(bench)).as("g"))
+      .distinct().withColumn("__hit", lit(1L))
+    corpus.select(col(idCol).as("id"), explode(grams(corpus)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("shared_grams"))
+      .withColumn("contamination",
+        col("shared_grams").cast("double") / col("n_grams"))
+  }
+
+  /** Global vocabulary with frequencies: one row per distinct lowercased
+    * whitespace token, with total occurrences, document frequency, and a
+    * deterministic rank (count desc, term asc), truncated to the top `k`.
+    *
+    * The corpus-sized work is the two hash aggregations (map-side
+    * combined); the rank window runs over the |vocab|-sized aggregate —
+    * orders of magnitude smaller than the corpus — so the single-
+    * partition window is a non-issue at any corpus scale (vocabulary
+    * grows sublinearly; cap with a pre-filter on n_occurrences if not).
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+      explode(TextFunctions.whitespaceTokens(lower(col(textCol)))).as("term"))
+    val stats = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("id")).as("n_docs"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("term").asc)
+    stats.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Top-k distinctive terms per document, scored by tf * N / df (the
     * log-free tf-idf variant: exact integer ratios in double, so the
     * score is bit-identical across engines). Ties break on the term

@@ -1285,6 +1285,143 @@ object QueryCatalog {
                    floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))) AS max_abs_err
       FROM s WHERE scale > 0 ORDER BY vec_id"""))
 
+  /** Benchmark decontamination: docs < 100 play the benchmark suite,
+    * the rest the training corpus; shared trigram counts per corpus doc.
+    * The benchmark gram set is broadcast — the corpus-sized work is one
+    * map-side explode + one combinable per-doc count aggregation. */
+  private val q66 = QueryDef(
+    "q66_contamination",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.operators.TrainingData.contamination(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", n = 3)
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [array_to_string(tk, ' ')] END) AS gs
+        FROM tok),
+      bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id < 100),
+      corpus AS (SELECT doc_id AS id, unnest(gs) AS g FROM grams WHERE doc_id >= 100)
+      SELECT c.id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_grams,
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS contamination
+      FROM corpus c LEFT JOIN bench b ON c.g = b.g
+      GROUP BY c.id ORDER BY c.id"""))
+
+  private val q67 = QueryDef(
+    "q67_hash_split",
+    (s, dir) => graft.operators.TrainingData.hashSplit(
+        T(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang")),
+    Some("""
+      SELECT CASE WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1, 2 ORDER BY split, lang"""))
+
+  /** SCD2 from a change log: orders as the per-customer version stream;
+    * one validity interval per order, open-ended for the latest. */
+  private val q68 = QueryDef(
+    "q68_scd2",
+    (s, dir) => graft.operators.Scd2.fromChangeLog(
+        T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice")),
+        Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")), "o_orderdate")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+        col("is_current"))
+      .orderBy(col("o_custkey"), col("o_orderkey")),
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+             strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+             CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS is_current
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  private val q69 = QueryDef(
+    "q69_vocabulary",
+    (s, dir) => graft.operators.TrainingData.vocabulary(
+        T(s, dir, "documents"), "doc_id", "text", k = 30)
+      .orderBy(col("rnk")),
+    Some("""
+      WITH terms AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))
+                 AS term
+        FROM documents),
+      stats AS (
+        SELECT term, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs
+        FROM terms GROUP BY 1),
+      ranked AS (
+        SELECT term, n_occurrences, n_docs,
+               row_number() OVER (ORDER BY n_occurrences DESC, term ASC) AS rnk
+        FROM stats)
+      SELECT term, n_occurrences, n_docs, rnk FROM ranked
+      WHERE rnk <= 30 ORDER BY rnk"""))
+
+  /** PII redaction over a contact string derived from customer columns
+    * (the synthetic tables carry no real emails/phones, so the query
+    * derives one deterministically, then masks it — both sides run the
+    * identical RE2-compatible regexes). */
+  private val q70 = QueryDef(
+    "q70_pii_redact",
+    (s, dir) => {
+      val contact = concat(lit("contact user"), col("c_custkey").cast("string"),
+        lit("@example.com ref "), (col("c_custkey") * 7919).cast("string"))
+      T(s, dir, "customer")
+        .select(col("c_custkey"), contact.as("contact"),
+          TextFunctions.redactPii(contact).as("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey,
+               'contact user' || CAST(c_custkey AS VARCHAR) || '@example.com ref '
+                 || CAST(c_custkey * 7919 AS VARCHAR) AS contact
+        FROM customer)
+      SELECT c_custkey, contact,
+             regexp_replace(
+               regexp_replace(contact,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{4,}', '<NUM>', 'g') AS redacted
+      FROM c ORDER BY c_custkey"""))
+
+  private val q71 = QueryDef(
+    "q71_stratified_sample",
+    (s, dir) => graft.operators.TrainingData.stratifiedSample(
+        T(s, dir, "documents"), Seq("lang"), col("doc_id"),
+        nPerStratum = 20)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rn
+        FROM documents) WHERE rn <= 20
+      ORDER BY doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1293,5 +1430,6 @@ object QueryCatalog {
     q30, q31, q32, q33, q34, q35, q36, q38, q39, q40,
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
-    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
+    q66, q67, q68, q69, q70, q71)
 }

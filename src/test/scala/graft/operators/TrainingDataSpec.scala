@@ -111,6 +111,92 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit is a disjoint, complete, deterministic partition") {
+    val big = spark.range(10000).toDF("id")
+    val s1 = TrainingData.hashSplit(big, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L) // complete: every row gets one split
+    assert(math.abs(counts("train") - 8000) < 300)
+    assert(math.abs(counts("val") - 1000) < 150)
+    assert(math.abs(counts("test") - 1000) < 150)
+    // deterministic: same assignment on re-run
+    val s2 = TrainingData.hashSplit(big, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0)
+    // the train split contains the 0.8-fraction hashSample exactly
+    val sample = TrainingData.hashSample(big, col("id"), 0.8)
+      .as[Long].collect().toSet
+    assert(s1.where("split = 'train'").select("id").as[Long].collect().toSet == sample)
+    intercept[IllegalArgumentException] {
+      TrainingData.hashSplit(big, col("id"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("stratifiedSample keeps exactly n per stratum, deterministically") {
+    val rows = (0L until 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = TrainingData.stratifiedSample(rows, Seq("grp"), col("id"), 10)
+    val counts = s1.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 10L, "b" -> 10L))
+    val s2 = TrainingData.stratifiedSample(rows, Seq("grp"), col("id"), 10)
+    assert(s1.except(s2).count() == 0)
+    // a stratum smaller than n passes through whole
+    val tiny = TrainingData.stratifiedSample(rows.where("id < 4"), Seq("grp"), col("id"), 10)
+    assert(tiny.count() == 4)
+  }
+
+  test("contamination counts shared n-grams against the benchmark set") {
+    val bench = Seq((100L, "one two three four")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five"), // shares "one two three", "two three four"
+      (2L, "six seven eight nine"), // shares nothing
+      (3L, "one two three")) // exactly one trigram, shared
+      .toDF("doc_id", "text")
+    val c = TrainingData.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(c(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(c(2L) == ((2L, 0L, 0.0)))
+    assert(c(3L) == ((1L, 1L, 1.0)))
+  }
+
+  test("vocabulary ranks terms by frequency with deterministic ties") {
+    val v = TrainingData.vocabulary(docs, "doc_id", "text", k = 5)
+      .orderBy("rnk").as[(String, Long, Long, Long)].collect()
+    assert(v.length == 5)
+    assert(v.head._1 == "the") // 3 occurrences over docs 0, 1
+    assert(v.head._2 == 3L && v.head._3 == 2L)
+    // ranks are 1..5 and occurrence counts never increase
+    assert(v.map(_._4).toSeq == (1L to 5L))
+    assert(v.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+  }
+
+  test("Scd2 builds contiguous validity intervals per key") {
+    val changes = Seq(
+      (1L, "k1", 10L), (2L, "k1", 20L), (3L, "k1", 30L),
+      (4L, "k2", 15L)).toDF("change_id", "key", "t")
+    val scd = graft.operators.Scd2.fromChangeLog(
+      changes, Seq("key"), Seq(col("t"), col("change_id")), "t")
+      .select("change_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(scd(1L) == ((10L, Some(20L), 0L)))
+    assert(scd(2L) == ((20L, Some(30L), 0L)))
+    assert(scd(3L) == ((30L, None, 1L)))
+    assert(scd(4L) == ((15L, None, 1L))) // single version is current
+  }
+
+  test("redactPii masks emails before digit runs") {
+    val out = Seq("reach me at jane.doe+x@corp.example.org or 555123456",
+      "no pii here", "ref 1234 and code 99")
+      .toDF("s").select(graft.functions.TextFunctions.redactPii(col("s")))
+      .as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> or <NUM>")
+    assert(out(1) == "no pii here")
+    assert(out(2) == "ref <NUM> and code 99") // runs < 4 digits survive
+  }
+
   test("distinctiveTerms ranks rare terms above common ones") {
     val terms = TrainingData.distinctiveTerms(docs, "doc_id", "text", k = 2)
     val top0 = terms.where("id = 0 AND rnk = 1").select("term").as[String].collect().head
