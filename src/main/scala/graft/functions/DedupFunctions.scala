@@ -251,8 +251,7 @@ object DedupFunctions {
       maxPostingSize: Int = 100000): DataFrame = {
     val grams = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
-        TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
-      .select(col("id"), shingles(col("toks"), n).as("grams"))
+        Kernels.distinctShingles(col(textCol), n).as("grams"))
       .select(col("id"), col("grams"), size(col("grams")).as("n_grams")))
     // Single pass over the gram pipeline: ONE shuffle groups (id, n_grams)
     // by gram (the inverted-index posting list), pairs expand inside each

@@ -106,11 +106,15 @@ object TrainingData {
     val bucket = pmod((key.cast("long") + salt) * HashMultiplier, lit(HashBuckets))
     val cutoffs = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => math.round(f * HashBuckets))
-    val labeled = splits.zip(cutoffs).foldLeft(Option.empty[Column]) {
+    // The last split is the CASE's ELSE branch (mirroring the SQL oracle):
+    // a NULL / non-castable key falls through every `bucket < cut` test, so
+    // without the otherwise() it would get a NULL label and silently break
+    // the "every row belongs to exactly one split" contract.
+    val labeled = splits.init.zip(cutoffs.init).foldLeft(Option.empty[Column]) {
       case (acc, ((name, _), cut)) =>
         val cond = bucket < cut
         Some(acc.fold(when(cond, name))(_.when(cond, name)))
-    }.get
+    }.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
     df.withColumn("split", labeled)
   }
 
@@ -144,12 +148,18 @@ object TrainingData {
   def contamination(
       corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    def grams(df: DataFrame): Column =
-      graft.functions.DedupFunctions.shingles(
-        TextFunctions.whitespaceTokens(col(textCol)), n)
-    val benchGrams = bench.select(explode(grams(bench)).as("g"))
+    // Gram derivation is a tight-loop kernel (the HOF shingle chain is
+    // CodegenFallback — interpreted per shingle), and MUST stay fenced
+    // before the explode: without the barrier Catalyst inlines the
+    // derived array into the Generate's inferred filters and evaluates
+    // the whole gram pipeline per consumer (measured 30x slower at sf0.1).
+    val grams: Column = graft.functions.Kernels.distinctShingles(col(textCol), n)
+    val benchGrams = graft.util.PlanBarrier.fence(bench.select(grams.as("gs")))
+      .select(explode(col("gs")).as("g"))
       .distinct().withColumn("__hit", lit(1L))
-    corpus.select(col(idCol).as("id"), explode(grams(corpus)).as("g"))
+    val corpusGrams = graft.util.PlanBarrier.fence(
+      corpus.select(col(idCol).as("id"), grams.as("gs")))
+    corpusGrams.select(col("id"), explode(col("gs")).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),

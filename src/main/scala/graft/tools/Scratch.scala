@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.functions.{DedupFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, Kernels, TextFunctions}
 import graft.util.PlanBarrier
 import org.apache.spark.sql.functions._
 
@@ -11,29 +11,41 @@ object Scratch {
       Map("spark.sql.shuffle.partitions" -> "32", "spark.ui.enabled" -> "false"))
     spark.range(100).count()
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    docs.count()
 
-    val p = (1L << 31) - 1
-    val withSig = PlanBarrier.fence(docs
-      .select(col("doc_id").as("id"),
-        TextFunctions.whitespaceTokens(col("text")).as("toks"))
-      .select(col("id"), DedupFunctions.shingles(col("toks"), 3).as("shs"))
-      .select(col("id"),
-        array_distinct(transform(col("shs"),
-          s => pmod(hash(s).cast("long"), lit(p)))).as("sh"))
-      .select(col("id"), col("sh"),
-        DedupFunctions.minhashSignatureFromHashes(col("sh"), 32).as("sig")))
-    val banded = withSig
-      .select(col("id"),
-        explode(DedupFunctions.lshBands(col("sig"), 32, 4)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.cache()
-    println("== banded rows: " + banded.count())
-    val bucketSizes = banded.groupBy("band", "bucket").count()
-    println("== distinct buckets: " + bucketSizes.count())
-    bucketSizes.orderBy(col("count").desc).show(10)
-    val pairs = bucketSizes.agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0)
-    println("== candidate pairs (with dups): " + pairs)
-    banded.unpersist()
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+
+    (1 to 2).foreach { round =>
+      time(s"r$round udf eval only (sum of sizes)") {
+        docs.where(col("doc_id") >= 100)
+          .select(size(Kernels.distinctShingles(col("text"), 3)).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
+      time(s"r$round fence+count") {
+        PlanBarrier.fence(docs.where(col("doc_id") >= 100)
+          .select(col("doc_id").as("id"),
+            Kernels.distinctShingles(col("text"), 3).as("gs"))).count()
+      }
+      time(s"r$round fence+explode+count") {
+        PlanBarrier.fence(docs.where(col("doc_id") >= 100)
+          .select(col("doc_id").as("id"),
+            Kernels.distinctShingles(col("text"), 3).as("gs")))
+          .select(explode(col("gs"))).count()
+      }
+      time(s"r$round bench distinct") {
+        PlanBarrier.fence(docs.where(col("doc_id") < 100)
+          .select(Kernels.distinctShingles(col("text"), 3).as("gs")))
+          .select(explode(col("gs")).as("g")).distinct().count()
+      }
+      time(s"r$round full contamination") {
+        graft.operators.TrainingData.contamination(
+          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+          "doc_id", "text", n = 3).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -217,6 +217,26 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("distinctShingles kernel matches the HOF shingle chain") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a a a"), (3L, "one"), (4L, ""),
+      (5L, "  spaced   out  tokens  "), (6L, "x y x y x y"))
+      .toDF("doc_id", "text")
+    val hof = corpus.select(col("doc_id"),
+      array_sort(DedupFunctions.shingles(
+        TextFunctions.whitespaceTokens(col("text")), 3)).as("gs"))
+    val kernel = corpus.select(col("doc_id"),
+      array_sort(Kernels.distinctShingles(col("text"), 3)).as("gs"))
+    assertSameRows(hof, kernel)
+    // and for k=2 on the realistic docs fixture
+    val hof2 = docs.select(col("doc_id"),
+      array_sort(DedupFunctions.shingles(
+        TextFunctions.whitespaceTokens(col("text")), 2)).as("gs"))
+    val kernel2 = docs.select(col("doc_id"),
+      array_sort(Kernels.distinctShingles(col("text"), 2)).as("gs"))
+    assertSameRows(hof2, kernel2)
+  }
+
   test("text quality features are sane") {
     val q = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),
