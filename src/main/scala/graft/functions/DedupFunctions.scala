@@ -47,8 +47,10 @@ object DedupFunctions {
       transform(shinglesCol, s => pmod(hash(s).cast("long"), lit(MinhashPrime))),
       numHashes)
 
-  /** Deterministic universal-hash coefficients for `numHashes` positions. */
-  private def minhashCoefficients(numHashes: Int): (Array[Long], Array[Long]) = {
+  /** Deterministic universal-hash coefficients for `numHashes` positions.
+    * Exposed within the package so oracle SQL can splice them as literal
+    * lists and reproduce the signatures exactly. */
+  private[graft] def minhashCoefficients(numHashes: Int): (Array[Long], Array[Long]) = {
     import scala.util.hashing.MurmurHash3
     val as = (0 until numHashes).map { i =>
       (MurmurHash3.stringHash(s"minhash-a-$i").toLong & 0x7fffffffL) % (MinhashPrime - 1) + 1
@@ -66,15 +68,13 @@ object DedupFunctions {
     Kernels.minhashSignature(hashesCol, as, bs, MinhashPrime)
   }
 
-  /** LSH band keys for a minhash signature: `numBands` hashes, one per
-    * contiguous band of `sig.length / numBands` values. */
-  def lshBands(sig: Column, numHashes: Int, numBands: Int): Column = {
-    val rows = numHashes / numBands
-    array((0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows))).as("bucket"))
-    }: _*)
-  }
+  /** LSH band keys for a minhash signature: `numBands` buckets, one per
+    * contiguous band of `sig.length / numBands` values, each a
+    * cross-engine polynomial fold ([[Kernels.polyBandBuckets]]) so the
+    * banding is reproducible in a SQL oracle (xxhash64 is not). */
+  def lshBands(sig: Column, numHashes: Int, numBands: Int): Column =
+    transform(Kernels.polyBandBuckets(sig, numBands, MinhashPrime),
+      (bucket, b) => struct(b.cast("int").as("band"), bucket.as("bucket")))
 
   /** MinHash-LSH candidate pairs with exact Jaccard verification.
     *

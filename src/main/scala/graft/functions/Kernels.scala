@@ -29,16 +29,39 @@ object Kernels {
   @inline def tokenHash64(t: String): Long =
     mix64(scala.util.hashing.MurmurHash3.stringHash(t).toLong)
 
-  /** SimHash bitmap over tokens: signed per-bit votes, sign -> bit. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits (15 hex chars) of the MD5 of the UTF-8 bytes: a
+    * CROSS-ENGINE token hash — any SQL engine with md5() reproduces it
+    * exactly (DuckDB: `CAST(('0x' || substring(md5(t), 1, 15)) AS
+    * BIGINT)`), which is what lets the MinHash/SimHash/LSH pipelines be
+    * verified against a SQL oracle instead of rows-only checks. Always
+    * non-negative (< 2^60). */
+  def md5Hash60(t: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** SimHash bitmap over tokens: signed per-bit votes, sign -> bit.
+    * Token hashes are [[md5Hash60]] (60 usable bits), so the bitmap is
+    * reproducible in a SQL oracle bit-for-bit. */
   def simhash(tokens: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 63, "simhash supports 1..63 bits")
+    require(bits >= 1 && bits <= 60, "simhash supports 1..60 bits")
     val f = udf { (toks: Seq[String]) =>
       if (toks == null) null.asInstanceOf[java.lang.Long]
       else {
         val votes = new Array[Int](bits)
         val it = toks.iterator
         while (it.hasNext) {
-          val h = tokenHash64(it.next())
+          val h = md5Hash60(it.next())
           var i = 0
           while (i < bits) {
             if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -83,6 +106,11 @@ object Kernels {
     * in one pass. Returns struct(_1 = distinct shingle hashes asc,
     * _2 = signature). Docs shorter than k get one whole-doc shingle,
     * mirroring [[DedupFunctions.shingles]].
+    *
+    * Every step is cross-engine arithmetic: token hash = [[md5Hash60]]
+    * mod p, shingle hash = poly fold `h = (h*1000003 + th) % p` from 0,
+    * signature = min of `(a*h + b) % p` — all exactly reproducible in a
+    * SQL oracle (no JVM-only murmur3/xxhash64 in the signature path).
     */
   def shingleMinhash(
       tokens: Column, k: Int, as: Array[Long], bs: Array[Long], p: Long): Column = {
@@ -93,7 +121,7 @@ object Kernels {
         val n = toks.length
         val th = new Array[Long](n)
         var i = 0
-        while (i < n) { th(i) = java.lang.Math.floorMod(tokenHash64(toks(i)), p); i += 1 }
+        while (i < n) { th(i) = md5Hash60(toks(i)) % p; i += 1 }
         val m = if (n >= k) n - k + 1 else 1
         val win = math.min(k, n)
         val hs = new Array[Long](m)
@@ -129,6 +157,29 @@ object Kernels {
       }
     }
     f(tokens)
+  }
+
+  /** LSH band buckets for a minhash signature: one bucket per band, each
+    * the polynomial fold `acc = (acc*1000003 + v) % p` (from acc = 0)
+    * over that band's contiguous signature slice. Pure modular
+    * arithmetic, so a SQL oracle reproduces the buckets exactly
+    * (DuckDB: `list_reduce(sig[lo:hi], (a, b) -> (a*1000003 + b) % p)`
+    * — first-element init equals fold-from-0 because 0*K + v = v).
+    * Returns array<long> of length `numBands`. */
+  def polyBandBuckets(sig: Column, numBands: Int, p: Long): Column = {
+    val f = udf { (s: Seq[Long]) =>
+      if (s == null) null
+      else {
+        val rows = s.length / numBands
+        Array.tabulate(numBands) { b =>
+          var acc = 0L
+          var i = 0
+          while (i < rows) { acc = (acc * 1000003L + s(b * rows + i)) % p; i += 1 }
+          acc
+        }
+      }
+    }
+    f(sig)
   }
 
   /** Distinct word k-shingle strings in one pass: single-space split,

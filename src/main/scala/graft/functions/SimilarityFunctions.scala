@@ -68,14 +68,17 @@ object SimilarityFunctions {
         col("col.score").as("score"), (col("pos") + 1).as("rnk"))
 
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
-    * with deterministic pseudo-random hyperplanes. The "random" hyperplane
-    * component for (bit i, dim j) is a hash-derived value in [-1, 1] —
-    * fully reproducible with no driver-side RNG state. Computed by a
-    * tight-loop kernel over the precomputed plane matrix.
+    * with deterministic pseudo-random hyperplanes. The hyperplane
+    * component for (bit i, dim j) is the low 24 bits of
+    * `md5("plane-i-j")` scaled to [-1, 1) — uniform (unlike a `% 1000`
+    * fold, which is sign-skewed), free of driver-side RNG state, an
+    * EXACT dyadic rational (h/2^23 - 1, so the double is bit-identical
+    * in any engine), and reproducible in a SQL oracle from md5() alone.
+    * Computed by a tight-loop kernel over the precomputed plane matrix.
     */
   def lshSignature(vec: Column, dim: Int, numBits: Int): Column = {
     val planes: Array[Array[Double]] = Array.tabulate(numBits, dim) { (i, j) =>
-      (scala.util.hashing.MurmurHash3.productHash((i, j)) % 1000) / 1000.0
+      (Kernels.md5Hash60(s"plane-$i-$j") % (1 << 24)).toDouble / (1 << 23) - 1.0
     }
     val f = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
       if (v == null) null.asInstanceOf[java.lang.Long]

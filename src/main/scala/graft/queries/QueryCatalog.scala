@@ -599,13 +599,68 @@ object QueryCatalog {
              min(doc_id) AS keeper_id, count(*) AS dup_count
       FROM documents GROUP BY 1 ORDER BY keeper_id"""))
 
+  /** Shared oracle CTEs reproducing the MinHash pipeline exactly: token
+    * hashes are md5-derived ([[graft.functions.Kernels.md5Hash60]] mod p),
+    * shingle hashes the polynomial window fold, signatures the universal
+    * hash mins over the spliced literal coefficients, and band buckets
+    * the polynomial band fold — every step integer arithmetic both
+    * engines compute identically. */
+  private val minhashPairsCtes: String = {
+    val (mhA, mhB) = DedupFunctions.minhashCoefficients(32)
+    val aSql = mhA.mkString("[", ",", "]")
+    val bSql = mhB.mkString("[", ",", "]")
+    s"""toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      th AS (
+        SELECT doc_id, list_transform(tk,
+          t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 2147483647) AS hs
+        FROM toks),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE
+            WHEN len(hs) >= 3 THEN list_transform(range(1, len(hs) - 1),
+              i -> ((hs[i] * 1000003 + hs[i+1]) % 2147483647 * 1000003
+                    + hs[i+2]) % 2147483647)
+            WHEN len(hs) = 0 THEN [0]
+            ELSE [list_reduce(hs, (a, b) -> (a * 1000003 + b) % 2147483647)]
+          END) AS sh
+        FROM th),
+      sig AS (
+        SELECT doc_id, sh,
+               list_transform($aSql, (a, i) ->
+                 list_min(list_transform(sh,
+                   h -> (a * h + ($bSql)[i]) % 2147483647))) AS sig
+        FROM sh),
+      banded AS (
+        SELECT doc_id, b AS band,
+               list_reduce(sig[(b*8+1):(b*8+8)],
+                 (a, v) -> (a * 1000003 + v) % 2147483647) AS bucket
+        FROM sig, range(4) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+               CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS szsum
+        FROM cands c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b),
+      pairs AS (
+        SELECT id_a, id_b, inter / (szsum - inter) AS jaccard
+        FROM verified WHERE inter / (szsum - inter) >= 0.4)"""
+  }
+
   private val q31 = QueryDef(
     "q31_dedup_minhash",
     (s, dir) => DedupFunctions.minhashNearDuplicates(
         T(s, dir, "documents"), "doc_id", "text", threshold = 0.4)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b")),
-    None) // minhash banding is not expressible in ANSI SQL; rows-only check
+    Some(s"""
+      WITH $minhashPairsCtes
+      SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""))
 
   private val q32 = QueryDef(
     "q32_dedup_simhash",
@@ -613,7 +668,32 @@ object QueryCatalog {
         T(s, dir, "documents"), "doc_id", "text", maxDistance = 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b")),
-    None) // xxhash64 has no DuckDB equivalent; rows-only check
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      th AS (
+        SELECT doc_id, list_transform(tk,
+          t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+        FROM toks),
+      sims AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
+            CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) > len(hs)
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sim
+        FROM th),
+      blocks AS (
+        SELECT doc_id, sim, b AS block, (sim >> (b*15)) & 32767 AS key
+        FROM sims, range(4) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM blocks x JOIN blocks y
+          ON x.block = y.block AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS hamming
+      FROM cands c
+      JOIN sims sa ON sa.doc_id = c.id_a
+      JOIN sims sb ON sb.doc_id = c.id_b
+      WHERE bit_count(xor(sa.sim, sb.sim)) <= 3
+      ORDER BY id_a, id_b"""))
 
   private val q33 = QueryDef(
     "q33_ngram_jaccard",
@@ -736,6 +816,26 @@ object QueryCatalog {
       SELECT query_id, neighbor_id, round(score, 6) AS score, rnk
       FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Oracle CTE producing the LSH hyperplane-signature per vector: the
+    * plane matrix is derived from md5 in SQL exactly as
+    * [[graft.functions.SimilarityFunctions.lshSignature]] derives it in
+    * the kernel (low 24 md5 bits scaled to the EXACT dyadic rational
+    * h/2^23 - 1), and the projection fold order matches the kernel's
+    * ascending-dimension loop, so every sign bit is identical. */
+  private def lshSigCtes(numBits: Int, dim: Int): String =
+    s"""planes AS (
+        SELECT list_transform(range($numBits), b ->
+          list_transform(range($dim), j ->
+            CAST(('0x' || substring(md5('plane-' || b || '-' || j), 1, 15)) AS BIGINT)
+              % 16777216 / 8388608.0 - 1.0)) AS pm),
+      sigs AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(range($numBits), b ->
+                 CASE WHEN list_sum(list_transform(embedding,
+                        (x, j) -> CAST(x AS DOUBLE) * pm[b+1][j])) > 0
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+        FROM embeddings, planes)"""
+
   private val q39 = QueryDef(
     "q39_ann_lsh",
     (s, dir) => {
@@ -748,20 +848,64 @@ object QueryCatalog {
           round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     },
-    None) // approximate: recall depends on LSH banding; rows-only check
+    Some(s"""
+      WITH ${lshSigCtes(16, 64)},
+      banded AS (
+        SELECT vec_id, b AS band, (sig >> (b*4)) & 15 AS key
+        FROM sigs, range(4) t(b)),
+      cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM banded c JOIN banded q ON c.band = q.band AND c.key = q.key
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id, $cosineSql AS score
+        FROM cands
+        JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) qq
+          ON qq.vec_id = query_id
+        JOIN (SELECT vec_id, embedding AS cvec FROM embeddings) cc
+          ON cc.vec_id = neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                 AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, round(score, 6) AS score, rnk
+      FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Full-probe IVF: probing every cell makes the candidate set exactly
+    * the corpus (each vector lives in one Voronoi cell), so the result is
+    * hash-verifiable against the brute-force oracle while still
+    * exercising the whole IVF machinery end-to-end — KMeans training,
+    * cell assignment, per-cell candidate join, bounded top-k. The
+    * recall/pruning trade of partial probes (centroids are not
+    * SQL-reproducible) is covered by DedupAndSimilaritySpec's measured
+    * recall assertions. */
   private val q50 = QueryDef(
     "q50_ann_ivf",
     (s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 10)
+      val queries = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
       SimilarityFunctions.ivfTopK(
-          emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 7, nLists = 16, nProbe = 16)
         .select(col("query_id"), col("neighbor_id"),
           round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     },
-    None) // approximate: recall depends on probed cells; rows-only check
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+                 WHERE vec_id >= 10 AND vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id, $cosineSql AS score
+        FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                 AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, round(score, 6) AS score, rnk
+      FROM ranked WHERE rnk <= 7 ORDER BY query_id, rnk"""))
 
   private val q40 = QueryDef(
     "q40_embedding_neardup",
@@ -769,7 +913,22 @@ object QueryCatalog {
         T(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.3)
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy(col("id_a"), col("id_b")),
-    None) // approximate candidate set; rows-only check
+    Some(s"""
+      WITH ${lshSigCtes(32, 64)},
+      banded AS (
+        SELECT vec_id, b AS band, (sig >> (b*8)) & 255 AS key
+        FROM sigs, range(4) t(b)),
+      cands AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT id_a, id_b, $cosineSql AS score
+        FROM cands
+        JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) a ON a.vec_id = id_a
+        JOIN (SELECT vec_id, embedding AS cvec FROM embeddings) b ON b.vec_id = id_b)
+      SELECT id_a, id_b, round(score, 6) AS score
+      FROM scored WHERE score >= 0.3 ORDER BY id_a, id_b"""))
 
   private val q41 = QueryDef(
     "q41_event_hourly",
@@ -1039,6 +1198,10 @@ object QueryCatalog {
       SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
       ORDER BY o_orderkey"""))
 
+  /** GraphX connected components over the minhash near-duplicate pairs,
+    * hash-verified end-to-end: the pair generator is the cross-engine
+    * minhash pipeline (same CTEs as q31) and the clustering is checked
+    * against a recursive-CTE reachability closure (q57's pattern). */
   private val q56 = QueryDef(
     "q56_dedup_clusters",
     (s, dir) => {
@@ -1047,7 +1210,16 @@ object QueryCatalog {
       DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b"))
         .orderBy(col("id"))
     },
-    None) // iterative CC over approximate pairs; rows-only check
+    Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+      SELECT id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY id"""))
 
   private val q55 = QueryDef(
     "q55_sessionize",

@@ -9,7 +9,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.exec.ExecEnv.getOrCreate("scratch", Some("local[32]"),
       Map("spark.sql.shuffle.partitions" -> "32", "spark.ui.enabled" -> "false"))
-    spark.range(100).count()
+    spark.range(1000000).selectExpr("sum(id)").collect()
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     docs.count()
 
@@ -18,32 +18,22 @@ object Scratch {
       println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
 
-    (1 to 2).foreach { round =>
-      time(s"r$round udf eval only (sum of sizes)") {
-        docs.where(col("doc_id") >= 100)
-          .select(size(Kernels.distinctShingles(col("text"), 3)).as("n"))
+    val (as, bs) = {
+      val m = classOf[DedupFunctions.type].getDeclaredMethod("minhashCoefficients", classOf[Int])
+      m.setAccessible(true)
+      m.invoke(DedupFunctions, Integer.valueOf(32)).asInstanceOf[(Array[Long], Array[Long])]
+    }
+    val p = (1L << 31) - 1
+
+    (1 to 2).foreach { r =>
+      time(s"r$r sig kernel only") {
+        docs.select(col("doc_id").as("id"),
+          Kernels.shingleMinhash(TextFunctions.whitespaceTokens(col("text")), 3, as, bs, p).as("ss"))
+          .select(col("id"), size(col("ss._1")).as("n"))
           .agg(sum(col("n"))).collect()
       }
-      time(s"r$round fence+count") {
-        PlanBarrier.fence(docs.where(col("doc_id") >= 100)
-          .select(col("doc_id").as("id"),
-            Kernels.distinctShingles(col("text"), 3).as("gs"))).count()
-      }
-      time(s"r$round fence+explode+count") {
-        PlanBarrier.fence(docs.where(col("doc_id") >= 100)
-          .select(col("doc_id").as("id"),
-            Kernels.distinctShingles(col("text"), 3).as("gs")))
-          .select(explode(col("gs"))).count()
-      }
-      time(s"r$round bench distinct") {
-        PlanBarrier.fence(docs.where(col("doc_id") < 100)
-          .select(Kernels.distinctShingles(col("text"), 3).as("gs")))
-          .select(explode(col("gs")).as("g")).distinct().count()
-      }
-      time(s"r$round full contamination") {
-        graft.operators.TrainingData.contamination(
-          docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
-          "doc_id", "text", n = 3).count()
+      time(s"r$r full minhash pairs") {
+        DedupFunctions.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.4).count()
       }
     }
     spark.stop()
