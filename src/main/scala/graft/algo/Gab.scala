@@ -39,7 +39,17 @@ object Gab {
       metrics: Seq[Metric],
       cadences: Seq[String],
       derived: Seq[DerivedMetric] = Seq.empty,
-      windows: Seq[WindowMetric] = Seq.empty)
+      windows: Seq[WindowMetric] = Seq.empty,
+      /** First day of the week for WEEK cadence: "MONDAY" (ISO, the
+        * reference's `start_of_the_week = 'M'`) or "SUNDAY" ('S') —
+        * `core/definitions.py:1433-1756` week_start axis. */
+      weekStart: String = "MONDAY",
+      /** Cadences producing SNAPSHOT rows (`snap_flag = 'Y'`): cadence ->
+        * reconciliation granularity. A snapshot cadence emits one row per
+        * (period, recon point inside the period) holding the
+        * period-TO-DATE aggregate — e.g. WEEK with DAY recon yields 7
+        * progressive rows per week. */
+      snapshots: Map[String, String] = Map.empty)
 
   private def aggCol(m: Metric): Column = (m.agg.toLowerCase match {
     case "sum" => sum(col(m.sourceCol))
@@ -51,31 +61,57 @@ object Gab {
     case other => expr(s"$other(`${m.sourceCol}`)")
   }).as(m.name)
 
-  /** Aggregate one cadence; returns dims + cadence window + metrics. */
-  def aggregateCadence(source: DataFrame, uc: UseCase, cadence: String): DataFrame = {
-    val trunc = cadence.toUpperCase match {
-      case "DAY" => date_trunc("day", col(uc.dateCol))
-      case "WEEK" => date_trunc("week", col(uc.dateCol))
-      case "MONTH" => date_trunc("month", col(uc.dateCol))
-      case "QUARTER" => date_trunc("quarter", col(uc.dateCol))
-      case "YEAR" => date_trunc("year", col(uc.dateCol))
+  /** Period start for a cadence, honoring the use case's week start.
+    * Spark's `date_trunc('week', _)` is ISO (Monday); the Sunday variant
+    * shifts by one day around the truncation — the same maneuver works in
+    * any engine whose week-trunc is ISO, so oracles mirror it exactly. */
+  def cadenceTrunc(dateCol: Column, cadence: String, weekStart: String = "MONDAY"): Column =
+    cadence.toUpperCase match {
+      case "DAY" => date_trunc("day", dateCol)
+      case "WEEK" => weekStart.toUpperCase match {
+        case "MONDAY" | "M" => date_trunc("week", dateCol)
+        case "SUNDAY" | "S" =>
+          date_sub(date_trunc("week", date_add(dateCol, 1)).cast("date"), 1)
+            .cast("timestamp")
+        case other => sys.error(s"unknown week start: $other")
+      }
+      case "MONTH" => date_trunc("month", dateCol)
+      case "QUARTER" => date_trunc("quarter", dateCol)
+      case "YEAR" => date_trunc("year", dateCol)
       case other => sys.error(s"unknown cadence: $other")
     }
+
+  /** Exclusive end of the cadence period starting at `fromDate`. */
+  private def periodEnd(fromDate: Column, cadence: String): Column =
+    cadence.toUpperCase match {
+      case "DAY" => date_add(fromDate, 1)
+      case "WEEK" => date_add(fromDate, 7)
+      case "MONTH" => add_months(fromDate, 1)
+      case "QUARTER" => add_months(fromDate, 3)
+      case "YEAR" => add_months(fromDate, 12)
+    }
+
+  /** Aggregate one cadence; returns dims + cadence window + metrics. */
+  def aggregateCadence(source: DataFrame, uc: UseCase, cadence: String): DataFrame = {
+    val trunc = cadenceTrunc(col(uc.dateCol), cadence, uc.weekStart)
     val grouped = source
       .groupBy((uc.dimensions.map(col) :+ trunc.cast("date").as("from_date")): _*)
       .agg(aggCol(uc.metrics.head), uc.metrics.tail.map(aggCol): _*)
       .withColumn("cadence", lit(cadence.toUpperCase))
-      .withColumn("to_date", cadence.toUpperCase match {
-        case "DAY" => date_add(col("from_date"), 1)
-        case "WEEK" => date_add(col("from_date"), 7)
-        case "MONTH" => add_months(col("from_date"), 1)
-        case "QUARTER" => add_months(col("from_date"), 3)
-        case "YEAR" => add_months(col("from_date"), 12)
-      })
+      .withColumn("to_date", periodEnd(col("from_date"), cadence))
     val withDerived = uc.derived.foldLeft(grouped)((df, d) =>
       df.withColumn(d.name, expr(d.formula)))
-    uc.windows.foldLeft(withDerived) { (df, w) =>
-      val win = Window.partitionBy((uc.dimensions :+ "cadence").map(col): _*)
+    applyWindowMetrics(withDerived, uc, extraPartition = Seq.empty)
+  }
+
+  /** Attach the use case's window/lag metrics; snapshot cadences pass the
+    * snapshot rank as an extra partition so each lag compares same-rank
+    * snapshots across periods (reference `gab_manager.py:838-877`). */
+  private def applyWindowMetrics(
+      df0: DataFrame, uc: UseCase, extraPartition: Seq[Column]): DataFrame =
+    uc.windows.foldLeft(df0) { (df, w) =>
+      val parts = (uc.dimensions :+ "cadence").map(col) ++ extraPartition
+      val win = Window.partitionBy(parts: _*)
         .orderBy(col("from_date"))
         .rowsBetween(-w.fromLag, -w.toLag)
       val a = w.agg.toLowerCase match {
@@ -84,17 +120,123 @@ object Gab {
         case "min" => min(col(w.metric)).over(win)
         case "max" => max(col(w.metric)).over(win)
         case "lag" => lag(col(w.metric), w.fromLag)
-          .over(Window.partitionBy((uc.dimensions :+ "cadence").map(col): _*)
-            .orderBy(col("from_date")))
+          .over(Window.partitionBy(parts: _*).orderBy(col("from_date")))
       }
       df.withColumn(w.name, a)
     }
+
+  private val CadenceOrder = Seq("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")
+
+  private def reconStep(recon: String): Column = recon match {
+    case "DAY" => expr("interval 1 day")
+    case "WEEK" => expr("interval 7 day")
+    case "MONTH" => expr("interval 1 month")
+    case "QUARTER" => expr("interval 3 month")
   }
 
-  /** Build the unified insights dataset: union of all cadences. */
+  /** Snapshot (period-to-date) aggregation for one cadence: one row per
+    * (dims, cadence period, reconciliation point inside the period), each
+    * holding the aggregate of the period's data UP TO that point —
+    * `snap_flag = 'Y'` in the reference's combination matrix
+    * (`core/definitions.py:1433-1756`), where e.g. WEEK cadence with DAY
+    * reconciliation emits 7 progressive rows per week.
+    *
+    * Scale shape — deliberately NOT the reference's calendar x fact range
+    * join (which multiplies the fact stream by the calendar): the corpus
+    * is aggregated ONCE at reconciliation granularity (the only
+    * corpus-sized shuffle, map-side combinable), and the snapshot
+    * expansion + running accumulation happen on that small aggregate via
+    * a dense generated frame and one cumulative window. Requires
+    * decomposable aggregations (sum/count/min/max/avg).
+    *
+    * `to_date` is the exclusive end of the reconciliation slice, clipped
+    * to the period end; the last snapshot of a completed period therefore
+    * equals the plain cadence row. Snapshot points past `asOf` (default:
+    * the source's max date) are not generated, mirroring the reference's
+    * current-date clamp (`gab_manager.py:176-178`).
+    */
+  def aggregateCadenceSnapshots(
+      source: DataFrame, uc: UseCase, cadence: String, recon: String,
+      asOf: Option[java.sql.Date] = None): DataFrame = {
+    val cad = cadence.toUpperCase
+    val rec = recon.toUpperCase
+    require(CadenceOrder.indexOf(rec) >= 0 && CadenceOrder.indexOf(cad) >= 0
+        && CadenceOrder.indexOf(rec) < CadenceOrder.indexOf(cad),
+      s"snapshot reconciliation $rec must be finer than cadence $cad")
+    uc.metrics.foreach(m => require(
+      Set("sum", "count", "min", "max", "avg", "mean")(m.agg.toLowerCase),
+      s"snapshot cadence $cad needs a decomposable aggregation; " +
+        s"got ${m.agg} for ${m.name}"))
+    val dims = uc.dimensions.map(col)
+    val partialCols = uc.metrics.flatMap { m =>
+      m.agg.toLowerCase match {
+        case "sum" => Seq(sum(col(m.sourceCol)).as(s"__s_${m.name}"))
+        case "count" => Seq(count(col(m.sourceCol)).as(s"__c_${m.name}"))
+        case "min" => Seq(min(col(m.sourceCol)).as(s"__mn_${m.name}"))
+        case "max" => Seq(max(col(m.sourceCol)).as(s"__mx_${m.name}"))
+        case "avg" | "mean" => Seq(
+          sum(col(m.sourceCol)).as(s"__s_${m.name}"),
+          count(col(m.sourceCol)).as(s"__c_${m.name}"))
+      }
+    } :+ count(lit(1)).as("__n")
+    val partials = source.groupBy(
+        (dims
+          :+ cadenceTrunc(col(uc.dateCol), cad, uc.weekStart).cast("date").as("from_date")
+          :+ cadenceTrunc(col(uc.dateCol), rec, uc.weekStart).cast("date").as("snap_start")): _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+    val horizon = asOf.getOrElse(
+      source.agg(max(col(uc.dateCol)).cast("date")).collect()(0).getDate(0))
+    // Dense frame: every reconciliation slice of every observed period up
+    // to the horizon. |periods x slices| rows — calendar-sized, not
+    // corpus-sized. The first slice of a period may START before it
+    // (Saturday month start under Monday weeks); it still accumulates
+    // only the period's own data because partials group by from_date.
+    val frame = partials.select((dims :+ col("from_date")): _*).distinct()
+      .withColumn("snap_start", explode(sequence(
+        cadenceTrunc(col("from_date"), rec, uc.weekStart).cast("date"),
+        date_sub(periodEnd(col("from_date"), cad), 1),
+        reconStep(rec))))
+      .where(col("snap_start") <= lit(horizon))
+    val joined = frame.join(partials, uc.dimensions :+ "from_date" :+ "snap_start", "left")
+    val w = Window.partitionBy((dims :+ col("from_date")): _*)
+      .orderBy(col("snap_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val metricCols = uc.metrics.map { m =>
+      (m.agg.toLowerCase match {
+        case "sum" => sum(col(s"__s_${m.name}")).over(w)
+        case "count" => sum(col(s"__c_${m.name}")).over(w)
+        case "min" => min(col(s"__mn_${m.name}")).over(w)
+        case "max" => max(col(s"__mx_${m.name}")).over(w)
+        case "avg" | "mean" =>
+          sum(col(s"__s_${m.name}")).over(w) / sum(col(s"__c_${m.name}")).over(w)
+      }).as(m.name)
+    }
+    val base = joined
+      .select((dims :+ col("from_date") :+ col("snap_start")
+        :+ sum(col("__n")).over(w).as("__cum_n")) ++ metricCols: _*)
+      // a snapshot exists once the period has ANY data up to it (the
+      // reference's inner calendar join drops empty-prefix days)
+      .where(col("__cum_n").isNotNull)
+      .withColumn("cadence", lit(cad))
+      .withColumn("to_date",
+        least(periodEnd(col("snap_start"), rec), periodEnd(col("from_date"), cad)))
+      .drop("snap_start", "__cum_n")
+    val withDerived = uc.derived.foldLeft(base)((df, d) =>
+      df.withColumn(d.name, expr(d.formula)))
+    val withRn = withDerived.withColumn("__rn", row_number().over(
+      Window.partitionBy((dims :+ col("from_date")): _*).orderBy(col("to_date"))))
+    applyWindowMetrics(withRn, uc, extraPartition = Seq(col("__rn"))).drop("__rn")
+  }
+
+  /** Build the unified insights dataset: union of all cadences, snapshot
+    * cadences (per `uc.snapshots`) expanded to period-to-date rows. */
   def buildInsights(source: DataFrame, uc: UseCase): DataFrame =
-    uc.cadences.map(c => aggregateCadence(source, uc, c))
-      .reduce(_ unionByName _)
+    uc.cadences.map { c =>
+      uc.snapshots.get(c.toUpperCase).orElse(uc.snapshots.get(c)) match {
+        case Some(recon) => aggregateCadenceSnapshots(source, uc, c, recon)
+        case None => aggregateCadence(source, uc, c)
+      }
+    }.reduce(_ unionByName _)
       .withColumn("use_case", lit(uc.name))
 
   /** Start date of the reconciliation window: the cutoff `nPeriods`
@@ -153,6 +295,220 @@ object Gab {
     graft.io.StagedSwap.commit(
       spark.sparkContext.hadoopConfiguration, insightsLocation, stage)
     spark.read.parquet(insightsLocation)
+  }
+
+  // ---------------------------------------------------------------------
+  // Consumption views (reference `core/gab_manager.py:305-891`,
+  // `core/gab_sql_generator.py:187-428`)
+  // ---------------------------------------------------------------------
+
+  /** `last_cadence` calculated metric: previous-period value. */
+  final case class CalcLag(label: String, metric: String, lagN: Int = 1)
+  /** `last_year_cadence` calculated metric: same period last year. */
+  final case class CalcYearLag(label: String, metric: String, lagN: Int = 1)
+  /** `window_function` calculated metric over previous periods. */
+  final case class CalcWindow(label: String, metric: String, aggFunc: String,
+      fromLag: Int, toLag: Int)
+
+  /** One consumption view: dimension aliases, exposed metrics and the
+    * calculated/derived metrics computed on read (the reference's
+    * `mappings` config column). */
+  final case class ViewMapping(
+      name: String,
+      dims: Map[String, String],
+      metrics: Seq[String],
+      lastCadence: Seq[CalcLag] = Seq.empty,
+      lastYearCadence: Seq[CalcYearLag] = Seq.empty,
+      windowFunctions: Seq[CalcWindow] = Seq.empty,
+      derived: Seq[DerivedMetric] = Seq.empty,
+      filter: Option[String] = None)
+
+  /** Build a consumption view over the unified insights dataset: the
+    * union of the non-snapshot branch (calculated metrics windowed by
+    * cadence + dims over from_date) and the snapshot branch (windowed
+    * additionally by the snapshot rank `rn`, so each lag compares
+    * same-rank snapshots across periods) — the reference's
+    * `_generate_consumption_view_statement` re-expressed as one
+    * DataFrame. The result is calendar-sized (aggregates), so the rank
+    * and lag windows are small; no corpus-scale work happens here.
+    */
+  def consumptionView(insights: DataFrame, uc: UseCase, m: ViewMapping): DataFrame = {
+    val snapshotCads = uc.cadences.map(_.toUpperCase)
+      .filter(c => uc.snapshots.contains(c) ||
+        uc.snapshots.keys.exists(_.equalsIgnoreCase(c)))
+    val scoped0 = insights.where(col("use_case") === uc.name)
+    val scoped = m.filter.map(scoped0.where(_: String)).getOrElse(scoped0)
+    val dimCols = m.dims.values.toSeq
+
+    def calc(df: DataFrame, extraPartition: Seq[Column]): DataFrame = {
+      val parts = (col("cadence") +: dimCols.map(col)) ++ extraPartition
+      val ordered = Window.partitionBy(parts: _*).orderBy(col("from_date"))
+      val afterLag = m.lastCadence.foldLeft(df)((d, c) =>
+        d.withColumn(c.label, coalesce(lag(col(c.metric), c.lagN).over(ordered), lit(0))))
+      // same-period-last-year: partition additionally by the in-year
+      // position (month/day; ISO week for WEEK cadence), mirroring
+      // `gab_manager.py:860-877`
+      val yearPos = when(col("cadence").isin("DAY", "MONTH", "QUARTER"),
+          struct(month(col("from_date")), dayofmonth(col("from_date"))))
+        .otherwise(struct(weekofyear(date_add(col("from_date"), 1)), lit(1)))
+      val yearWin = Window.partitionBy(parts :+ yearPos: _*).orderBy(col("from_date"))
+      val afterYear = m.lastYearCadence.foldLeft(afterLag)((d, c) =>
+        d.withColumn(c.label, coalesce(lag(col(c.metric), c.lagN).over(yearWin), lit(0))))
+      val afterWin = m.windowFunctions.foldLeft(afterYear) { (d, c) =>
+        val w = Window.partitionBy(parts: _*).orderBy(col("from_date"))
+          .rowsBetween(-c.fromLag, -c.toLag)
+        val a = c.aggFunc.toLowerCase match {
+          case "sum" => sum(col(c.metric)).over(w)
+          case "avg" | "mean" => avg(col(c.metric)).over(w)
+          case "min" => min(col(c.metric)).over(w)
+          case "max" => max(col(c.metric)).over(w)
+        }
+        d.withColumn(c.label, coalesce(a, lit(0)))
+      }
+      m.derived.foldLeft(afterWin)((d, c) => d.withColumn(c.name, expr(c.formula)))
+    }
+
+    val plainCads = uc.cadences.map(_.toUpperCase).filterNot(snapshotCads.contains)
+    val outCols =
+      (col("cadence") +: col("from_date") +: col("to_date") +:
+        m.dims.toSeq.map { case (alias, c) => col(c).as(alias) }) ++
+      m.metrics.map(col) ++
+      (m.lastCadence.map(_.label) ++ m.lastYearCadence.map(_.label) ++
+        m.windowFunctions.map(_.label) ++ m.derived.map(_.name)).map(col(_))
+    val branches = Seq(
+      if (plainCads.nonEmpty)
+        Some(calc(scoped.where(col("cadence").isin(plainCads: _*)), Seq.empty)
+          .select(outCols: _*))
+      else None,
+      if (snapshotCads.nonEmpty)
+        Some {
+          val withRn = scoped.where(col("cadence").isin(snapshotCads: _*))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy((col("cadence") +: dimCols.map(col))
+                :+ col("from_date"): _*).orderBy(col("to_date"))))
+          calc(withRn, Seq(col("__rn"))).select(outCols: _*)
+        }
+      else None).flatten
+    branches.reduce(_ unionByName _)
+  }
+
+  /** Register every configured view of a use case as a temp view (the
+    * runtime analogue of the reference's CREATE OR REPLACE VIEW DDLs). */
+  def generateUseCaseViews(
+      insights: DataFrame, uc: UseCase, mappings: Seq[ViewMapping]): Unit =
+    mappings.foreach(m => consumptionView(insights, uc, m).createOrReplaceTempView(m.name))
+
+  // ---------------------------------------------------------------------
+  // Config-table-driven execution (reference `lkp_query_builder`)
+  // ---------------------------------------------------------------------
+
+  /** A parsed use-case row of the GAB config table. */
+  final case class ConfiguredUseCase(uc: UseCase, views: Seq[ViewMapping])
+
+  /** Parse GAB use cases from a `lkp_query_builder`-shaped config table:
+    * (query_id, query_label, mappings, recon_window, start_of_the_week,
+    * is_active, date_column, source metric columns inside mappings).
+    * `recon_window` follows the reference's JSON shape
+    * `{CADENCE: {"recon_window": {RECON: {"snapshot": "Y"|"N"}}}}` and
+    * `mappings` the reference's view-mapping shape. Only active rows
+    * (`is_active = 'Y'`) are returned. Parsing is driver-side (the config
+    * table is tiny by construction). */
+  def useCasesFromConfig(config: DataFrame): Seq[ConfiguredUseCase] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def node(s: String) = mapper.readTree(s)
+    config.where(col("is_active") === "Y").collect().toSeq.map { row =>
+      def str(c: String) = row.getString(row.fieldIndex(c))
+      val recon = node(str("recon_window"))
+      val cadences = recon.fieldNames.asScala.toSeq
+      val snapshots = cadences.flatMap { cad =>
+        val rw = recon.get(cad).get("recon_window")
+        if (rw == null) None
+        else rw.fieldNames.asScala.collectFirst {
+          case r if rw.get(r).path("snapshot").asText("N") == "Y" => cad.toUpperCase -> r.toUpperCase
+        }
+      }.toMap
+      val mappings = node(str("mappings"))
+      val views = mappings.fieldNames.asScala.toSeq.map { viewName =>
+        val v = mappings.get(viewName)
+        val dims = v.path("dimensions").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText())
+          .filter { case (alias, _) => alias != "from_date" && alias != "to_date" }
+          .toMap
+        val metricsNode = v.path("metric")
+        val metricNames = metricsNode.fieldNames.asScala.toSeq
+        val (lags, yearLags, winFns, deriveds) =
+          metricNames.foldLeft((Seq.empty[CalcLag], Seq.empty[CalcYearLag],
+            Seq.empty[CalcWindow], Seq.empty[DerivedMetric])) { case ((l, y, w, d), mk) =>
+            val mNode = metricsNode.get(mk)
+            val name = mNode.path("metric_name").asText()
+            val cm = mNode.path("calculated_metric")
+            val newL = cm.path("last_cadence").asScala.toSeq.map(n =>
+              CalcLag(n.get("label").asText(), name, n.get("window").asInt(1)))
+            val newY = cm.path("last_year_cadence").asScala.toSeq.map(n =>
+              CalcYearLag(n.get("label").asText(), name, n.get("window").asInt(1)))
+            val newW = cm.path("window_function").asScala.toSeq.map(n =>
+              CalcWindow(n.get("label").asText(), name, n.get("agg_func").asText(),
+                n.get("window").get(0).asInt(), n.get("window").get(1).asInt()))
+            val newD = mNode.path("derived_metric").asScala.toSeq.map(n =>
+              DerivedMetric(n.get("label").asText(), n.get("formula").asText()))
+            (l ++ newL, y ++ newY, w ++ newW, d ++ newD)
+          }
+        val filterStr = Option(v.path("filter").asText(null)).filter(_.nonEmpty)
+        ViewMapping(viewName, dims,
+          metricNames.map(mk => metricsNode.get(mk).path("metric_name").asText()),
+          lags, yearLags, winFns,
+          deriveds.map(d => DerivedMetric(d.name, d.formula)), filterStr)
+      }
+      val metricSpecs = {
+        val v = mappings.get(mappings.fieldNames.asScala.toSeq.head)
+        v.path("metric").properties().asScala.toSeq.map { e =>
+          val mName = e.getValue.path("metric_name").asText()
+          Metric(mName, e.getValue.path("agg").asText("sum"),
+            e.getValue.path("source_column").asText(mName))
+        }
+      }
+      val firstView = views.head
+      val uc = UseCase(
+        name = str("query_label"),
+        dateCol = str("date_column"),
+        dimensions = firstView.dims.values.toSeq,
+        metrics = metricSpecs,
+        cadences = cadences.map(_.toUpperCase),
+        weekStart = str("start_of_the_week") match {
+          case "S" | "SUNDAY" | "Sunday" => "SUNDAY"
+          case _ => "MONDAY"
+        },
+        snapshots = snapshots)
+      ConfiguredUseCase(uc, views)
+    }
+  }
+
+  /** Run every active config-table use case end-to-end: build insights,
+    * write/replace them at the insights location, and register the
+    * configured consumption views. Appends one stage-log row per stage to
+    * `logLocation` when set (the reference's `gab_log_events`). */
+  def executeFromConfig(
+      spark: SparkSession, config: DataFrame, source: DataFrame,
+      insightsLocation: String, reconWindow: Option[Int] = None,
+      logLocation: Option[String] = None): Seq[ConfiguredUseCase] = {
+    val cases = useCasesFromConfig(config)
+    cases.foreach { c =>
+      val t0 = System.currentTimeMillis()
+      def log(stage: String, status: String): Unit = logLocation.foreach { loc =>
+        import spark.implicits._
+        Seq((c.uc.name, stage, status, new java.sql.Timestamp(t0),
+          System.currentTimeMillis() - t0))
+          .toDF("use_case", "stage", "status", "run_start_time", "elapsed_ms")
+          .write.mode("append").parquet(loc)
+      }
+      try {
+        val insights = execute(spark, source, c.uc, insightsLocation, reconWindow)
+        generateUseCaseViews(insights, c.uc, c.views)
+        log("complete", "success")
+      } catch { case e: Throwable => log("complete", s"failed: ${e.getClass.getName}"); throw e }
+    }
+    cases
   }
 
   /** Generate a calendar dimension (one row per day) for range joins. */

@@ -1594,6 +1594,146 @@ object QueryCatalog {
         FROM documents) WHERE rn <= 20
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // GAB configuration matrix: week-start variants, snapshot cadences,
+  // consumption views (reference `core/definitions.py:1433-1756`,
+  // `core/gab_manager.py:305-891`, `core/gab_sql_generator.py:187-428`)
+  // ---------------------------------------------------------------------
+
+  /** Sunday-start WEEK cadence with DAY-reconciliation SNAPSHOT rows
+    * (combination 2 of the reference matrix): one period-to-date row per
+    * (status, week, day), dense through each week up to the data
+    * horizon. The oracle mirrors the snapshot expansion with a
+    * per-period day frame + range-bounded aggregation. */
+  private val q72 = QueryDef(
+    "q72_gab_week_sunday_snapshot",
+    (s, dir) => {
+      val src = T(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("d"),
+          col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+        .where(col("d").between("1995-01-01", "1995-12-31"))
+      val uc = graft.algo.Gab.UseCase("q72", "d", Seq("st"),
+        Seq(graft.algo.Gab.Metric("n", "count", "v"),
+          graft.algo.Gab.Metric("total", "sum", "v")),
+        Seq("WEEK"), weekStart = "SUNDAY", snapshots = Map("WEEK" -> "DAY"))
+      graft.algo.Gab.buildInsights(src, uc)
+        .select(col("st"), col("from_date").cast("string").as("from_date"),
+          col("to_date").cast("string").as("to_date"),
+          col("n"), round(col("total"), 2).as("total"))
+        .orderBy(col("st"), col("from_date"), col("to_date"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, o_orderstatus AS st, o_totalprice AS v
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      p AS (
+        SELECT st,
+               CAST(date_trunc('week', d + INTERVAL 1 DAY) - INTERVAL 1 DAY AS DATE)
+                 AS from_date,
+               d, count(v) AS cnt, sum(v) AS sv
+        FROM src GROUP BY 1, 2, 3),
+      h AS (SELECT max(d) AS horizon FROM src),
+      frame AS (
+        SELECT DISTINCT st, from_date, from_date + CAST(i AS INTEGER) AS snap
+        FROM p, range(7) t(i)),
+      joined AS (
+        SELECT f.st, f.from_date, f.snap,
+               sum(p2.cnt) AS n, sum(p2.sv) AS total, count(p2.d) AS present
+        FROM frame f
+        JOIN h ON f.snap <= h.horizon
+        LEFT JOIN p p2 ON p2.st = f.st AND p2.from_date = f.from_date AND p2.d <= f.snap
+        GROUP BY 1, 2, 3)
+      SELECT st, CAST(from_date AS VARCHAR) AS from_date,
+             CAST(snap + 1 AS VARCHAR) AS to_date,
+             CAST(n AS BIGINT) AS n, round(total, 2) AS total
+      FROM joined WHERE present > 0
+      ORDER BY st, from_date, to_date"""))
+
+  /** Consumption view over a mixed snapshot/non-snapshot use case: WEEK
+    * snapshots union a plain MONTH cadence, with a rank-aligned
+    * last-cadence lag, a 3..1-preceding window sum, and a derived metric
+    * (the reference's `_generate_consumption_view_statement` both-branches
+    * case). Integer metric (count) so every calculated value is exact. */
+  private val q73 = QueryDef(
+    "q73_gab_consumption_view",
+    (s, dir) => {
+      val src = T(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("d"),
+          col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+        .where(col("d").between("1995-01-01", "1995-12-31"))
+      val uc = graft.algo.Gab.UseCase("q73", "d", Seq("st"),
+        Seq(graft.algo.Gab.Metric("n", "count", "v")),
+        Seq("WEEK", "MONTH"), weekStart = "SUNDAY",
+        snapshots = Map("WEEK" -> "DAY"))
+      val insights = graft.algo.Gab.buildInsights(src, uc)
+      graft.algo.Gab.consumptionView(insights, uc,
+        graft.algo.Gab.ViewMapping("vw_q73", Map("g" -> "st"), Seq("n"),
+          lastCadence = Seq(graft.algo.Gab.CalcLag("n_last", "n")),
+          windowFunctions = Seq(graft.algo.Gab.CalcWindow("n_sum_3_1", "n", "sum", 3, 1)),
+          derived = Seq(graft.algo.Gab.DerivedMetric("n_x2", "n * 2"))))
+        .select(col("cadence"), col("g"),
+          col("from_date").cast("string").as("from_date"),
+          col("to_date").cast("string").as("to_date"),
+          col("n"), col("n_last").cast("long").as("n_last"),
+          col("n_sum_3_1").cast("long").as("n_sum_3_1"),
+          col("n_x2").cast("long").as("n_x2"))
+        .orderBy(col("cadence"), col("g"), col("from_date"), col("to_date"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, o_orderstatus AS st, o_totalprice AS v
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      p AS (
+        SELECT st,
+               CAST(date_trunc('week', d + INTERVAL 1 DAY) - INTERVAL 1 DAY AS DATE)
+                 AS from_date,
+               d, count(v) AS cnt
+        FROM src GROUP BY 1, 2, 3),
+      h AS (SELECT max(d) AS horizon FROM src),
+      frame AS (
+        SELECT DISTINCT st, from_date, from_date + CAST(i AS INTEGER) AS snap
+        FROM p, range(7) t(i)),
+      week_snap AS (
+        SELECT f.st, f.from_date, f.snap + 1 AS to_date,
+               CAST(sum(p2.cnt) AS BIGINT) AS n, count(p2.d) AS present
+        FROM frame f
+        JOIN h ON f.snap <= h.horizon
+        LEFT JOIN p p2 ON p2.st = f.st AND p2.from_date = f.from_date AND p2.d <= f.snap
+        GROUP BY 1, 2, 3),
+      month_plain AS (
+        SELECT st, CAST(date_trunc('month', d) AS DATE) AS from_date,
+               CAST(date_trunc('month', d) + INTERVAL 1 MONTH AS DATE) AS to_date,
+               count(v) AS n
+        FROM src GROUP BY 1, 2, 3),
+      snap_rn AS (
+        SELECT st, from_date, to_date, n,
+               row_number() OVER (PARTITION BY st, from_date ORDER BY to_date) AS rn
+        FROM week_snap WHERE present > 0),
+      snap_calc AS (
+        SELECT 'WEEK' AS cadence, st, from_date, to_date, n,
+               COALESCE(lag(n, 1) OVER (PARTITION BY st, rn ORDER BY from_date), 0)
+                 AS n_last,
+               COALESCE(sum(n) OVER (PARTITION BY st, rn ORDER BY from_date
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS n_sum_3_1
+        FROM snap_rn),
+      plain_calc AS (
+        SELECT 'MONTH' AS cadence, st, from_date, to_date, n,
+               COALESCE(lag(n, 1) OVER (PARTITION BY st ORDER BY from_date), 0)
+                 AS n_last,
+               COALESCE(sum(n) OVER (PARTITION BY st ORDER BY from_date
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS n_sum_3_1
+        FROM month_plain),
+      unioned AS (SELECT * FROM snap_calc UNION ALL SELECT * FROM plain_calc)
+      SELECT cadence, st AS g, CAST(from_date AS VARCHAR) AS from_date,
+             CAST(to_date AS VARCHAR) AS to_date, n,
+             CAST(n_last AS BIGINT) AS n_last,
+             CAST(n_sum_3_1 AS BIGINT) AS n_sum_3_1,
+             CAST(n * 2 AS BIGINT) AS n_x2
+      FROM unioned
+      ORDER BY cadence, g, from_date, to_date"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1603,5 +1743,5 @@ object QueryCatalog {
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71)
+    q66, q67, q68, q69, q70, q71, q72, q73)
 }

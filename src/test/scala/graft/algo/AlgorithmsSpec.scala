@@ -77,6 +77,127 @@ class AlgorithmsSpec extends SparkSpec {
     assert(again.count() == insights.count())
   }
 
+  test("gab week-start: Monday vs Sunday truncation (week_start matrix axis)") {
+    // 2024-01-07 is a Sunday, 2024-01-08 a Monday
+    val src = Seq(("2024-01-07", "A", 1.0), ("2024-01-08", "A", 2.0), ("2024-01-10", "A", 4.0))
+      .toDF("d", "grp", "v").selectExpr("CAST(d AS DATE) AS d", "grp", "v")
+    def weeks(weekStart: String) = Gab.buildInsights(src,
+      Gab.UseCase("w", "d", Seq("grp"), Seq(Gab.Metric("total", "sum", "v")),
+        Seq("WEEK"), weekStart = weekStart))
+      .selectExpr("CAST(from_date AS STRING)", "total")
+      .as[(String, Double)].collect().toMap
+    // Monday weeks: Sunday the 7th belongs to the week of Jan 1
+    assert(weeks("MONDAY") == Map("2024-01-01" -> 1.0, "2024-01-08" -> 6.0))
+    // Sunday weeks: the 7th STARTS a new week containing the 8th and 10th
+    assert(weeks("SUNDAY") == Map("2024-01-07" -> 7.0))
+  }
+
+  test("gab snapshots: period-to-date rows, last snapshot equals plain cadence") {
+    val src = Seq(
+      ("2024-01-01", "A", 1.0), ("2024-01-03", "A", 2.0), ("2024-01-04", "A", 4.0),
+      ("2024-01-09", "A", 8.0))
+      .toDF("d", "grp", "v").selectExpr("CAST(d AS DATE) AS d", "grp", "v")
+    val uc = Gab.UseCase("s", "d", Seq("grp"),
+      Seq(Gab.Metric("total", "sum", "v"), Gab.Metric("n", "count", "v"),
+        Gab.Metric("avg_v", "avg", "v")),
+      Seq("WEEK"), snapshots = Map("WEEK" -> "DAY"))
+    val snaps = Gab.buildInsights(src, uc)
+      .selectExpr("CAST(from_date AS STRING) AS f", "CAST(to_date AS STRING) AS t",
+        "total", "n", "avg_v")
+      .as[(String, String, Double, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // week of Jan 1 (Monday): snapshots at each day from first datum to
+    // period end... bounded by the data horizon (Jan 9), so all 7 days
+    val w1 = snaps.filter(_._1._1 == "2024-01-01")
+    assert(w1.size == 7) // dense: Jan 1..7 (to_date Jan 2..8)
+    assert(w1(("2024-01-01", "2024-01-02")) == ((1.0, 1L, 1.0)))
+    assert(w1(("2024-01-01", "2024-01-03")) == ((1.0, 1L, 1.0))) // empty day carries forward
+    assert(w1(("2024-01-01", "2024-01-04")) == ((3.0, 2L, 1.5)))
+    assert(w1(("2024-01-01", "2024-01-05")) == ((7.0, 3L, 7.0 / 3)))
+    // completed period: final snapshot equals the plain cadence aggregate
+    assert(w1(("2024-01-01", "2024-01-08")) == ((7.0, 3L, 7.0 / 3)))
+    val plain = Gab.buildInsights(src, uc.copy(snapshots = Map.empty))
+      .where("from_date = '2024-01-01'").selectExpr("total", "n")
+      .as[(Double, Long)].collect().head
+    assert(plain == ((7.0, 3L)))
+    // horizon clamp: week of Jan 8 has snapshots only through Jan 9
+    val w2 = snaps.filter(_._1._1 == "2024-01-08")
+    assert(w2.keySet.map(_._2).max == "2024-01-10")
+  }
+
+  test("gab consumption view: snapshot rank-aligned lags union non-snapshot branch") {
+    val src = Seq(
+      ("2024-01-01", "A", 1.0), ("2024-01-02", "A", 2.0),
+      ("2024-01-08", "A", 4.0), ("2024-01-09", "A", 8.0),
+      ("2024-02-05", "A", 16.0))
+      .toDF("d", "grp", "v").selectExpr("CAST(d AS DATE) AS d", "grp", "v")
+    val uc = Gab.UseCase("cv", "d", Seq("grp"),
+      Seq(Gab.Metric("total", "sum", "v")),
+      cadences = Seq("WEEK", "MONTH"), snapshots = Map("WEEK" -> "DAY"))
+    val insights = Gab.buildInsights(src, uc)
+    val view = Gab.consumptionView(insights, uc,
+      Gab.ViewMapping("vw_cv", Map("g" -> "grp"), Seq("total"),
+        lastCadence = Seq(Gab.CalcLag("total_last", "total")),
+        windowFunctions = Seq(Gab.CalcWindow("total_sum_2_1", "total", "sum", 2, 1)),
+        derived = Seq(Gab.DerivedMetric("total_half", "total * 0.5"))))
+    // non-snapshot MONTH branch: plain per-period lag
+    val feb = view.where("cadence = 'MONTH' AND from_date = '2024-02-01'")
+      .selectExpr("total", "total_last", "total_half")
+      .as[(Double, Double, Double)].collect().head
+    assert(feb == ((16.0, 15.0, 8.0)))
+    // snapshot WEEK branch: rank-aligned lag — the day-2 snapshot of week
+    // 2 (total 4+8=12) lags to the day-2 snapshot of week 1 (total 1+2=3)
+    val w2d2 = view.where(
+      "cadence = 'WEEK' AND from_date = '2024-01-08' AND to_date = '2024-01-10'")
+      .selectExpr("total", "total_last").as[(Double, Double)].collect().head
+    assert(w2d2 == ((12.0, 3.0)))
+    // first period: lag coalesces to 0
+    val w1d1 = view.where(
+      "cadence = 'WEEK' AND from_date = '2024-01-01' AND to_date = '2024-01-02'")
+      .selectExpr("total", "total_last").as[(Double, Double)].collect().head
+    assert(w1d1 == ((1.0, 0.0)))
+  }
+
+  test("gab config table: parse, execute and register views end-to-end") {
+    val mappings =
+      """{"vw_orders_cfg": {
+        |  "dimensions": {"from_date": "d", "to_date": "to_date", "d1": "grp"},
+        |  "metric": {
+        |    "m1": {"metric_name": "total", "agg": "sum", "source_column": "v",
+        |           "calculated_metric": {
+        |             "last_cadence": [{"label": "total_last", "window": 1}],
+        |             "window_function": [{"label": "total_3_1", "window": [3, 1],
+        |                                  "agg_func": "sum"}]},
+        |           "derived_metric": [{"label": "total_x2", "formula": "total * 2"}]}},
+        |  "filter": null}}""".stripMargin
+    val reconWindow =
+      """{"WEEK": {"recon_window": {"DAY": {"snapshot": "Y"}}},
+        |"MONTH": {"recon_window": {"DAY": {"snapshot": "N"}}}}""".stripMargin
+    val config = Seq(
+      (742783030, "orders_uc", "GLOBAL", mappings, reconWindow, "S", "Y", "d"))
+      .toDF("query_id", "query_label", "query_type", "mappings", "recon_window",
+        "start_of_the_week", "is_active", "date_column")
+    val src = Seq(("2024-01-07", "A", 1.0), ("2024-01-09", "A", 2.0), ("2024-02-05", "A", 4.0))
+      .toDF("d", "grp", "v").selectExpr("CAST(d AS DATE) AS d", "grp", "v")
+    val dir = tmpDir("gab-cfg")
+    val cases = Gab.executeFromConfig(spark, config, src,
+      s"$dir/insights", logLocation = Some(s"$dir/log"))
+    assert(cases.length == 1)
+    val uc = cases.head.uc
+    assert(uc.weekStart == "SUNDAY" && uc.snapshots == Map("WEEK" -> "DAY"))
+    // the registered view is queryable and week starts on Sunday
+    val view = spark.table("vw_orders_cfg")
+    val weekRows = view.where("cadence = 'WEEK'")
+      .selectExpr("CAST(from_date AS STRING)").distinct()
+      .as[String].collect().toSet
+    // Sunday-start weeks: Jan 7 + Jan 9 share the week of Sun Jan 7, and
+    // Feb 5 falls in the week of Sun Feb 4
+    assert(weekRows == Set("2024-01-07", "2024-02-04"))
+    assert(view.columns.contains("total_last") && view.columns.contains("total_x2"))
+    // stage log written
+    assert(spark.read.parquet(s"$dir/log").count() == 1)
+  }
+
   test("gab reconciliation window: only the last N periods are recomputed") {
     val loc = tmpDir("gab-recon") + "/insights"
     val uc = Gab.UseCase(
