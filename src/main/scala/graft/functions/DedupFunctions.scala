@@ -103,7 +103,8 @@ object DedupFunctions {
       numHashes: Int = 32,
       numBands: Int = 4,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // Verification carries hashed shingles (array<long>) rather than the
     // strings: cheaper to shuffle and to intersect; hash collisions are
     // negligible for jaccard estimation at these sizes. The fused kernel
@@ -124,9 +125,11 @@ object DedupFunctions {
     val banded = cachedSig
       .select(col("id"), explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
+    val cands = observeDrops(
+      banded
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("id")).as("ids")),
+      size(col("ids")), maxBucketSize, dropObservation)
       .where(size(col("ids")).between(2, maxBucketSize))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -169,7 +172,8 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       maxDistance: Int = 3,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val withSim = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
@@ -190,9 +194,11 @@ object DedupFunctions {
     // every bucket member in ONE aggregation row, so a degenerate hot
     // bucket (hash collapse, boilerplate corpus) must be dropped before
     // the O(B^2) expansion rather than OOM an executor.
-    val buckets = banded
-      .groupBy(col("bk.block").as("block"), col("bk.key").as("key"))
-      .agg(collect_list(col("m")).as("ms"))
+    val buckets = observeDrops(
+      banded
+        .groupBy(col("bk.block").as("block"), col("bk.key").as("key"))
+        .agg(collect_list(col("m")).as("ms")),
+      size(col("ms")), maxBucketSize, dropObservation)
       .where(size(col("ms")).between(2, maxBucketSize))
     buckets
       .select(explode(col("ms")).as("a"), col("ms"))
@@ -234,21 +240,45 @@ object DedupFunctions {
     out
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 n-gram.
-    * Inverted-index join (explode n-grams, group by n-gram into posting
-    * lists) — the standard scalable formulation. Postings longer than
-    * `maxPostingSize` are dropped before pair expansion: a stop-word
+  /** Attach a drop-visibility observation to a bucketed candidate
+    * generator: `dropped_buckets` (bucket/posting rows above the cap,
+    * i.e. recall silently lost) and `max_bucket` (the hottest bucket
+    * seen). Read with `observation.getAsJava`/`getOrEmpty` after the
+    * query's first action — the cheap, action-synchronous way to detect
+    * degraded recall at scale without a second pass.
+    *
+    * Caveat (Spark AQE): if the ENTIRE query result is empty, adaptive
+    * re-planning can propagate the empty relation over the CollectMetrics
+    * node and the harvested metrics come back empty even though the
+    * bucket stage ran — read with `getOrEmpty` and treat "empty result +
+    * no metrics" as "inspect with AQE off". Any non-empty result (the
+    * production monitoring case) delivers exact metrics. */
+  private def observeDrops(
+      buckets: DataFrame, sizeCol: Column, cap: Int,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame =
+    obs.fold(buckets)(o => buckets.observe(o,
+      sum(when(sizeCol > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+      coalesce(max(sizeCol), lit(0)).as("max_bucket")))
+
+  /** n-gram Jaccard similarity for all pairs sharing >= 1 SURVIVING
+    * n-gram. Inverted-index join (explode n-grams, group by n-gram into
+    * posting lists) — the standard scalable formulation. Postings longer
+    * than `maxPostingSize` are dropped before pair expansion: a stop-word
     * n-gram shared by millions of docs would materialize them all in one
     * aggregation buffer row AND contribute O(B^2) pairs; dropping it
-    * loses only pairs whose entire overlap is that degenerate n-gram
-    * (standard prefix-filtering practice). */
+    * loses only pairs whose entire overlap is degenerate hot n-grams
+    * (standard prefix-filtering practice) — NOT exact over such pairs.
+    * Pass `dropObservation` to measure how many postings were dropped
+    * (recall observability); zero dropped means the result IS the exact
+    * all-pairs answer. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxPostingSize: Int = 100000): DataFrame = {
+      maxPostingSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val grams = PlanBarrier.fence(df
       .select(col(idCol).as("id"),
         Kernels.distinctShingles(col(textCol), n).as("grams"))
@@ -258,10 +288,12 @@ object DedupFunctions {
     // posting — identical pair multiset to the self-join formulation (a
     // posting of B docs yields the same B^2/2 pairs the equi-join would),
     // but the tokenize+shingle chain is evaluated once, not per join side.
-    val postings = grams
-      .select(explode(col("grams")).as("g"), struct(col("id"), col("n_grams")).as("m"))
-      .groupBy(col("g"))
-      .agg(collect_list(col("m")).as("ms"))
+    val postings = observeDrops(
+      grams
+        .select(explode(col("grams")).as("g"), struct(col("id"), col("n_grams")).as("m"))
+        .groupBy(col("g"))
+        .agg(collect_list(col("m")).as("ms")),
+      size(col("ms")), maxPostingSize, dropObservation)
       .where(size(col("ms")).between(2, maxPostingSize))
     postings
       .select(explode(col("ms")).as("a"), col("ms"))

@@ -67,13 +67,29 @@ object IvfIndex {
     * re-running Lloyd's. The fingerprint covers the backing files'
     * paths + lengths + modification times, so rewriting data at the same
     * path invalidates the entry (a bare plan hash would not), and it
-    * disambiguates Int semanticHash collisions across corpora. Bounded:
-    * cleared wholesale past `CentroidCacheMax` entries (rebuild cost is
-    * one bounded sample + driver-local Lloyd's — cheap relative to
-    * unbounded driver growth). */
+    * disambiguates Int semanticHash collisions across corpora. Bounded
+    * by access-order LRU eviction (removeEldest), all under one lock —
+    * concurrent builds can never wipe each other's fresh entries. */
   private val CentroidCacheMax = 64
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int, Int), Array[Array[Double]]]()
+    new java.util.LinkedHashMap[(Int, Long, Int, Int), Array[Array[Double]]](
+      CentroidCacheMax, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Long, Int, Int), Array[Array[Double]]]): Boolean =
+        size() > CentroidCacheMax
+    }
+
+  private def cachedCentroids(key: (Int, Long, Int, Int))(
+      compute: => Array[Array[Double]]): Array[Array[Double]] = {
+    centroidCache.synchronized(Option(centroidCache.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        val fresh = compute // outside the lock: training takes seconds
+        centroidCache.synchronized {
+          Option(centroidCache.get(key)).getOrElse { centroidCache.put(key, fresh); fresh }
+        }
+    }
+  }
 
   /** Fingerprint of the DataFrame's backing files (path, length, mtime),
     * order-independent. 0 for non-file-backed plans (in-memory test data):
@@ -86,14 +102,19 @@ object IvfIndex {
     if (files.isEmpty) 0L
     else {
       var acc = 0L
-      files.foreach(p => acc ^= scala.util.hashing.MurmurHash3.stringHash(p).toLong * 0x9e3779b97f4a7c15L)
+      // every term is keyed by the file's path hash, so two files whose
+      // (length, mtime) happen to coincide cannot cancel under XOR
+      def pathHash(p: String): Long =
+        scala.util.hashing.MurmurHash3.stringHash(p).toLong * 0x9e3779b97f4a7c15L
+      files.foreach(p => acc ^= pathHash(p))
       if (files.length <= maxStat) {
         val conf = df.sparkSession.sessionState.newHadoopConf()
         files.foreach { p =>
           try {
             val path = new org.apache.hadoop.fs.Path(p)
             val st = path.getFileSystem(conf).getFileStatus(path)
-            acc ^= java.lang.Long.rotateLeft(st.getLen * 31L + st.getModificationTime, 17)
+            acc ^= java.lang.Long.rotateLeft(
+              pathHash(p) ^ (st.getLen * 0x100000001b3L + st.getModificationTime), 17)
           } catch { case _: java.io.IOException => () }
         }
       }
@@ -174,12 +195,11 @@ object IvfIndex {
       nLists: Int = 16, trainSampleSize: Int = 10000): IvfIndex = {
     val key = (corpus.select(col(vecCol)).semanticHash(), dataFingerprint(corpus),
       nLists, trainSampleSize)
-    if (centroidCache.size >= CentroidCacheMax) centroidCache.clear()
-    val centroids = centroidCache.computeIfAbsent(key, _ => {
+    val centroids = cachedCentroids(key) {
       val sample = corpus.select(col(vecCol)).limit(trainSampleSize)
         .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
       lloyd(sample, nLists, maxIter = 5, tol = 1e-3, seed = 42L)
-    })
+    }
     val assignCell = udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0

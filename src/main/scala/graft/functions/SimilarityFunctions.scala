@@ -162,7 +162,8 @@ object SimilarityFunctions {
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
       numBits: Int = 32, numBands: Int = 4,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val rows = numBits / numBands
     // Candidate generation is id-only (explode band keys -> ONE shuffle
     // grouping ids by bucket -> in-bucket pair expansion -> narrow dedup);
@@ -180,10 +181,15 @@ object SimilarityFunctions {
       }: _*)).as("bk"))
     // Bounded buckets (same guard as the minhash/simhash generators): one
     // hot LSH bucket would otherwise land every member in a single
-    // collect_list buffer row and expand O(B^2) pairs.
-    val cands = banded
+    // collect_list buffer row and expand O(B^2) pairs. Dropped buckets
+    // are observable via `dropObservation` (dropped_buckets/max_bucket).
+    val grouped = banded
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(collect_list(col("id")).as("ids"))
+    val observed = dropObservation.fold(grouped)(o => grouped.observe(o,
+      sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+      coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")))
+    val cands = observed
       .where(size(col("ids")).between(2, maxBucketSize))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

@@ -19,6 +19,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Run a block with session confs temporarily overridden. */
+  def withConf[A](entries: (String, String)*)(body: => A): A = {
+    val olds = entries.map { case (k, _) => k -> spark.conf.getOption(k) }
+    entries.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Two-sided exceptAll diff, as the reference's golden compare
     * (`tests/utils/dataframe_helpers.py:32-70`). */
   def assertSameRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {

@@ -217,6 +217,42 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("dropped hot buckets are observable via the drop observation") {
+    val same = (0L until 5L).map(i => (i, "aa bb cc dd ee")).toDF("doc_id", "text")
+    // non-empty result (the production monitoring case): exact metrics
+    val obs2 = org.apache.spark.sql.Observation("ngram-nodrops")
+    assert(DedupFunctions.ngramJaccardPairs(same, "doc_id", "text",
+      n = 2, threshold = 0.0, dropObservation = Some(obs2)).count() == 10)
+    assert(obs2.getAsJava.get("dropped_buckets") == 0L)
+    assert(obs2.getAsJava.get("max_bucket") == 5)
+    // fully-empty result: AQE's empty-relation propagation can prune the
+    // CollectMetrics harvest (documented caveat) — with AQE off the
+    // dropped count is exact
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val obs = org.apache.spark.sql.Observation("ngram-drops")
+      assert(DedupFunctions.ngramJaccardPairs(same, "doc_id", "text",
+        n = 2, threshold = 0.0, maxPostingSize = 4, dropObservation = Some(obs))
+        .count() == 0)
+      assert(obs.getAsJava.get("dropped_buckets") == 4L)
+      assert(obs.getAsJava.get("max_bucket") == 5)
+      // simhash + minhash + embedding generators expose the same signal
+      val obs3 = org.apache.spark.sql.Observation("simhash-drops")
+      DedupFunctions.simhashNearDuplicates(same, "doc_id", "text",
+        maxDistance = 3, maxBucketSize = 4, dropObservation = Some(obs3)).count()
+      assert(obs3.getAsJava.get("dropped_buckets").asInstanceOf[Long] > 0L)
+      val obs5 = org.apache.spark.sql.Observation("minhash-drops")
+      DedupFunctions.minhashNearDuplicates(same, "doc_id", "text",
+        threshold = 0.0, maxBucketSize = 4, dropObservation = Some(obs5)).count()
+      assert(obs5.getAsJava.get("dropped_buckets").asInstanceOf[Long] > 0L)
+      val sameVecs = (0L until 5L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+        .toDF("vec_id", "embedding")
+      val obs4 = org.apache.spark.sql.Observation("emb-drops")
+      SimilarityFunctions.embeddingNearDuplicates(sameVecs, "vec_id", "embedding",
+        dim = 4, threshold = 0.9, maxBucketSize = 4, dropObservation = Some(obs4)).count()
+      assert(obs4.getAsJava.get("dropped_buckets").asInstanceOf[Long] > 0L)
+    }
+  }
+
   test("distinctShingles kernel matches the HOF shingle chain") {
     val corpus = Seq(
       (1L, "a b c d e"), (2L, "a a a"), (3L, "one"), (4L, ""),
