@@ -70,7 +70,7 @@ final class DataLoader(
       if (!df.isStreaming) {
         val result = DQEngine.run(spark, df, dq)
         dq.resultSink.foreach { sink =>
-          Writers.writeBatch(spark, sink, DQEngine.resultSinkDf(spark, result, dq.specId))
+          Writers.writeBatch(spark, sink, DQEngine.resultSinkFor(spark, df, dq, result))
         }
         if (dq.tagSourceData)
           data(dq.inputId) = DQEngine.tagSource(df, dq, result)
@@ -118,7 +118,7 @@ final class DataLoader(
       streamingDqs.foldLeft(transformed) { (df, dq) =>
         val result = DQEngine.run(spark, df, dq)
         dq.resultSink.foreach { sink =>
-          Writers.writeBatch(spark, sink, DQEngine.resultSinkDf(spark, result, dq.specId))
+          Writers.writeBatch(spark, sink, DQEngine.resultSinkFor(spark, df, dq, result))
         }
         if (dq.tagSourceData) DQEngine.tagSource(df, dq, result) else df
       }

@@ -286,6 +286,64 @@ object DQEngine {
         failures.as("dq_failure_details")))
   }
 
+  /** Chunked result sink with FULL unexpected-key coverage
+    * (reference `dq_factory.py:851-994`, default 1M keys per chunk).
+    *
+    * The reference collects the complete unexpected_index_list to the
+    * driver and slices it; at 10^9 failing rows that list IS the driver
+    * OOM it chunks around. This re-expression keeps the keys distributed
+    * end-to-end: failing keys get a global index via `zipWithIndex` (a
+    * narrow per-partition offset computation, no shuffle of the keys to
+    * one node), chunk membership is `index / chunkSize`, and each sink
+    * row's key array is assembled by executor-side aggregation — the
+    * driver never holds more than the plan. One sink row per
+    * (expectation, chunk), exactly like the reference's split.
+    */
+  def resultSinkDfChunked(
+      spark: SparkSession, df: DataFrame, spec: DQSpec,
+      result: DQRunResult): DataFrame = {
+    import spark.implicits._
+    val base = resultSinkDf(spark, result, spec.specId)
+      .withColumn("chunk_id", lit(0L))
+    if (spec.unexpectedRowsPk.isEmpty) return base
+    val rowFns = (spec.dqFunctions.map(_ -> false) ++ spec.criticalFunctions.map(_ -> true))
+      .flatMap { case (f, _) => rowPredicate(f).map(f -> _) }
+    val failing = result.outcomes.filter(o => !o.success && o.unexpectedCount > 0)
+      .flatMap(o => rowFns.find { case (f, _) =>
+        f.function == o.function && f.args == o.args
+      }.map(o -> _._2))
+    if (failing.isEmpty) return base
+    val chunked = failing.map { case (o, pred) =>
+      val keys = df.where(!coalesce(pred, lit(false)))
+        .select(to_json(struct(spec.unexpectedRowsPk.map(col): _*)).as("k"))
+      val indexed = keys.rdd.zipWithIndex()
+        .map { case (r, i) => (i / spec.resultSinkChunkSize, r.getString(0)) }
+        .toDF("chunk_id", "k")
+      indexed.groupBy(col("chunk_id"))
+        .agg(collect_list(col("k")).as("unexpected_index_list"))
+        .withColumn("expectation_type", lit(o.function))
+        .withColumn("kwargs",
+          lit(o.args.map { case (k, v) => s"$k=$v" }.mkString(", ")))
+    }.reduce(_ unionByName _)
+    val failingTypes = failing.map { case (o, _) => (o.function, o.args) }.toSet
+    val untouched = base.where(!result.outcomes.filter(o => failingTypes((o.function, o.args)))
+      .map(o => col("expectation_type") === o.function &&
+        col("kwargs") === o.args.map { case (k, v) => s"$k=$v" }.mkString(", "))
+      .reduceOption(_ || _).getOrElse(lit(false)))
+    val perChunk = base.drop("unexpected_index_list", "chunk_id")
+      .join(chunked, Seq("expectation_type", "kwargs"))
+    untouched.unionByName(perChunk, allowMissingColumns = false)
+  }
+
+  /** Result sink honoring the chunking config: full-coverage chunked
+    * layout when failing PKs are tracked, the plain per-expectation
+    * layout otherwise. */
+  def resultSinkFor(
+      spark: SparkSession, df: DataFrame, spec: DQSpec,
+      result: DQRunResult): DataFrame =
+    if (spec.unexpectedRowsPk.nonEmpty) resultSinkDfChunked(spark, df, spec, result)
+    else resultSinkDf(spark, result, spec.specId)
+
   /** Build the result-sink DataFrame (one row per expectation outcome with
     * run metadata + y/m/d partitions, as in `dq_factory.py:422-527`). */
   def resultSinkDf(spark: SparkSession, result: DQRunResult, specId: String): DataFrame = {

@@ -48,7 +48,10 @@ final case class DQSpec(
     unexpectedRowsPk: Seq[String] = Seq.empty,
     resultSink: Option[OutputSpec] = None,
     /** prisma variant: table name or parquet location holding rule rows */
-    rulesTable: Option[String] = None)
+    rulesTable: Option[String] = None,
+    /** max failing-key entries per result-sink row (reference
+      * `dq_spec.result_sink_chunk_size`, default 1M) */
+    resultSinkChunkSize: Int = 1000000)
 
 final case class MergeOptions(
     mergePredicate: String,
@@ -150,7 +153,9 @@ object Specs {
     resultSink = m.get("result_sink").collect { case mm: Map[_, _] =>
       outputSpec(mm.map { case (a, b) => a.toString -> b })
     },
-    rulesTable = str(m, "rules_table"))
+    rulesTable = str(m, "rules_table"),
+    resultSinkChunkSize =
+      num(m, "result_sink_chunk_size").map(_.toInt).getOrElse(1000000))
 
   def mergeOptions(m: Map[String, Any]): MergeOptions = MergeOptions(
     mergePredicate = str(m, "merge_predicate").getOrElse(sys.error("merge needs merge_predicate")),

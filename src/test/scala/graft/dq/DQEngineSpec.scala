@@ -146,6 +146,39 @@ class DQEngineSpec extends SparkSpec {
     }
   }
 
+  test("chunked result sink covers every failing key without a driver list") {
+    import spark.implicits._
+    // 100 of 120 rows fail the null check -> 4 chunks of <= 30 keys
+    val big = (0 until 120).map(i =>
+      (i, if (i < 100) null else s"name$i")).toDF("id", "name")
+    val spec = DQSpec("chunked", "chunked",
+      dqFunctions = Seq(
+        DQFunctionSpec("expect_column_values_to_not_be_null", Map("column" -> "name")),
+        DQFunctionSpec("expect_column_values_to_be_between",
+          Map("column" -> "id", "min_value" -> 0))),
+      failOnError = false, unexpectedRowsPk = Seq("id"),
+      resultSinkChunkSize = 30)
+    val result = DQEngine.run(spark, big, spec)
+    val sink = DQEngine.resultSinkDfChunked(spark, big, spec, result)
+    val nullRows = sink.where("expectation_type = 'expect_column_values_to_not_be_null'")
+      .select("chunk_id", "unexpected_index_list")
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(nullRows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(nullRows.map(_._2.size).toSeq == Seq(30, 30, 30, 10))
+    // full coverage: the union of chunks is exactly the failing key set
+    val keys = nullRows.flatMap(_._2).toSet
+    assert(keys == (0 until 100).map(i => s"""{"id":$i}""").toSet)
+    // the passing expectation keeps its single (chunk 0) row
+    val passRows = sink.where("expectation_type = 'expect_column_values_to_be_between'")
+    assert(passRows.count() == 1)
+    // chunked output agrees with the unchunked sink on the metadata columns
+    val metaCols = Seq("expectation_type", "success", "element_count", "unexpected_count")
+    val plainMeta = DQEngine.resultSinkDf(spark, result, "chunked")
+      .select(metaCols.head, metaCols.tail: _*).distinct()
+    val chunkMeta = sink.select(metaCols.head, metaCols.tail: _*).distinct()
+    assertSameRows(plainMeta, chunkMeta)
+  }
+
   test("fail_on_error raises independently of max_percentage_failure") {
     // Reference _log_or_fail: the percentage bound does NOT soften
     // fail_on_error — a spec that wants only the bound must set
