@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.catalyst.expressions.{Expression, ScalaUDF}
+import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+
+/** Assertion-style plan audit over the WHOLE catalog: the structural
+  * properties a 100 TB run depends on fail the build when violated,
+  * instead of waiting for a benchmark regression. Round 3 shipped an
+  * unfenced derived-array explode in q66 whose tokenize+shingle chain
+  * was re-evaluated by the Generate-inferred filter in interpreted mode
+  * (31 s at sf0.1) — this spec is the definition-of-done gate for that
+  * class of plan bug.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain a broadcast nested-loop
+    * join: a range/theta condition against a tiny broadcast side IS the
+    * right 100 TB shape (calendar windows, broadcast query sets). */
+  private val bnljWhitelist = Set(
+    "q38_cosine_topk",   // corpus x broadcast query set, non-equi (id <>)
+    "q44_range_join")    // fact x broadcast calendar BETWEEN
+
+  /** Queries allowed one duplicated expensive expression, each with a
+    * written justification (the duplicate must be O(small) per row). */
+  private val dupWhitelist: Map[String, String] = Map(
+    // The banding UDF over the localCheckpointed signature is inlined
+    // into the Generate-inferred `size > 0` filter: one extra O(numBands)
+    // kernel call per DOC (not per token) — bounded and tiny relative to
+    // the candidate shuffle it feeds.
+    "q31_dedup_minhash" -> "polyBandBuckets re-eval is O(4) per doc",
+    "q56_dedup_clusters" -> "same banding as q31")
+
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectPlans)) ++ p.subqueries.flatMap(collectPlans)
+
+  /** Expensive expressions (ScalaUDF or CodegenFallback HOF chains) that
+    * appear in MORE THAN ONE plan node — the signature of Catalyst
+    * duplicating a derived column into inferred filters / scan
+    * data-filters, i.e. a missing PlanBarrier fence. */
+  private def duplicatedExpensive(plan: SparkPlan): Seq[String] = {
+    val perNode: Seq[Seq[Expression]] = collectPlans(plan).map { node =>
+      node.expressions.flatMap(_.collect {
+        case u: ScalaUDF => u: Expression
+        case h: HigherOrderFunction => h: Expression
+      })
+    }
+    perNode.flatMap(_.map(_.canonicalized).distinct)
+      .groupBy(identity).collect { case (e, hits) if hits.size > 1 => e.sql.take(90) }
+      .toSeq
+  }
+
+  test("catalog plans: no undeclared nested-loop joins, no cartesian products") {
+    val offenders = QueryCatalog.all.flatMap { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan
+      val all = collectPlans(plan)
+      val bnlj = all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+        !bnljWhitelist(q.name)
+      val cartesian = all.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+      if (bnlj || cartesian) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian joins outside the whitelist: ${offenders.mkString(", ")}")
+  }
+
+  test("catalog plans: no expensive expression evaluated in more than one node") {
+    val offenders = QueryCatalog.all.flatMap { q =>
+      if (dupWhitelist.contains(q.name)) None
+      else {
+        val dups = duplicatedExpensive(q.run(spark, sfDir).queryExecution.executedPlan)
+        if (dups.nonEmpty) Some(s"${q.name}: ${dups.mkString(" | ")}") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      "expensive expression (UDF/HOF) duplicated across plan nodes — fence the " +
+        "derivation with PlanBarrier or add a justified whitelist entry:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("the duplicate detector fires on the known-bad unfenced shape (negative control)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bad = docs.select(col("doc_id"),
+        graft.functions.Kernels.distinctShingles(col("text"), 3).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    assert(duplicatedExpensive(bad.queryExecution.executedPlan).nonEmpty)
+    val good = graft.util.PlanBarrier.fence(docs.select(col("doc_id"),
+        graft.functions.Kernels.distinctShingles(col("text"), 3).as("gs")))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    assert(duplicatedExpensive(good.queryExecution.executedPlan).isEmpty)
+  }
+}
