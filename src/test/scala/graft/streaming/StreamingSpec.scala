@@ -177,4 +177,80 @@ class StreamingSpec extends SparkSpec {
       spec.copy(specId = "up-empty", location = Some(emptyDir))))
     assert(sensor.status("s-empty").isEmpty)
   }
+
+  test("kafka-shaped e2e: MemoryStream drives the ACON path with DQ in foreachBatch") {
+    // The Kafka connector jar is absent in this environment, so an
+    // unbounded MemoryStream plays the broker: a genuinely streaming
+    // source under a real processingTime trigger, multiple micro-batches,
+    // the declarative transform chain, DQ (with chunked result sink)
+    // inside foreachBatch, and a Sensor acquiring from the landing zone.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val out = tmpDir("ks-out") + "/data"
+    val dqSink = tmpDir("ks-sink") + "/dq"
+    val ckpt = tmpDir("ks-ckpt")
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "df_name": "kafka_shaped"
+         |  }],
+         |  "transform_specs": [{
+         |    "spec_id": "t", "input_id": "src", "transformers": [
+         |      {"function": "rename",
+         |       "args": {"cols": {"_1": "id", "_2": "name", "_3": "v"}}},
+         |      {"function": "expression_filter", "args": {"exp": "v >= 0"}}]
+         |  }],
+         |  "dq_specs": [{
+         |    "spec_id": "dq", "input_id": "t", "fail_on_error": false,
+         |    "unexpected_rows_pk": ["id"],
+         |    "dq_functions": [
+         |      {"function": "expect_column_values_to_not_be_null",
+         |       "args": {"column": "name"}}],
+         |    "result_sink": {"spec_id": "dqs", "input_id": "dq",
+         |      "data_format": "parquet", "location": "$dqSink"}
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "t", "data_format": "parquet",
+         |    "location": "$out",
+         |    "streaming_trigger": "processingTime=100 milliseconds",
+         |    "options": {"checkpointLocation": "$ckpt"}
+         |  }]
+         |}""".stripMargin
+    mem.addData((1L, "a", 1.0), (2L, null, 2.0), (3L, "neg", -5.0))
+    val runner = new Thread(() =>
+      try graft.algo.DataLoader.loadData(spark, acon,
+        dfs = Map("kafka_shaped" -> mem.toDF()))
+      catch { case _: org.apache.spark.SparkException => () /* stopped */ })
+    runner.setDaemon(true)
+    runner.start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.streams.active.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    val q = spark.streams.active.headOption.getOrElse(fail("query never started"))
+    try {
+      q.processAllAvailable()
+      // second micro-batch under the same running trigger
+      mem.addData((4L, "d", 4.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).selectExpr("id").as[Long].collect().toSet
+      assert(rows == Set(1L, 2L, 4L)) // -5.0 filtered; both batches landed
+      // DQ ran per micro-batch: the null name in batch 1 is a recorded
+      // failure with its chunked failing-key row; batch 2 is clean
+      val sink = spark.read.parquet(dqSink)
+      val failures = sink.where("success = false")
+      assert(failures.count() == 1)
+      assert(failures.selectExpr("explode(unexpected_index_list)")
+        .as[String].collect().toSeq == Seq("""{"id":2}"""))
+      assert(sink.where("success = true").count() >= 1)
+      // the landing zone is sensable downstream
+      val sensor = new graft.algo.Sensor(spark, tmpDir("ks-ctl") + "/control")
+      assert(sensor.checkUpstream("ks", graft.spec.InputSpec(
+        specId = "landing", dataFormat = Some("parquet"), location = Some(out))))
+    } finally {
+      q.stop()
+      runner.join(30000)
+    }
+  }
 }
