@@ -222,6 +222,37 @@ object Kernels {
     f(text)
   }
 
+  /** ALL word k-shingle strings (non-distinct, document order): the
+    * multiset variant of [[distinctShingles]], for repetition metrics
+    * where gram frequencies matter. Same short-doc semantics (one
+    * whole-doc shingle when tokens < k). */
+  def allShingles(text: Column, k: Int): Column = {
+    require(k >= 1, "shingle size must be >= 1")
+    val f = udf { (s: String) =>
+      val raw = if (s == null) Array.empty[String] else s.split(" ", -1)
+      val toks = new Array[String](raw.length)
+      var nt = 0
+      var i = 0
+      while (i < raw.length) {
+        if (raw(i).nonEmpty) { toks(nt) = raw(i); nt += 1 }
+        i += 1
+      }
+      val m = if (nt >= k) nt - k + 1 else 1
+      val win = math.min(k, nt)
+      val out = new Array[String](m)
+      var s0 = 0
+      while (s0 < m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < win) { if (j > 0) sb.append(' '); sb.append(toks(s0 + j)); j += 1 }
+        out(s0) = sb.toString
+        s0 += 1
+      }
+      out
+    }
+    f(text)
+  }
+
   /** Cosine similarity in double precision. Fold order is ascending index
     * (identical to the `aggregate`/`zip_with` formulation and to the
     * DuckDB oracle's list_sum over list_transform), so results are

@@ -168,6 +168,58 @@ object TrainingData {
         col("shared_grams").cast("double") / col("n_grams"))
   }
 
+  /** Gopher-style quality-filter flags per document (Rae et al. 2021
+    * §A1.1 heuristics, the pre-training corpus gate): word count bounds,
+    * mean word length bounds, alphabetic-word ratio, plus a type-token
+    * (distinct-word) ratio for degenerate-repetition screening. Pure
+    * per-row projections — map-side, no shuffle, exact integer-ratio
+    * arithmetic so a SQL oracle matches bit-for-bit.
+    */
+  def qualityFlags(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8): DataFrame = {
+    val words = TextFunctions.whitespaceTokens(col(textCol))
+    val nWords = size(words).cast("long")
+    val meanLen = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / nWords
+    val alphaRatio =
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords
+    val distinctRatio = size(array_distinct(words)).cast("double") / nWords
+    df.select(col(idCol), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), alphaRatio.as("alpha_word_ratio"),
+        distinctRatio.as("distinct_word_ratio"))
+      .withColumn("passes_gopher",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("alpha_word_ratio") >= minAlphaRatio)
+  }
+
+  /** Within-document repetition metrics (the Gopher/C4 repetition
+    * screens): the share of the most frequent word n-gram and the
+    * duplicated-gram fraction (1 - distinct/total). Plan shape: the gram
+    * multiset comes from a fenced tight-loop kernel, grams explode into
+    * ONE hash aggregation keyed by (doc, gram) with map-side combine,
+    * then a doc-sized rollup — both shuffles are on the doc id, so the
+    * operator partitions cleanly at any corpus size.
+    */
+  def repetitionMetrics(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val grams = graft.util.PlanBarrier.fence(
+      df.select(col(idCol).as("id"),
+        graft.functions.Kernels.allShingles(col(textCol), n).as("gs")))
+    grams.select(col("id"), explode(col("gs")).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("total_grams"), max(col("c")).as("__top"),
+        count(lit(1)).as("__distinct"))
+      .select(col("id"), col("total_grams"),
+        (col("__top").cast("double") / col("total_grams")).as("top_gram_share"),
+        ((col("total_grams") - col("__distinct")).cast("double") / col("total_grams"))
+          .as("dup_gram_fraction"))
+  }
+
   /** Global vocabulary with frequencies: one row per distinct lowercased
     * whitespace token, with total occurrences, document frequency, and a
     * deterministic rank (count desc, term asc), truncated to the top `k`.

@@ -1734,6 +1734,60 @@ object QueryCatalog {
       FROM unioned
       ORDER BY cadence, g, from_date, to_date"""))
 
+  /** Gopher-rule quality gate: word-count/mean-length/alpha-ratio bounds
+    * plus type-token ratio, as a map-side projection. */
+  private val q74 = QueryDef(
+    "q74_quality_flags",
+    (s, dir) => graft.operators.TrainingData.qualityFlags(
+        T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      m AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+                 / len(tk) AS mean_word_len,
+               CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+                 AS DOUBLE) / len(tk) AS alpha_word_ratio,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                 AS distinct_word_ratio
+        FROM toks)
+      SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, distinct_word_ratio,
+             (n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND alpha_word_ratio >= 0.8) AS passes_gopher
+      FROM m ORDER BY doc_id"""))
+
+  /** Within-doc repetition screens: top n-gram share + duplicated-gram
+    * fraction over the full bigram multiset. */
+  private val q75 = QueryDef(
+    "q75_repetition_metrics",
+    (s, dir) => graft.operators.TrainingData.repetitionMetrics(
+        T(s, dir, "documents"), "doc_id", "text", n = 2)
+      .orderBy(col("id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      grams AS (
+        SELECT id, CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [array_to_string(tk, ' ')] END AS gs
+        FROM toks),
+      ex AS (SELECT id, unnest(gs) AS g FROM grams),
+      counts AS (SELECT id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+      byd AS (
+        SELECT id, CAST(sum(c) AS BIGINT) AS total_grams,
+               CAST(max(c) AS BIGINT) AS top_c, count(*) AS n_distinct
+        FROM counts GROUP BY 1)
+      SELECT id, total_grams,
+             CAST(top_c AS DOUBLE) / total_grams AS top_gram_share,
+             CAST(total_grams - n_distinct AS DOUBLE) / total_grams
+               AS dup_gram_fraction
+      FROM byd ORDER BY id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1743,5 +1797,5 @@ object QueryCatalog {
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

@@ -197,6 +197,36 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(2) == "ref <NUM> and code 99") // runs < 4 digits survive
   }
 
+  test("qualityFlags applies the Gopher bounds exactly") {
+    val corpus = Seq(
+      (1L, Seq.fill(60)("word").mkString(" ")),              // repeated: low TTR, passes bounds
+      (2L, "too short"),                                     // < minWords
+      (3L, (1 to 60).map(i => "x" * 15).mkString(" ")),      // mean word len 15 > 10
+      (4L, (1 to 60).map(_ => "1234").mkString(" ")))        // alpha ratio 0
+      .toDF("doc_id", "text")
+    val flags = TrainingData.qualityFlags(corpus, "doc_id", "text")
+      .select("doc_id", "passes_gopher", "distinct_word_ratio", "mean_word_len")
+      .as[(Long, Boolean, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(flags(1L)._2 && flags(1L)._3 == 1.0 / 60)
+    assert(!flags(2L)._2)
+    assert(!flags(3L)._2 && flags(3L)._4 == 15.0)
+    assert(!flags(4L)._2)
+  }
+
+  test("repetitionMetrics: top-gram share and duplicate fraction") {
+    val corpus = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> top 'a b' 3/5, distinct 2
+      (2L, "u v w x y z"),   // all 5 bigrams unique
+      (3L, "solo"))          // short doc: one whole-doc gram
+      .toDF("doc_id", "text")
+    val m = TrainingData.repetitionMetrics(corpus, "doc_id", "text", n = 2)
+      .select("id", "total_grams", "top_gram_share", "dup_gram_fraction")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 5L, 3.0 / 5, (5.0 - 2) / 5)))
+    assert(m(2L) == ((2L, 5L, 1.0 / 5, 0.0)))
+    assert(m(3L) == ((3L, 1L, 1.0, 0.0)))
+  }
+
   test("distinctiveTerms ranks rare terms above common ones") {
     val terms = TrainingData.distinctiveTerms(docs, "doc_id", "text", k = 2)
     val top0 = terms.where("id = 0 AND rnk = 1").select("term").as[String].collect().head
