@@ -109,15 +109,18 @@ object Sensor {
   * Capability parity with `lakehouse_engine/algorithms/dq_validator.py`:
   * read via the reader factory (streaming inputs are drained with a
   * trigger-once foreachBatch, as in the reference), run the DQ engine,
-  * optionally write the result sink. Delta RESTORE-on-failure has no
-  * OSS-parquet equivalent in this build and is intentionally absent.
+  * optionally write the result sink. `restorePrevVersion` mirrors the
+  * reference's Delta restore-on-failure (`dq_validator.py:154-169`) over
+  * [[graft.io.Versioned]] parquet locations: a breached policy rolls the
+  * input back to its previous version before rethrowing.
   */
 object DQValidator {
 
   def validate(
       spark: SparkSession,
       input: InputSpec,
-      dqSpec: graft.spec.DQSpec): graft.dq.DQRunResult = {
+      dqSpec: graft.spec.DQSpec,
+      restorePrevVersion: Boolean = false): graft.dq.DQRunResult = try {
     val df = Readers.read(spark, input)
     val batchDf =
       if (!df.isStreaming) df
@@ -137,5 +140,13 @@ object DQValidator {
     dqSpec.resultSink.foreach(sink => graft.io.Writers.writeBatch(
       spark, sink, graft.dq.DQEngine.resultSinkDf(spark, result, dqSpec.specId)))
     result
+  } catch {
+    case e: graft.dq.DQValidationFailedException
+        if restorePrevVersion && input.location.isDefined =>
+      val restored = graft.io.Versioned.restorePrevious(
+        spark.sparkContext.hadoopConfiguration, input.location.get)
+      throw new graft.dq.DQValidationFailedException(
+        s"${e.getMessage}; input restored to previous version v$restored " +
+          s"(${input.location.get})")
   }
 }

@@ -77,6 +77,33 @@ class AlgorithmsSpec extends SparkSpec {
     assert(again.count() == insights.count())
   }
 
+  test("dq validator restores the previous version on breached policy") {
+    val loc = tmpDir("dqv-restore") + "/table"
+    // v1: clean data; v2: a bad load with nulls
+    Seq((1, "a"), (2, "b")).toDF("id", "name").transform { df =>
+      graft.io.Versioned.write(df, loc); df
+    }
+    Seq((3, null), (4, null)).toDF("id", "name").transform { df =>
+      graft.io.Versioned.write(df, loc); df
+    }
+    assert(graft.io.Versioned.versions(spark.sparkContext.hadoopConfiguration, loc)
+      == Seq(1))
+    val input = InputSpec(specId = "in", dataFormat = Some("parquet"),
+      location = Some(loc))
+    val dq = DQSpec("dq", "in", dqFunctions = Seq(
+      DQFunctionSpec("expect_column_values_to_not_be_null", Map("column" -> "name"))))
+    val e = intercept[graft.dq.DQValidationFailedException] {
+      DQValidator.validate(spark, input, dq, restorePrevVersion = true)
+    }
+    assert(e.getMessage.contains("restored to previous version v1"))
+    // live content is back to v1 and the bad generation stays in history
+    assert(spark.read.parquet(loc).selectExpr("id").as[Int].collect().toSet == Set(1, 2))
+    assert(graft.io.Versioned.versions(spark.sparkContext.hadoopConfiguration, loc)
+      == Seq(2))
+    // the restored data now passes
+    assert(DQValidator.validate(spark, input, dq, restorePrevVersion = true).success)
+  }
+
   test("gab week-start: Monday vs Sunday truncation (week_start matrix axis)") {
     // 2024-01-07 is a Sunday, 2024-01-08 a Monday
     val src = Seq(("2024-01-07", "A", 1.0), ("2024-01-08", "A", 2.0), ("2024-01-10", "A", 4.0))
