@@ -20,7 +20,7 @@ object DedupFunctions {
     * monotonic "hash" (product below the modulus) would make every
     * signature position share one argmin shingle, collapsing MinHash to
     * min-shingle-hash. */
-  private val MinhashPrime: Long = (1L << 31) - 1
+  private[functions] val MinhashPrime: Long = (1L << 31) - 1
 
   /** Exact dedup: keep one row per key set (first by tiebreak ordering). */
   def dedupExact(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame =

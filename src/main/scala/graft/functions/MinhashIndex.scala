@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.util.PlanBarrier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A persisted MinHash-LSH dedup index for INCREMENTAL near-duplicate
+  * detection: compute each document's signature once, store it, and check
+  * every incoming batch against the stored corpus — the realistic 100 TB
+  * pattern, where re-shingling the whole corpus per arriving batch
+  * (what [[DedupFunctions.minhashNearDuplicates]] does in one shot) would
+  * be quadratic over the ingest lifetime.
+  *
+  * Layout: one parquet row per (band, bucket, id, sh) — the banded LSH
+  * posting list with the hashed-shingle array for exact verification —
+  * partitioned by `band` so a batch check scans only the bands it probes.
+  * The check joins batch band keys against the index on (band, bucket):
+  * an equi-join whose shuffle carries ids only; shingle arrays join back
+  * just for surviving candidate pairs.
+  *
+  * All hashing is the cross-engine md5-keyed arithmetic of
+  * [[Kernels.shingleMinhash]], so an index built today verifies against
+  * the same SQL oracle as the one-shot operator.
+  */
+final class MinhashIndex private (
+    val location: String,
+    val shingleSize: Int,
+    val numHashes: Int,
+    val numBands: Int,
+    val threshold: Double) extends Serializable {
+
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+
+  private def signed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (as, bs) = DedupFunctions.minhashCoefficients(numHashes)
+    PlanBarrier.fence(df
+      .select(col(idCol).as("id"),
+        Kernels.shingleMinhash(TextFunctions.whitespaceTokens(col(textCol)),
+          shingleSize, as, bs, DedupFunctions.MinhashPrime).as("ss"))
+      .select(col("id"), col("ss._1").as("sh"), col("ss._2").as("sig")))
+  }
+
+  private def banded(signedDf: DataFrame): DataFrame =
+    signedDf.select(col("id"), col("sh"),
+        posexplode(Kernels.polyBandBuckets(col("sig"), numBands,
+          DedupFunctions.MinhashPrime)))
+      .select(col("id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Append a batch's signatures to the index. */
+  def append(df: DataFrame, idCol: String, textCol: String): Unit =
+    banded(signed(df, idCol, textCol))
+      .write.mode("append").partitionBy("band").parquet(location)
+
+  /** Near-duplicate pairs of `batch` documents against the INDEXED corpus
+    * (including documents appended earlier): (batch_id, corpus_id,
+    * jaccard) with jaccard >= threshold.
+    *
+    * Plan shape: the batch is an ingest increment — small by construction
+    * — so its banded signatures BROADCAST into a hash join against the
+    * index scan; the corpus side streams map-side (no shuffle of index
+    * rows), and the only shuffle is the id-level pair dedup. Verification
+    * is inline on the joined shingle arrays.
+    */
+  def checkBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val b = banded(signed(batch, idCol, textCol))
+      .select(col("id").as("batch_id"), col("sh").as("sh_b"),
+        col("band"), col("bucket"))
+    val idx = spark(batch).read.parquet(location)
+      .select(col("id").as("corpus_id"), col("sh").as("sh_c"),
+        col("band"), col("bucket"))
+    idx.join(broadcast(b), Seq("band", "bucket"))
+      .where(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double").as("inter"),
+        (size(col("sh_b")) + size(col("sh_c"))).cast("double").as("szsum"))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("inter") / (col("szsum") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+}
+
+object MinhashIndex {
+
+  /** Build (overwrite) an index from a corpus. */
+  def build(
+      corpus: DataFrame, idCol: String, textCol: String, location: String,
+      shingleSize: Int = 3, numHashes: Int = 32, numBands: Int = 4,
+      threshold: Double = 0.5): MinhashIndex = {
+    val idx = new MinhashIndex(location, shingleSize, numHashes, numBands, threshold)
+    val rows = idx.signed(corpus, idCol, textCol)
+    idx.banded(rows).write.mode("overwrite").partitionBy("band").parquet(location)
+    idx
+  }
+
+  /** Open an existing index (parameters must match the build). */
+  def open(location: String, shingleSize: Int = 3, numHashes: Int = 32,
+      numBands: Int = 4, threshold: Double = 0.5): MinhashIndex =
+    new MinhashIndex(location, shingleSize, numHashes, numBands, threshold)
+}

@@ -1788,6 +1788,38 @@ object QueryCatalog {
                AS dup_gram_fraction
       FROM byd ORDER BY id"""))
 
+  /** Incremental dedup: docs >= 100 are the indexed corpus, docs < 100 an
+    * arriving batch checked against the persisted signature index. Same
+    * cross-engine arithmetic as q31, so the oracle mirrors the pipeline
+    * with the pair condition batch-vs-corpus instead of a < b. */
+  private val q76 = QueryDef(
+    "q76_incremental_dedup",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val loc = s"/tmp/graft-mhidx-${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val idx = graft.functions.MinhashIndex.build(
+        docs.where(col("doc_id") >= 100), "doc_id", "text", loc, threshold = 0.4)
+      idx.checkBatch(docs.where(col("doc_id") < 100), "doc_id", "text")
+        .orderBy(col("batch_id"), col("corpus_id"))
+    },
+    Some(s"""
+      WITH $minhashPairsCtes,
+      xpairs AS (
+        SELECT x.doc_id AS corpus_id, y.doc_id AS batch_id
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.doc_id >= 100 AND y.doc_id < 100),
+      xverified AS (
+        SELECT DISTINCT p.batch_id, p.corpus_id,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+               CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS szsum
+        FROM xpairs p
+        JOIN sh sa ON sa.doc_id = p.batch_id
+        JOIN sh sb ON sb.doc_id = p.corpus_id)
+      SELECT batch_id, corpus_id, inter / (szsum - inter) AS jaccard
+      FROM xverified WHERE inter / (szsum - inter) >= 0.4
+      ORDER BY batch_id, corpus_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1797,5 +1829,5 @@ object QueryCatalog {
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

@@ -273,6 +273,43 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assertSameRows(hof2, kernel2)
   }
 
+  test("MinhashIndex: build once, check batches incrementally, append") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different text about spark engines here"),
+      (12L, "another unrelated document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val loc = tmpDir("mhidx") + "/index"
+    // 16 bands of 2 rows: P(miss) for the 0.78-jaccard pair is ~3e-7
+    val idx = MinhashIndex.build(corpus, "doc_id", "text", loc,
+      shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5)
+    // an arriving batch with a near-dup of doc 10 and a novel doc
+    val batch1 = Seq(
+      (20L, "the quick brown fox jumps over the lazy cat"),
+      (21L, "nothing like anything indexed so far at all"))
+      .toDF("doc_id", "text")
+    val hits1 = idx.checkBatch(batch1, "doc_id", "text")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits1.contains((20L, 10L)))
+    assert(!hits1.exists(_._1 == 21L))
+    // append batch1; a later exact dup of the NOVEL doc is now caught
+    idx.append(batch1, "doc_id", "text")
+    val batch2 = Seq((30L, "nothing like anything indexed so far at all"))
+      .toDF("doc_id", "text")
+    val hits2 = idx.checkBatch(batch2, "doc_id", "text")
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(hits2.exists(h => h._1 == 30L && h._2 == 21L && h._3 == 1.0))
+    // incremental result agrees with the one-shot operator on the union
+    val all = corpus.unionByName(batch1)
+    val oneShot = DedupFunctions.minhashNearDuplicates(
+        all, "doc_id", "text", shingleSize = 2, numHashes = 32, numBands = 16,
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hits1.forall { case (b, c) =>
+      oneShot.contains((math.min(b, c), math.max(b, c))) })
+  }
+
   test("text quality features are sane") {
     val q = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),
