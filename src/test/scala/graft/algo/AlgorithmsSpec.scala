@@ -284,6 +284,65 @@ class AlgorithmsSpec extends SparkSpec {
     assert(!fm.list(dir).exists(_.endsWith("c.txt")))
   }
 
+  test("heartbeat control-table lifecycle: feed, sweep, gated trigger, completion") {
+    val base = tmpDir("hb-life")
+    val (ctl, sctl) = (s"$base/control", s"$base/sensor-control")
+    def feedRow(sid: String, job: String, upstream: String,
+        state: String = "UNPAUSED") =
+      ("parquet", sid, "batch", s"asset-$sid", upstream, "", job, s"name-$job",
+        state, "TRUE")
+    // job-A is gated on TWO sensors; job-B on one; one row is PAUSED
+    val feed = Seq(
+      feedRow("sa1", "job-A", s"$base/up-a1"),
+      feedRow("sa2", "job-A", s"$base/up-a2"),
+      feedRow("sb1", "job-B", s"$base/up-b1"),
+      feedRow("sp1", "job-P", s"$base/up-p1", state = "PAUSED"))
+      .toDF("sensor_source", "sensor_id", "sensor_read_type", "asset_description",
+        "upstream_key", "preprocess_query", "trigger_job_id", "trigger_job_name",
+        "job_state", "dependency_flag")
+    val control0 = Heartbeat.controlTableDataFeed(spark, ctl, feed)
+    assert(control0.count() == 4 && control0.where("status IS NOT NULL").count() == 0)
+    // only sa1 and sb1 have upstream data
+    Seq((1, "x")).toDF("id", "v").write.parquet(s"$base/up-a1")
+    Seq((2, "y")).toDF("id", "v").write.parquet(s"$base/up-b1")
+    val hits1 = Heartbeat.sweepControl(spark, ctl, sctl, "parquet")
+    assert(hits1.toSet == Set("sa1" -> "job-A", "sb1" -> "job-B"))
+    // job-A is blocked (sa2 has not fired); job-B triggers
+    val triggered = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ready1 = Heartbeat.triggerReadyJobs(spark, ctl,
+      (jobId: String, _: String) => triggered += jobId)
+    assert(ready1 == Seq("job-B") && triggered.toSeq == Seq("job-B"))
+    val afterB = Heartbeat.readControl(spark, ctl)
+    assert(afterB.where("trigger_job_id = 'job-B' AND status = 'IN_PROGRESS' " +
+      "AND job_start_timestamp IS NOT NULL").count() == 1)
+    // sa2's upstream lands -> sweep -> job-A's gated deps now agree
+    Seq((3, "z")).toDF("id", "v").write.parquet(s"$base/up-a2")
+    assert(Heartbeat.sweepControl(spark, ctl, sctl, "parquet")
+      == Seq("sa2" -> "job-A"))
+    val ready2 = Heartbeat.triggerReadyJobs(spark, ctl,
+      (jobId: String, _: String) => triggered += jobId)
+    assert(ready2 == Seq("job-A"))
+    // completion: COMPLETED rows + sensor table re-armed as PROCESSED
+    Heartbeat.completeJob(spark, ctl, sctl, "job-B")
+    val done = Heartbeat.readControl(spark, ctl)
+    assert(done.where("trigger_job_id = 'job-B' AND status = 'COMPLETED' " +
+      "AND job_end_timestamp IS NOT NULL").count() == 1)
+    val sensor = new Sensor(spark, sctl)
+    assert(sensor.status(Heartbeat.sensorTableId("sb1", "job-B"))
+      .contains(Sensor.Processed))
+    // a COMPLETED row is active again; a plain batch sensor with no
+    // preprocess query re-fires on any non-empty upstream (incremental
+    // detection is the preprocess query's job, as in the reference)
+    assert(Heartbeat.sweepControl(spark, ctl, sctl, "parquet")
+      == Seq("sb1" -> "job-B"))
+    // data-feed delete: a feed without job-B's row removes it, state kept
+    val control2 = Heartbeat.controlTableDataFeed(spark, ctl,
+      feed.where("trigger_job_id <> 'job-B'"))
+    assert(control2.count() == 3)
+    assert(control2.where("trigger_job_id = 'job-A' AND status = 'IN_PROGRESS'")
+      .count() == 2) // preserved running state
+  }
+
   test("heartbeat sweeps sensors and triggers jobs for acquired sources") {
     val base = tmpDir("hb")
     Seq((1, "x")).toDF("id", "v").write.parquet(s"$base/up1")
