@@ -1820,6 +1820,103 @@ object QueryCatalog {
       FROM xverified WHERE inter / (szsum - inter) >= 0.4
       ORDER BY batch_id, corpus_id"""))
 
+  /** Capstone: the full training-data curation pipeline as ONE composed,
+    * hash-verified query — Gopher quality gate + type-token repetition
+    * screen -> benchmark decontamination (broadcast gram set) -> exact
+    * dedup (fingerprint, keep-first) -> fixed-budget sequence packing.
+    * Every stage is the library operator; the oracle mirrors the whole
+    * composition stage by stage. */
+  private val q77 = QueryDef(
+    "q77_curation_pipeline",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bench = docs.where(col("doc_id") < 100)
+      val corpus = docs.where(col("doc_id") >= 100)
+      val flags = graft.operators.TrainingData.qualityFlags(
+        corpus, "doc_id", "text", minWords = 30, maxWords = 100000,
+        minMeanWordLen = 1.0, maxMeanWordLen = 20.0, minAlphaRatio = 0.8)
+      val qualified = corpus.join(
+        flags.where(col("passes_gopher") && col("distinct_word_ratio") >= 0.35)
+          .select("doc_id"), Seq("doc_id"))
+      val cont = graft.operators.TrainingData.contamination(
+        qualified, bench, "doc_id", "text", n = 3)
+      val clean = qualified.join(
+        cont.where(col("contamination") < 0.2)
+          .select(col("id").as("doc_id")), Seq("doc_id"))
+      val deduped = clean
+        .withColumn("__fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .where(col("__rn") === 1).drop("__fp", "__rn")
+      graft.operators.TrainingData.packSequences(
+          deduped, "doc_id", "text", tokenBudget = 1024, nShards = 4)
+        .orderBy(col("shard"), col("pack_id"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+      toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM corpus),
+      flags AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+                 / len(tk) AS mean_len,
+               CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+                 AS DOUBLE) / len(tk) AS alpha,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+        FROM toks),
+      qualified AS (
+        SELECT t.doc_id, t.text, t.tk FROM toks t JOIN flags f USING (doc_id)
+        WHERE f.n_words BETWEEN 30 AND 100000
+          AND f.mean_len BETWEEN 1.0 AND 20.0
+          AND f.alpha >= 0.8 AND f.ttr >= 0.35),
+      bgrams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [array_to_string(tk, ' ')] END) AS gs
+        FROM (SELECT doc_id,
+                list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+              FROM documents WHERE doc_id < 100)),
+      bset AS (SELECT DISTINCT unnest(gs) AS g FROM bgrams),
+      cgrams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 ELSE [array_to_string(tk, ' ')] END) AS gs
+        FROM qualified),
+      cont AS (
+        SELECT c.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS shared
+        FROM (SELECT doc_id, unnest(gs) AS g FROM cgrams) c
+        LEFT JOIN bset b ON c.g = b.g
+        GROUP BY c.doc_id),
+      clean AS (
+        SELECT q.doc_id, q.text, q.tk FROM qualified q JOIN cont c USING (doc_id)
+        WHERE CAST(c.shared AS DOUBLE) / c.n_grams < 0.2),
+      deduped AS (
+        SELECT doc_id, tk FROM (
+          SELECT doc_id, tk, row_number() OVER (
+            PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            ORDER BY doc_id) AS rn
+          FROM clean) WHERE rn = 1),
+      sized AS (
+        SELECT doc_id, doc_id % 4 AS shard, CAST(len(tk) AS BIGINT) AS n_tokens
+        FROM deduped),
+      packed AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM sized)
+      SELECT shard, CAST(cum_before // 1024 AS BIGINT) AS pack_id,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM packed GROUP BY 1, 2 ORDER BY shard, pack_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1829,5 +1926,5 @@ object QueryCatalog {
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }
