@@ -310,6 +310,42 @@ class DedupAndSimilaritySpec extends SparkSpec {
       oneShot.contains((math.min(b, c), math.max(b, c))) })
   }
 
+  test("kernel parity fuzz: shingle kernels vs HOF chain on adversarial strings") {
+    // The whole cross-engine oracle family rests on these kernels
+    // producing exactly the HOF-chain semantics; fuzz with whitespace
+    // runs, empties, unicode, repeats and single tokens.
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abz09!?é世 "
+    def randText(): String = (0 until rnd.nextInt(30))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val corpus = ((0 until 300).map(i => (i.toLong, randText())) ++
+      Seq((900L, ""), (901L, "   "), (902L, "one"), (903L, "a a a a")))
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val hof = corpus.select(col("doc_id"),
+        array_sort(DedupFunctions.shingles(
+          TextFunctions.whitespaceTokens(col("text")), k)).as("gs"))
+      val kernel = corpus.select(col("doc_id"),
+        array_sort(Kernels.distinctShingles(col("text"), k)).as("gs"))
+      assertSameRows(hof, kernel)
+      // allShingles multiset size: n-k+1 for n >= k, else 1
+      val sizes = corpus.select(col("doc_id"),
+          size(Kernels.allShingles(col("text"), k)).as("m"),
+          size(TextFunctions.whitespaceTokens(col("text"))).as("n"))
+        .as[(Long, Int, Int)].collect()
+      sizes.foreach { case (id, m, n) =>
+        val expected = if (n >= k) n - k + 1 else 1
+        assert(m == expected, s"doc $id k=$k: $m != $expected (n=$n)")
+      }
+    }
+    // md5Hash60 matches an independently computed reference value and
+    // stays in [0, 2^60)
+    assert(Kernels.md5Hash60("hello") == 419982666956583591L) // DuckDB-verified
+    val hs = (0 until 1000).map(i => Kernels.md5Hash60(s"tok$i"))
+    assert(hs.forall(h => h >= 0 && h < (1L << 60)))
+    assert(hs.distinct.size == 1000)
+  }
+
   test("text quality features are sane") {
     val q = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),
