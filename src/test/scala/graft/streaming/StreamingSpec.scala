@@ -178,6 +178,41 @@ class StreamingSpec extends SparkSpec {
     assert(sensor.status("s-empty").isEmpty)
   }
 
+  test("streaming sessionization: session_window with watermark over a stream") {
+    // the streaming variant of q55's sessionize operator: gap-based
+    // session windows close when the watermark passes session end + gap
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Double)]
+    val out = tmpDir("sess-out") + "/data"
+    val ckpt = tmpDir("sess-ckpt")
+    val q = mem.toDF().toDF("user", "ts_s", "value")
+      .select(col("user"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("user"), col("n_events"), col("total"))
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .format("parquet").start(out)
+    try {
+      // session 1: two events 10 min apart; then a late-hour event pushes
+      // the watermark past session 1's close
+      mem.addData(("u1", "2024-01-01 10:00:00", 1.0), ("u1", "2024-01-01 10:10:00", 2.0))
+      q.processAllAvailable()
+      mem.addData(("u2", "2024-01-01 12:00:00", 5.0))
+      q.processAllAvailable()
+      val sessions = spark.read.parquet(out)
+        .as[(String, Long, Double)].collect().toSet
+      // u1's session (events within the 30-min gap merged) is closed and
+      // emitted; u2's is still open under the watermark
+      assert(sessions == Set(("u1", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("kafka-shaped e2e: MemoryStream drives the ACON path with DQ in foreachBatch") {
     // The Kafka connector jar is absent in this environment, so an
     // unbounded MemoryStream plays the broker: a genuinely streaming
