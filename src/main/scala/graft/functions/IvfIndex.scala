@@ -56,6 +56,23 @@ final class IvfIndex private (
         .select(col("neighbor_id"), col("cvec"), col("cell")),
       centroids)
   }
+
+  /** Incrementally ingest a batch into a persisted index: assign cells
+    * with the EXISTING centroids (no retraining — the standard IVF
+    * ingest trade; retrain with [[IvfIndex.build]] when drift warrants)
+    * and append to the cell-partitioned layout. Returns an index over
+    * the extended store. `location` must be the path this index was
+    * persisted at. */
+  def appendToPersisted(
+      location: String, batch: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    val tagged = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      IvfIndex.assignCellUdf(centroids)(col(vecCol)).as("cell"))
+    tagged.write.mode("append").partitionBy("cell").parquet(location)
+    new IvfIndex(
+      batch.sparkSession.read.parquet(location)
+        .select(col("neighbor_id"), col("cvec"), col("cell")),
+      centroids)
+  }
 }
 
 object IvfIndex {
@@ -200,7 +217,15 @@ object IvfIndex {
         .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
       lloyd(sample, nLists, maxIter = 5, tol = 1e-3, seed = 42L)
     }
-    val assignCell = udf { (v: Seq[Float]) =>
+    new IvfIndex(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        assignCellUdf(centroids)(col(vecCol)).as("cell")),
+      centroids)
+  }
+
+  /** Nearest-centroid cell assignment (tight loop, broadcast matrix). */
+  private[functions] def assignCellUdf(centroids: Array[Array[Double]]) =
+    udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < centroids.length) {
@@ -213,9 +238,4 @@ object IvfIndex {
       }
       best
     }
-    new IvfIndex(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        assignCell(col(vecCol)).as("cell")),
-      centroids)
-  }
 }

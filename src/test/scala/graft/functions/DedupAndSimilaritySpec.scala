@@ -164,6 +164,27 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(r1.toSet == r2.toSet)
   }
 
+  test("IvfIndex: incremental append to the persisted cell layout") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0f else -10.0f
+      (i.toLong, Array.tabulate(8)(j => base + (i * 13 + j) % 5 * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val loc = tmpDir("ivf-append") + "/index"
+    val stored = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 4)
+      .persisted(loc)
+    // ingest a batch near the even cluster; it lands in a probed cell
+    // and becomes the top neighbor of an even-cluster query
+    val batch = Seq((100L, Array.tabulate(8)(j => 10.0f + j % 5 * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val extended = stored.appendToPersisted(loc, batch, "vec_id", "embedding")
+    val hits = extended.search(vecs.where("vec_id = 0"), "vec_id", "embedding",
+        k = 10, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.contains(100L))
+    // the original members are still searchable
+    assert(hits.forall(id => id == 100L || id % 2 == 0))
+  }
+
   test("multimodal: per-partition feature extraction and frame sampling") {
     val bins = Seq((1L, "abcdef"), (2L, "xy")).toDF("id", "payload")
       .select(col("id"), col("payload").cast("binary").as("payload"))
