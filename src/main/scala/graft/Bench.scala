@@ -5,6 +5,28 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every catalog query on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line {"metric":...,"queries":{...}}. */
 object Bench {
+
+  /** JVM-health snapshot appended to the bench line so a slow run can be
+    * attributed (code-cache exhaustion / GC pressure / missing flags)
+    * instead of averaged away. All values come from standard MXBeans. */
+  private def jvmDiag(): String = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.toLowerCase.contains("codeheap"))
+      .map { p =>
+        val u = p.getUsage
+        s""""${p.getName}":{"used_mb":${u.getUsed / 1048576},"max_mb":${u.getMax / 1048576}}"""
+      }.mkString("{", ",", "}")
+    val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(g => s""""${g.getName.replace(' ', '_')}":{"count":${g.getCollectionCount},"sec":${g.getCollectionTime / 1000.0}}""")
+      .mkString("{", ",", "}")
+    val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    val ccFlag = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+      .find(_.contains("ReservedCodeCacheSize")).getOrElse("unset")
+    s"""{"code_cache":$pools,"gc":$gc,"heap_used_mb":${heap.getUsed / 1048576},"heap_max_mb":${heap.getMax / 1048576},"cc_flag":"$ccFlag"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,30 +59,51 @@ object Bench {
     // "errors", so a crash is never mistaken for a fast pass. Each query is
     // timed in TWO passes and the minimum is reported: host speed on this
     // box varies ~2x run-to-run (documented across rounds), and min-of-N
-    // is the standard way to measure the code instead of the noise.
+    // is the standard way to measure the code instead of the noise. A query
+    // that fails in SOME passes but succeeds in another still reports its
+    // min success time, but the failure is kept in "intermittent" (with the
+    // exception class) instead of being silently erased.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val failCount = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = (1 to 2).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable => errors(name) = e.getClass.getName; false }
+          catch {
+            case e: Throwable =>
+              errors(name) = e.getClass.getName
+              failCount(name) = failCount.getOrElse(name, 0) + 1
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         name -> (if (ok) dt else -dt)
       }.toMap
     }
+    val intermittent = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, _) =>
       val ts = passes.map(_(name))
       val oks = ts.filter(_ >= 0)
-      name -> (if (oks.nonEmpty) { errors.remove(name); oks.min } else ts.head)
+      name -> (if (oks.nonEmpty) {
+        errors.remove(name).foreach { cls =>
+          intermittent(name) = s"$cls x${failCount(name)}"
+        }
+        oks.min
+      } else ts.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k -> v.toString })
+    val errJson = jmap(errors.map { case (k, v) => k -> ("\"" + v + "\"") })
+    val interJson = jmap(intermittent.map { case (k, v) => k -> ("\"" + v + "\"") })
+    // Per-pass totals expose warm-vs-cold drift inside a single run: if
+    // pass2 >> pass1 something accumulates (GC/code-cache); if both passes
+    // of this run differ ~uniformly from another run, it's the host.
+    val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

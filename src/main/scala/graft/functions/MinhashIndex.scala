@@ -55,28 +55,39 @@ final class MinhashIndex private (
     * (including documents appended earlier): (batch_id, corpus_id,
     * jaccard) with jaccard >= threshold.
     *
-    * Plan shape: the batch is an ingest increment — small by construction
-    * — so its banded signatures BROADCAST into a hash join against the
-    * index scan; the corpus side streams map-side (no shuffle of index
-    * rows), and the only shuffle is the id-level pair dedup. Verification
-    * is inline on the joined shingle arrays.
+    * Plan shape: only the batch's (batch_id, band, bucket) KEY triples are
+    * broadcast into the probe join against the index scan — never the
+    * hashed-shingle arrays (numBands x batch text volume would cap the
+    * batch size at the broadcast limit). Candidate pairs dedup as bare id
+    * pairs, so the one wide shuffle carries ids only; shingle arrays join
+    * back just for the survivors — the corpus side from the index's
+    * band=0 partition (partition-pruned: every doc posts to every band),
+    * the batch side from the staged signatures.
     */
   def checkBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val b = banded(signed(batch, idCol, textCol))
-      .select(col("id").as("batch_id"), col("sh").as("sh_b"),
-        col("band"), col("bucket"))
+    // Stage signatures once: the band probe and the verification join both
+    // read this checkpoint instead of re-shingling the batch text.
+    val sigs = signed(batch, idCol, textCol).localCheckpoint()
+    val keys = banded(sigs)
+      .select(col("id").as("batch_id"), col("band"), col("bucket"))
     val idx = spark(batch).read.parquet(location)
-      .select(col("id").as("corpus_id"), col("sh").as("sh_c"),
-        col("band"), col("bucket"))
-    idx.join(broadcast(b), Seq("band", "bucket"))
+    val candidates = idx.select(col("id").as("corpus_id"), col("band"), col("bucket"))
+      .join(broadcast(keys), Seq("band", "bucket"))
       .where(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val corpusSh = idx.where(col("band") === 0)
+      .select(col("id").as("corpus_id"), col("sh").as("sh_c"))
+    val batchSh = sigs.select(col("id").as("batch_id"), col("sh").as("sh_b"))
+    candidates
+      .join(corpusSh, Seq("corpus_id"))
+      .join(batchSh, Seq("batch_id"))
       .select(col("batch_id"), col("corpus_id"),
         size(array_intersect(col("sh_b"), col("sh_c"))).cast("double").as("inter"),
         (size(col("sh_b")) + size(col("sh_c"))).cast("double").as("szsum"))
       .select(col("batch_id"), col("corpus_id"),
         (col("inter") / (col("szsum") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .dropDuplicates("batch_id", "corpus_id")
   }
 }
 

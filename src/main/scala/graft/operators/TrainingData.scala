@@ -179,7 +179,8 @@ object TrainingData {
       df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      minAlphaRatio: Double = 0.8): DataFrame = {
+      minAlphaRatio: Double = 0.8,
+      keep: Seq[String] = Nil): DataFrame = {
     val words = TextFunctions.whitespaceTokens(col(textCol))
     val nWords = size(words).cast("long")
     val meanLen = aggregate(transform(words, w => length(w).cast("long")),
@@ -187,9 +188,11 @@ object TrainingData {
     val alphaRatio =
       size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords
     val distinctRatio = size(array_distinct(words)).cast("double") / nWords
-    df.select(col(idCol), nWords.as("n_words"),
-        meanLen.as("mean_word_len"), alphaRatio.as("alpha_word_ratio"),
-        distinctRatio.as("distinct_word_ratio"))
+    // `keep` passes source columns through so a caller gating on the flags
+    // doesn't need a second corpus scan + self-join to get its data back.
+    df.select(col(idCol) +: keep.map(col) :+ nWords.as("n_words") :+
+        meanLen.as("mean_word_len") :+ alphaRatio.as("alpha_word_ratio") :+
+        distinctRatio.as("distinct_word_ratio"): _*)
       .withColumn("passes_gopher",
         col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
