@@ -36,6 +36,19 @@ object Engine {
       restorePrevVersion: Boolean = false): dq.DQRunResult =
     algo.DQValidator.validate(spark, input, dqSpec, restorePrevVersion)
 
+  /** `execute_manager`: dispatch a list of file/table manager operations
+    * in one call (reference `engine.py:140-167`). The ACON is
+    * `{"operations": [{"manager": "table"|"file", "function": ..., ...}]}`;
+    * every operation validates before any executes. Returns one status
+    * line per operation. */
+  def executeManager(spark: SparkSession, aconJson: String): Seq[String] =
+    maintain.ManagerDispatch.execute(spark, aconJson)
+
+  /** `execute_manager` over already-parsed operation maps. */
+  def executeManager(
+      spark: SparkSession, operations: Seq[Map[String, Any]]): Seq[String] =
+    maintain.ManagerDispatch.execute(spark, operations)
+
   /** `manage_table`: DDL/maintenance operations. */
   def manageTable(spark: SparkSession): maintain.TableManager =
     new maintain.TableManager(spark)
@@ -87,6 +100,25 @@ object Engine {
           s" and sensor_id = '$sensorId'" +
           s" and status = '${algo.Sensor.Processed}'"
     }
+
+  /** `generate_sensor_sap_logchain_query`: the CTE prelude a sensor
+    * prepends to its JDBC query to watch an SAP BW process-chain status
+    * table (reference `engine.py:409-437`,
+    * `core/sensor_manager.py:365-407` — reproduced template-exactly,
+    * including the reference's defaults). */
+  def generateSensorSapLogchainQuery(
+      chainId: String,
+      dbtable: String = "SAPPHA.RSPCLOGCHAIN",
+      status: String = "G",
+      engineTableName: String = "sensor_new_data"): String = {
+    require(chainId != null && chainId.nonEmpty,
+      "To query on log chain SAP table the chain id should be defined!")
+    val selectExp =
+      "SELECT CHAIN_ID, CONCAT(DATUM, ZEIT) AS LOAD_DATE, ANALYZED_STATUS"
+    val filterExp =
+      s"UPPER(CHAIN_ID) = UPPER('$chainId') AND UPPER(ANALYZED_STATUS) = UPPER('$status')"
+    s"WITH $engineTableName AS ($selectExp FROM $dbtable WHERE $filterExp)"
+  }
 
   /** `send_notification`: render + deliver through the pluggable
     * transport. */

@@ -42,6 +42,11 @@ object Readers {
       case "kafka" =>
         if (streaming) spark.readStream.format("kafka").options(spec.options).load()
         else spark.read.format("kafka").options(spec.options).load()
+      case "sftp" =>
+        if (streaming) sys.error("sftp reader supports only batch mode")
+        else SftpReader.read(spark,
+          spec.location.getOrElse(sys.error("sftp reader needs location")),
+          spec.options)
       case fileFormat =>
         val loc = spec.location.getOrElse(sys.error(s"file reader needs location"))
         if (streaming) {

@@ -1,0 +1,118 @@
+package graft.io
+
+import java.io.InputStream
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** SFTP ingestion behind a pluggable transport
+  * (reference `io/readers/sftp_reader.py:36-150` +
+  * `utils/extraction/sftp_extraction_utils.py`).
+  *
+  * The reference pulls each file through the driver (paramiko -> pandas ->
+  * createDataFrame); this build keeps the same driver-side fetch shape but
+  * stages the raw bytes to a local spool dir and lets SPARK parse them —
+  * csv/json options, schema inference and codegen all behave exactly like
+  * any other file read, and the parse runs distributed instead of in
+  * pandas. The TRANSPORT (list/open/stat) is a trait: the zero-egress
+  * build ships the local-filesystem impl; a paramiko-equivalent SSH
+  * transport is a drop-in without touching the read path.
+  *
+  * Scale note: SFTP is inherently a driver-side bottleneck (single TCP
+  * stream per file) — the reference has the same property. The staging dir
+  * makes the LIMIT explicit: this reader is for control-plane-sized feeds
+  * (config drops, partner deliveries), not the 100 TB path.
+  */
+object SftpReader {
+
+  /** Minimal file-transfer surface the reader needs. */
+  trait SftpTransport {
+    /** Recursively list absolute file paths under `location`. */
+    def list(location: String): Seq[String]
+    def open(path: String): InputStream
+    /** Modification time, epoch seconds. */
+    def mtime(path: String): Long
+  }
+
+  /** Local-filesystem transport: `location` is a directory path. Used by
+    * tests and as the reference shape for an SSH implementation. */
+  final class LocalFsTransport extends SftpTransport {
+    def list(location: String): Seq[String] = {
+      val root = Paths.get(location)
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val s = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).map(_.toString).toList.sorted
+        } finally s.close()
+      }
+    }
+    def open(path: String): InputStream = Files.newInputStream(Paths.get(path))
+    def mtime(path: String): Long =
+      Files.getLastModifiedTime(Paths.get(path)).toMillis / 1000
+  }
+
+  private val transports =
+    scala.collection.concurrent.TrieMap[String, SftpTransport](
+      "local" -> new LocalFsTransport)
+
+  /** Register a transport under a name referenced by option `transport`. */
+  def register(name: String, transport: SftpTransport): Unit =
+    transports(name) = transport
+
+  private val Formats = Set("csv", "json")
+
+  /** Read all files under `location` through the named transport.
+    *
+    * Options (mirroring the reference ACON surface):
+    *   - `sftp_files_format`: csv | json (mandatory)
+    *   - `transport`: registered transport name (default "local")
+    *   - `file_name_contains`: substring filter on the path
+    *   - `file_metadata`: "true" adds `filename` + `modification_time`
+    *   - remaining options pass through to the Spark file reader
+    *     (header, inferSchema, mode, ...)
+    */
+  def read(spark: SparkSession, location: String, options: Map[String, String]): DataFrame = {
+    val fmt = options.getOrElse("sftp_files_format",
+      sys.error("sftp reader needs sftp_files_format")).toLowerCase
+    require(Formats(fmt), s"sftp_files_format must be one of $Formats, got '$fmt'")
+    val transport = transports.getOrElse(options.getOrElse("transport", "local"),
+      sys.error(s"no SFTP transport registered as '${options("transport")}'"))
+    val nameFilter = options.get("file_name_contains")
+    val withMeta = options.get("file_metadata").contains("true")
+    val sparkOpts = options -- Seq(
+      "sftp_files_format", "transport", "file_name_contains", "file_metadata")
+
+    val files = transport.list(location)
+      .filter(p => nameFilter.forall(p.contains))
+    require(files.nonEmpty,
+      "No files were found with the specified parameters.")
+
+    val spool = Files.createTempDirectory("graft-sftp-")
+    spool.toFile.deleteOnExit()
+    val staged: Seq[(String, Path, Long)] = files.zipWithIndex.map { case (remote, i) =>
+      // Keep the remote basename (Spark picks the parser by extension for
+      // .gz) but prefix an index so same-named files in different remote
+      // dirs don't collide in the flat spool.
+      val local = spool.resolve(f"$i%05d-${Paths.get(remote).getFileName}")
+      val in = transport.open(remote)
+      try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      (remote, local, transport.mtime(remote))
+    }
+
+    // One spark.read per remote file ONLY when per-file metadata is asked
+    // for (the lit() columns must vary per file); otherwise a single read
+    // over the whole spool dir.
+    if (!withMeta)
+      spark.read.format(fmt).options(sparkOpts).load(spool.toString)
+    else
+      staged.map { case (remote, local, mtime) =>
+        spark.read.format(fmt).options(sparkOpts).load(local.toString)
+          .withColumn("filename", lit(remote))
+          .withColumn("modification_time",
+            lit(new java.sql.Timestamp(mtime * 1000L)))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.maintain
+
+import graft.spec.Specs
+import graft.spec.Specs.A
+import org.apache.spark.sql.SparkSession
+
+/** `execute_manager`: dispatch a LIST of manager operations in one call
+  * (reference `engine.py:140-167` + `utils/acon_utils.py:17-35` /
+  * `validate_managers`): every operation is validated first — manager
+  * type, function name, mandatory args — and ALL validation errors are
+  * collected and thrown together before anything executes, so a bad batch
+  * never half-runs.
+  */
+object ManagerDispatch {
+
+  /** Mandatory-argument registry per manager function (reference
+    * `core/definitions.py` TABLE_MANAGER_OPERATIONS /
+    * FILE_MANAGER_OPERATIONS, narrowed to the args this build consumes). */
+  private val tableOps: Map[String, Seq[String]] = Map(
+    "compute_table_statistics" -> Seq("table_or_view"),
+    "create_table" -> Seq.empty, // sql | path
+    "create_tables" -> Seq.empty,
+    "create_view" -> Seq.empty,
+    "drop_table" -> Seq("table_or_view"),
+    "drop_view" -> Seq("table_or_view"),
+    "execute_sql" -> Seq("sql"),
+    "truncate" -> Seq("table_or_view"),
+    "vacuum" -> Seq.empty,
+    "describe" -> Seq("table_or_view"),
+    "optimize" -> Seq("path"),
+    "show_tbl_properties" -> Seq("table_or_view"),
+    "get_tbl_pk" -> Seq("table_or_view"),
+    "repair_table" -> Seq("table_or_view"),
+    "delete_where" -> Seq("path", "where_clause"))
+
+  private val fileOps: Map[String, Seq[String]] = Map(
+    "delete_objects" -> Seq("bucket", "object_paths", "dry_run"),
+    "copy_objects" -> Seq("bucket", "source_object", "destination_bucket",
+      "destination_object", "dry_run"),
+    "move_objects" -> Seq("bucket", "source_object", "destination_bucket",
+      "destination_object", "dry_run"),
+    "request_restore" -> Seq("bucket", "source_object", "restore_expiration",
+      "retrieval_tier", "dry_run"),
+    "check_restore_status" -> Seq("bucket", "source_object"),
+    "request_restore_to_destination_and_wait" -> Seq("bucket", "source_object",
+      "destination_bucket", "destination_object", "restore_expiration",
+      "retrieval_tier", "dry_run"))
+
+  /** Parse an `{"operations": [...]}` ACON and run it. Returns one
+    * human-readable status line per executed operation. */
+  def execute(spark: SparkSession, aconJson: String): Seq[String] =
+    execute(spark, A.seqOfMaps(Specs.parseJsonMap(aconJson), "operations"))
+
+  def execute(spark: SparkSession, operations: Seq[Map[String, Any]]): Seq[String] = {
+    if (operations.isEmpty)
+      throw new RuntimeException("No operations found in the acon.")
+    val errors = operations.zipWithIndex.flatMap { case (op, i) => validate(op, i) }
+    if (errors.nonEmpty)
+      throw new RuntimeException(
+        "Errors found during validation:\n" + errors.mkString("\n"))
+    operations.map(run(spark, _))
+  }
+
+  private def validate(op: Map[String, Any], i: Int): Seq[String] = {
+    val manager = A.str(op, "manager")
+    val function = A.str(op, "function")
+    val registry = manager match {
+      case Some("table") => Right(tableOps)
+      case Some("file") => Right(fileOps)
+      case Some(other) => Left(s"op[$i]: Manager type not supported: $other")
+      case None => Left(s"op[$i]: missing 'manager'")
+    }
+    registry match {
+      case Left(err) => Seq(err)
+      case Right(ops) => function match {
+        case None => Seq(s"op[$i]: Missing 'function' parameter for manager")
+        case Some(fn) if !ops.contains(fn) =>
+          Seq(s"op[$i]: Function '$fn' not supported for ${manager.get} manager")
+        case Some(fn) =>
+          val missing = ops(fn).filterNot(op.contains)
+          if (missing.isEmpty) Seq.empty
+          else Seq(s"op[$i]: Missing mandatory parameters for ${manager.get} " +
+            s"manager function $fn: ${missing.mkString(", ")}")
+      }
+    }
+  }
+
+  private def run(spark: SparkSession, op: Map[String, Any]): String = {
+    val fn = A.str(op, "function").get
+    def s(k: String) = A.str(op, k).get
+    def readSqlArg(): String =
+      A.str(op, "sql").getOrElse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(s("path"))))
+    A.str(op, "manager").get match {
+      case "table" =>
+        val tm = new TableManager(spark)
+        fn match {
+          case "compute_table_statistics" => tm.computeTableStatistics(s("table_or_view"))
+          case "create_table" | "create_view" | "execute_sql" => tm.executeSql(readSqlArg())
+          case "create_tables" =>
+            // comma-separated list of DDL file paths (reference create_many)
+            s("path").split(",").map(_.trim).filter(_.nonEmpty).foreach(p =>
+              tm.executeSql(java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+          case "drop_table" => tm.dropTable(s("table_or_view"))
+          case "drop_view" => tm.dropView(s("table_or_view"))
+          case "truncate" => tm.truncate(s("table_or_view"))
+          case "vacuum" => tm.vacuum(A.str(op, "path").orElse(A.str(op, "table_or_view")).getOrElse(""),
+            A.num(op, "vacuum_hours").map(_.toInt).getOrElse(168))
+          case "describe" => tm.describe(s("table_or_view")).collect()
+          case "optimize" => tm.optimize(s("path"),
+            A.num(op, "target_partitions").map(_.toInt).getOrElse(0))
+          case "show_tbl_properties" => tm.showTblProperties(s("table_or_view")).collect()
+          case "get_tbl_pk" => tm.getTablePk(s("table_or_view"))
+          case "repair_table" => tm.repairTable(s("table_or_view"))
+          case "delete_where" => tm.deleteWhere(s("path"), s("where_clause"))
+        }
+        s"table/$fn: ok"
+      case "file" =>
+        val fm = new FileManager(spark)
+        val dryRun = A.bool(op, "dry_run")
+        def obj(bucketKey: String, objKey: String) =
+          s(bucketKey).stripSuffix("/") + "/" + s(objKey).stripPrefix("/")
+        fn match {
+          case "delete_objects" =>
+            val deleted = A.strSeq(op, "object_paths")
+              .map(p => s("bucket").stripSuffix("/") + "/" + p.stripPrefix("/"))
+              .map(p => p -> fm.delete(p, dryRun))
+            s"file/delete_objects: ${deleted.count(_._2)}/${deleted.size}" +
+              (if (dryRun) " (dry_run)" else "")
+          case "copy_objects" =>
+            if (!dryRun) fm.copy(obj("bucket", "source_object"),
+              obj("destination_bucket", "destination_object"))
+            s"file/copy_objects: ok" + (if (dryRun) " (dry_run)" else "")
+          case "move_objects" =>
+            if (!dryRun) fm.move(obj("bucket", "source_object"),
+              obj("destination_bucket", "destination_object"))
+            s"file/move_objects: ok" + (if (dryRun) " (dry_run)" else "")
+          case "request_restore" | "check_restore_status" |
+               "request_restore_to_destination_and_wait" =>
+            // Glacier archive tiers need the AWS SDK (reference
+            // `core/s3_file_manager.py`); this zero-egress build registers
+            // the operations (args validate, dry_run reports) but cannot
+            // issue restores.
+            if (dryRun) s"file/$fn: validated (dry_run)"
+            else throw new UnsupportedOperationException(
+              s"$fn requires S3 Glacier access (AWS SDK); not available in this build")
+        }
+    }
+  }
+}

@@ -143,10 +143,30 @@ object Transformers {
         else struct(inCols.map(col): _*)
       df.withColumn(out, graft.functions.AvroCodec.toAvro(input, schema))
     }
-    case "from_avro_with_registry" =>
-      _ => throw new UnsupportedOperationException(
-        "from_avro_with_registry: schema-registry access requires network egress; " +
-          "use from_avro with an explicit schema")
+    // Resolves subjects through the pluggable SchemaRegistry transport
+    // ONCE, driver-side, then decodes as plain Avro — executors never talk
+    // to the registry (reference `column_reshapers.py:284-346`, where the
+    // Databricks from_avro overload resolves per-query instead).
+    case "from_avro_with_registry" => df => {
+      val registry = graft.io.SchemaRegistry.resolve(str(args, "schema_registry").get)
+      val valueCol = str(args, "value_col").getOrElse("value")
+      val keyCol = str(args, "key_col").getOrElse("key")
+      val keySubject = str(args, "key_schema")
+      val passthrough = df.columns.toSeq
+        .filterNot(c => c == valueCol || (keySubject.isDefined && c == keyCol))
+      val decodedKey = keySubject.map(subj =>
+        graft.functions.AvroCodec.fromAvro(col(keyCol), registry.latestSchema(subj))
+          .as(keyCol)).toSeq
+      val decodedValue = graft.functions.AvroCodec.fromAvro(
+        col(valueCol), registry.latestSchema(str(args, "value_schema").get)).as(valueCol)
+      val decoded = df.select(passthrough.map(col) ++ decodedKey :+ decodedValue: _*)
+      val keyOut =
+        if (keySubject.isEmpty) Seq.empty
+        else if (bool(args, "expand_key")) Seq(s"$keyCol.*") else Seq(keyCol)
+      val valueOut =
+        if (bool(args, "expand_value", default = true)) s"$valueCol.*" else valueCol
+      decoded.selectExpr(passthrough ++ keyOut :+ valueOut: _*)
+    }
     case "with_regex_value" => df =>
       df.withColumn(str(args, "output_col").getOrElse("extracted_value"),
         regexp_extract(col(str(args, "input_col").get), str(args, "regex").get,

@@ -47,4 +47,61 @@ class EngineSpec extends SparkSpec {
     // table manager passthrough
     assert(Engine.manageTable(spark).executeSql("SELECT 1 AS one").head.count() == 1)
   }
+
+  test("executeManager dispatches a list of file/table operations") {
+    val dir = tmpDir("mgr")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/obj.txt"), "payload")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ddl.sql"),
+      "CREATE OR REPLACE TEMP VIEW mgr_v AS SELECT 42 AS answer")
+    val statuses = Engine.executeManager(spark,
+      s"""{"operations": [
+         |  {"manager": "table", "function": "execute_sql",
+         |   "sql": "CREATE OR REPLACE TEMP VIEW mgr_sql_v AS SELECT 1 AS one"},
+         |  {"manager": "table", "function": "create_view", "path": "$dir/ddl.sql"},
+         |  {"manager": "file", "function": "copy_objects", "dry_run": false,
+         |   "bucket": "$dir", "source_object": "obj.txt",
+         |   "destination_bucket": "$dir", "destination_object": "obj2.txt"},
+         |  {"manager": "file", "function": "delete_objects", "dry_run": false,
+         |   "bucket": "$dir", "object_paths": ["obj.txt"]},
+         |  {"manager": "file", "function": "request_restore", "dry_run": true,
+         |   "bucket": "b", "source_object": "o", "restore_expiration": 1,
+         |   "retrieval_tier": "Bulk"}
+         |]}""".stripMargin)
+    assert(statuses.size == 5)
+    assert(spark.table("mgr_v").collect().head.getInt(0) == 42)
+    assert(spark.table("mgr_sql_v").count() == 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/obj2.txt")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/obj.txt")))
+    assert(statuses.last.contains("dry_run"))
+    // validation collects ALL errors before anything executes
+    val err = intercept[RuntimeException] {
+      Engine.executeManager(spark,
+        """{"operations": [
+          |  {"manager": "bogus", "function": "x"},
+          |  {"manager": "table", "function": "nope"},
+          |  {"manager": "table", "function": "drop_table"}
+          |]}""".stripMargin)
+    }
+    assert(err.getMessage.contains("Manager type not supported: bogus"))
+    assert(err.getMessage.contains("Function 'nope' not supported"))
+    assert(err.getMessage.contains("Missing mandatory parameters"))
+    intercept[RuntimeException] { Engine.executeManager(spark, """{"operations": []}""") }
+  }
+
+  test("generateSensorSapLogchainQuery reproduces the reference template") {
+    assert(Engine.generateSensorSapLogchainQuery("MY_CHAIN") ==
+      "WITH sensor_new_data AS (" +
+        "SELECT CHAIN_ID, CONCAT(DATUM, ZEIT) AS LOAD_DATE, ANALYZED_STATUS " +
+        "FROM SAPPHA.RSPCLOGCHAIN " +
+        "WHERE UPPER(CHAIN_ID) = UPPER('MY_CHAIN') " +
+        "AND UPPER(ANALYZED_STATUS) = UPPER('G'))")
+    assert(Engine.generateSensorSapLogchainQuery(
+      "c1", dbtable = "DB.CHAINS", status = "X", engineTableName = "t") ==
+      "WITH t AS (SELECT CHAIN_ID, CONCAT(DATUM, ZEIT) AS LOAD_DATE, " +
+        "ANALYZED_STATUS FROM DB.CHAINS WHERE UPPER(CHAIN_ID) = UPPER('c1') " +
+        "AND UPPER(ANALYZED_STATUS) = UPPER('X'))")
+    intercept[IllegalArgumentException] { Engine.generateSensorSapLogchainQuery("") }
+  }
 }

@@ -42,8 +42,37 @@ class AvroCodecSpec extends SparkSpec {
       Map("input_col" -> "value", "output_col" -> "decoded",
         "schema" -> schemaJson), ctx))
     assert(dec.select("decoded.name").as[String].collect().head == "x")
-    intercept[UnsupportedOperationException] {
-      Transformers.resolve("from_avro_with_registry", Map.empty, ctx)(src)
+  }
+
+  test("from_avro_with_registry resolves subjects through the pluggable registry") {
+    val ctx = TransformContext(spark)
+    graft.io.SchemaRegistry.register("mem://avro-spec",
+      new graft.io.InMemorySchemaRegistry(Map("events-value" -> schemaJson)))
+    val src = Seq((1L, "reg", Seq(4.0), true)).toDF("id", "name", "scores", "flag")
+      .select(col("id"), col("name"), col("scores"), struct(col("flag")).as("nested"))
+    val enc = src.transform(Transformers.resolve("to_avro",
+      Map("in_cols" -> Seq("id", "name", "scores", "nested"),
+        "out_col" -> "value", "schema" -> schemaJson), ctx))
+      .select(lit("k1").as("key"), col("value"), lit(7).as("offset"))
+    // expand_value=true (default): the record's fields replace the value col
+    val dec = enc.transform(Transformers.resolve("from_avro_with_registry",
+      Map("schema_registry" -> "mem://avro-spec",
+        "value_schema" -> "events-value"), ctx))
+    assert(dec.columns.toSeq == Seq("key", "offset", "id", "name", "scores", "nested"))
+    assert(dec.select("name").as[String].collect().head == "reg")
+    // expand_value=false keeps the struct column
+    val keep = enc.transform(Transformers.resolve("from_avro_with_registry",
+      Map("schema_registry" -> "mem://avro-spec",
+        "value_schema" -> "events-value", "expand_value" -> false), ctx))
+    assert(keep.schema("value").dataType.typeName == "struct")
+    // unknown registry url / subject fail loudly
+    intercept[IllegalStateException] {
+      Transformers.resolve("from_avro_with_registry",
+        Map("schema_registry" -> "http://nowhere", "value_schema" -> "x"), ctx)(enc)
+    }
+    intercept[NoSuchElementException] {
+      Transformers.resolve("from_avro_with_registry",
+        Map("schema_registry" -> "mem://avro-spec", "value_schema" -> "missing"), ctx)(enc)
     }
   }
 }

@@ -62,6 +62,42 @@ class IoSpec extends SparkSpec {
     assert(df.count() == 1)
     assert(spark.table("io_spec_out").count() == 1)
   }
+
+  test("sftp reader stages files through the local transport") {
+    val dir = tmpDir("sftp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/sub"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.csv"), "id,v\n1,x\n2,y\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/sub/b.csv"), "id,v\n3,z\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/skip.json"), """{"id": 9}""")
+    // plain read: both csv files, recursive, json ignored by the filter
+    val df = Readers.read(spark, InputSpec(
+      specId = "s", dataFormat = Some("sftp"), location = Some(dir),
+      options = Map("sftp_files_format" -> "csv", "header" -> "true",
+        "inferSchema" -> "true", "file_name_contains" -> ".csv")))
+    assert(df.count() == 3)
+    assert(df.columns.toSeq == Seq("id", "v"))
+    // file_metadata adds the ORIGINAL remote path + modification time
+    val meta = SftpReader.read(spark, dir,
+      Map("sftp_files_format" -> "csv", "header" -> "true",
+        "file_name_contains" -> ".csv", "file_metadata" -> "true"))
+    assert(meta.count() == 3)
+    val names = meta.select("filename").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(names.toSeq == Seq(s"$dir/a.csv", s"$dir/sub/b.csv"))
+    assert(meta.schema("modification_time").dataType.typeName == "timestamp")
+    // json format through the same transport
+    val js = SftpReader.read(spark, dir,
+      Map("sftp_files_format" -> "json", "file_name_contains" -> ".json"))
+    assert(js.select("id").collect().head.getLong(0) == 9L)
+    // empty selection fails loudly, like the reference
+    intercept[IllegalArgumentException] {
+      SftpReader.read(spark, dir,
+        Map("sftp_files_format" -> "csv", "file_name_contains" -> "nope"))
+    }
+  }
 }
 
 object IoSpec {
