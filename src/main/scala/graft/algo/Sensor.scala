@@ -143,10 +143,17 @@ object DQValidator {
   } catch {
     case e: graft.dq.DQValidationFailedException
         if restorePrevVersion && input.location.isDefined =>
-      val restored = graft.io.Versioned.restorePrevious(
-        spark.sparkContext.hadoopConfiguration, input.location.get)
-      throw new graft.dq.DQValidationFailedException(
-        s"${e.getMessage}; input restored to previous version v$restored " +
-          s"(${input.location.get})")
+      // The DQ failure is the primary error: a failed restore (e.g. no
+      // archived versions at the location) must not mask it.
+      scala.util.Try(graft.io.Versioned.restorePrevious(
+        spark.sparkContext.hadoopConfiguration, input.location.get)) match {
+        case scala.util.Success(restored) =>
+          throw new graft.dq.DQValidationFailedException(
+            s"${e.getMessage}; input restored to previous version v$restored " +
+              s"(${input.location.get})", e)
+        case scala.util.Failure(restoreErr) =>
+          e.addSuppressed(restoreErr)
+          throw e
+      }
   }
 }

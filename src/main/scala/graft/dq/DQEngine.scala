@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Exception raised when a DQ process breaches its failure policy
   * (reference `DQValidationsFailedException`). */
-final class DQValidationFailedException(msg: String) extends RuntimeException(msg)
+final class DQValidationFailedException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
 /** Result of one expectation over a dataset. */
 final case class ExpectationOutcome(

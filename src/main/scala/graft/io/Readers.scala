@@ -47,6 +47,9 @@ object Readers {
         else SftpReader.read(spark,
           spec.location.getOrElse(sys.error("sftp reader needs location")),
           spec.options)
+      case "sharepoint" =>
+        if (streaming) sys.error("Sharepoint reader doesn't support streaming input.")
+        else SharepointIo.read(spark, spec.options)
       case fileFormat =>
         val loc = spec.location.getOrElse(sys.error(s"file reader needs location"))
         if (streaming) {

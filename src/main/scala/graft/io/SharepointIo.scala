@@ -1,0 +1,251 @@
+package graft.io
+
+import java.io.InputStream
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+/** Sharepoint ingestion/upload behind a pluggable Graph-API-shaped
+  * transport (reference `io/readers/sharepoint_reader.py:26-320`,
+  * `io/writers/sharepoint_writer.py:41-106`,
+  * `utils/sharepoint_utils.py:30-660`).
+  *
+  * The reference talks to MS Graph (`sites/{site}/drives/{drive}/items`)
+  * with msal auth, chunked downloads and conflict-aware uploads; everything
+  * Spark-side is "stage the file locally, read/write it with Spark, archive
+  * the remote file". This build keeps that exact shape but isolates the
+  * Graph surface in [[SharepointTransport]] (exists/list/download/upload/
+  * move): the zero-egress build ships a local-drive impl used by tests; a
+  * Graph HTTP impl is a drop-in without touching the read/write paths.
+  *
+  * Scale note: like the reference, this is a driver-staged, single-file
+  * channel for partner/report exchange — control-plane-sized data, not the
+  * 100 TB path. The writer's single-file constraint is the reference's own
+  * documented behavior (`sharepoint_writer.py:20-27`).
+  */
+object SharepointIo {
+
+  /** Graph-API-shaped surface: paths are drive-relative, '/'-separated. */
+  trait SharepointTransport {
+    /** True if the folder or file exists in the drive. */
+    def exists(path: String): Boolean
+    /** Names of files (not folders) directly inside `folder`. */
+    def list(folder: String): Seq[String]
+    def download(path: String): InputStream
+    /** Upload bytes to `path`. `conflictBehaviour`: replace | fail. */
+    def upload(path: String, data: Array[Byte], conflictBehaviour: String): Unit
+    /** Move a file into `toFolder` (creating it), keeping the basename. */
+    def move(path: String, toFolder: String): Unit
+  }
+
+  /** Local-directory drive: the test/reference implementation. A drive's
+    * root maps to a local dir; drive-relative paths nest under it. */
+  final class LocalDriveTransport(root: String) extends SharepointTransport {
+    private def p(rel: String): Path = Paths.get(root, rel.split("/").toSeq: _*)
+    def exists(path: String): Boolean = Files.exists(p(path))
+    def list(folder: String): Seq[String] = {
+      val dir = p(folder)
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(_.getFileName.toString).toList.sorted
+        } finally s.close()
+      }
+    }
+    def download(path: String): InputStream = Files.newInputStream(p(path))
+    def upload(path: String, data: Array[Byte], conflictBehaviour: String): Unit = {
+      val target = p(path)
+      if (Files.exists(target) && conflictBehaviour == "fail")
+        sys.error(s"sharepoint upload conflict: $path exists (conflict_behaviour=fail)")
+      Files.createDirectories(target.getParent)
+      Files.write(target, data)
+    }
+    def move(path: String, toFolder: String): Unit = {
+      val from = p(path)
+      val dir = p(toFolder)
+      Files.createDirectories(dir)
+      Files.move(from, dir.resolve(from.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private val transports =
+    scala.collection.concurrent.TrieMap.empty[String, SharepointTransport]
+
+  /** Register a transport under a name referenced by option `transport`. */
+  def register(name: String, transport: SharepointTransport): Unit =
+    transports(name) = transport
+
+  /** Resolve `transport`: a registered name, or `local:<dir>` to construct
+    * a [[LocalDriveTransport]] on the fly. */
+  private def transportFor(options: Map[String, String]): SharepointTransport = {
+    val name = options.getOrElse("transport",
+      sys.error("sharepoint io needs a `transport` option"))
+    if (name.startsWith("local:")) new LocalDriveTransport(name.stripPrefix("local:"))
+    else transports.getOrElse(name,
+      sys.error(s"no Sharepoint transport registered as '$name'"))
+  }
+
+  private val Formats = Set("csv", "json")
+
+  private def fmtOf(options: Map[String, String], path: String): String = {
+    val fmt = options.get("file_type")
+      .orElse(Some(path).filter(_.contains(".")).map(_.split('.').last))
+      .getOrElse(sys.error("sharepoint reader needs file_type or a file extension"))
+      .toLowerCase
+    require(Formats(fmt),
+      s"sharepoint file_type must be one of $Formats, got '$fmt' " +
+        "(the reference's Excel reader needs a spreadsheet lib not in this build)")
+    fmt
+  }
+
+  /** fnmatch-style pattern (reference `sharepoint_reader.py:4,143`). */
+  private def fnmatch(pattern: String, name: String): Boolean =
+    name.matches(pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    })
+
+  private def sparkOpts(options: Map[String, String]): Map[String, String] =
+    options -- Seq("transport", "folder_relative_path", "file_name",
+      "file_pattern", "file_type", "file_metadata", "archive",
+      "archive_success_subfolder", "archive_error_subfolder",
+      "conflict_behaviour")
+
+  /** Resolve the reference's folder/file path rules
+    * (`sharepoint_reader.py:39-61`): folder+file_name, a full path with an
+    * extension, or a folder (optionally pattern-filtered). Returns
+    * (folder, Seq(fileName)). */
+  private def resolveTargets(t: SharepointTransport,
+      options: Map[String, String]): (String, Seq[String]) = {
+    val folderOpt = options.get("folder_relative_path").map(_.stripSuffix("/"))
+    val fileName = options.get("file_name")
+    (folderOpt, fileName) match {
+      case (Some(folder), Some(name)) =>
+        val folderBase = folder.split('/').last
+        require(!folderBase.contains("."),
+          s"Invalid path setup: `folder_relative_path` ('$folder') appears to " +
+            s"include a file, but `file_name` ('$name') was also provided. " +
+            "Provide either a folder+file_name, or a full file path, not both.")
+        (folder, Seq(name))
+      case (Some(path), None) if path.split('/').last.contains(".") =>
+        val parts = path.split('/')
+        (parts.dropRight(1).mkString("/"), Seq(parts.last))
+      case (Some(folder), None) =>
+        require(t.exists(folder), s"Folder '$folder' does not exist in Sharepoint.")
+        val pattern = options.get("file_pattern")
+        val files = t.list(folder).filter(n => pattern.forall(fnmatch(_, n)))
+        require(files.nonEmpty, "No files were found with the specified parameters.")
+        (folder, files)
+      case (None, _) =>
+        sys.error("sharepoint reader needs folder_relative_path (and/or file_name)")
+    }
+  }
+
+  /** Read file(s) from a Sharepoint drive. Options (ACON surface):
+    *   - `transport`: registered name or `local:<dir>` (mandatory)
+    *   - `folder_relative_path` / `file_name` / `file_pattern`: reference
+    *     path rules (single file, full path, or fnmatch-filtered folder)
+    *   - `file_type`: csv | json (else derived from the extension)
+    *   - `file_metadata`: "true" adds a `filename` column
+    *   - `archive`: "true" moves each file after the read into
+    *     `archive_success_subfolder` (default "done") or, on failure,
+    *     `archive_error_subfolder` (default "error")
+    *   - remaining options pass through to the Spark file reader.
+    */
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    val t = transportFor(options)
+    val (folder, names) = resolveTargets(t, options)
+    val fmt = fmtOf(options, names.head)
+    val withMeta = options.get("file_metadata").contains("true")
+    val archive = options.get("archive").contains("true")
+    val doneDir = s"$folder/${options.getOrElse("archive_success_subfolder", "done")}"
+    val errDir = s"$folder/${options.getOrElse("archive_error_subfolder", "error")}"
+
+    val spool = Files.createTempDirectory("graft-sharepoint-")
+    spool.toFile.deleteOnExit()
+    try {
+      val staged = names.zipWithIndex.map { case (name, i) =>
+        val local = spool.resolve(f"$i%05d-$name")
+        val in = t.download(s"$folder/$name")
+        try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        require(Files.size(local) > 0,
+          s"File '$folder/$name' is empty or could not be downloaded.")
+        (name, local)
+      }
+      val df =
+        if (!withMeta)
+          spark.read.format(fmt).options(sparkOpts(options)).load(spool.toString)
+        else staged.map { case (name, local) =>
+          spark.read.format(fmt).options(sparkOpts(options)).load(local.toString)
+            .withColumn("filename", lit(s"$folder/$name"))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      if (archive) {
+        // Materialize BEFORE moving the remote files (reference caches +
+        // counts for the same reason: the archive must not invalidate a
+        // lazy read).
+        df.cache().count()
+        names.foreach(n => t.move(s"$folder/$n", doneDir))
+      }
+      df
+    } catch {
+      case e: Throwable =>
+        if (archive) names.foreach { n =>
+          try t.move(s"$folder/$n", errDir) catch { case _: Throwable => () }
+        }
+        throw e
+    }
+  }
+
+  /** Upload a DataFrame as ONE file to a Sharepoint drive (the reference
+    * writer's documented single-file contract). Batch only. Options:
+    * `transport`, `folder_relative_path`, `file_name`, `file_type`
+    * (csv|json, else from extension), `conflict_behaviour` (replace|fail,
+    * default replace); remaining options pass to the Spark file writer. */
+  def write(df: DataFrame, options: Map[String, String]): Unit = {
+    require(!df.isStreaming, "Sharepoint writer doesn't support streaming!")
+    val t = transportFor(options)
+    val folder = options.getOrElse("folder_relative_path",
+      sys.error("sharepoint writer needs folder_relative_path")).stripSuffix("/")
+    val name = options.getOrElse("file_name",
+      sys.error("sharepoint writer needs file_name"))
+    require(t.exists(folder), "The provided endpoint does not exist!")
+    val fmt = fmtOf(options, name)
+    val conflict = options.getOrElse("conflict_behaviour", "replace")
+
+    val stage = Files.createTempDirectory("graft-sharepoint-out-")
+    try {
+      // coalesce(1): the remote side is a single file by contract.
+      df.coalesce(1).write.format(fmt).options(sparkOpts(options))
+        .save(stage.resolve("out").toString)
+      val part = {
+        val s = Files.list(stage.resolve("out"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.find(p =>
+            p.getFileName.toString.startsWith("part-")).getOrElse(
+            sys.error("sharepoint writer: no part file produced"))
+        } finally s.close()
+      }
+      t.upload(s"$folder/$name", Files.readAllBytes(part), conflict)
+    } finally {
+      // best-effort local cleanup (reference delete_local_path)
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try { import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toList.foreach(rm)
+          } finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(stage)
+    }
+  }
+}

@@ -64,19 +64,34 @@ object Versioned {
     commit(conf, location, stage, keepVersions)
   }
 
-  /** Roll the live directory back to the most recent archived version;
+  /** Marker dropped into an archive created BY a restore (the quarantined
+    * bad live data), so a second restore never puts it back in place. */
+  private val QuarantineMarker = "_QUARANTINED"
+
+  private def isQuarantined(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, QuarantineMarker))
+
+  /** Roll the live directory back to the most recent archived GOOD version;
     * the rolled-back (bad) live contents are kept as a new version, like
-    * Delta RESTORE. Returns the restored version number. */
+    * Delta RESTORE, but tagged with a quarantine marker: calling
+    * restorePrevious again walks further back through history instead of
+    * restoring the bad data that was just rolled back. Returns the
+    * restored version number. */
   def restorePrevious(conf: Configuration, location: String): Int = {
     val live = new Path(location.stripSuffix("/"))
     val fs = live.getFileSystem(conf)
     val vs = versions(conf, location)
-    require(vs.nonEmpty, s"restore: no archived versions for $location")
-    val target = vs.last
+    val good = vs.filterNot(n => isQuarantined(fs, versionPath(location, n)))
+    require(good.nonEmpty,
+      s"restore: no archived non-quarantined versions for $location " +
+        s"(${vs.size} total, ${vs.size - good.size} quarantined)")
+    val target = good.last
     if (fs.exists(live)) {
-      val next = target + 1
-      require(fs.rename(live, versionPath(location, next)),
+      val next = vs.last.max(target) + 1
+      val quarantined = versionPath(location, next)
+      require(fs.rename(live, quarantined),
         s"restore: archive of current live as v$next failed")
+      fs.create(new Path(quarantined, QuarantineMarker)).close()
     }
     require(fs.rename(versionPath(location, target), live),
       s"restore: rename v$target -> $live failed")

@@ -59,6 +59,7 @@ object Writers {
             df.show(spec.options.get("limit").map(_.toInt).getOrElse(20),
               truncate = spec.options.get("truncate").forall(_.toBoolean))
           case "dataframe" => // terminal no-op: caller keeps the DataFrame
+          case "sharepoint" => SharepointIo.write(df, spec.options)
           case _ =>
             val w = df.write.format(fmt).options(spec.options).mode(mode)
             val withParts =

@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two-point scale curve for the dedup/ANN family: times
+  * q31/q32/q39/q50/q76's underlying operators at the base SF and at a
+  * COPIES-times-larger derived corpus, so the "near-linear in corpus
+  * size" claim PLANS.md makes is measured, not asserted.
+  *
+  * The scaled corpus is derived from the driver's own testdata (never
+  * synthesized from scratch): each copy offsets the ids and rewrites
+  * every token with a copy-suffix, which keeps the per-copy duplicate
+  * structure byte-identical while making cross-copy shingles disjoint —
+  * the workload grows linearly instead of quadratically, which is the
+  * scaling regime the operators are designed for. Query/batch sides stay
+  * FIXED (vec_id < 10 probes, doc_id < 100 batch), so the curve isolates
+  * corpus growth. `dropped_buckets` observations are reported alongside
+  * timings: recall loss under the bucket caps must stay measured.
+  */
+object ScaleCurve {
+
+  private val Copies = 10
+
+  private def scaleDocs(spark: SparkSession, base: String, out: String): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    (0 until Copies).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * (maxId + 1)))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def scaleEmbeddings(spark: SparkSession, base: String, out: String): Unit = {
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    (0 until Copies).map { i =>
+      if (i == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(i * (maxId + 1)))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** min-of-2 wall seconds + observed dropped buckets for one operator. */
+  private def time(run: () => (DataFrame, Option[Observation])): (Double, Long) = {
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val (df, obs) = run()
+      df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val dropped = obs.flatMap(_.get.get("dropped_buckets"))
+        .collect { case n: Number => n.longValue() }.getOrElse(0L)
+      (dt, dropped)
+    }
+    (runs.map(_._1).min, runs.map(_._2).max)
+  }
+
+  private def ops(spark: SparkSession, dir: String, idxBase: String)
+      : Seq[(String, () => (DataFrame, Option[Observation]))] = {
+    import graft.functions.{DedupFunctions, MinhashIndex, SimilarityFunctions}
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+    def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Seq(
+      "q31_minhash" -> (() => {
+        val o = Observation()
+        (DedupFunctions.minhashNearDuplicates(docs, "doc_id", "text",
+          threshold = 0.4, dropObservation = Some(o)), Some(o))
+      }),
+      "q32_simhash" -> (() => {
+        val o = Observation()
+        (DedupFunctions.simhashNearDuplicates(docs, "doc_id", "text",
+          maxDistance = 3, dropObservation = Some(o)), Some(o))
+      }),
+      "q39_ann_lsh" -> (() => {
+        val e = emb
+        (SimilarityFunctions.lshTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") < 10), "vec_id", "embedding",
+          dim = 64, k = 5), None)
+      }),
+      "q50_ann_ivf" -> (() => {
+        val e = emb
+        (SimilarityFunctions.ivfTopK(e, "vec_id", "embedding",
+          e.where(col("vec_id") >= 10 && col("vec_id") < 20), "vec_id", "embedding",
+          k = 7, nLists = 16, nProbe = 16), None)
+      }),
+      // index build is one-off; the timed op is the incremental check,
+      // mirroring the bench's own q76 treatment
+      "q76_check_batch" -> {
+        lazy val idx = MinhashIndex.build(
+          docs.where(col("doc_id") >= 100), "doc_id", "text",
+          s"$idxBase/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", threshold = 0.4)
+        () => (idx.checkBatch(docs.where(col("doc_id") < 100), "doc_id", "text"), None)
+      })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft-scale-${ProcessHandle.current().pid()}")
+    val scaled = s"$work/x$Copies"
+    val spark = graft.exec.ExecEnv.getOrCreate(
+      appName = "graft-scale-curve",
+      master = Some(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"),
+      confs = Map(
+        "spark.sql.shuffle.partitions" -> sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+        "spark.ui.enabled" -> "false"))
+    scaleDocs(spark, base, scaled)
+    scaleEmbeddings(spark, base, scaled)
+    val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
+
+    val sections = Seq("base" -> base, s"x$Copies" -> scaled).map { case (tag, dir) =>
+      val rows = ops(spark, dir, s"$work/idx").map { case (name, run) =>
+        val (sec, dropped) = time(run)
+        println(s"[scale-curve] $tag $name ${f"$sec%.2f"}s dropped=$dropped")
+        s""""$name":{"sec":$sec,"dropped_buckets":$dropped}"""
+      }
+      s""""$tag":{${rows.mkString(",")}}"""
+    }
+    println(s"""{"metric":"scale_curve","copies":$Copies,"scaled_docs":$nDocs,${sections.mkString(",")}}""")
+    spark.stop()
+  }
+}

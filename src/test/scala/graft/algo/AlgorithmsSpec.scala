@@ -96,12 +96,44 @@ class AlgorithmsSpec extends SparkSpec {
       DQValidator.validate(spark, input, dq, restorePrevVersion = true)
     }
     assert(e.getMessage.contains("restored to previous version v1"))
+    // the original DQ failure travels as the cause, not just flattened text
+    assert(e.getCause.isInstanceOf[graft.dq.DQValidationFailedException])
     // live content is back to v1 and the bad generation stays in history
     assert(spark.read.parquet(loc).selectExpr("id").as[Int].collect().toSet == Set(1, 2))
     assert(graft.io.Versioned.versions(spark.sparkContext.hadoopConfiguration, loc)
       == Seq(2))
     // the restored data now passes
     assert(DQValidator.validate(spark, input, dq, restorePrevVersion = true).success)
+  }
+
+  test("dq validator: failed restore does not mask the DQ failure") {
+    val loc = tmpDir("dqv-norestore") + "/table"
+    // single live write, NO archived versions -> restore is impossible
+    Seq((1, null.asInstanceOf[String])).toDF("id", "name")
+      .write.parquet(loc)
+    val input = InputSpec(specId = "in", dataFormat = Some("parquet"),
+      location = Some(loc))
+    val dq = DQSpec("dq", "in", dqFunctions = Seq(
+      DQFunctionSpec("expect_column_values_to_not_be_null", Map("column" -> "name"))))
+    val e = intercept[graft.dq.DQValidationFailedException] {
+      DQValidator.validate(spark, input, dq, restorePrevVersion = true)
+    }
+    // the DQ failure surfaces; the restore error rides along as suppressed
+    assert(e.getSuppressed.exists(_.getMessage.contains("no archived")))
+  }
+
+  test("versioned double restore walks back through history, not into quarantine") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val loc = tmpDir("versioned-2x") + "/table"
+    Seq(1).toDF("v").transform { df => graft.io.Versioned.write(df, loc, keepVersions = 3); df }
+    Seq(2).toDF("v").transform { df => graft.io.Versioned.write(df, loc, keepVersions = 3); df }
+    Seq(99).toDF("v").transform { df => graft.io.Versioned.write(df, loc, keepVersions = 3); df }
+    // live=99 (bad), archives v1=1, v2=2
+    assert(graft.io.Versioned.restorePrevious(conf, loc) == 2)
+    assert(spark.read.parquet(loc).as[Int].collect().toSeq == Seq(2))
+    // second restore must NOT bring back the quarantined 99 — it walks to v1
+    assert(graft.io.Versioned.restorePrevious(conf, loc) == 1)
+    assert(spark.read.parquet(loc).as[Int].collect().toSeq == Seq(1))
   }
 
   test("gab week-start: Monday vs Sunday truncation (week_start matrix axis)") {

@@ -98,6 +98,78 @@ class IoSpec extends SparkSpec {
         Map("sftp_files_format" -> "csv", "file_name_contains" -> "nope"))
     }
   }
+
+  test("sharepoint reader: path rules, pattern, metadata, archive") {
+    val root = tmpDir("sharepoint")
+    def put(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(root, rel.split("/"): _*)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    put("reports/y2024/jan.csv", "id,v\n1,a\n")
+    put("reports/y2024/feb.csv", "id,v\n2,b\n")
+    put("reports/y2024/notes.txt", "not a csv")
+    val base = Map("transport" -> s"local:$root", "header" -> "true",
+      "inferSchema" -> "true")
+    // folder + file_name -> single file
+    val one = SharepointIo.read(spark, base ++ Map(
+      "folder_relative_path" -> "reports/y2024", "file_name" -> "jan.csv"))
+    assert(one.select("v").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // full path with extension, no file_name
+    val full = SharepointIo.read(spark, base ++ Map(
+      "folder_relative_path" -> "reports/y2024/feb.csv"))
+    assert(full.select("v").collect().map(_.getString(0)).toSeq == Seq("b"))
+    // folder mode with fnmatch pattern + per-file metadata
+    val folder = SharepointIo.read(spark, base ++ Map(
+      "folder_relative_path" -> "reports/y2024", "file_pattern" -> "*.csv",
+      "file_metadata" -> "true"))
+    assert(folder.count() == 2)
+    assert(folder.select("filename").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("reports/y2024/feb.csv", "reports/y2024/jan.csv"))
+    // folder + file_name where the folder path embeds a file -> reference error
+    val bad = intercept[IllegalArgumentException] {
+      SharepointIo.read(spark, base ++ Map(
+        "folder_relative_path" -> "reports/y2024/feb.csv", "file_name" -> "jan.csv"))
+    }
+    assert(bad.getMessage.contains("Invalid path setup"))
+    // archive: read moves the files into done/
+    SharepointIo.read(spark, base ++ Map(
+      "folder_relative_path" -> "reports/y2024", "file_pattern" -> "*.csv",
+      "archive" -> "true")).count()
+    val t = new SharepointIo.LocalDriveTransport(root)
+    assert(t.list("reports/y2024/done").sorted == Seq("feb.csv", "jan.csv"))
+    assert(t.list("reports/y2024") == Seq("notes.txt"))
+  }
+
+  test("sharepoint writer: single-file upload with conflict behaviour") {
+    val root = tmpDir("sharepoint-w")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "drop"))
+    val df = spark.range(3).selectExpr("id", "concat('r', id) AS name")
+    val opts = Map("transport" -> s"local:$root",
+      "folder_relative_path" -> "drop", "file_name" -> "out.csv",
+      "header" -> "true")
+    SharepointIo.write(df, opts)
+    val back = spark.read.option("header", "true")
+      .csv(java.nio.file.Paths.get(root, "drop", "out.csv").toString)
+    assert(back.count() == 3)
+    // replace (default) overwrites; fail refuses
+    SharepointIo.write(df, opts)
+    intercept[RuntimeException] {
+      SharepointIo.write(df, opts + ("conflict_behaviour" -> "fail"))
+    }
+    // missing endpoint -> reference error message
+    val noEp = intercept[IllegalArgumentException] {
+      SharepointIo.write(df, opts + ("folder_relative_path" -> "nope"))
+    }
+    assert(noEp.getMessage.contains("endpoint does not exist"))
+    // writer factory routes format "sharepoint"
+    Writers.writeBatch(spark, graft.spec.OutputSpec(
+      specId = "sp", dataFormat = Some("sharepoint"), writeType = "append",
+      options = opts + ("file_name" -> "routed.json")), df)
+    assert(new SharepointIo.LocalDriveTransport(root)
+      .exists("drop/routed.json"))
+  }
 }
 
 object IoSpec {
