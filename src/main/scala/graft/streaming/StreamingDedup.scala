@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.functions.{DedupFunctions, MinhashIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingest deduplication: each micro-batch is near-dup-checked
+  * against the persisted [[MinhashIndex]], cleaned within itself, appended
+  * to the index, and only then written to the sink — the realistic shape
+  * of a continuously-ingesting 100 TB training-data pipeline, where the
+  * corpus signature index is the only state that grows (one row per
+  * (band, doc), never the raw text) and each arriving batch costs a
+  * band-pruned probe instead of a corpus re-shingle.
+  *
+  * Composes the reference's foreachBatch planning
+  * (`algorithms/data_loader.py:265-330` — "unsupported in streaming" ops
+  * run per micro-batch) with the incremental index: the one-shot dedup
+  * operator cannot run against an unbounded stream, so the micro-batch is
+  * the unit of work, exactly like the reference's streaming DQ.
+  *
+  * Per batch, in order:
+  *   1. drop batch docs that near-dup an INDEXED corpus doc (checkBatch);
+  *   2. drop within-batch near-dups keep-lowest-id (one-shot operator on
+  *      the survivors — batches are bounded, so this is cheap);
+  *   3. append the survivors' signatures to the index;
+  *   4. append the surviving rows to `sinkDir` (parquet).
+  */
+object StreamingDedup {
+
+  /** One micro-batch of the dedup plan — exposed for batch-mode reuse and
+    * direct testing. Returns the surviving rows (already appended to the
+    * index). */
+  def dedupBatch(
+      batch: DataFrame, idCol: String, textCol: String,
+      index: MinhashIndex): DataFrame = {
+    val b = batch.localCheckpoint() // bounded; avoids re-running the source
+    val vsCorpus = index.checkBatch(b, idCol, textCol)
+      .select(col("batch_id").as(idCol)).distinct()
+    val freshVsCorpus = b.join(vsCorpus, Seq(idCol), "left_anti")
+    val innerDups = DedupFunctions.minhashNearDuplicates(
+        freshVsCorpus, idCol, textCol,
+        shingleSize = index.shingleSize, numHashes = index.numHashes,
+        numBands = index.numBands, threshold = index.threshold)
+      .select(col("id_b").as(idCol)).distinct() // keep-lowest-id
+    val survivors = freshVsCorpus.join(innerDups, Seq(idCol), "left_anti")
+      .localCheckpoint() // both the index append and the sink write read this
+    index.append(survivors, idCol, textCol)
+    survivors
+  }
+
+  /** Start the streaming query. `stream` must be a streaming DataFrame
+    * with `idCol` and `textCol`. */
+  def start(
+      stream: DataFrame, idCol: String, textCol: String,
+      index: MinhashIndex, sinkDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatch(batch, idCol, textCol, index)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .start()
+}

@@ -49,23 +49,35 @@ object PlanAudit {
       |suffix, so per-copy duplicate structure is preserved while cross-copy
       |shingles stay disjoint — linear workload growth, the regime the
       |banded operators are designed for). Probe/batch sides stay fixed.
-      |min-of-2 wall seconds, local[32]:
+      |The catalog's text/training-data queries run as-is on both corpora.
+      |min-of-2 wall seconds, local[32], idle host:
       |
       || operator | base | ×10 corpus | growth | dropped_buckets |
       ||---|---|---|---|---|
-      || q31 minhash near-dup | 1.11 | 3.83 | 3.5× | 0 |
-      || q32 simhash near-dup | 0.67 | 1.20 | 1.8× | 0 |
-      || q39 LSH ANN top-k (fixed probes) | 0.79 | 0.88 | 1.1× | 0 |
-      || q50 IVF ANN top-k (fixed probes) | 0.63 | 0.57 | 1.0× | 0 |
-      || q76 incremental checkBatch | 0.48 | 0.79 | 1.6× | 0 |
+      || q31 minhash near-dup | 1.30 | 1.32 | 1.0× | 0 |
+      || q32 simhash near-dup | 0.70 | 1.05 | 1.5× | 0 |
+      || q39 LSH ANN top-k (fixed probes) | 0.79 | 0.96 | 1.2× | 0 |
+      || q50 IVF ANN top-k (fixed probes) | 0.66 | 0.62 | 0.9× | 0 |
+      || q76 incremental checkBatch | 0.61 | 0.75 | 1.2× | 0 |
+      || q30 exact dedup | 0.27 | 0.51 | 1.9× | — |
+      || q33 n-gram jaccard pairs | 0.57 | 0.61 | 1.1× | — |
+      || q34 text quality stats | 0.23 | 0.20 | 0.9× | — |
+      || q35 lang-id | 0.18 | 0.17 | 0.9× | — |
+      || q58 sequence packing | 0.36 | 0.36 | 1.0× | — |
+      || q60 distinctive terms (tf-idf) | 0.56 | 0.73 | 1.3× | — |
+      || q66 decontamination | 0.44 | 0.51 | 1.2× | — |
+      || q69 vocabulary | 0.33 | 0.45 | 1.4× | — |
+      || q75 repetition screens | 0.42 | 0.47 | 1.1× | — |
+      || q77 full curation pipeline | 1.08 | 1.90 | 1.8× | — |
       |
-      |Every operator grows sub-linearly in corpus size on this range (fixed
-      |per-query overheads still dominate at these SFs); nothing is
-      |super-linear, which is what a banded equi-join family must show —
-      |a quadratic candidate generator would grow ≥100×. Bucket caps were
-      |never hit (`dropped_buckets` = 0 on both points), so the measured
-      |times carry zero recall loss. Re-run with
-      |`sbt "runMain graft.tools.ScaleCurve"` (env `SPARK_GRAFT_SCALE_DIR`).
+      |Every operator grows SUB-linearly in corpus size on this range —
+      |fixed per-query overheads (job scheduling, codegen) still dominate at
+      |these SFs, so 10× rows cost ≤1.9× wall time. Nothing is super-linear,
+      |which is what a banded equi-join family must show: a quadratic
+      |candidate generator would grow ≥100×. Bucket caps were never hit
+      |(`dropped_buckets` = 0 on both points), so the measured times carry
+      |zero recall loss. Re-run with `sbt "runMain graft.tools.ScaleCurve"`
+      |(env `SPARK_GRAFT_SCALE_DIR`).
       |
       |""".stripMargin
 

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
 
-  private val Copies = 10
+  private val Copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
 
   private def scaleDocs(spark: SparkSession, base: String, out: String): Unit = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -98,6 +98,14 @@ object ScaleCurve {
       })
   }
 
+  /** Catalog queries that read ONLY documents.parquet — the rest of the
+    * training-data pipeline, timed as-is on both corpus sizes. */
+  private val textFamily = Seq(
+    "q30_dedup_exact", "q33_ngram_jaccard", "q34_text_quality",
+    "q35_lang_id", "q58_sequence_pack", "q60_distinctive_terms",
+    "q66_contamination", "q69_vocabulary", "q75_repetition_metrics",
+    "q77_curation_pipeline")
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
@@ -113,11 +121,16 @@ object ScaleCurve {
     scaleEmbeddings(spark, base, scaled)
     val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
 
+    val catalog = graft.SparkEntry.queries
     val sections = Seq("base" -> base, s"x$Copies" -> scaled).map { case (tag, dir) =>
       val rows = ops(spark, dir, s"$work/idx").map { case (name, run) =>
         val (sec, dropped) = time(run)
         println(s"[scale-curve] $tag $name ${f"$sec%.2f"}s dropped=$dropped")
         s""""$name":{"sec":$sec,"dropped_buckets":$dropped}"""
+      } ++ textFamily.map { name =>
+        val (sec, _) = time(() => (catalog(name)(spark, dir), None))
+        println(s"[scale-curve] $tag $name ${f"$sec%.2f"}s")
+        s""""$name":{"sec":$sec}"""
       }
       s""""$tag":{${rows.mkString(",")}}"""
     }

@@ -288,4 +288,40 @@ class StreamingSpec extends SparkSpec {
       runner.join(30000)
     }
   }
+
+  test("streaming ingest dedup: checkBatch + append per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textX = "one two three four five six seven eight nine ten eleven"
+    val textZ = "red orange yellow green blue indigo violet ultraviolet infrared"
+    val idxLoc = tmpDir("sdd-idx") + "/index"
+    val sink = tmpDir("sdd-sink") + "/clean"
+    val ckpt = tmpDir("sdd-ckpt")
+    // seed corpus -> persisted index
+    val idx = graft.functions.MinhashIndex.build(
+      Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text", idxLoc,
+      threshold = 0.5)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingDedup.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, sink, ckpt)
+      q.awaitTermination(60000)
+    }
+    // batch 1: 101 duplicates the CORPUS, 103 duplicates 102 WITHIN the batch
+    mem.addData((101L, textA), (102L, textX), (103L, textX))
+    drain()
+    assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+      == Set(102L))
+    // batch 2 (restart from checkpoint): 201 duplicates 102 — only caught
+    // if batch 1's survivors were APPENDED to the index; 202 is fresh
+    mem.addData((201L, textX), (202L, textZ))
+    drain()
+    assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+      == Set(102L, 202L))
+    // the index grew by exactly the survivors (1 seed + 102 + 202, x bands)
+    assert(spark.read.parquet(idxLoc).select("id").distinct()
+      .as[Long].collect().toSet == Set(1L, 102L, 202L))
+  }
 }
