@@ -78,7 +78,11 @@ object TrainingData {
     val x = col(vecCol)
     val m = array_max(transform(x, e => abs(e.cast("double"))))
     val scale = m / 127.0d
-    df.select(col(idCol), x.as("v"), scale.as("scale"))
+    // Fence the scale derivation: without it CollapseProject +
+    // PushDownPredicates inline the O(dim) HOF into the filter AND both
+    // downstream uses — three evaluations per row instead of one.
+    graft.util.PlanBarrier.fence(
+        df.select(col(idCol), x.as("v"), scale.as("scale")))
       .where(col("scale") > 0)
       .select(col(idCol), col("scale"),
         array_max(transform(col("v"), e =>

@@ -1069,12 +1069,14 @@ object QueryCatalog {
            |    "transformers": [
            |      {"function": "temp_view", "args": {"name": "docs_v"}},
            |      {"function": "sql_transformation", "args": {"sql": "
-           |        WITH scored AS (
-           |          SELECT doc_id, lang,
-           |                 size(filter(split(text, ' '), t -> length(t) > 0)) AS n_tokens,
-           |                 md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS fp
-           |          FROM docs_v),
-           |        filtered AS (SELECT * FROM scored WHERE n_tokens >= 10),
+           |        SELECT doc_id, lang,
+           |               size(filter(split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+           |               md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS fp
+           |        FROM docs_v"}},
+           |      {"function": "plan_barrier"},
+           |      {"function": "temp_view", "args": {"name": "scored_v"}},
+           |      {"function": "sql_transformation", "args": {"sql": "
+           |        WITH filtered AS (SELECT * FROM scored_v WHERE n_tokens >= 10),
            |        deduped AS (
            |          SELECT min(doc_id) AS keeper_id, min(lang) AS lang,
            |                 min(n_tokens) AS n_tokens

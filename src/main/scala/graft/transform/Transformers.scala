@@ -297,6 +297,12 @@ object Transformers {
       }
     }
     case "coalesce" => df => df.coalesce(num(args, "num_partitions").get.toInt)
+    // Optimizer fence (engine extension, no reference counterpart): pins
+    // the plan below it so expensive derived columns (tokenize/shingle
+    // chains, HOFs) are computed ONCE instead of being inlined by
+    // CollapseProject/PushDownPredicates into every consumer — the
+    // declarative-SQL equivalent of graft.util.PlanBarrier.fence.
+    case "plan_barrier" => df => graft.util.PlanBarrier.fence(df)
     case "cache" => df => df.cache()
     case "persist" => df =>
       df.persist(StorageLevel.fromString(str(args, "storage_level").getOrElse("MEMORY_AND_DISK")))
