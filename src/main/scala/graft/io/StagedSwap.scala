@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Checked staged-swap commit for whole-directory rewrites (merge,
   * delete-where, compaction, control-table update, GAB insights).
@@ -9,21 +9,88 @@ import org.apache.hadoop.fs.Path
   * Protocol: the caller writes the new contents to `<location>__stage`
   * (or any sibling staging dir) and calls [[commit]]. The swap is NOT
   * atomic — Hadoop `FileSystem.rename` is per-path and returns `false`
-  * on failure instead of throwing — so this helper:
+  * on failure instead of throwing — so this helper makes the swap
+  * CRASH-RECOVERABLE with an intent marker (single-writer assumed, like
+  * the reference's Delta writer):
   *
-  *   1. recovers a previous crashed swap first (live missing + `__old`
-  *      present → restore `__old` as live before proceeding);
-  *   2. asserts every `rename` returned `true`, throwing otherwise;
-  *   3. if `stage → live` fails after `live → old` succeeded, rolls the
-  *      old data back into place before throwing, so the target is never
-  *      left missing;
-  *   4. deletes `__old` only after verifying the new live path exists.
+  *   1. [[recover]] first settles any interrupted previous swap;
+  *   2. `<location>__intent` is written BEFORE any rename, naming the
+  *      stage dir — from that point the swap rolls FORWARD: a crash
+  *      between the renames is completed by the next [[recover]]/
+  *      [[commit]] from the staged data, never by discarding it;
+  *   3. every `rename` result is asserted; a failed `stage → live`
+  *      restores the previous contents (and clears the intent) so the
+  *      target is never left missing;
+  *   4. `__old` and the intent are deleted only after the new live path
+  *      is verified.
   *
   * Readers racing the swap can still observe a missing path between the
-  * two renames (documented crash window); on a real lakehouse this is the
-  * job of a transaction log, which this build intentionally does not have.
+  * two renames (documented, unavoidable without a transaction log, which
+  * this build intentionally does not have) — but the window is now
+  * recoverable, not lossy: the staged commit survives a crash at ANY
+  * point after the intent is written.
   */
 object StagedSwap {
+
+  private def intentPath(location: String) =
+    new Path(location.stripSuffix("/") + "__intent")
+  private def oldPath(location: String) =
+    new Path(location.stripSuffix("/") + "__old")
+
+  private def writeIntent(fs: FileSystem, location: String, stage: Path): Unit = {
+    val out = fs.create(intentPath(location), true)
+    try out.writeUTF(stage.toString) finally out.close()
+  }
+
+  private def readIntent(fs: FileSystem, location: String): Option[Path] = {
+    val p = intentPath(location)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new Path(in.readUTF())) finally in.close()
+    }
+  }
+
+  /** Settle an interrupted swap at `location`. Returns a short action
+    * string for logging/tests: "none" if nothing to do, "forward" if a
+    * declared swap was completed from its stage, "finalize" if only
+    * leftover markers needed clearing, "rollback" if a pre-intent-era
+    * crash was restored from `__old`. Safe to call any time under the
+    * single-writer assumption. */
+  def recover(conf: Configuration, location: String): String = {
+    val live = new Path(location.stripSuffix("/"))
+    val fs = live.getFileSystem(conf)
+    val old = oldPath(location)
+    readIntent(fs, location) match {
+      case Some(stage) if fs.exists(stage) =>
+        // Intent declared and the staged data is still there: roll the
+        // swap FORWARD (crash happened before `stage -> live`).
+        if (fs.exists(live)) {
+          fs.delete(old, true)
+          require(fs.rename(live, old),
+            s"staged-swap recover: rename $live -> $old failed")
+        }
+        require(fs.rename(stage, live),
+          s"staged-swap recover: rename $stage -> $live failed")
+        fs.delete(old, true)
+        fs.delete(intentPath(location), false)
+        "forward"
+      case Some(_) =>
+        // Stage already renamed away: the swap completed; the crash hit
+        // between verification and marker cleanup. Just finalize.
+        require(fs.exists(live),
+          s"staged-swap recover: intent present, stage and $live both missing")
+        fs.delete(old, true)
+        fs.delete(intentPath(location), false)
+        "finalize"
+      case None if !fs.exists(live) && fs.exists(old) =>
+        // Pre-intent crash shape (or a failed rollback): restore old.
+        require(fs.rename(old, live),
+          s"staged-swap recover: rename $old -> $live failed")
+        "rollback"
+      case None => "none"
+    }
+  }
 
   /** Swap `stage` into place at `location`, keeping the previous contents
     * at `<location>__old` until the swap is verified. Throws (and restores
@@ -32,16 +99,14 @@ object StagedSwap {
   def commit(conf: Configuration, location: String, stage: String): Unit = {
     val live = new Path(location.stripSuffix("/"))
     val fs = live.getFileSystem(conf)
-    val old = new Path(location.stripSuffix("/") + "__old")
+    val old = oldPath(location)
     val stagePath = new Path(stage.stripSuffix("/"))
+    recover(conf, location)
     require(fs.exists(stagePath), s"staged-swap: stage dir $stagePath does not exist")
-
-    // Recover a crash between the two renames of a previous swap.
-    if (!fs.exists(live) && fs.exists(old)) {
-      require(fs.rename(old, live), s"staged-swap: crash recovery rename $old -> $live failed")
-    }
     fs.delete(old, true)
 
+    // Point of no return: from here a crash rolls FORWARD to the stage.
+    writeIntent(fs, location, stagePath)
     val hadLive = fs.exists(live)
     if (hadLive)
       require(fs.rename(live, old), s"staged-swap: rename $live -> $old failed")
@@ -49,10 +114,12 @@ object StagedSwap {
       // Put the previous contents back before failing, so the target is
       // never left missing by a failed swap.
       if (hadLive) fs.rename(old, live)
+      fs.delete(intentPath(location), false)
       sys.error(s"staged-swap: rename $stagePath -> $live failed" +
         (if (hadLive) s" (previous contents restored from $old)" else ""))
     }
     require(fs.exists(live), s"staged-swap: $live missing after commit")
     fs.delete(old, true)
+    fs.delete(intentPath(location), false)
   }
 }

@@ -66,4 +66,59 @@ class StagedSwapSpec extends SparkSpec {
     }
     assert(readMarker(live) == "v1") // live untouched
   }
+
+  private def writeIntentFile(live: String, stage: String): Unit = {
+    val p = new Path(live + "__intent")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    out.writeUTF(new Path(stage).toString)
+    out.close()
+  }
+
+  test("recover rolls a declared swap FORWARD from the stage") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    // crash after intent was written, before any rename: live v1 intact
+    writeDir(live, "v1")
+    writeDir(s"${live}__stage", "v2")
+    writeIntentFile(live, s"${live}__stage")
+    assert(StagedSwap.recover(conf, live) == "forward")
+    assert(readMarker(live) == "v2") // staged commit NOT lost
+    val fs = new Path(live).getFileSystem(conf)
+    assert(!fs.exists(new Path(live + "__intent")))
+    assert(!fs.exists(new Path(live + "__old")))
+  }
+
+  test("recover completes a swap that crashed between the renames") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    // crash after live -> __old, before stage -> live
+    writeDir(s"${live}__old", "v1")
+    writeDir(s"${live}__stage", "v2")
+    writeIntentFile(live, s"${live}__stage")
+    assert(StagedSwap.recover(conf, live) == "forward")
+    assert(readMarker(live) == "v2")
+  }
+
+  test("recover finalizes a swap that crashed before marker cleanup") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    // crash after stage -> live, before intent/__old deletion
+    writeDir(live, "v2")
+    writeDir(s"${live}__old", "v1")
+    writeIntentFile(live, s"${live}__stage")
+    assert(StagedSwap.recover(conf, live) == "finalize")
+    assert(readMarker(live) == "v2")
+    val fs = new Path(live).getFileSystem(conf)
+    assert(!fs.exists(new Path(live + "__intent")))
+    assert(!fs.exists(new Path(live + "__old")))
+  }
+
+  test("recover is a no-op on a clean location") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    writeDir(live, "v1")
+    assert(StagedSwap.recover(conf, live) == "none")
+    assert(readMarker(live) == "v1")
+  }
 }
