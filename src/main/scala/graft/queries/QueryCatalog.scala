@@ -930,6 +930,44 @@ object QueryCatalog {
       SELECT id_a, id_b, round(score, 6) AS score
       FROM scored WHERE score >= 0.3 ORDER BY id_a, id_b"""))
 
+  /** GraphX connected components over the EMBEDDING near-duplicate pairs
+    * (q40's hyperplane-LSH candidate generator + exact cosine verify),
+    * hash-verified against a recursive-CTE reachability closure — the
+    * q56 pattern applied to the vector side of the corpus: resolve "these
+    * embeddings are the same content" groups to a canonical id without
+    * ever forming the all-pairs product. */
+  private val q78 = QueryDef(
+    "q78_embedding_clusters",
+    (s, dir) => {
+      val pairs = SimilarityFunctions.embeddingNearDuplicates(
+        T(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.3)
+      DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b"))
+        .orderBy(col("id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${lshSigCtes(32, 64)},
+      banded AS (
+        SELECT vec_id, b AS band, (sig >> (b*8)) & 255 AS key
+        FROM sigs, range(4) t(b)),
+      cands AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT id_a, id_b, $cosineSql AS score
+        FROM cands
+        JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) a ON a.vec_id = id_a
+        JOIN (SELECT vec_id, embedding AS cvec FROM embeddings) b ON b.vec_id = id_b),
+      pairs AS (SELECT id_a, id_b FROM scored WHERE score >= 0.3),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+      SELECT id, min(r) AS canonical_id FROM reach GROUP BY id ORDER BY id"""))
+
   private val q41 = QueryDef(
     "q41_event_hourly",
     (s, dir) => T(s, dir, "events")
@@ -1951,5 +1989,5 @@ object QueryCatalog {
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }
