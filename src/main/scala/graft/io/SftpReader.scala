@@ -96,6 +96,10 @@ object SftpReader {
       // .gz) but prefix an index so same-named files in different remote
       // dirs don't collide in the flat spool.
       val local = spool.resolve(f"$i%05d-${Paths.get(remote).getFileName}")
+      // deleteOnExit per FILE (the dir-only registration is a no-op on a
+      // non-empty dir): without it a long-running driver ingesting
+      // periodic feeds accumulates every staged byte under /tmp.
+      local.toFile.deleteOnExit()
       val in = transport.open(remote)
       try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
       finally in.close()

@@ -92,10 +92,12 @@ object SharepointIo {
   private val Formats = Set("csv", "json")
 
   private def fmtOf(options: Map[String, String], path: String): String = {
-    val fmt = options.get("file_type")
-      .orElse(Some(path).filter(_.contains(".")).map(_.split('.').last))
+    // Scan ALL dot segments for a known format so compressed names
+    // ("jan.csv.gz") resolve to csv, not gz; Spark decompresses by the
+    // trailing extension on its own.
+    val fromExt = path.toLowerCase.split('.').drop(1).findLast(Formats.contains)
+    val fmt = options.get("file_type").map(_.toLowerCase).orElse(fromExt)
       .getOrElse(sys.error("sharepoint reader needs file_type or a file extension"))
-      .toLowerCase
     require(Formats(fmt),
       s"sharepoint file_type must be one of $Formats, got '$fmt' " +
         "(the reference's Excel reader needs a spreadsheet lib not in this build)")
@@ -172,6 +174,10 @@ object SharepointIo {
     try {
       val staged = names.zipWithIndex.map { case (name, i) =>
         val local = spool.resolve(f"$i%05d-$name")
+        // deleteOnExit per FILE: a dir-only registration is a no-op on a
+        // non-empty dir, leaking the staged bytes of every read for the
+        // lifetime of a long-running driver.
+        local.toFile.deleteOnExit()
         val in = t.download(s"$folder/$name")
         try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
         finally in.close()
@@ -189,9 +195,18 @@ object SharepointIo {
       if (archive) {
         // Materialize BEFORE moving the remote files (reference caches +
         // counts for the same reason: the archive must not invalidate a
-        // lazy read).
+        // lazy read). From here the data is safely in the returned
+        // (cached) DataFrame, so each done-move is BEST-EFFORT: one
+        // failed move must not fail the whole read — a file that stays
+        // in the folder is re-read next run (duplicate, recoverable),
+        // whereas failing here would strand the already-done files as
+        // ingested-but-never-consumed (silent loss).
         df.cache().count()
-        names.foreach(n => t.move(s"$folder/$n", doneDir))
+        names.foreach { n =>
+          try t.move(s"$folder/$n", doneDir) catch { case _: Throwable => () }
+        }
+        // the cached df no longer needs the spool copies
+        staged.foreach { case (_, local) => Files.deleteIfExists(local) }
       }
       df
     } catch {

@@ -57,7 +57,13 @@ object StagedSwap {
     * leftover markers needed clearing, "rollback" if a pre-intent-era
     * crash was restored from `__old`. Safe to call any time under the
     * single-writer assumption. */
-  def recover(conf: Configuration, location: String): String = {
+  def recover(conf: Configuration, location: String): String =
+    recoverInternal(conf, location)._1
+
+  /** recover + the stage path named by a settled intent (so a retried
+    * commit can recognize its own completed swap). */
+  private def recoverInternal(
+      conf: Configuration, location: String): (String, Option[Path]) = {
     val live = new Path(location.stripSuffix("/"))
     val fs = live.getFileSystem(conf)
     val old = oldPath(location)
@@ -74,21 +80,21 @@ object StagedSwap {
           s"staged-swap recover: rename $stage -> $live failed")
         fs.delete(old, true)
         fs.delete(intentPath(location), false)
-        "forward"
-      case Some(_) =>
+        ("forward", Some(stage))
+      case Some(stage) =>
         // Stage already renamed away: the swap completed; the crash hit
         // between verification and marker cleanup. Just finalize.
         require(fs.exists(live),
           s"staged-swap recover: intent present, stage and $live both missing")
         fs.delete(old, true)
         fs.delete(intentPath(location), false)
-        "finalize"
+        ("finalize", Some(stage))
       case None if !fs.exists(live) && fs.exists(old) =>
         // Pre-intent crash shape (or a failed rollback): restore old.
         require(fs.rename(old, live),
           s"staged-swap recover: rename $old -> $live failed")
-        "rollback"
-      case None => "none"
+        ("rollback", None)
+      case None => ("none", None)
     }
   }
 
@@ -101,7 +107,13 @@ object StagedSwap {
     val fs = live.getFileSystem(conf)
     val old = oldPath(location)
     val stagePath = new Path(stage.stripSuffix("/"))
-    recover(conf, location)
+    val (action, settledStage) = recoverInternal(conf, location)
+    // A retried commit whose previous attempt crashed mid-swap: recovery
+    // just completed (or finalized) THIS swap from THIS stage — the commit
+    // has succeeded; re-staging nothing is the correct idempotent outcome.
+    if ((action == "forward" || action == "finalize") &&
+        settledStage.exists(_.toString == stagePath.toString) &&
+        !fs.exists(stagePath)) return
     require(fs.exists(stagePath), s"staged-swap: stage dir $stagePath does not exist")
     fs.delete(old, true)
 

@@ -46,6 +46,10 @@ object Versioned {
     val stagePath = new Path(stage.stripSuffix("/"))
     require(fs.exists(stagePath), s"versioned commit: stage $stagePath missing")
     if (fs.exists(live)) {
+      // A stray quarantine marker can only be left by a restore whose
+      // archive rename failed mid-flight; this live data is being
+      // committed over, so it must not poison the archive as quarantined.
+      fs.delete(new Path(live, QuarantineMarker), false)
       val next = versions(conf, location).lastOption.getOrElse(0) + 1
       require(fs.rename(live, versionPath(location, next)),
         s"versioned commit: archive $live -> v$next failed")
@@ -89,9 +93,13 @@ object Versioned {
     if (fs.exists(live)) {
       val next = vs.last.max(target) + 1
       val quarantined = versionPath(location, next)
+      // Marker goes INTO the (bad) live dir BEFORE the rename: written
+      // after, a crash between rename and marker would leave the bad data
+      // as the newest unmarked version — exactly what the next restore
+      // would then re-instate. Underscore-prefixed, so readers ignore it.
+      fs.create(new Path(live, QuarantineMarker)).close()
       require(fs.rename(live, quarantined),
         s"restore: archive of current live as v$next failed")
-      fs.create(new Path(quarantined, QuarantineMarker)).close()
     }
     require(fs.rename(versionPath(location, target), live),
       s"restore: rename v$target -> $live failed")

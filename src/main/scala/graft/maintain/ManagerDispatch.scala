@@ -61,6 +61,23 @@ object ManagerDispatch {
     operations.map(run(spark, _))
   }
 
+  /** Functions whose SQL text comes from `sql` OR a `path` DDL file —
+    * at least one must be present (mandatory-args registry can't express
+    * either/or). */
+  private val sqlOrPathOps = Set("create_table", "create_view", "execute_sql")
+
+  /** dry_run must be an actual boolean (or the strings "true"/"false"):
+    * anything else failing silently to `false` would turn a "dry run"
+    * into a destructive one. */
+  private def dryRunValue(op: Map[String, Any]): Either[String, Boolean] =
+    op.get("dry_run") match {
+      case None => Right(false)
+      case Some(b: Boolean) => Right(b)
+      case Some(s: String) if s.equalsIgnoreCase("true") => Right(true)
+      case Some(s: String) if s.equalsIgnoreCase("false") => Right(false)
+      case Some(other) => Left(s"dry_run must be boolean, got '$other'")
+    }
+
   private def validate(op: Map[String, Any], i: Int): Seq[String] = {
     val manager = A.str(op, "manager")
     val function = A.str(op, "function")
@@ -78,9 +95,19 @@ object ManagerDispatch {
           Seq(s"op[$i]: Function '$fn' not supported for ${manager.get} manager")
         case Some(fn) =>
           val missing = ops(fn).filterNot(op.contains)
-          if (missing.isEmpty) Seq.empty
-          else Seq(s"op[$i]: Missing mandatory parameters for ${manager.get} " +
-            s"manager function $fn: ${missing.mkString(", ")}")
+          val missingErr =
+            if (missing.nonEmpty)
+              Seq(s"op[$i]: Missing mandatory parameters for ${manager.get} " +
+                s"manager function $fn: ${missing.mkString(", ")}")
+            else Seq.empty
+          val sqlErr =
+            if (sqlOrPathOps(fn) && !op.contains("sql") && !op.contains("path"))
+              Seq(s"op[$i]: $fn needs 'sql' or 'path'")
+            else if (fn == "create_tables" && !op.contains("path"))
+              Seq(s"op[$i]: create_tables needs 'path'")
+            else Seq.empty
+          val dryErr = dryRunValue(op).left.toSeq.map(e => s"op[$i]: $e")
+          missingErr ++ sqlErr ++ dryErr
       }
     }
   }
@@ -117,7 +144,7 @@ object ManagerDispatch {
         s"table/$fn: ok"
       case "file" =>
         val fm = new FileManager(spark)
-        val dryRun = A.bool(op, "dry_run")
+        val dryRun = dryRunValue(op).fold(e => throw new RuntimeException(e), identity)
         def obj(bucketKey: String, objKey: String) =
           s(bucketKey).stripSuffix("/") + "/" + s(objKey).stripPrefix("/")
         fn match {
@@ -128,12 +155,19 @@ object ManagerDispatch {
             s"file/delete_objects: ${deleted.count(_._2)}/${deleted.size}" +
               (if (dryRun) " (dry_run)" else "")
           case "copy_objects" =>
-            if (!dryRun) fm.copy(obj("bucket", "source_object"),
-              obj("destination_bucket", "destination_object"))
+            // Hadoop copy/rename signal failure by RETURN VALUE: a
+            // swallowed false would report "ok" for a copy that never
+            // happened (and a follow-up source delete would lose data).
+            if (!dryRun)
+              require(fm.copy(obj("bucket", "source_object"),
+                obj("destination_bucket", "destination_object")),
+                s"copy_objects failed: ${obj("bucket", "source_object")}")
             s"file/copy_objects: ok" + (if (dryRun) " (dry_run)" else "")
           case "move_objects" =>
-            if (!dryRun) fm.move(obj("bucket", "source_object"),
-              obj("destination_bucket", "destination_object"))
+            if (!dryRun)
+              require(fm.move(obj("bucket", "source_object"),
+                obj("destination_bucket", "destination_object")),
+                s"move_objects failed: ${obj("bucket", "source_object")}")
             s"file/move_objects: ok" + (if (dryRun) " (dry_run)" else "")
           case "request_restore" | "check_restore_status" |
                "request_restore_to_destination_and_wait" =>

@@ -23,17 +23,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   1. drop batch docs that near-dup an INDEXED corpus doc (checkBatch);
   *   2. drop within-batch near-dups keep-lowest-id (one-shot operator on
   *      the survivors — batches are bounded, so this is cheap);
-  *   3. append the survivors' signatures to the index;
-  *   4. append the surviving rows to `sinkDir` (parquet).
+  *   3. append the surviving rows to the sink;
+  *   4. only then append the survivors' signatures to the index (a failed
+  *      sink write must not poison the index — see [[dedupBatch]]).
   */
 object StreamingDedup {
 
   /** One micro-batch of the dedup plan — exposed for batch-mode reuse and
-    * direct testing. Returns the surviving rows (already appended to the
-    * index). */
+    * direct testing. The survivors are handed to `sink` FIRST and appended
+    * to the index only after the sink write returns: a failed sink write
+    * must not leave "phantom" signatures in the index that would silently
+    * drop re-submitted (or future near-identical) documents from the sink
+    * forever. The reverse failure — sink written, append crashed, batch
+    * replayed — re-emits the batch's survivors (at-least-once, the
+    * standard foreachBatch contract; dedup by id downstream if the sink
+    * needs exactly-once). Returns the surviving rows. */
   def dedupBatch(
       batch: DataFrame, idCol: String, textCol: String,
-      index: MinhashIndex): DataFrame = {
+      index: MinhashIndex, sink: DataFrame => Unit): DataFrame = {
     val b = batch.localCheckpoint() // bounded; avoids re-running the source
     val vsCorpus = index.checkBatch(b, idCol, textCol)
       .select(col("batch_id").as(idCol)).distinct()
@@ -44,7 +51,8 @@ object StreamingDedup {
         numBands = index.numBands, threshold = index.threshold)
       .select(col("id_b").as(idCol)).distinct() // keep-lowest-id
     val survivors = freshVsCorpus.join(innerDups, Seq(idCol), "left_anti")
-      .localCheckpoint() // both the index append and the sink write read this
+      .localCheckpoint() // the sink write and the index append read this
+    sink(survivors)
     index.append(survivors, idCol, textCol)
     survivors
   }
@@ -59,8 +67,8 @@ object StreamingDedup {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, idCol, textCol, index)
-          .write.mode("append").parquet(sinkDir)
+        dedupBatch(batch, idCol, textCol, index,
+          _.write.mode("append").parquet(sinkDir))
         ()
       }
       .start()

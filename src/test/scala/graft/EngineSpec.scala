@@ -90,6 +90,44 @@ class EngineSpec extends SparkSpec {
     intercept[RuntimeException] { Engine.executeManager(spark, """{"operations": []}""") }
   }
 
+  test("executeManager: dry_run strings honored, bad types and argless creates rejected") {
+    val dir = tmpDir("mgr2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/keep.txt"), "payload")
+    // a STRING "true" must behave as a dry run, never silently as false
+    val st = Engine.executeManager(spark,
+      s"""{"operations": [
+         |  {"manager": "file", "function": "delete_objects", "dry_run": "true",
+         |   "bucket": "$dir", "object_paths": ["keep.txt"]}
+         |]}""".stripMargin)
+    assert(st.head.contains("dry_run"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/keep.txt")))
+    // non-boolean dry_run and create_table with neither sql nor path are
+    // both caught at validation, before anything runs
+    val err = intercept[RuntimeException] {
+      Engine.executeManager(spark,
+        s"""{"operations": [
+           |  {"manager": "file", "function": "delete_objects", "dry_run": 5,
+           |   "bucket": "$dir", "object_paths": ["keep.txt"]},
+           |  {"manager": "table", "function": "create_table"}
+           |]}""".stripMargin)
+    }
+    assert(err.getMessage.contains("dry_run must be boolean"))
+    assert(err.getMessage.contains("needs 'sql' or 'path'"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/keep.txt")))
+    // a failed move must surface loudly, never as "ok" — local FS throws
+    // FileNotFoundException; object stores return false, which the
+    // dispatcher's require() turns into IllegalArgumentException
+    intercept[Exception] {
+      Engine.executeManager(spark,
+        s"""{"operations": [
+           |  {"manager": "file", "function": "move_objects", "dry_run": false,
+           |   "bucket": "$dir", "source_object": "nope.txt",
+           |   "destination_bucket": "$dir", "destination_object": "out.txt"}
+           |]}""".stripMargin)
+    }
+  }
+
   test("generateSensorSapLogchainQuery reproduces the reference template") {
     assert(Engine.generateSensorSapLogchainQuery("MY_CHAIN") ==
       "WITH sensor_new_data AS (" +

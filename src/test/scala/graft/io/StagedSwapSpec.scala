@@ -121,4 +121,21 @@ class StagedSwapSpec extends SparkSpec {
     assert(StagedSwap.recover(conf, live) == "none")
     assert(readMarker(live) == "v1")
   }
+
+  test("retried commit after a mid-swap crash is an idempotent success") {
+    val base = tmpDir("swap")
+    val live = s"$base/t"
+    val stage = s"${live}__stage"
+    // crash after live -> __old with intent declared; the orchestrator
+    // retries commit with the SAME stage argument
+    writeDir(s"${live}__old", "v1")
+    writeDir(stage, "v2")
+    writeIntentFile(live, stage)
+    StagedSwap.commit(conf, live, stage) // must not throw "stage missing"
+    assert(readMarker(live) == "v2")
+    // a retry with a DIFFERENT (absent) stage still fails loudly
+    intercept[IllegalArgumentException] {
+      StagedSwap.commit(conf, live, s"${live}__other_stage")
+    }
+  }
 }

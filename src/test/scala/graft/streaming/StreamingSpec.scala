@@ -323,5 +323,15 @@ class StreamingSpec extends SparkSpec {
     // the index grew by exactly the survivors (1 seed + 102 + 202, x bands)
     assert(spark.read.parquet(idxLoc).select("id").distinct()
       .as[Long].collect().toSet == Set(1L, 102L, 202L))
+    // a FAILED sink write must not leave phantom signatures in the index:
+    // the doc would otherwise be dropped as a "corpus dup" on every retry
+    // without ever reaching the sink
+    intercept[RuntimeException] {
+      graft.streaming.StreamingDedup.dedupBatch(
+        Seq((301L, "totally new content never seen before today")).toDF("doc_id", "text"),
+        "doc_id", "text", idx, _ => throw new RuntimeException("sink down"))
+    }
+    assert(spark.read.parquet(idxLoc).select("id").distinct()
+      .as[Long].collect().toSet == Set(1L, 102L, 202L)) // unchanged
   }
 }
