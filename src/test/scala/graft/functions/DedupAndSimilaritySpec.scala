@@ -331,6 +331,33 @@ class DedupAndSimilaritySpec extends SparkSpec {
       oneShot.contains((math.min(b, c), math.max(b, c))) })
   }
 
+  test("MinhashIndex replay safety: re-checking an appended batch adds no self-hits") {
+    // StreamingDedup's crash story depends on this: if the sink write
+    // succeeded but the run died before/after append, the replayed batch
+    // must compute the SAME corpus verdicts — a doc must never be flagged
+    // against its own appended signatures (filtered by id equality), and
+    // append must not change cross-batch verdicts.
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val loc = tmpDir("mhidx-replay") + "/index"
+    val idx = MinhashIndex.build(corpus, "doc_id", "text", loc,
+      shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of corpus doc 1
+      (11L, "wholly novel content with no indexed relative"))
+      .toDF("doc_id", "text")
+    def verdicts() = idx.checkBatch(batch, "doc_id", "text")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val before = verdicts()
+    assert(before == Set((10L, 1L)))
+    idx.append(batch, "doc_id", "text")
+    // replay: identical verdicts — 10 and 11 do not match THEMSELVES
+    assert(verdicts() == before)
+    // double append (replayed append) still adds no self-hits
+    idx.append(batch, "doc_id", "text")
+    assert(verdicts() == before)
+  }
+
   test("kernel parity fuzz: shingle kernels vs HOF chain on adversarial strings") {
     // The whole cross-engine oracle family rests on these kernels
     // producing exactly the HOF-chain semantics; fuzz with whitespace
