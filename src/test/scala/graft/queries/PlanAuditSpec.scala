@@ -115,21 +115,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(n77 >= 1, "walker found no documents scan — traversal is broken")
     assert(n77 <= 2,
       s"q77 scans documents $n77 times; the qualified corpus must be staged once")
-    // q76's SHUFFLES must be id-only: the candidate-pair dedup is the one
-    // wide exchange, and it must never carry shingle arrays. (The
-    // verification joins DO move arrays for surviving pairs — at this SF
-    // the planner broadcasts those small sides, at scale they shuffle
-    // survivors only; both are the designed shape.)
-    val q76 = QueryCatalog.all.find(_.name == "q76_incremental_dedup").get
-    val plan76 = q76.run(spark, sfDir).queryExecution.executedPlan
-    val arrayShuffles = collectPlans(plan76).collect {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if s.output.exists(_.dataType.isInstanceOf[
-            org.apache.spark.sql.types.ArrayType]) =>
-        s.output.map(_.name).mkString(",")
+    // The dedup family's SHUFFLES must be id-only: candidate generation
+    // and pair dedup are the wide exchanges, and they must never carry
+    // signature/shingle/embedding arrays — that discipline is what keeps
+    // the 50× scale curve sub-linear. (The verification joins DO move
+    // arrays for surviving pairs — at this SF the planner broadcasts
+    // those small sides, at scale they shuffle survivors only; both are
+    // the designed shape and neither appears as an array-carrying
+    // ShuffleExchange here.)
+    val arrayShufflePinned = Seq("q31_dedup_minhash", "q32_dedup_simhash",
+      "q40_embedding_neardup", "q76_incremental_dedup", "q78_embedding_clusters")
+    val offenders = arrayShufflePinned.flatMap { name =>
+      val q = QueryCatalog.all.find(_.name == name).get
+      collectPlans(q.run(spark, sfDir).queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if s.output.exists(_.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType]) =>
+          s"$name: ${s.output.map(_.name).mkString(",")}"
+      }
     }
-    assert(arrayShuffles.isEmpty,
-      s"q76 shuffle exchange carries array columns: ${arrayShuffles.mkString("; ")}")
+    assert(offenders.isEmpty,
+      s"candidate shuffles carrying array columns: ${offenders.mkString("; ")}")
   }
 
   test("the duplicate detector fires on the known-bad unfenced shape (negative control)") {
