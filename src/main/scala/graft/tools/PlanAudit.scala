@@ -39,47 +39,48 @@ object PlanAudit {
       |
       |""".stripMargin
 
-  // Measured by graft.tools.ScaleCurve (round 5, 2026-08-12).
+  // Measured by graft.tools.ScaleCurve (round 5, 2026-08-12/13).
   private val scaling =
-    """## SCALING — measured three-point curve for the dedup/ANN/text family
+    """## SCALING — measured four-point curve for the dedup/ANN/text family
       |
       |`graft.tools.ScaleCurve` times the dedup/ANN operators plus the ten
-      |documents-only catalog queries at sf0.1 (5k docs / 2k vectors) and at
-      |10× and 50× derived corpora (up to 250k docs / 100k vectors; copies
-      |offset ids and rewrite every token with a copy suffix, so per-copy
-      |duplicate structure is preserved while cross-copy shingles stay
-      |disjoint — linear workload growth, the regime the banded operators
-      |are designed for). Probe/batch sides stay FIXED. min-of-2 wall
-      |seconds, local[32], idle host (1× and 50× from one run; 10× from a
-      |separate idle run with its own statistically-equal base):
+      |documents-only catalog queries at sf0.1 (5k docs / 2k vectors) and
+      |at 10×, 50× and 200× derived corpora (up to 1,000,000 docs / 400k
+      |vectors; copies offset ids and rewrite every token with a copy
+      |suffix, so per-copy duplicate structure is preserved while
+      |cross-copy shingles stay disjoint — linear workload growth, the
+      |regime the banded operators are designed for). Probe/batch sides
+      |stay FIXED. min-of-2 wall seconds, local[32], idle host (each
+      |scaled point from its own run with a statistically-equal base;
+      |1× column from the ×200 run):
       |
-      || operator | 1× | 10× | 50× | growth @50× | dropped_buckets |
-      ||---|---|---|---|---|---|
-      || q31 minhash near-dup | 0.97 | 1.32 | 6.86 | 7.1× | 0 |
-      || q32 simhash near-dup | 0.62 | 1.05 | 1.19 | 1.9× | 0 |
-      || q39 LSH ANN top-k (fixed probes) | 0.75 | 0.96 | 1.62 | 2.2× | 0 |
-      || q50 IVF ANN top-k (fixed probes) | 0.55 | 0.62 | 0.78 | 1.4× | 0 |
-      || q76 incremental checkBatch | 0.51 | 0.75 | 0.95 | 1.9× | 0 |
-      || q30 exact dedup | 0.25 | 0.51 | 0.63 | 2.5× | — |
-      || q33 n-gram jaccard pairs | 0.70 | 0.61 | 0.55 | 0.8× | — |
-      || q34 text quality stats | 0.25 | 0.20 | 0.15 | 0.6× | — |
-      || q35 lang-id | 0.15 | 0.17 | 0.14 | 0.9× | — |
-      || q58 sequence packing | 0.31 | 0.36 | 0.58 | 1.9× | — |
-      || q60 distinctive terms (tf-idf) | 0.52 | 0.73 | 0.70 | 1.3× | — |
-      || q66 decontamination | 0.42 | 0.51 | 1.64 | 3.9× | — |
-      || q69 vocabulary | 0.30 | 0.45 | 0.71 | 2.4× | — |
-      || q75 repetition screens | 0.31 | 0.47 | 0.96 | 3.1× | — |
-      || q77 full curation pipeline | 1.10 | 1.90 | 3.85 | 3.5× | — |
+      || operator | 1× | 10× | 50× | 200× | growth @200× | dropped_buckets |
+      ||---|---|---|---|---|---|---|
+      || q31 minhash near-dup | 0.95 | 1.32 | 6.86 | 13.67 | 14.3× | 0 |
+      || q32 simhash near-dup | 0.53 | 1.05 | 1.19 | 3.01 | 5.7× | 0 |
+      || q39 LSH ANN top-k (fixed probes) | 0.71 | 0.96 | 1.62 | 3.08 | 4.4× | 0 |
+      || q50 IVF ANN top-k (fixed probes) | 0.61 | 0.62 | 0.78 | 2.53 | 4.1× | 0 |
+      || q76 incremental checkBatch | 0.44 | 0.75 | 0.95 | 1.47 | 3.3× | 0 |
+      || q30 exact dedup | 0.24 | 0.51 | 0.63 | 1.43 | 6.0× | — |
+      || q33 n-gram jaccard pairs | 0.47 | 0.61 | 0.55 | 0.90 | 1.9× | — |
+      || q34 text quality stats | 0.16 | 0.20 | 0.15 | 0.15 | 1.0× | — |
+      || q35 lang-id | 0.13 | 0.17 | 0.14 | 0.16 | 1.2× | — |
+      || q58 sequence packing | 0.24 | 0.36 | 0.58 | 1.02 | 4.3× | — |
+      || q60 distinctive terms (tf-idf) | 0.43 | 0.73 | 0.70 | 0.77 | 1.8× | — |
+      || q66 decontamination | 0.35 | 0.51 | 1.64 | 1.90 | 5.5× | — |
+      || q69 vocabulary | 0.30 | 0.45 | 0.71 | 2.06 | 6.8× | — |
+      || q75 repetition screens | 0.30 | 0.47 | 0.96 | 1.54 | 5.2× | — |
+      || q77 full curation pipeline | 0.93 | 1.90 | 3.85 | 10.25 | 11.0× | — |
       |
       |Every operator grows SUB-linearly in corpus size across the whole
-      |range: 50× rows cost at most 7.1× wall (q31, whose candidate count
-      |grows with its 50× duplicate-pair workload) and typically 1–4×;
-      |fixed per-query overheads (job scheduling, codegen) still dominate
-      |at these SFs. Nothing is super-linear, which is what a banded
-      |equi-join family must show: a quadratic candidate generator would
-      |grow ≥2500× at the 50× point. Bucket caps were never hit
-      |(`dropped_buckets` = 0 at every point), so the measured times carry
-      |zero recall loss. Re-run with `sbt "runMain graft.tools.ScaleCurve"`
+      |range: 200× rows (one MILLION documents, minhash-deduped in 13.7 s
+      |on one node) cost at most 14.3× wall and typically 1–6×; fixed
+      |per-query overheads still dominate at the small end. Nothing is
+      |super-linear, which is what a banded equi-join family must show: a
+      |quadratic candidate generator would grow ≥40,000× at the 200×
+      |point. Bucket caps were never hit (`dropped_buckets` = 0 at every
+      |point), so the measured times carry zero recall loss. Re-run with
+      |`sbt "runMain graft.tools.ScaleCurve"`
       |(env `SPARK_GRAFT_SCALE_DIR`, `SPARK_GRAFT_SCALE_COPIES`).
       |
       |""".stripMargin
