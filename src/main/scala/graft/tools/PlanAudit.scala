@@ -81,7 +81,31 @@ object PlanAudit {
       |point. Bucket caps were never hit (`dropped_buckets` = 0 at every
       |point), so the measured times carry zero recall loss. Re-run with
       |`sbt "runMain graft.tools.ScaleCurve"`
-      |(env `SPARK_GRAFT_SCALE_DIR`, `SPARK_GRAFT_SCALE_COPIES`).
+      |(env `SPARK_GRAFT_SCALE_DIR`, `SPARK_GRAFT_SCALE_COPIES`,
+      |`SPARK_GRAFT_SCALE_ONLY`).
+      |
+      |Embedding-pair operators at 200× (400k vectors, per-copy sign-flip
+      |perturbation so cross-copy cosine decorrelates — the embedding
+      |analogue of the documents' token suffix):
+      |
+      || operator | 1× | 200× | growth @200× | dropped_buckets |
+      ||---|---|---|---|---|
+      || q40 embedding near-dup, 64-bit sigs | 1.62 | 52.8 | 33× | 0 |
+      || q78 near-dup clusters (GraphX CC), 64-bit sigs | 2.08 | 105.9 | 51× | 0 |
+      |
+      |Two scale lessons measured rather than asserted: (1) the banded KEY
+      |WIDTH is a scale knob — the catalog's 32-bit/8-bit-key default is
+      |right for 2k vectors but at 400k vectors an 8-bit key space
+      |collides ~0.4% of ALL pairs (~10⁹ candidates, the quadratic regime
+      |the operator exists to avoid), so these rows run the same operator
+      |at numBits=64 (16-bit keys, ~64× fewer random collisions); (2) the
+      |synthetic embeddings are DENSE at threshold 0.3 — for random
+      |64-dim vectors P(cos ≥ 0.3) ≈ 0.8%, so the true-pair set itself
+      |grows ~quadratically and LSH recall (not the candidate join) is
+      |what bounds the output; growth stays sub-linear (33×/51× for 200×
+      |rows) with zero dropped buckets. On a real near-dup corpus (sparse
+      |true pairs) the documents-side curve above is the representative
+      |one.
       |
       |""".stripMargin
 

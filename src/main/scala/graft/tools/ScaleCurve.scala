@@ -40,7 +40,19 @@ object ScaleCurve {
     val maxId = emb.agg(max("vec_id")).head.getLong(0)
     (0 until Copies).map { i =>
       if (i == 0) emb
-      else emb.withColumn("vec_id", col("vec_id") + lit(i * (maxId + 1)))
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(i * (maxId + 1)))
+        // Per-copy deterministic SIGN FLIP per dimension: cosine within a
+        // copy is untouched (both vectors flip the same dims), cosine
+        // across copies decorrelates to ~0 — the embedding analogue of
+        // the per-copy token suffix on documents. Without it every vector
+        // has Copies-1 exact clones and the true-pair workload grows
+        // QUADRATICALLY in Copies, drowning the scaling signal in an
+        // adversarial all-clones corpus.
+        .withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            x * when(pmod(lit(i.toLong * 2654435761L) + j * 40503L, lit(2)) === 0,
+              1.0f).otherwise(-1.0f)))
     }.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -88,6 +100,26 @@ object ScaleCurve {
           e.where(col("vec_id") >= 10 && col("vec_id") < 20), "vec_id", "embedding",
           k = 7, nLists = 16, nProbe = 16), None)
       }),
+      // Embedding near-dup + clustering with the banded key width SIZED
+      // FOR THE CORPUS: the catalog's q40/q78 default (32 bits, 8-bit
+      // band keys) is right for 2k vectors but at 400k vectors an 8-bit
+      // key space collides ~0.4% of ALL pairs — ~10^9 candidates, the
+      // quadratic regime the operator exists to avoid. numBits is the
+      // scale knob (16-bit keys here → ~64x fewer random collisions);
+      // measuring the operator at deliberately-undersized keys would
+      // report the misconfiguration, not the algorithm.
+      "q40_neardup_64bit" -> (() => {
+        val o = Observation()
+        (SimilarityFunctions.embeddingNearDuplicates(
+          emb, "vec_id", "embedding", dim = 64, threshold = 0.3,
+          numBits = 64, numBands = 4, dropObservation = Some(o)), Some(o))
+      }),
+      "q78_clusters_64bit" -> (() => {
+        val pairs = SimilarityFunctions.embeddingNearDuplicates(
+          emb, "vec_id", "embedding", dim = 64, threshold = 0.3,
+          numBits = 64, numBands = 4)
+        (DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b")), None)
+      }),
       // index build is one-off; the timed op is the incremental check,
       // mirroring the bench's own q76 treatment
       "q76_check_batch" -> {
@@ -98,9 +130,10 @@ object ScaleCurve {
       })
   }
 
-  /** Catalog queries that read ONLY documents.parquet — the rest of the
-    * training-data pipeline, timed as-is on both corpus sizes. */
-  private val textFamily = Seq(
+  /** Catalog queries that read ONLY documents.parquet or
+    * embeddings.parquet — the rest of the training-data pipeline, timed
+    * as-is on both corpus sizes. */
+  private val catalogFamily = Seq(
     "q30_dedup_exact", "q33_ngram_jaccard", "q34_text_quality",
     "q35_lang_id", "q58_sequence_pack", "q60_distinctive_terms",
     "q66_contamination", "q69_vocabulary", "q75_repetition_metrics",
@@ -117,17 +150,27 @@ object ScaleCurve {
       confs = Map(
         "spark.sql.shuffle.partitions" -> sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
         "spark.ui.enabled" -> "false"))
-    scaleDocs(spark, base, scaled)
-    scaleEmbeddings(spark, base, scaled)
+    // Reuse an already-generated scaled corpus (same dir + copies):
+    // generation is the expensive one-off, the timings are the point.
+    if (!new java.io.File(s"$scaled/documents.parquet/_SUCCESS").exists())
+      scaleDocs(spark, base, scaled)
+    if (!new java.io.File(s"$scaled/embeddings.parquet/_SUCCESS").exists())
+      scaleEmbeddings(spark, base, scaled)
     val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
 
     val catalog = graft.SparkEntry.queries
+    // SPARK_GRAFT_SCALE_ONLY: comma-separated substring filter on op
+    // names, so a single added row doesn't force re-timing the table.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String) = only.forall(_.exists(name.contains))
     val sections = Seq("base" -> base, s"x$Copies" -> scaled).map { case (tag, dir) =>
-      val rows = ops(spark, dir, s"$work/idx").map { case (name, run) =>
+      val rows = ops(spark, dir, s"$work/idx").filter(o => selected(o._1))
+        .map { case (name, run) =>
         val (sec, dropped) = time(run)
         println(s"[scale-curve] $tag $name ${f"$sec%.2f"}s dropped=$dropped")
         s""""$name":{"sec":$sec,"dropped_buckets":$dropped}"""
-      } ++ textFamily.map { name =>
+      } ++ catalogFamily.filter(selected).map { name =>
         val (sec, _) = time(() => (catalog(name)(spark, dir), None))
         println(s"[scale-curve] $tag $name ${f"$sec%.2f"}s")
         s""""$name":{"sec":$sec}"""
