@@ -139,6 +139,35 @@ object ScaleCurve {
     "q66_contamination", "q69_vocabulary", "q75_repetition_metrics",
     "q77_curation_pipeline")
 
+  /** Measured LSH pair-recall on a ~500-vector sample of `dir`'s corpus:
+    * brute-force the sample's true cos≥threshold pairs, run the banded
+    * operator on the same sample, report |caught| / |true|. Pair recall
+    * depends only on the two signatures, so sampling is unbiased; this
+    * turns the SCALING claim "LSH recall, not the candidate join, bounds
+    * the output" into a number. */
+  private def lshRecallSample(
+      spark: SparkSession, dir: String, numBits: Int, threshold: Double)
+      : (Long, Long, Double) = {
+    import graft.functions.SimilarityFunctions
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = math.max(1L, emb.count() / 500L)
+    // hash-based pick: a plain modulus interacts with the copy-offset id
+    // structure and samples the same few ORIGINAL vectors in every copy
+    val sample = emb.where(pmod(hash(col("vec_id")), lit(k)) === 0).localCheckpoint()
+    val a = sample.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = sample.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
+      .where(SimilarityFunctions.cosine(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+    val caught = SimilarityFunctions.embeddingNearDuplicates(
+        sample, "vec_id", "embedding", dim = 64, threshold = threshold,
+        numBits = numBits, numBands = 4)
+      .select("id_a", "id_b")
+    val nTrue = truePairs.count()
+    val nCaught = truePairs.join(caught, Seq("id_a", "id_b"), "left_semi").count()
+    (nTrue, nCaught, if (nTrue == 0) 1.0 else nCaught.toDouble / nTrue)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
@@ -177,7 +206,12 @@ object ScaleCurve {
       }
       s""""$tag":{${rows.mkString(",")}}"""
     }
-    println(s"""{"metric":"scale_curve","copies":$Copies,"scaled_docs":$nDocs,${sections.mkString(",")}}""")
+    val recallJson = if (sys.env.get("SPARK_GRAFT_SCALE_RECALL").contains("true")) {
+      val (nTrue, nCaught, recall) = lshRecallSample(spark, scaled, 64, 0.3)
+      println(f"[scale-curve] x$Copies lsh_recall_sample $recall%.3f ($nCaught/$nTrue)")
+      s""","lsh_recall":{"true_pairs":$nTrue,"caught":$nCaught,"recall":$recall}"""
+    } else ""
+    println(s"""{"metric":"scale_curve","copies":$Copies,"scaled_docs":$nDocs,${sections.mkString(",")}$recallJson}""")
     spark.stop()
   }
 }
