@@ -105,27 +105,45 @@ object SimilarityFunctions {
     * Trades recall for removing the |corpus| x |queries| blow-up — at scale
     * both sides shuffle on (band, key) only.
     */
+  /** @param probeBitFlips multi-probe level: 0 probes only each band's
+    *        own bucket (exact-match LSH, the hash-verifiable default);
+    *        1 additionally probes every single-bit-flip neighbor of each
+    *        QUERY band key — rowsPerBand extra probes per band per query,
+    *        a large recall gain for near-boundary vectors at zero corpus
+    *        cost (the corpus posting side is untouched; only the
+    *        broadcast query-key set grows). */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      dim: Int, k: Int, numBits: Int = 16, numBands: Int = 4): DataFrame = {
+      dim: Int, k: Int, numBits: Int = 16, numBands: Int = 4,
+      probeBitFlips: Int = 0): DataFrame = {
+    require(probeBitFlips == 0 || probeBitFlips == 1,
+      "probeBitFlips supports 0 (exact bucket) or 1 (single-bit multi-probe)")
     val rows = numBits / numBands
     // Candidate generation is id-only: the bucket join and the
     // (query, neighbor) dedup shuffle carry no vectors; vectors join back
     // only for surviving pairs (queries broadcast — small by construction;
     // corpus vectors via a column-pruned scan).
-    def banded(df: DataFrame, id: String, vec: String, idOut: String) =
+    def banded(df: DataFrame, id: String, vec: String, idOut: String,
+        flips: Int) =
       df.select(col(id).as(idOut),
         lshSignature(col(vec), dim, numBits).as("sig"))
         .select(col(idOut),
-          explode(array((0 until numBands).map { b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), b * rows)
-                .bitwiseAND(lit((1L << rows) - 1)).as("key"))
+          explode(array((0 until numBands).flatMap { b =>
+            val key = shiftright(col("sig"), b * rows)
+              .bitwiseAND(lit((1L << rows) - 1))
+            val own = struct(lit(b).as("band"), key.as("key"))
+            val flipped =
+              if (flips == 0) Seq.empty
+              else (0 until rows).map(bit =>
+                struct(lit(b).as("band"),
+                  key.bitwiseXOR(lit(1L << bit)).as("key")))
+            own +: flipped
           }: _*)).as("bk"))
         .select(col(idOut), col("bk.band").as("band"), col("bk.key").as("key"))
-    val c = banded(corpus, corpusId, corpusVec, "neighbor_id")
-    val q = banded(queries, queryId, queryVec, "query_id")
+    val c = banded(corpus, corpusId, corpusVec, "neighbor_id", flips = 0)
+    val q = banded(queries, queryId, queryVec, "query_id", probeBitFlips)
+      .dropDuplicates("query_id", "band", "key")
     val cands = c.join(broadcast(q), Seq("band", "key"))
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
@@ -157,7 +175,16 @@ object SimilarityFunctions {
       .search(queries, queryId, queryVec, k, nProbe)
 
   /** All corpus pairs with cosine similarity >= threshold via LSH buckets
-    * (embedding near-duplicate detection). */
+    * (embedding near-duplicate detection).
+    *
+    * OPERATING POINT (measured, see PLANS.md SCALING): banded sign-LSH is
+    * a NEAR-duplicate detector — band-match probability is
+    * (1 - acos(cos)/pi)^rowsPerBand per band, ~93% catch at cos 0.99 but
+    * ~3e-4 per band at cos 0.3 (sampled recall 7% at that threshold).
+    * Use thresholds >= ~0.85 here; for low-threshold pair retrieval use
+    * [[bruteForceTopK]] or [[ivfTopK]]. Scale knob: `numBits` — key
+    * space must grow with the corpus (8-bit keys collide ~0.4% of ALL
+    * pairs at 400k vectors; use >= 64 bits there). */
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,

@@ -134,6 +134,17 @@ class DedupAndSimilaritySpec extends SparkSpec {
     val rAll = recall(ivfAll)
     assert(rAll >= rIvf)
     assert(rAll == 1.0, s"full-probe IVF must equal brute force, got $rAll")
+    // single-bit multi-probe widens only the broadcast query-key set and
+    // must dominate exact-bucket recall (strictly helps near-boundary
+    // vectors on iid embeddings)
+    val lshMp = SimilarityFunctions.lshTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        dim = 64, k = 5, probeBitFlips = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val rMp = recall(lshMp)
+    info(f"recall@5: lsh multi-probe(1 bit)=$rMp%.2f vs exact-bucket=$rLsh%.2f")
+    assert(rMp >= rLsh, s"multi-probe recall $rMp below exact-bucket $rLsh")
+    assert(rMp >= 0.6, s"multi-probe LSH recall@5 too low: $rMp")
   }
 
   test("duplicate clusters: connected components map members to min id") {
