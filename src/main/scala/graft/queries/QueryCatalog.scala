@@ -930,6 +930,55 @@ object QueryCatalog {
       SELECT id_a, id_b, round(score, 6) AS score
       FROM scored WHERE score >= 0.3 ORDER BY id_a, id_b"""))
 
+  /** Multi-probe LSH ANN: q39's banded search with probeBitFlips=1 — each
+    * QUERY band key also probes its single-bit-flip neighbors. The oracle
+    * mirrors the probe expansion exactly (xor over range(rowsPerBand)),
+    * so the recall-improved path is hash-verified cross-engine, not just
+    * asserted monotone in tests. */
+  private val q79 = QueryDef(
+    "q79_ann_multiprobe",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      SimilarityFunctions.lshTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          dim = 64, k = 5, probeBitFlips = 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 6).as("score"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${lshSigCtes(16, 64)},
+      banded AS (
+        SELECT vec_id, b AS band, (sig >> (b*4)) & 15 AS key
+        FROM sigs, range(4) t(b)),
+      qb AS (
+        SELECT vec_id, b AS band, (sig >> (b*4)) & 15 AS key0
+        FROM sigs, range(4) t(b) WHERE vec_id < 10),
+      qkeys AS (
+        SELECT DISTINCT vec_id, band, key0 AS key FROM qb
+        UNION
+        SELECT DISTINCT vec_id, band, xor(key0, 1 << f) AS key
+        FROM qb, range(4) r(f)),
+      cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM banded c JOIN qkeys q ON c.band = q.band AND c.key = q.key
+        WHERE c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id, $cosineSql AS score
+        FROM cands
+        JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) qq
+          ON qq.vec_id = query_id
+        JOIN (SELECT vec_id, embedding AS cvec FROM embeddings) cc
+          ON cc.vec_id = neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+                 AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, round(score, 6) AS score, rnk
+      FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   /** GraphX connected components over the EMBEDDING near-duplicate pairs
     * (q40's hyperplane-LSH candidate generator + exact cosine verify),
     * hash-verified against a recursive-CTE reachability closure — the
@@ -1989,5 +2038,5 @@ object QueryCatalog {
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }
