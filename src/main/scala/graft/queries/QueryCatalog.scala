@@ -1895,6 +1895,63 @@ object QueryCatalog {
       })
   }
 
+  /** Separate per-JVM index for q80: [[graft.streaming.StreamingDedup
+    * .dedupBatch]] APPENDS the batch's survivors, so sharing q76's index
+    * would contaminate its corpus with batch ids across bench passes.
+    * Appends are idempotent for the fixed batch (replay-safety invariant),
+    * so min-of-two passes return identical survivors. */
+  private object MhIdx80 {
+    private lazy val base =
+      java.nio.file.Files.createTempDirectory("graft-mhidx80-").toString
+    private val built =
+      scala.collection.concurrent.TrieMap.empty[String, graft.functions.MinhashIndex]
+    def forDir(s: SparkSession, dir: String): graft.functions.MinhashIndex =
+      built.getOrElseUpdate(dir, {
+        val corpus = T(s, dir, "documents").where(col("doc_id") >= 100)
+        graft.functions.MinhashIndex.build(corpus, "doc_id", "text",
+          s"$base/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", threshold = 0.4)
+      })
+  }
+
+  /** The streaming-ingest dedup semantics (StreamingDedup.dedupBatch) as
+    * ONE hash-verified batch query: docs >= 100 are the indexed corpus,
+    * docs < 100 the arriving micro-batch — drop batch docs near-dupping
+    * the corpus, then drop within-batch near-dups keep-lowest-id, return
+    * the survivors that a streaming sink would receive. The oracle
+    * mirrors both stages with the q31/q76 CTE family. */
+  private val q80 = QueryDef(
+    "q80_stream_dedup_batch",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val idx = MhIdx80.forDir(s, dir)
+      graft.streaming.StreamingDedup.dedupBatch(
+          docs.where(col("doc_id") < 100).select("doc_id", "text"),
+          "doc_id", "text", idx, _ => ())
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $minhashPairsCtes,
+      corpus_dup AS (
+        SELECT DISTINCT y.doc_id
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket
+        JOIN sh sa ON sa.doc_id = y.doc_id
+        JOIN sh sb ON sb.doc_id = x.doc_id
+        WHERE x.doc_id >= 100 AND y.doc_id < 100
+          AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              >= 0.4),
+      fresh AS (
+        SELECT doc_id FROM documents WHERE doc_id < 100
+          AND doc_id NOT IN (SELECT doc_id FROM corpus_dup)),
+      dropped AS (
+        SELECT DISTINCT id_b AS doc_id FROM pairs
+        WHERE id_a IN (SELECT doc_id FROM fresh)
+          AND id_b IN (SELECT doc_id FROM fresh))
+      SELECT doc_id FROM fresh
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id"""))
+
   /** Incremental dedup: docs >= 100 are the indexed corpus, docs < 100 an
     * arriving batch checked against the persisted signature index. Same
     * cross-engine arithmetic as q31, so the oracle mirrors the pipeline
@@ -2038,5 +2095,6 @@ object QueryCatalog {
     q44,
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
+    q80)
 }
