@@ -104,8 +104,8 @@ object SimilarityFunctions {
     * the hyperplane signature; exact cosine re-rank inside candidates.
     * Trades recall for removing the |corpus| x |queries| blow-up — at scale
     * both sides shuffle on (band, key) only.
-    */
-  /** @param probeBitFlips multi-probe level: 0 probes only each band's
+    *
+    * @param probeBitFlips multi-probe level: 0 probes only each band's
     *        own bucket (exact-match LSH, the hash-verifiable default);
     *        1 additionally probes every single-bit-flip neighbor of each
     *        QUERY band key — rowsPerBand extra probes per band per query,

@@ -1882,9 +1882,9 @@ object QueryCatalog {
     * runs over the same data dir) and is built ONCE per data dir, so a
     * repeated invocation — e.g. the bench's min-of-two passes — times the
     * incremental checkBatch, not the one-off corpus index build. */
-  private object MhIdx {
+  private final class IdxCache(prefix: String) {
     private lazy val base =
-      java.nio.file.Files.createTempDirectory("graft-mhidx-").toString
+      java.nio.file.Files.createTempDirectory(prefix).toString
     private val built =
       scala.collection.concurrent.TrieMap.empty[String, graft.functions.MinhashIndex]
     def forDir(s: SparkSession, dir: String): graft.functions.MinhashIndex =
@@ -1894,31 +1894,21 @@ object QueryCatalog {
           s"$base/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", threshold = 0.4)
       })
   }
-
-  /** Separate per-JVM index for q80: [[graft.streaming.StreamingDedup
-    * .dedupBatch]] APPENDS the batch's survivors, so sharing q76's index
-    * would contaminate its corpus with batch ids across bench passes.
-    * Appends are idempotent for the fixed batch (replay-safety invariant),
-    * so min-of-two passes return identical survivors. */
-  private object MhIdx80 {
-    private lazy val base =
-      java.nio.file.Files.createTempDirectory("graft-mhidx80-").toString
-    private val built =
-      scala.collection.concurrent.TrieMap.empty[String, graft.functions.MinhashIndex]
-    def forDir(s: SparkSession, dir: String): graft.functions.MinhashIndex =
-      built.getOrElseUpdate(dir, {
-        val corpus = T(s, dir, "documents").where(col("doc_id") >= 100)
-        graft.functions.MinhashIndex.build(corpus, "doc_id", "text",
-          s"$base/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", threshold = 0.4)
-      })
-  }
+  private val MhIdx = new IdxCache("graft-mhidx-")
+  // q80's own copy: even with append=false it must never share q76's
+  // index files, so an accidental future append cannot cross-contaminate.
+  private val MhIdx80 = new IdxCache("graft-mhidx80-")
 
   /** The streaming-ingest dedup semantics (StreamingDedup.dedupBatch) as
     * ONE hash-verified batch query: docs >= 100 are the indexed corpus,
     * docs < 100 the arriving micro-batch — drop batch docs near-dupping
     * the corpus, then drop within-batch near-dups keep-lowest-id, return
-    * the survivors that a streaming sink would receive. The oracle
-    * mirrors both stages with the q31/q76 CTE family. */
+    * the survivors that a streaming sink would receive. Runs with
+    * `append = false` (its own index copy would otherwise mutate between
+    * bench passes, and keep-lowest-id chains make appended re-runs emit
+    * DIFFERENT survivors — see the dedupBatch scaladoc), so every
+    * evaluation is the pure batch semantics the oracle mirrors with the
+    * q31/q76 CTE family. */
   private val q80 = QueryDef(
     "q80_stream_dedup_batch",
     (s, dir) => {
@@ -1926,7 +1916,7 @@ object QueryCatalog {
       val idx = MhIdx80.forDir(s, dir)
       graft.streaming.StreamingDedup.dedupBatch(
           docs.where(col("doc_id") < 100).select("doc_id", "text"),
-          "doc_id", "text", idx, _ => ())
+          "doc_id", "text", idx, _ => (), append = false)
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
     Some(s"""

@@ -35,12 +35,19 @@ object StreamingDedup {
     * must not leave "phantom" signatures in the index that would silently
     * drop re-submitted (or future near-identical) documents from the sink
     * forever. The reverse failure — sink written, append crashed, batch
-    * replayed — re-emits the batch's survivors (at-least-once, the
-    * standard foreachBatch contract; dedup by id downstream if the sink
-    * needs exactly-once). Returns the surviving rows. */
+    * replayed — is at-least-once, the standard foreachBatch contract:
+    * the replay re-emits survivors, and when a within-batch keep-lowest-id
+    * chain existed (c~a, a~d, c<a<d: first pass drops a and d, appends c)
+    * the replay may ALSO emit a transitively-unblocked doc (d: its only
+    * near-dup a now falls to the indexed c at the corpus stage, and
+    * nothing indexed matches d). Dedup by id downstream if the sink needs
+    * exactly-once. Set `append = false` for a pure, side-effect-free
+    * evaluation of the batch semantics (always identical output for the
+    * same index state). Returns the surviving rows. */
   def dedupBatch(
       batch: DataFrame, idCol: String, textCol: String,
-      index: MinhashIndex, sink: DataFrame => Unit): DataFrame = {
+      index: MinhashIndex, sink: DataFrame => Unit,
+      append: Boolean = true): DataFrame = {
     val b = batch.localCheckpoint() // bounded; avoids re-running the source
     val vsCorpus = index.checkBatch(b, idCol, textCol)
       .select(col("batch_id").as(idCol)).distinct()
@@ -53,7 +60,7 @@ object StreamingDedup {
     val survivors = freshVsCorpus.join(innerDups, Seq(idCol), "left_anti")
       .localCheckpoint() // the sink write and the index append read this
     sink(survivors)
-    index.append(survivors, idCol, textCol)
+    if (append) index.append(survivors, idCol, textCol)
     survivors
   }
 
