@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.functions.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming vector ingest over a persisted [[IvfIndex]]: the embedding
+  * counterpart of [[StreamingDedup]]. Each micro-batch is (optionally)
+  * screened against the index for near-duplicate vectors, the fresh
+  * vectors are written to the sink and appended to the cell-partitioned
+  * index layout — cells are assigned with the EXISTING centroids (the
+  * standard IVF ingest trade; retrain offline when drift warrants).
+  *
+  * Same ordering discipline as StreamingDedup: the sink write happens
+  * BEFORE the index append, so a failed sink cannot leave phantom vectors
+  * in the index that would silently drop re-submitted near-identical
+  * vectors forever; replay is at-least-once.
+  */
+object StreamingVectorIngest {
+
+  /** One micro-batch: screen (if `dedupThreshold` is set), sink, append.
+    * Returns the fresh rows that reached the sink. */
+  def ingestBatch(
+      batch: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex, indexLocation: String,
+      sink: DataFrame => Unit,
+      dedupThreshold: Option[Double] = None,
+      nProbe: Int = 4,
+      append: Boolean = true): (DataFrame, IvfIndex) = {
+    val b = batch.localCheckpoint()
+    val fresh = dedupThreshold match {
+      case None => b
+      case Some(t) =>
+        val dups = index.search(b, idCol, vecCol, k = 1, nProbe = nProbe)
+          .where(col("score") >= t)
+          .select(col("query_id").as(idCol)).distinct()
+        b.join(dups, Seq(idCol), "left_anti").localCheckpoint()
+    }
+    sink(fresh)
+    val next =
+      if (append) index.appendToPersisted(indexLocation, fresh, idCol, vecCol)
+      else index
+    (fresh, next)
+  }
+
+  /** Start the streaming query. `stream` must carry `idCol` and `vecCol`
+    * (`array<float>`). The index state threads through batches on the
+    * driver (foreachBatch runs there), re-reading the persisted layout
+    * after each append. */
+  def start(
+      stream: DataFrame, idCol: String, vecCol: String,
+      initial: IvfIndex, indexLocation: String,
+      sinkDir: String, checkpointDir: String,
+      dedupThreshold: Option[Double] = None,
+      nProbe: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    @volatile var current = initial
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (_, next) = ingestBatch(batch, idCol, vecCol, current,
+          indexLocation, _.write.mode("append").parquet(sinkDir),
+          dedupThreshold, nProbe)
+        current = next
+        ()
+      }
+      .start()
+  }
+}

@@ -334,4 +334,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idxLoc).select("id").distinct()
       .as[Long].collect().toSet == Set(1L, 102L, 202L)) // unchanged
   }
+
+  test("streaming vector ingest: IVF screen + cell append per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def v(xs: Float*): Seq[Float] = xs.toSeq
+    val corpus = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+      (3L, v(0f, 0f, 1f, 0f)), (4L, v(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val idxLoc = tmpDir("svi-idx") + "/index"
+    val sink = tmpDir("svi-sink") + "/clean"
+    val ckpt = tmpDir("svi-ckpt")
+    val idx0 = graft.functions.IvfIndex.build(
+        corpus, "vec_id", "embedding", nLists = 2, trainSampleSize = 100)
+      .persisted(idxLoc)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    var cur = idx0
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingVectorIngest.start(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cur, idxLoc, sink, ckpt, dedupThreshold = Some(0.999), nProbe = 2)
+      q.awaitTermination(60000)
+      cur = cur.appendToPersisted(idxLoc,
+        spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+        "vec_id", "embedding") // reopen the extended store for the next start()
+    }
+    // batch 1: 10 duplicates corpus vector 1 exactly; 11 is fresh
+    mem.addData((10L, v(1f, 0f, 0f, 0f)), (11L, v(0f, 0f, 0f, 1f)))
+    drain()
+    assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      == Set(11L))
+    // batch 2: 20 duplicates the vector APPENDED in batch 1; 21 is fresh
+    mem.addData((20L, v(0f, 0f, 0f, 1f)), (21L, v(0f, 0.6f, 0.8f, 0f)))
+    drain()
+    assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      == Set(11L, 21L))
+    // the persisted cell layout grew by exactly the fresh vectors
+    assert(spark.read.parquet(idxLoc).select("neighbor_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 11L, 21L))
+  }
 }
