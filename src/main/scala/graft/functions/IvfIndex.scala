@@ -46,6 +46,31 @@ final class IvfIndex private (
         col("col.score").as("score"), (col("pos") + 1).as("rnk"))
   }
 
+  /** Within-batch near-duplicate pairs under this index's cell geometry:
+    * each vector expands to its `nProbe` nearest cells, candidates are
+    * same-cell id pairs (vectors joined back only for survivors), verified
+    * by exact cosine. Recall matches [[search]]'s nProbe semantics — a
+    * pair straddling more than nProbe cells on both sides is missed, the
+    * standard IVF trade. Intended for micro-batch-sized inputs: a
+    * degenerate batch landing entirely in one cell expands O(B^2) pairs,
+    * which for a bounded micro-batch is the exact-check worst case anyway. */
+  def batchNearDuplicates(
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int = 4): DataFrame = {
+    val tagged = batch.select(col(idCol).as("id"),
+      explode(probeCellsUdf(nProbe)(col(vecCol))).as("cell"))
+    val cands = tagged.select(col("cell"), col("id").as("id_a"))
+      .join(tagged.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = batch.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = batch.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimilarityFunctions.cosine(col("vec_a"), col("vec_b")).as("score"))
+      .where(col("score") >= threshold)
+  }
+
   /** Persist the cell-tagged corpus partitioned by cell (so each probe
     * prunes to nProbe partitions) and return an index over the stored
     * layout. */

@@ -4,6 +4,7 @@ import java.io.InputStream
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
+import scala.util.control.NonFatal
 
 /** Sharepoint ingestion/upload behind a pluggable Graph-API-shaped
   * transport (reference `io/readers/sharepoint_reader.py:26-320`,
@@ -163,7 +164,15 @@ object SharepointIo {
   def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
     val t = transportFor(options)
     val (folder, names) = resolveTargets(t, options)
-    val fmt = fmtOf(options, names.head)
+    // One format per read: a folder pattern that matches mixed
+    // .csv/.json files must not be silently parsed with the first
+    // file's format (wrong rows, no error). With explicit `file_type`
+    // fmtOf ignores extensions, so this collapses to one element.
+    val fmts = names.map(fmtOf(options, _)).distinct
+    require(fmts.size == 1,
+      s"sharepoint folder read matched files with mixed formats $fmts " +
+        s"(${names.mkString(", ")}); pass file_type explicitly or narrow file_pattern")
+    val fmt = fmts.head
     val withMeta = options.get("file_metadata").contains("true")
     val archive = options.get("archive").contains("true")
     val doneDir = s"$folder/${options.getOrElse("archive_success_subfolder", "done")}"
@@ -193,26 +202,35 @@ object SharepointIo {
             .withColumn("filename", lit(s"$folder/$name"))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       if (archive) {
-        // Materialize BEFORE moving the remote files (reference caches +
-        // counts for the same reason: the archive must not invalidate a
-        // lazy read). From here the data is safely in the returned
-        // (cached) DataFrame, so each done-move is BEST-EFFORT: one
-        // failed move must not fail the whole read — a file that stays
-        // in the folder is re-read next run (duplicate, recoverable),
-        // whereas failing here would strand the already-done files as
-        // ingested-but-never-consumed (silent loss).
-        df.cache().count()
+        // Materialize with a LINEAGE CUT before moving the remote files
+        // and deleting the spool copies: a plain cache().count() leaves
+        // the file scan in the lineage, so an evicted/unpersisted cache
+        // would recompute from files that no longer exist. After
+        // localCheckpoint the returned plan holds the rows themselves.
+        // Each done-move is BEST-EFFORT: one failed move must not fail
+        // the whole read — a file that stays in the folder is re-read
+        // next run (duplicate, recoverable), whereas failing here would
+        // strand the already-done files as ingested-but-never-consumed
+        // (silent loss).
+        val materialized = df.localCheckpoint()
         names.foreach { n =>
-          try t.move(s"$folder/$n", doneDir) catch { case _: Throwable => () }
+          try t.move(s"$folder/$n", doneDir) catch {
+            case NonFatal(e) => Console.err.println(
+              s"[graft] sharepoint archive move '$folder/$n' -> '$doneDir' failed " +
+                s"(file will be re-read next run): $e")
+          }
         }
-        // the cached df no longer needs the spool copies
+        // the checkpointed df no longer needs the spool copies
         staged.foreach { case (_, local) => Files.deleteIfExists(local) }
-      }
-      df
+        materialized
+      } else df
     } catch {
-      case e: Throwable =>
+      case NonFatal(e) =>
         if (archive) names.foreach { n =>
-          try t.move(s"$folder/$n", errDir) catch { case _: Throwable => () }
+          try t.move(s"$folder/$n", errDir) catch {
+            case NonFatal(e2) => Console.err.println(
+              s"[graft] sharepoint error-archive move '$folder/$n' -> '$errDir' failed: $e2")
+          }
         }
         throw e
     }

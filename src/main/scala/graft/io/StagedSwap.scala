@@ -76,8 +76,15 @@ object StagedSwap {
           require(fs.rename(live, old),
             s"staged-swap recover: rename $live -> $old failed")
         }
-        require(fs.rename(stage, live),
-          s"staged-swap recover: rename $stage -> $live failed")
+        if (!fs.rename(stage, live)) {
+          // Mirror commit(): put the previous contents back before
+          // failing so the location is never left missing. The intent
+          // stays — the stage is intact, so a later recover can still
+          // roll this swap forward.
+          val restored = fs.exists(old) && fs.rename(old, live)
+          sys.error(s"staged-swap recover: rename $stage -> $live failed" +
+            (if (restored) s" (previous contents restored from $old)" else ""))
+        }
         fs.delete(old, true)
         fs.delete(intentPath(location), false)
         ("forward", Some(stage))

@@ -7,10 +7,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming vector ingest over a persisted [[IvfIndex]]: the embedding
   * counterpart of [[StreamingDedup]]. Each micro-batch is (optionally)
-  * screened against the index for near-duplicate vectors, the fresh
-  * vectors are written to the sink and appended to the cell-partitioned
-  * index layout — cells are assigned with the EXISTING centroids (the
-  * standard IVF ingest trade; retrain offline when drift warrants).
+  * screened against the index AND within itself for near-duplicate
+  * vectors (keep-lowest-id, mirroring StreamingDedup's two-stage clean),
+  * the fresh vectors are written to the sink and appended to the
+  * cell-partitioned index layout — cells are assigned with the EXISTING
+  * centroids (the standard IVF ingest trade; retrain offline when drift
+  * warrants).
   *
   * Same ordering discipline as StreamingDedup: the sink write happens
   * BEFORE the index append, so a failed sink cannot leave phantom vectors
@@ -19,8 +21,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingVectorIngest {
 
-  /** One micro-batch: screen (if `dedupThreshold` is set), sink, append.
-    * Returns the fresh rows that reached the sink. */
+  /** One micro-batch: screen vs the index, then within the batch itself
+    * (both only if `dedupThreshold` is set), sink, append. Returns the
+    * fresh rows that reached the sink. */
   def ingestBatch(
       batch: DataFrame, idCol: String, vecCol: String,
       index: IvfIndex, indexLocation: String,
@@ -35,7 +38,14 @@ object StreamingVectorIngest {
         val dups = index.search(b, idCol, vecCol, k = 1, nProbe = nProbe)
           .where(col("score") >= t)
           .select(col("query_id").as(idCol)).distinct()
-        b.join(dups, Seq(idCol), "left_anti").localCheckpoint()
+        val freshVsIndex = b.join(dups, Seq(idCol), "left_anti")
+        // within-batch pass: near-dup vectors arriving in the SAME
+        // micro-batch must not all survive; keep-lowest-id like
+        // StreamingDedup (drop id_b of each verified pair).
+        val innerDups = index
+          .batchNearDuplicates(freshVsIndex, idCol, vecCol, t, nProbe)
+          .select(col("id_b").as(idCol)).distinct()
+        freshVsIndex.join(innerDups, Seq(idCol), "left_anti").localCheckpoint()
     }
     sink(fresh)
     val next =

@@ -132,13 +132,28 @@ class IoSpec extends SparkSpec {
         "folder_relative_path" -> "reports/y2024/feb.csv", "file_name" -> "jan.csv"))
     }
     assert(bad.getMessage.contains("Invalid path setup"))
-    // archive: read moves the files into done/
-    SharepointIo.read(spark, base ++ Map(
+    // folder mode matching MIXED formats -> rejected, not silently
+    // parsed with the first file's format
+    put("mixed/a.csv", "id,v\n1,a\n")
+    put("mixed/b.json", """{"id":2,"v":"b"}""" + "\n")
+    val mixed = intercept[IllegalArgumentException] {
+      SharepointIo.read(spark, base ++ Map("folder_relative_path" -> "mixed"))
+    }
+    assert(mixed.getMessage.contains("mixed formats"))
+    // ...unless file_type pins the format explicitly
+    assert(SharepointIo.read(spark, base ++ Map(
+      "folder_relative_path" -> "mixed", "file_type" -> "json",
+      "file_pattern" -> "*.json")).count() == 1)
+    // archive: read moves the files into done/, and the returned frame
+    // stays readable after the spool copies are deleted (lineage cut)
+    val archived = SharepointIo.read(spark, base ++ Map(
       "folder_relative_path" -> "reports/y2024", "file_pattern" -> "*.csv",
-      "archive" -> "true")).count()
+      "archive" -> "true"))
     val t = new SharepointIo.LocalDriveTransport(root)
     assert(t.list("reports/y2024/done").sorted == Seq("feb.csv", "jan.csv"))
     assert(t.list("reports/y2024") == Seq("notes.txt"))
+    archived.unpersist() // even a dropped cache must not break the read
+    assert(archived.count() == 2)
   }
 
   test("sharepoint writer: single-file upload with conflict behaviour") {

@@ -374,5 +374,13 @@ class StreamingSpec extends SparkSpec {
     // the persisted cell layout grew by exactly the fresh vectors
     assert(spark.read.parquet(idxLoc).select("neighbor_id").distinct()
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 11L, 21L))
+    // batch 3: 30 and 31 duplicate EACH OTHER within one micro-batch
+    // (both fresh vs the index) — the within-batch pass keeps lowest id
+    mem.addData((30L, v(0.6f, 0f, 0f, 0.8f)), (31L, v(0.6f, 0f, 0f, 0.8f)))
+    drain()
+    assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      == Set(11L, 21L, 30L))
+    assert(spark.read.parquet(idxLoc).select("neighbor_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 11L, 21L, 30L))
   }
 }
