@@ -74,6 +74,20 @@ object DQEngine {
         Some(c.rlike(str(a, "regex").get))
       case "expect_column_values_to_not_match_regex" =>
         Some(!c.rlike(str(a, "regex").get))
+      case "expect_column_value_lengths_to_equal" =>
+        Some(length(c) === num(a, "value").get.toInt)
+      case "expect_column_values_to_match_like_pattern" =>
+        Some(c.like(str(a, "like_pattern").orElse(str(a, "pattern")).get))
+      case "expect_column_values_to_not_match_like_pattern" =>
+        Some(!c.like(str(a, "like_pattern").orElse(str(a, "pattern")).get))
+      case "expect_column_pair_values_to_be_equal" =>
+        Some(col(str(a, "column_A").get) <=> col(str(a, "column_B").get))
+      case "expect_multicolumn_sum_to_equal" =>
+        // per-row: sum(column_list) == sum_total (GX multicolumn map
+        // expectation; heavily used in the reference's test suites)
+        val cols = anySeq(a, "column_list").map(n => col(String.valueOf(n)))
+        val total = num(a, "sum_total").get
+        Some(cols.reduce(_ + _) === lit(total))
       case "expect_column_value_lengths_to_be_between" =>
         val l = length(c)
         val lo = num(a, "min_value").map(v => l >= v.toInt)
@@ -114,10 +128,28 @@ object DQEngine {
         Some(ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else n, Some(n.toDouble)))
       case "expect_column_distinct_values_to_be_in_set" =>
         val c = str(a, "column").get
-        val set = anySeq(a, "value_set").map(String.valueOf(_)).toSet
-        val distinct = df.select(c).distinct().collect().map(r => String.valueOf(r.get(0)))
-        val bad = distinct.filterNot(set)
-        Some(ExpectationOutcome(f.function, a, bad.isEmpty, distinct.length.toLong, bad.length.toLong))
+        val set = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
+        // Distributed anti-filter: never collect the full distinct set —
+        // on a mis-targeted high-cardinality column that would OOM the
+        // driver. One aggregate over the distinct values yields the
+        // cardinality and the out-of-set count; only a bounded sample of
+        // the violating values lands on the driver. (String.valueOf
+        // semantics preserved: nulls compare as the string "null".)
+        val v = coalesce(col(c).cast("string"), lit("null"))
+        val distinctVals = df.select(v.as("__v")).distinct()
+        val inSet =
+          if (set.isEmpty) lit(false) else col("__v").isin(set: _*)
+        val row = distinctVals
+          .agg(count(lit(1)).as("__n"),
+            sum(when(!inSet, 1L).otherwise(0L)).as("__bad"))
+          .collect()(0)
+        val (n, bad) = (row.getLong(0), row.getLong(1))
+        val sample =
+          if (bad == 0) Seq.empty[String]
+          else distinctVals.where(!inSet).limit(UnexpectedSampleLimit)
+            .collect().map(_.getString(0)).toSeq
+        Some(ExpectationOutcome(f.function, a, bad == 0, n, bad,
+          unexpectedIndexList = sample))
       case "expect_column_values_to_be_unique" =>
         val c = str(a, "column").get
         val dups = df.groupBy(col(c)).count().where(col("count") > 1)
@@ -138,6 +170,106 @@ object DQEngine {
         val v = df.agg(aggFn.cast("double")).collect()(0).getDouble(0)
         val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
         Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1, Some(v)))
+      // ---- schema-level (no data scan at all) --------------------------
+      case "expect_column_to_exist" =>
+        val c = str(a, "column").get
+        val idx = num(a, "column_index").map(_.toInt)
+        val ok = idx match {
+          case Some(i) => df.columns.lift(i).contains(c)
+          case None => df.columns.contains(c)
+        }
+        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1))
+      case "expect_table_column_count_to_be_between" =>
+        val n = df.columns.length
+        val ok = num(a, "min_value").forall(n >= _) && num(a, "max_value").forall(n <= _)
+        Some(ExpectationOutcome(f.function, a, ok, n.toLong, if (ok) 0 else 1, Some(n.toDouble)))
+      case "expect_table_columns_to_match_ordered_list" =>
+        val want = anySeq(a, "column_list").map(String.valueOf(_))
+        val ok = df.columns.toSeq == want
+        Some(ExpectationOutcome(f.function, a, ok, df.columns.length.toLong, if (ok) 0 else 1))
+      case "expect_table_columns_to_match_set" =>
+        val want = anySeq(a, "column_set").map(String.valueOf(_)).toSet
+        val exact = !a.get("exact_match").contains(false)
+        val have = df.columns.toSet
+        val ok = if (exact) have == want else want.subsetOf(have)
+        Some(ExpectationOutcome(f.function, a, ok, df.columns.length.toLong, if (ok) 0 else 1))
+      // ---- single-aggregate families (quantile/unique/mode) ------------
+      case "expect_column_median_to_be_between" =>
+        val c = str(a, "column").get
+        val v = df.agg(percentile_approx(col(c).cast("double"), lit(0.5),
+          lit(10000)).as("m")).collect()(0).getDouble(0)
+        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
+        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1, Some(v)))
+      case "expect_column_quantile_values_to_be_between" =>
+        // args: quantile_ranges: {quantiles: [...], value_ranges: [[lo,hi],...]}
+        // one percentile_approx aggregate evaluates every requested
+        // quantile in a single scan (GX runs one metric per quantile)
+        val c = str(a, "column").get
+        val qr = f.args("quantile_ranges").asInstanceOf[Map[String, Any]]
+        val qs = anySeq(qr, "quantiles").map(x => String.valueOf(x).toDouble)
+        val ranges = anySeq(qr, "value_ranges").map {
+          case r: Seq[_] => (String.valueOf(r.head).toDouble, String.valueOf(r(1)).toDouble)
+          case other => sys.error(s"bad value_range: $other")
+        }
+        require(qs.length == ranges.length, "quantiles and value_ranges must align")
+        val got = df.agg(percentile_approx(col(c).cast("double"),
+            array(qs.map(lit): _*), lit(10000)).as("q"))
+          .collect()(0).getSeq[Double](0)
+        val bad = got.zip(ranges).count { case (v, (lo, hi)) => v < lo || v > hi }
+        Some(ExpectationOutcome(f.function, a, bad == 0, qs.length.toLong, bad.toLong))
+      case "expect_column_unique_value_count_to_be_between" =>
+        val c = str(a, "column").get
+        val n = df.agg(count_distinct(col(c)).as("n")).collect()(0).getLong(0)
+        val ok = num(a, "min_value").forall(n >= _) && num(a, "max_value").forall(n <= _)
+        Some(ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else 1, Some(n.toDouble)))
+      case "expect_column_proportion_of_unique_values_to_be_between" =>
+        val c = str(a, "column").get
+        val row = df.agg(count_distinct(col(c)).as("u"),
+          count(col(c)).as("n")).collect()(0)
+        val (u, n) = (row.getLong(0), row.getLong(1))
+        val v = if (n == 0) 0.0 else u.toDouble / n
+        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
+        Some(ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else 1, Some(v)))
+      case "expect_column_most_common_value_to_be_in_set" =>
+        // mode via one groupBy-count; ties resolved like GX's ties_okay:
+        // success if ANY of the tied modes is in the set
+        val c = str(a, "column").get
+        val set = anySeq(a, "value_set").map(String.valueOf(_)).toSet
+        val counts = df.groupBy(col(c).cast("string").as("__v"))
+          .agg(count(lit(1)).as("__n"))
+        val topN = counts.agg(max(col("__n"))).collect()(0).getLong(0)
+        val modes = counts.where(col("__n") === topN)
+          .limit(UnexpectedSampleLimit).collect().map(_.getString(0))
+        val ok = modes.exists(set)
+        Some(ExpectationOutcome(f.function, a, ok, modes.length.toLong,
+          if (ok) 0 else 1, unexpectedIndexList = if (ok) Seq.empty else modes.toSeq))
+      case "expect_column_distinct_values_to_contain_set" =>
+        // set ⊆ distinct(column): count how many of the wanted values
+        // appear — one filtered distinct aggregate, never a full collect
+        val c = str(a, "column").get
+        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
+        val present =
+          if (want.isEmpty) 0L
+          else df.select(coalesce(col(c).cast("string"), lit("null")).as("__v"))
+            .where(col("__v").isin(want: _*)).agg(count_distinct(col("__v")))
+            .collect()(0).getLong(0)
+        val missing = want.length - present
+        Some(ExpectationOutcome(f.function, a, missing == 0, want.length.toLong, missing))
+      case "expect_column_distinct_values_to_equal_set" =>
+        // distinct(column) == set: one aggregate over the distinct values
+        // counts both directions (missing wanted values + extra values)
+        val c = str(a, "column").get
+        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
+        val v = coalesce(col(c).cast("string"), lit("null"))
+        val inSet = if (want.isEmpty) lit(false) else col("__v").isin(want: _*)
+        val row = df.select(v.as("__v")).distinct()
+          .agg(coalesce(sum(when(inSet, 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(!inSet, 1L).otherwise(0L)), lit(0L)))
+          .collect()(0)
+        val (present, extra) = (row.getLong(0), row.getLong(1))
+        val bad = (want.length - present) + extra
+        Some(ExpectationOutcome(f.function, a, bad == 0,
+          want.length.toLong + extra, bad))
       case "expect_queried_column_agg_value_to_be" =>
         // templated SQL aggregate compared to bounds
         // (reference `expect_queried_column_agg_value_to_be.py`)

@@ -55,6 +55,95 @@ class DQEngineSpec extends SparkSpec {
     assert(r.outcomes.forall(_.success))
   }
 
+  test("distinct-set expectation stays bounded on a high-cardinality column") {
+    // 5000 distinct values (> UnexpectedSampleLimit): the outcome must
+    // carry full counts but only a bounded violation sample — the full
+    // distinct set is never collected to the driver.
+    val wide = spark.range(5000).selectExpr("concat('v', id) AS k")
+    val r = DQEngine.run(spark, wide, spec(
+      "expect_column_distinct_values_to_be_in_set" ->
+        Map("column" -> "k", "value_set" -> Seq("v0", "v1"))))
+    val o = r.outcomes.head
+    assert(!o.success)
+    assert(o.elementCount == 5000L)
+    assert(o.unexpectedCount == 4998L)
+    assert(o.unexpectedIndexList.size == DQEngine.UnexpectedSampleLimit)
+    assert(o.unexpectedIndexList.forall(v => v != "v0" && v != "v1"))
+    // null values compare as the string "null" (String.valueOf semantics)
+    val withNull = Seq(Some("a"), None).toDF("k")
+    val r2 = DQEngine.run(spark, withNull, spec(
+      "expect_column_distinct_values_to_be_in_set" ->
+        Map("column" -> "k", "value_set" -> Seq("a", "null"))))
+    assert(r2.outcomes.head.success)
+  }
+
+  test("schema-level expectations need no data scan") {
+    val r = DQEngine.run(spark, df, spec(
+      "expect_column_to_exist" -> Map("column" -> "amount"),
+      "expect_column_to_exist" -> Map("column" -> "name", "column_index" -> 1),
+      "expect_table_column_count_to_be_between" -> Map("min_value" -> 2, "max_value" -> 4),
+      "expect_table_columns_to_match_ordered_list" ->
+        Map("column_list" -> Seq("id", "name", "amount", "d")),
+      "expect_table_columns_to_match_set" ->
+        Map("column_set" -> Seq("name", "id"), "exact_match" -> false)))
+    assert(r.outcomes.forall(_.success))
+    val bad = DQEngine.run(spark, df, spec(
+      "expect_column_to_exist" -> Map("column" -> "ghost"),
+      "expect_table_columns_to_match_set" -> Map("column_set" -> Seq("id"))))
+    assert(bad.outcomes.forall(!_.success))
+  }
+
+  test("row-level gallery: like pattern, length equal, pair equal, multicolumn sum") {
+    val rows = Seq((1.0, 2.0, 3.0, "ab", "x", "x"), (1.0, 1.0, 3.0, "abc", "y", "z"))
+      .toDF("a", "b", "t", "s", "p1", "p2")
+    val r = DQEngine.run(spark, rows, spec(
+      "expect_multicolumn_sum_to_equal" ->
+        Map("column_list" -> Seq("a", "b"), "sum_total" -> 3.0),
+      "expect_column_pair_values_to_be_equal" ->
+        Map("column_A" -> "p1", "column_B" -> "p2"),
+      "expect_column_value_lengths_to_equal" -> Map("column" -> "s", "value" -> 2),
+      "expect_column_values_to_match_like_pattern" ->
+        Map("column" -> "s", "like_pattern" -> "ab%")))
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    assert(byFn("expect_multicolumn_sum_to_equal").unexpectedCount == 1) // 1+1 != 3
+    assert(byFn("expect_column_pair_values_to_be_equal").unexpectedCount == 1)
+    assert(byFn("expect_column_value_lengths_to_equal").unexpectedCount == 1)
+    assert(byFn("expect_column_values_to_match_like_pattern").success)
+  }
+
+  test("quantile/unique/mode aggregate families") {
+    val vals = (Seq.fill(5)(1.0) ++ Seq(2.0, 3.0, 4.0, 5.0, 100.0)).toDF("x")
+    val r = DQEngine.run(spark, vals, spec(
+      "expect_column_median_to_be_between" ->
+        Map("column" -> "x", "min_value" -> 1, "max_value" -> 3),
+      "expect_column_quantile_values_to_be_between" ->
+        Map("column" -> "x", "quantile_ranges" -> Map(
+          "quantiles" -> Seq(0.0, 1.0),
+          "value_ranges" -> Seq(Seq(0.0, 2.0), Seq(50.0, 200.0)))),
+      "expect_column_unique_value_count_to_be_between" ->
+        Map("column" -> "x", "min_value" -> 6, "max_value" -> 6),
+      "expect_column_proportion_of_unique_values_to_be_between" ->
+        Map("column" -> "x", "min_value" -> 0.5, "max_value" -> 0.7),
+      "expect_column_most_common_value_to_be_in_set" ->
+        Map("column" -> "x", "value_set" -> Seq("1.0")),
+      "expect_column_distinct_values_to_contain_set" ->
+        Map("column" -> "x", "value_set" -> Seq("1.0", "100.0")),
+      "expect_column_distinct_values_to_equal_set" ->
+        Map("column" -> "x", "value_set" ->
+          Seq("1.0", "2.0", "3.0", "4.0", "5.0", "100.0"))))
+    assert(r.outcomes.forall(_.success), r.outcomes.filterNot(_.success).toString)
+    val bad = DQEngine.run(spark, vals, spec(
+      "expect_column_most_common_value_to_be_in_set" ->
+        Map("column" -> "x", "value_set" -> Seq("2.0")),
+      "expect_column_distinct_values_to_contain_set" ->
+        Map("column" -> "x", "value_set" -> Seq("1.0", "7.0")),
+      "expect_column_distinct_values_to_equal_set" ->
+        Map("column" -> "x", "value_set" -> Seq("1.0"))))
+    assert(bad.outcomes.forall(!_.success))
+    assert(bad.outcomes(1).unexpectedCount == 1) // "7.0" missing
+    assert(bad.outcomes(2).unexpectedCount == 5) // 5 extra distinct values
+  }
+
   test("aggregate bound expectations: mean/sum/max/min/stdev") {
     val r = DQEngine.run(spark, df, spec(
       "expect_column_mean_to_be_between" ->
