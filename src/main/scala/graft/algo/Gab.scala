@@ -517,10 +517,33 @@ object Gab {
       s"""SELECT explode(sequence(DATE '$from', DATE '$to', INTERVAL 1 DAY)) AS calendar_date""")
 
   /** GAB-style calendar range join: attach cadence windows to fact rows
-    * via BETWEEN (`algorithms/gab.py:668-684`). The calendar side is tiny
-    * and broadcast, so Catalyst plans a broadcast nested-loop join — the
-    * right shape for a range condition against a small dimension. */
-  def calendarJoin(fact: DataFrame, dateCol: String, windows: DataFrame): DataFrame =
-    fact.join(broadcast(windows),
-      col(dateCol) >= col("cadence_start_date") && col(dateCol) < col("cadence_end_date"))
+    * (`algorithms/gab.py:668-684`, semantics
+    * `start <= date < end`).
+    *
+    * Day-grain windows (DATE-typed boundaries, the GAB shape) are first
+    * EXPLODED into one row per covered day — a calendar-sized blow-up,
+    * paid once on the broadcast side — and equi-joined on the fact's
+    * date. That plans as a BroadcastHashJoin: one hash probe per fact
+    * row, where the naive `BETWEEN` predicate plans as a
+    * BroadcastNestedLoopJoin evaluating every window per fact row —
+    * thousands of comparisons per row against a multi-year day-grain
+    * calendar at 100x source scale.
+    *
+    * Non-day-grain (timestamp-keyed) windows can't be enumerated, so they
+    * keep the BETWEEN path; the calendar side stays broadcast. */
+  def calendarJoin(fact: DataFrame, dateCol: String, windows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DateType
+    val dayGrain = windows.schema("cadence_start_date").dataType == DateType &&
+      windows.schema("cadence_end_date").dataType == DateType
+    if (dayGrain) {
+      val days = windows
+        .where(col("cadence_end_date") > col("cadence_start_date"))
+        .withColumn("__day", explode(sequence(col("cadence_start_date"),
+          date_sub(col("cadence_end_date"), 1), expr("INTERVAL 1 DAY"))))
+      fact.join(broadcast(days), col(dateCol).cast("date") === col("__day"))
+        .drop("__day")
+    } else
+      fact.join(broadcast(windows),
+        col(dateCol) >= col("cadence_start_date") && col(dateCol) < col("cadence_end_date"))
+  }
 }

@@ -22,8 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     * join: a range/theta condition against a tiny broadcast side IS the
     * right 100 TB shape (calendar windows, broadcast query sets). */
   private val bnljWhitelist = Set(
-    "q38_cosine_topk",   // corpus x broadcast query set, non-equi (id <>)
-    "q44_range_join")    // fact x broadcast calendar BETWEEN
+    "q38_cosine_topk")   // corpus x broadcast query set, non-equi (id <>)
+  // q44_range_join left the whitelist in round 6: day-grain calendar
+  // windows are exploded to per-day rows and equi-joined (BHJ).
 
   /** Queries allowed one duplicated expensive expression, each with a
     * written justification (the duplicate must be O(small) per row). */
