@@ -144,9 +144,15 @@ object DQValidator {
     case e: graft.dq.DQValidationFailedException
         if restorePrevVersion && input.location.isDefined =>
       // The DQ failure is the primary error: a failed restore (e.g. no
-      // archived versions at the location) must not mask it.
-      scala.util.Try(graft.io.Versioned.restorePrevious(
-        spark.sparkContext.hadoopConfiguration, input.location.get)) match {
+      // archived versions at the location) must not mask it. A Delta
+      // input with Delta on the classpath restores through the
+      // transaction log (reference `dq_validator.py:154-169`); otherwise
+      // through the Versioned parquet history.
+      scala.util.Try(
+        if (graft.io.DeltaSupport.routes(input.dataFormat))
+          graft.io.DeltaSupport.restorePrevious(spark, input.location.get).toInt
+        else graft.io.Versioned.restorePrevious(
+          spark.sparkContext.hadoopConfiguration, input.location.get)) match {
         case scala.util.Success(restored) =>
           throw new graft.dq.DQValidationFailedException(
             s"${e.getMessage}; input restored to previous version v$restored " +

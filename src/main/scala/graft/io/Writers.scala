@@ -86,15 +86,29 @@ object Writers {
     val loc = spec.location.getOrElse(sys.error("native merge needs a location"))
     val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val targetExists = fs.exists(new Path(loc))
+    // data_format: delta + Delta jars on the classpath -> the real
+    // DeltaTable MERGE (transaction-log commit); otherwise the native
+    // join + staged swap below. Same ACON, same clause semantics.
+    if (DeltaSupport.routes(spec.dataFormat) && targetExists) {
+      DeltaSupport.merge(spark, loc, source, opts)
+      return
+    }
+    // `delta` requested but not on the classpath: store as parquet —
+    // the merge semantics are preserved by the native join + staged
+    // swap; only the storage format differs (documented fallback).
+    val mergeFmt = spec.dataFormat match {
+      case Some("delta") if !DeltaSupport.available => "parquet"
+      case other => other.getOrElse("parquet")
+    }
     if (!targetExists) {
-      val w = source.write.format(spec.dataFormat.getOrElse("parquet"))
+      val w = source.write.format(mergeFmt)
         .options(spec.options).mode("overwrite")
       (if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w).save(loc)
     } else {
-      val target = spark.read.format(spec.dataFormat.getOrElse("parquet")).load(loc)
+      val target = spark.read.format(mergeFmt).load(loc)
       val merged = MergeOps.mergeWithOptions(target, source, opts)
       val stage = loc.stripSuffix("/") + "__stage"
-      val w = merged.write.format(spec.dataFormat.getOrElse("parquet"))
+      val w = merged.write.format(mergeFmt)
         .options(spec.options).mode("overwrite")
       (if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w).save(stage)
       StagedSwap.commit(spark.sparkContext.hadoopConfiguration, loc, stage)
