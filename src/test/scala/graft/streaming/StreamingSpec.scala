@@ -335,6 +335,55 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 102L, 202L)) // unchanged
   }
 
+  test("kafka wire contract: sink projection and source decode round-trip") {
+    import graft.io.KafkaWire
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sink side: a streaming frame encoded for the kafka SINK must carry
+    // exactly the projection KafkaWriter.validateQuery accepts
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val encoded = KafkaWire.encode(mem.toDF().toDF("k", "payload"),
+      value = to_json(struct(col("payload"))),
+      key = Some(col("k")),
+      topic = Some(lit("events")),
+      headers = Some(array(KafkaWire.header("source", lit("graft")))))
+    assert(encoded.isStreaming)
+    assert(encoded.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("key", BinaryType), ("value", BinaryType), ("topic", StringType),
+      ("headers", KafkaWire.headersType)))
+    // drain one batch through foreachBatch (the path a jar-less build
+    // uses to hand micro-batches to any terminal write)
+    val out = tmpDir("kafka-wire") + "/sink"
+    mem.addData(("k1", "hello"), ("k2", "world"))
+    val q = encoded.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("kafka-wire-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }.start()
+    q.awaitTermination(60000)
+    // source side: rows shaped EXACTLY like the connector emits them
+    // (sourceSchemaWithHeaders) decode back to the original values
+    val rows = spark.read.parquet(out)
+      .withColumn("partition", lit(0))
+      .withColumn("offset", monotonically_increasing_id())
+      .withColumn("timestamp", current_timestamp())
+      .withColumn("timestampType", lit(0))
+      .select(KafkaWire.sourceSchemaWithHeaders.fieldNames.map(col): _*)
+    assert(rows.schema.map(f => (f.name, f.dataType)) ==
+      KafkaWire.sourceSchemaWithHeaders.map(f => (f.name, f.dataType)))
+    val decoded = KafkaWire.decode(rows,
+      Some(StructType(Seq(StructField("payload", StringType)))))
+    val got = decoded.select(col("key"), col("value.payload"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("k1", "hello"), ("k2", "world")))
+    val hdr = decoded.select(explode(col("headers")))
+      .select(col("col.key"), col("col.value").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(hdr == Set(("source", "graft")))
+  }
+
   test("streaming vector ingest: IVF screen + cell append per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
