@@ -415,4 +415,86 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
     assert(rows.count(_._3 == "en") >= 3) // "the/over" markers fire
   }
+
+  test("streaming dedup property: per-cluster survivor laws over random splits") {
+    // Property-style invariants of StreamingDedup.dedupBatch (seeded,
+    // reproducible). Naive split-invariance — dedupe(b1) ++ dedupe(b2 |
+    // index) == dedupe(b1 ++ b2) — is NOT a theorem of keep-lowest-id
+    // semantics (transitive chains and out-of-id-order arrival both break
+    // it; the scaladoc documents this as the replay contract), so the
+    // properties asserted here are the ones users actually rely on. With
+    // near-dup classes that are CLIQUES (disjoint vocab clusters, every
+    // member pairwise similar):
+    //  1. id-ordered splits: survivors == { min id per cluster }, for ANY
+    //     split points — exactly the combined-batch answer (this IS
+    //     split-invariance on the clique + ordered domain where it holds);
+    //  2. arbitrary (shuffled) splits: EXACTLY ONE survivor per cluster —
+    //     the arriving order decides which member wins, but never how many;
+    //  3. never a near-dup pair among survivors (guaranteed by 2 +
+    //     disjoint cross-cluster vocab).
+    // Clusters are EXACT-duplicate cliques (jaccard 1.0): banded LSH
+    // catches a 1.0 pair with probability 1, so the similarity graph is
+    // deterministic and the property isolates what it is about — the
+    // split/order/index bookkeeping. (Near-dup pairs at jaccard ~0.9 miss
+    // all 4 bands ~10% of the time by the S-curve; that recall trade is
+    // the operator's documented design point and is covered by the
+    // MinhashIndex/q31/q80 tests, not a law of batch splitting.)
+    // Case count: 24 Spark-backed cases by default (each runs 2-3 full
+    // index-check-append cycles); SPARK_GRAFT_FULL_PROPS=true raises it
+    // to 100 for the long property run.
+    import graft.streaming.StreamingDedup
+    val cases =
+      if (sys.env.get("SPARK_GRAFT_FULL_PROPS").contains("true")) 100 else 24
+    for (seed <- 0 until cases) {
+      val rng = new scala.util.Random(seed)
+      val nClusters = 2 + rng.nextInt(4) // 2-5 cliques
+      // per-cluster disjoint vocab -> cross-cluster jaccard is exactly 0
+      val texts: Seq[(Int, String)] = (0 until nClusters).flatMap { c =>
+        val base = Seq.fill(20)(s"w${seed}c${c}t${rng.nextInt(50)}").mkString(" ")
+        (0 until 1 + rng.nextInt(3)).map(_ => (c, base))
+      }
+      // random id assignment across clusters
+      val docs = rng.shuffle(texts).zipWithIndex.map {
+        case ((c, text), i) => (c, 100L + i, text)
+      }
+      val clusterIds: Map[Int, Seq[Long]] =
+        docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+      def run(batches: Seq[Seq[(Int, Long, String)]]): Set[Long] = {
+        val dir = tmpDir(s"dedup-prop-$seed")
+        val idx = MinhashIndex.build(
+          Seq((1L, "seedvocab alpha beta gamma delta epsilon zeta eta theta"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", s"$dir/idx", threshold = 0.5)
+        batches.filter(_.nonEmpty).flatMap { b =>
+          StreamingDedup.dedupBatch(
+            b.map(d => (d._2, d._3)).toDF("doc_id", "text"),
+            "doc_id", "text", idx, _ => ())
+            .select("doc_id").as[Long].collect()
+        }.toSet
+      }
+
+      def splitAt(xs: Seq[(Int, Long, String)], parts: Int): Seq[Seq[(Int, Long, String)]] = {
+        val cuts = Seq.fill(parts - 1)(rng.nextInt(xs.length + 1)).sorted
+        (0L +: cuts.map(_.toLong) :+ xs.length.toLong).sliding(2).map {
+          case Seq(a, b) => xs.slice(a.toInt, b.toInt)
+        }.toSeq
+      }
+
+      if (seed % 2 == 0) {
+        // law 1: id-ordered split, any cut points -> min id per cluster
+        val got = run(splitAt(docs.sortBy(_._2), 2 + rng.nextInt(2)))
+        val want = clusterIds.values.map(_.min).toSet
+        assert(got == want, s"seed=$seed ordered split: got $got want $want")
+      } else {
+        // law 2: shuffled arrival -> exactly one survivor per cluster
+        val got = run(splitAt(rng.shuffle(docs), 2 + rng.nextInt(2)))
+        clusterIds.foreach { case (c, ids) =>
+          assert(ids.toSet.intersect(got).size == 1,
+            s"seed=$seed cluster $c: survivors ${ids.toSet.intersect(got)}")
+        }
+        assert(got.size == nClusters, s"seed=$seed: $got")
+      }
+    }
+  }
 }
