@@ -2076,6 +2076,99 @@ object QueryCatalog {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM packed GROUP BY 1, 2 ORDER BY shard, pack_id"""))
 
+  /** Round-6 DQ aggregate families (quantile/unique/mode/set) emitted as
+    * a queryable profile over `customer` and hash-verified against a
+    * DuckDB mirror of each aggregate — the oracle evidence that the
+    * single-scan implementations compute the same numbers a SQL engine
+    * does (reference gallery: `core/definitions.py:739-877`). */
+  private val q81 = QueryDef(
+    "q81_dq_profile",
+    (s, dir) => {
+      import graft.spec.{DQFunctionSpec, DQSpec}
+      val spec = DQSpec("cust", "cust",
+        dqFunctions = Seq(
+          DQFunctionSpec("expect_column_unique_value_count_to_be_between",
+            Map("column" -> "c_nationkey", "min_value" -> 1, "max_value" -> 25)),
+          DQFunctionSpec("expect_column_proportion_of_unique_values_to_be_between",
+            Map("column" -> "c_custkey", "min_value" -> 0.999)),
+          DQFunctionSpec("expect_column_most_common_value_to_be_in_set",
+            Map("column" -> "c_mktsegment",
+              "value_set" -> Seq("BUILDING", "FURNITURE", "MACHINERY"))),
+          DQFunctionSpec("expect_column_distinct_values_to_contain_set",
+            Map("column" -> "c_mktsegment",
+              "value_set" -> Seq("BUILDING", "AUTOMOBILE"))),
+          DQFunctionSpec("expect_column_distinct_values_to_equal_set",
+            Map("column" -> "c_mktsegment", "value_set" ->
+              Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))),
+          DQFunctionSpec("expect_column_median_to_be_between",
+            Map("column" -> "c_acctbal", "min_value" -> -1000.0, "max_value" -> 10000.0))),
+        failOnError = false, maxPercentageFailure = Some(1.0))
+      val result = graft.dq.DQEngine.run(s, T(s, dir, "customer"), spec)
+      graft.dq.DQEngine.resultSinkDf(s, result, "cust")
+        .select(col("expectation_type"), col("success"),
+          col("element_count"), col("unexpected_count"),
+          when(isnan(col("observed_value")), lit(null))
+            .otherwise(round(col("observed_value"), 6)).as("observed"))
+        .orderBy(col("expectation_type"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT c_mktsegment AS v, count(*) AS n FROM customer GROUP BY 1),
+      modes AS (SELECT v FROM counts WHERE n = (SELECT max(n) FROM counts)),
+      seg_contain AS (
+        SELECT count(DISTINCT c_mktsegment) AS present FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      seg_equal AS (
+        SELECT count(DISTINCT CASE WHEN c_mktsegment IN
+                 ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                 THEN c_mktsegment END) AS present,
+               count(DISTINCT CASE WHEN c_mktsegment NOT IN
+                 ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                 THEN c_mktsegment END) AS extra
+        FROM customer),
+      uniq AS (SELECT count(DISTINCT c_nationkey) AS d FROM customer),
+      prop AS (SELECT count(DISTINCT c_custkey) AS u, count(c_custkey) AS n
+               FROM customer),
+      med AS (SELECT quantile_disc(c_acctbal, 0.5) AS m FROM customer)
+      SELECT * FROM (
+        SELECT 'expect_column_distinct_values_to_contain_set' AS expectation_type,
+               present = 2 AS success, CAST(2 AS BIGINT) AS element_count,
+               CAST(2 - present AS BIGINT) AS unexpected_count,
+               CAST(NULL AS DOUBLE) AS observed
+        FROM seg_contain
+        UNION ALL
+        SELECT 'expect_column_distinct_values_to_equal_set',
+               (5 - present) + extra = 0, CAST(5 + extra AS BIGINT),
+               CAST((5 - present) + extra AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM seg_equal
+        UNION ALL
+        SELECT 'expect_column_median_to_be_between',
+               m BETWEEN -1000.0 AND 10000.0, CAST(1 AS BIGINT),
+               CASE WHEN m BETWEEN -1000.0 AND 10000.0 THEN 0 ELSE 1 END,
+               round(m, 6)
+        FROM med
+        UNION ALL
+        SELECT 'expect_column_most_common_value_to_be_in_set',
+               EXISTS (SELECT 1 FROM modes
+                       WHERE v IN ('BUILDING','FURNITURE','MACHINERY')),
+               (SELECT count(*) FROM modes),
+               CASE WHEN EXISTS (SELECT 1 FROM modes
+                 WHERE v IN ('BUILDING','FURNITURE','MACHINERY')) THEN 0 ELSE 1 END,
+               CAST(NULL AS DOUBLE)
+        UNION ALL
+        SELECT 'expect_column_proportion_of_unique_values_to_be_between',
+               CAST(u AS DOUBLE) / n >= 0.999, n,
+               CASE WHEN CAST(u AS DOUBLE) / n >= 0.999 THEN 0 ELSE 1 END,
+               round(CAST(u AS DOUBLE) / n, 6)
+        FROM prop
+        UNION ALL
+        SELECT 'expect_column_unique_value_count_to_be_between',
+               d BETWEEN 1 AND 25, d,
+               CASE WHEN d BETWEEN 1 AND 25 THEN 0 ELSE 1 END,
+               round(CAST(d AS DOUBLE), 6)
+        FROM uniq)
+      ORDER BY expectation_type"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2086,5 +2179,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80)
+    q80, q81)
 }
