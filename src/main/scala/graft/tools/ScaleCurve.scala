@@ -35,6 +35,23 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
+  /** Scale a keyed relational table: each copy offsets the key so
+    * uniqueness (merge keys, DQ uniqueness expectations) is preserved;
+    * every other column repeats, so groups stay fixed while rows-per-group
+    * grow — the aggregation-scaling regime for the GAB/merge/DQ family. */
+  private def scaleKeyed(
+      spark: SparkSession, base: String, out: String,
+      table: String, keyCol: String): Unit = {
+    val df = spark.read.parquet(s"$base/$table.parquet")
+    val maxId = df.agg(max(keyCol)).head.getLong(0)
+    (0 until Copies).map { i =>
+      if (i == 0) df
+      else df.withColumn(keyCol, col(keyCol) + lit(i * (maxId + 1)))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/$table.parquet")
+  }
+
   private def scaleEmbeddings(spark: SparkSession, base: String, out: String): Unit = {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxId = emb.agg(max("vec_id")).head.getLong(0)
@@ -137,7 +154,12 @@ object ScaleCurve {
     "q30_dedup_exact", "q33_ngram_jaccard", "q34_text_quality",
     "q35_lang_id", "q58_sequence_pack", "q60_distinctive_terms",
     "q66_contamination", "q69_vocabulary", "q75_repetition_metrics",
-    "q77_curation_pipeline")
+    "q77_curation_pipeline",
+    // GAB / merge / DQ / range-join family over the scaled orders +
+    // customer tables (round-6 addition: the relational operators get
+    // measured growth factors, not just the dedup/ANN family)
+    "q25_window_cadence", "q27_merge_upsert", "q29_gab_cadence",
+    "q44_range_join", "q51_dq_summary", "q72_gab_week_sunday_snapshot")
 
   /** Measured LSH pair-recall on a ~500-vector sample of `dir`'s corpus:
     * brute-force the sample's true cos≥threshold pairs, run the banded
@@ -185,6 +207,10 @@ object ScaleCurve {
       scaleDocs(spark, base, scaled)
     if (!new java.io.File(s"$scaled/embeddings.parquet/_SUCCESS").exists())
       scaleEmbeddings(spark, base, scaled)
+    if (!new java.io.File(s"$scaled/orders.parquet/_SUCCESS").exists())
+      scaleKeyed(spark, base, scaled, "orders", "o_orderkey")
+    if (!new java.io.File(s"$scaled/customer.parquet/_SUCCESS").exists())
+      scaleKeyed(spark, base, scaled, "customer", "c_custkey")
     val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
 
     val catalog = graft.SparkEntry.queries
