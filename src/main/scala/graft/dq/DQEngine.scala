@@ -82,6 +82,9 @@ object DQEngine {
         Some(!c.like(str(a, "like_pattern").orElse(str(a, "pattern")).get))
       case "expect_column_pair_values_to_be_equal" =>
         Some(col(str(a, "column_A").get) <=> col(str(a, "column_B").get))
+      case "expect_select_column_values_to_be_unique_within_record" =>
+        val cols = anySeq(a, "column_list").map(n => col(String.valueOf(n)))
+        Some(size(array_distinct(array(cols: _*))) === cols.length)
       case "expect_multicolumn_sum_to_equal" =>
         // per-row: sum(column_list) == sum_total (GX multicolumn map
         // expectation; heavily used in the reference's test suites)
@@ -193,6 +196,44 @@ object DQEngine {
         val have = df.columns.toSet
         val ok = if (exact) have == want else want.subsetOf(have)
         Some(ExpectationOutcome(f.function, a, ok, df.columns.length.toLong, if (ok) 0 else 1))
+      case "expect_column_values_to_be_of_type" |
+           "expect_column_values_to_be_in_type_list" =>
+        val c = str(a, "column").get
+        val wanted =
+          if (f.function.endsWith("in_type_list")) anySeq(a, "type_list").map(String.valueOf(_))
+          else Seq(str(a, "type_").orElse(str(a, "type")).get)
+        val dt = df.schema(c).dataType
+        // accept Spark's typeName ("integer"), simpleString ("int") and
+        // the GX/Spark class spelling ("IntegerType")
+        val names = Set(dt.typeName, dt.simpleString,
+          dt.getClass.getSimpleName.stripSuffix("$")).map(_.toLowerCase)
+        val ok = wanted.exists(w => names(w.toLowerCase))
+        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1))
+      case "expect_compound_columns_to_be_unique" =>
+        val cols = anySeq(a, "column_list").map(n => col(String.valueOf(n)))
+        val dups = df.groupBy(cols: _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1)
+          .agg(coalesce(sum(col("__n")), lit(0L))).collect()(0).getLong(0)
+        val n = df.count()
+        Some(ExpectationOutcome(f.function, a, dups == 0, n, dups))
+      case "expect_column_value_z_scores_to_be_less_than" =>
+        // two bounded actions: one aggregate for mean/stddev, one scan
+        // counting |z| >= threshold (never a per-row collect)
+        val c = str(a, "column").get
+        val thr = num(a, "threshold").get
+        val doubleSided = !a.get("double_sided").contains(false)
+        val stats = df.agg(avg(col(c)).cast("double"),
+          stddev(col(c)).cast("double")).collect()(0)
+        if (stats.isNullAt(1) || stats.getDouble(1) == 0.0)
+          Some(ExpectationOutcome(f.function, a, success = true, df.count(), 0))
+        else {
+          val z = (col(c) - stats.getDouble(0)) / stats.getDouble(1)
+          val zc = if (doubleSided) abs(z) else z
+          val row = df.agg(count(col(c)),
+            coalesce(sum(when(zc >= thr, 1L).otherwise(0L)), lit(0L))).collect()(0)
+          val (n, bad) = (row.getLong(0), row.getLong(1))
+          Some(ExpectationOutcome(f.function, a, bad == 0, n, bad))
+        }
       // ---- single-aggregate families (quantile/unique/mode) ------------
       case "expect_column_median_to_be_between" =>
         val c = str(a, "column").get

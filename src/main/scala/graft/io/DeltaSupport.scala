@@ -88,6 +88,17 @@ object DeltaSupport {
     ()
   }
 
+  /** Delta Change Data Feed read — the native source behind the
+    * reference's CDF terminator (`terminators/cdf_processor.py`). Only
+    * with Delta jars; the no-Delta equivalent of the same `_change_type`
+    * rows is [[graft.operators.ChangeCapture.snapshotDiff]]. */
+  def changeFeed(spark: SparkSession, location: String,
+      startingVersion: Long): DataFrame = {
+    require(available, "Delta Lake is not on the classpath")
+    spark.read.format("delta").option("readChangeFeed", "true")
+      .option("startingVersion", startingVersion).load(location)
+  }
+
   /** Latest committed version of the Delta table at `location`. */
   def latestVersion(spark: SparkSession, location: String): Long =
     call(forPath(spark, location), "history", java.lang.Integer.TYPE -> Int.box(1))

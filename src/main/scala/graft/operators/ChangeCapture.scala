@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: a single key-partitioned shuffle join; with both
   * snapshots bucketed on the key it becomes co-located.
+  *
+  * With Delta jars on the classpath, the transaction-log-native feed is
+  * available instead via [[graft.io.DeltaSupport.changeFeed]] (same
+  * `_change_type` vocabulary).
   */
 object ChangeCapture {
 

@@ -111,6 +111,39 @@ class DQEngineSpec extends SparkSpec {
     assert(byFn("expect_column_values_to_match_like_pattern").success)
   }
 
+  test("type checks, compound uniqueness, within-record uniqueness, z-scores") {
+    val rows = Seq((1, 1, 10.0), (1, 2, 11.0), (1, 2, 9.0), (2, 2, 10.0))
+      .toDF("a", "b", "x")
+    val r = DQEngine.run(spark, rows, spec(
+      "expect_column_values_to_be_of_type" -> Map("column" -> "a", "type_" -> "IntegerType"),
+      "expect_column_values_to_be_of_type" -> Map("column" -> "x", "type_" -> "double"),
+      "expect_column_values_to_be_in_type_list" ->
+        Map("column" -> "a", "type_list" -> Seq("StringType", "int")),
+      "expect_compound_columns_to_be_unique" -> Map("column_list" -> Seq("a", "b")),
+      "expect_select_column_values_to_be_unique_within_record" ->
+        Map("column_list" -> Seq("a", "b")),
+      "expect_column_value_z_scores_to_be_less_than" ->
+        Map("column" -> "x", "threshold" -> 3.0)))
+    def byFn(name: String) = r.outcomes.filter(_.function == name)
+    assert(byFn("expect_column_values_to_be_of_type").forall(_.success))
+    assert(byFn("expect_column_values_to_be_in_type_list").head.success)
+    val compound = byFn("expect_compound_columns_to_be_unique").head
+    assert(!compound.success && compound.unexpectedCount == 2) // (1,2) twice
+    val withinRec =
+      byFn("expect_select_column_values_to_be_unique_within_record").head
+    assert(!withinRec.success && withinRec.unexpectedCount == 2) // rows a==b
+    assert(byFn("expect_column_value_z_scores_to_be_less_than").head.success)
+    val badType = DQEngine.run(spark, rows, spec(
+      "expect_column_values_to_be_of_type" -> Map("column" -> "a", "type_" -> "string"),
+      "expect_column_value_z_scores_to_be_less_than" ->
+        Map("column" -> "x", "threshold" -> 0.5)))
+    assert(badType.outcomes.forall(!_.success)) // wrong type; z=0.5 breached
+    // constant column: stddev 0 -> vacuously within any z threshold
+    assert(DQEngine.run(spark, Seq(5.0, 5.0).toDF("x"), spec(
+      "expect_column_value_z_scores_to_be_less_than" ->
+        Map("column" -> "x", "threshold" -> 1.0))).outcomes.head.success)
+  }
+
   test("quantile/unique/mode aggregate families") {
     val vals = (Seq.fill(5)(1.0) ++ Seq(2.0, 3.0, 4.0, 5.0, 100.0)).toDF("x")
     val r = DQEngine.run(spark, vals, spec(

@@ -99,6 +99,59 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("ssh sftp transport mirrors a remote tree via the batch protocol") {
+    // No sshd exists in this container, so the SSH layer is a fake sftp
+    // client that interprets the SAME batch-file protocol the real
+    // OpenSSH client would receive ('get -R -p "src" "dst"') against a
+    // local directory: everything above the wire — process spawning,
+    // batch-file generation, mirror layout, remote-path mapping,
+    // mtime preservation — runs for real.
+    val remote = tmpDir("sftp-ssh-remote")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$remote/feed/sub"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$remote/feed/a.csv"), "id,v\n1,x\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$remote/feed/sub/b.csv"), "id,v\n2,y\n")
+    val fake = java.nio.file.Paths.get(tmpDir("sftp-ssh-bin"), "fake-sftp")
+    java.nio.file.Files.writeString(fake,
+      """#!/bin/bash
+        |# fake OpenSSH sftp: consume flags, execute 'get -R -p' batch lines
+        |batch=""
+        |while [[ $# -gt 0 ]]; do
+        |  case "$1" in
+        |    -b) batch="$2"; shift 2;;
+        |    -P|-o|-i) shift 2;;
+        |    *) shift;;   # target user@host
+        |  esac
+        |done
+        |while IFS= read -r line; do
+        |  if [[ "$line" == get\ -R\ -p\ * ]]; then
+        |    eval "args=($line)"
+        |    cp -rp "${args[3]}" "${args[4]}/"
+        |  fi
+        |done < "$batch"
+        |""".stripMargin)
+    fake.toFile.setExecutable(true)
+    val t = new SftpReader.SshSftpTransport(
+      "user@example.invalid", command = Seq(fake.toString))
+    val listed = t.list(s"$remote/feed")
+    assert(listed == Seq(s"$remote/feed/a.csv", s"$remote/feed/sub/b.csv"))
+    val bytes = new String(t.open(listed.head).readAllBytes())
+    assert(bytes == "id,v\n1,x\n")
+    // -p preserved the remote mtime on the mirror
+    assert(t.mtime(listed.head) ==
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$remote/feed/a.csv")).toMillis / 1000)
+    // end-to-end through the reader via a registered transport name
+    SftpReader.register("ssh-test", t)
+    val df = SftpReader.read(spark, s"$remote/feed",
+      Map("sftp_files_format" -> "csv", "header" -> "true",
+        "inferSchema" -> "true", "transport" -> "ssh-test"))
+    assert(df.count() == 2)
+    // a path that never came from list() fails loudly
+    intercept[RuntimeException] { t.open(s"$remote/feed/ghost.csv") }
+  }
+
   test("sharepoint reader: path rules, pattern, metadata, archive") {
     val root = tmpDir("sharepoint")
     def put(rel: String, content: String): Unit = {
