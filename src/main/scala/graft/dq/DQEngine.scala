@@ -121,14 +121,76 @@ object DQEngine {
     }
   }
 
+  /** Table expectations expressible as plain aggregate columns: the
+    * aggregates to fold into ONE combined pass plus the outcome built
+    * from the corresponding value slice. [[run]] coalesces every such
+    * expectation in a suite into a single `df.agg(...)` — a suite with N
+    * aggregate expectations costs one scan, not N, the table-level
+    * analogue of the single-scan row-expectation pass. */
+  private def aggExpectation(
+      f: DQFunctionSpec): Option[(Seq[Column], Seq[Any] => ExpectationOutcome)] = {
+    val a = f.args
+    def inBounds(v: Double): Boolean =
+      num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
+    def numVal(x: Any): Double = x match {
+      case null => Double.NaN // empty input: no bound can hold
+      case n: Number => n.doubleValue()
+      case other => sys.error(s"${f.function}: non-numeric aggregate $other")
+    }
+    def scalar(agg: Column, elementCount: Long = 1L)
+        : Option[(Seq[Column], Seq[Any] => ExpectationOutcome)] =
+      Some(Seq(agg) -> { vs =>
+        val v = numVal(vs.head)
+        val ok = inBounds(v)
+        ExpectationOutcome(f.function, a, ok, elementCount,
+          if (ok) 0 else 1, Some(v))
+      })
+    f.function match {
+      case "expect_table_row_count_to_be_between" =>
+        Some(Seq(count(lit(1))) -> { vs =>
+          val n = numVal(vs.head).toLong
+          val ok = inBounds(n.toDouble)
+          ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else n, Some(n.toDouble))
+        })
+      case "expect_column_mean_to_be_between" =>
+        scalar(avg(col(str(a, "column").get)).cast("double"))
+      case "expect_column_sum_to_be_between" =>
+        scalar(sum(col(str(a, "column").get)).cast("double"))
+      case "expect_column_max_to_be_between" =>
+        scalar(max(col(str(a, "column").get)).cast("double"))
+      case "expect_column_min_to_be_between" =>
+        scalar(min(col(str(a, "column").get)).cast("double"))
+      case "expect_column_stdev_to_be_between" =>
+        scalar(stddev(col(str(a, "column").get)).cast("double"))
+      case "expect_column_median_to_be_between" =>
+        scalar(percentile_approx(col(str(a, "column").get).cast("double"),
+          lit(0.5), lit(10000)).cast("double"))
+      case "expect_column_unique_value_count_to_be_between" =>
+        Some(Seq(count_distinct(col(str(a, "column").get))) -> { vs =>
+          val n = numVal(vs.head).toLong
+          val ok = inBounds(n.toDouble)
+          ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else 1, Some(n.toDouble))
+        })
+      case "expect_column_proportion_of_unique_values_to_be_between" =>
+        val c = col(str(a, "column").get)
+        Some(Seq(count_distinct(c), count(c)) -> { vs =>
+          val (u, n) = (numVal(vs.head).toLong, numVal(vs(1)).toLong)
+          val v = if (n == 0) 0.0 else u.toDouble / n
+          val ok = inBounds(v)
+          ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else 1, Some(v))
+        })
+      case _ => None
+    }
+  }
+
   /** Evaluate a table-level expectation (one aggregate action). */
   def tableExpectation(spark: SparkSession, df: DataFrame, f: DQFunctionSpec): Option[ExpectationOutcome] = {
     val a = f.args
+    aggExpectation(f).foreach { case (aggs, mk) =>
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      return Some(mk(row.toSeq))
+    }
     f.function match {
-      case "expect_table_row_count_to_be_between" =>
-        val n = df.count()
-        val ok = num(a, "min_value").forall(n >= _) && num(a, "max_value").forall(n <= _)
-        Some(ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else n, Some(n.toDouble)))
       case "expect_column_distinct_values_to_be_in_set" =>
         val c = str(a, "column").get
         val set = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
@@ -159,20 +221,6 @@ object DQEngine {
           .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
         val n = df.count()
         Some(ExpectationOutcome(f.function, a, dups == 0, n, dups))
-      case "expect_column_mean_to_be_between" | "expect_column_sum_to_be_between" |
-           "expect_column_max_to_be_between" | "expect_column_min_to_be_between" |
-           "expect_column_stdev_to_be_between" =>
-        val c = str(a, "column").get
-        val aggFn = f.function match {
-          case "expect_column_mean_to_be_between" => avg(col(c))
-          case "expect_column_sum_to_be_between" => sum(col(c))
-          case "expect_column_max_to_be_between" => max(col(c))
-          case "expect_column_min_to_be_between" => min(col(c))
-          case _ => stddev(col(c))
-        }
-        val v = df.agg(aggFn.cast("double")).collect()(0).getDouble(0)
-        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
-        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1, Some(v)))
       // ---- schema-level (no data scan at all) --------------------------
       case "expect_column_to_exist" =>
         val c = str(a, "column").get
@@ -234,13 +282,7 @@ object DQEngine {
           val (n, bad) = (row.getLong(0), row.getLong(1))
           Some(ExpectationOutcome(f.function, a, bad == 0, n, bad))
         }
-      // ---- single-aggregate families (quantile/unique/mode) ------------
-      case "expect_column_median_to_be_between" =>
-        val c = str(a, "column").get
-        val v = df.agg(percentile_approx(col(c).cast("double"), lit(0.5),
-          lit(10000)).as("m")).collect()(0).getDouble(0)
-        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
-        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1, Some(v)))
+      // ---- quantile-array / mode / set families ------------------------
       case "expect_column_quantile_values_to_be_between" =>
         // args: quantile_ranges: {quantiles: [...], value_ranges: [[lo,hi],...]}
         // one percentile_approx aggregate evaluates every requested
@@ -258,19 +300,6 @@ object DQEngine {
           .collect()(0).getSeq[Double](0)
         val bad = got.zip(ranges).count { case (v, (lo, hi)) => v < lo || v > hi }
         Some(ExpectationOutcome(f.function, a, bad == 0, qs.length.toLong, bad.toLong))
-      case "expect_column_unique_value_count_to_be_between" =>
-        val c = str(a, "column").get
-        val n = df.agg(count_distinct(col(c)).as("n")).collect()(0).getLong(0)
-        val ok = num(a, "min_value").forall(n >= _) && num(a, "max_value").forall(n <= _)
-        Some(ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else 1, Some(n.toDouble)))
-      case "expect_column_proportion_of_unique_values_to_be_between" =>
-        val c = str(a, "column").get
-        val row = df.agg(count_distinct(col(c)).as("u"),
-          count(col(c)).as("n")).collect()(0)
-        val (u, n) = (row.getLong(0), row.getLong(1))
-        val v = if (n == 0) 0.0 else u.toDouble / n
-        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
-        Some(ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else 1, Some(v)))
       case "expect_column_most_common_value_to_be_in_set" =>
         // mode via one groupBy-count; ties resolved like GX's ties_okay:
         // success if ANY of the tied modes is in the set
@@ -368,8 +397,31 @@ object DQEngine {
           (o.copy(unexpectedIndexList = sample), crit)
         }
       }
+    // Combined aggregate pass: every aggregate-expressible table
+    // expectation contributes its columns to ONE df.agg action (N
+    // aggregate expectations = one scan); the rest evaluate one by one.
+    val aggPlans = tableFns.map { case (f, crit) => (f, crit, aggExpectation(f)) }
+    val combined: Map[Int, (ExpectationOutcome, Boolean)] = {
+      val planned = aggPlans.zipWithIndex.collect {
+        case ((_, crit, Some((aggs, mk))), i) => (i, crit, aggs, mk)
+      }
+      if (planned.isEmpty) Map.empty
+      else {
+        val allAggs = planned.flatMap(_._3)
+        val row = df.agg(allAggs.head, allAggs.tail: _*).collect()(0)
+        var off = 0
+        planned.map { case (i, crit, aggs, mk) =>
+          val slice = aggs.indices.map(j => row.get(off + j))
+          off += aggs.length
+          i -> (mk(slice), crit)
+        }.toMap
+      }
+    }
     val tableOutcomes: Seq[(ExpectationOutcome, Boolean)] =
-      tableFns.flatMap { case (f, crit) => tableExpectation(spark, df, f).map(_ -> crit) }
+      aggPlans.zipWithIndex.flatMap {
+        case ((_, _, Some(_)), i) => combined.get(i)
+        case ((f, crit, None), _) => tableExpectation(spark, df, f).map(_ -> crit)
+      }
     val unknown = tableFns.filterNot { case (f, _) =>
       tableOutcomes.exists(_._1.function == f.function)
     }

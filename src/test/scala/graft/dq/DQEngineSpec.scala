@@ -144,6 +144,20 @@ class DQEngineSpec extends SparkSpec {
         Map("column" -> "x", "threshold" -> 1.0))).outcomes.head.success)
   }
 
+  test("critical aggregate expectation escalates through the combined pass") {
+    // aggregate expectations are coalesced into one df.agg action; the
+    // per-instance critical flag must survive the index mapping
+    val ex = intercept[DQValidationFailedException] {
+      DQEngine.run(spark, df, DQSpec("t", "t",
+        dqFunctions = Seq(DQFunctionSpec("expect_column_mean_to_be_between",
+          Map("column" -> "amount", "min_value" -> 10, "max_value" -> 20))),
+        criticalFunctions = Seq(DQFunctionSpec("expect_column_max_to_be_between",
+          Map("column" -> "amount", "max_value" -> 5))),
+        failOnError = false, maxPercentageFailure = Some(1.0)))
+    }
+    assert(ex.getMessage.contains("expect_column_max_to_be_between"))
+  }
+
   test("quantile/unique/mode aggregate families") {
     val vals = (Seq.fill(5)(1.0) ++ Seq(2.0, 3.0, 4.0, 5.0, 100.0)).toDF("x")
     val r = DQEngine.run(spark, vals, spec(
