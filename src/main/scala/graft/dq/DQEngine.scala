@@ -163,8 +163,13 @@ object DQEngine {
       case "expect_column_stdev_to_be_between" =>
         scalar(stddev(col(str(a, "column").get)).cast("double"))
       case "expect_column_median_to_be_between" =>
+        // optional `accuracy`: percentile_approx's rank error is bounded
+        // by n/accuracy, so callers comparing against an exact engine
+        // (e.g. q81's oracle) raise it to keep the estimate exact at
+        // their cardinality
+        val accuracy = num(a, "accuracy").map(_.toInt).getOrElse(10000)
         scalar(percentile_approx(col(str(a, "column").get).cast("double"),
-          lit(0.5), lit(10000)).cast("double"))
+          lit(0.5), lit(accuracy)).cast("double"))
       case "expect_column_unique_value_count_to_be_between" =>
         Some(Seq(count_distinct(col(str(a, "column").get))) -> { vs =>
           val n = numVal(vs.head).toLong
@@ -198,15 +203,19 @@ object DQEngine {
         // on a mis-targeted high-cardinality column that would OOM the
         // driver. One aggregate over the distinct values yields the
         // cardinality and the out-of-set count; only a bounded sample of
-        // the violating values lands on the driver. (String.valueOf
-        // semantics preserved: nulls compare as the string "null".)
+        // the violating values lands on the driver. (Values compare by
+        // their Spark SQL string rendering, nulls as the string "null" —
+        // note timestamps render as "yyyy-MM-dd HH:mm:ss", not
+        // java.sql.Timestamp.toString.)
         val v = coalesce(col(c).cast("string"), lit("null"))
         val distinctVals = df.select(v.as("__v")).distinct()
         val inSet =
           if (set.isEmpty) lit(false) else col("__v").isin(set: _*)
+        // coalesce: sum over an EMPTY table is NULL; empty input is
+        // vacuously in-set (the old collect-based path's behavior)
         val row = distinctVals
           .agg(count(lit(1)).as("__n"),
-            sum(when(!inSet, 1L).otherwise(0L)).as("__bad"))
+            coalesce(sum(when(!inSet, 1L).otherwise(0L)), lit(0L)).as("__bad"))
           .collect()(0)
         val (n, bad) = (row.getLong(0), row.getLong(1))
         val sample =
@@ -295,10 +304,14 @@ object DQEngine {
           case other => sys.error(s"bad value_range: $other")
         }
         require(qs.length == ranges.length, "quantiles and value_ranges must align")
-        val got = df.agg(percentile_approx(col(c).cast("double"),
+        val row = df.agg(percentile_approx(col(c).cast("double"),
             array(qs.map(lit): _*), lit(10000)).as("q"))
-          .collect()(0).getSeq[Double](0)
-        val bad = got.zip(ranges).count { case (v, (lo, hi)) => v < lo || v > hi }
+          .collect()(0)
+        // empty/all-null input: no quantile can sit inside its range
+        val bad =
+          if (row.isNullAt(0)) qs.length
+          else row.getSeq[Double](0).zip(ranges)
+            .count { case (v, (lo, hi)) => v < lo || v > hi }
         Some(ExpectationOutcome(f.function, a, bad == 0, qs.length.toLong, bad.toLong))
       case "expect_column_most_common_value_to_be_in_set" =>
         // mode via one groupBy-count; ties resolved like GX's ties_okay:
@@ -307,9 +320,11 @@ object DQEngine {
         val set = anySeq(a, "value_set").map(String.valueOf(_)).toSet
         val counts = df.groupBy(col(c).cast("string").as("__v"))
           .agg(count(lit(1)).as("__n"))
-        val topN = counts.agg(max(col("__n"))).collect()(0).getLong(0)
-        val modes = counts.where(col("__n") === topN)
-          .limit(UnexpectedSampleLimit).collect().map(_.getString(0))
+        // Option: max over an EMPTY table is NULL (no mode, fails the set)
+        val topN = Option(counts.agg(max(col("__n"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long])
+        val modes = topN.toSeq.flatMap(t => counts.where(col("__n") === t)
+          .limit(UnexpectedSampleLimit).collect().map(_.getString(0)))
         val ok = modes.exists(set)
         Some(ExpectationOutcome(f.function, a, ok, modes.length.toLong,
           if (ok) 0 else 1, unexpectedIndexList = if (ok) Seq.empty else modes.toSeq))

@@ -85,6 +85,33 @@ object SftpReader {
     mirrorRoot.toFile.deleteOnExit()
     // remote absolute path -> mirrored local path (populated by list)
     private val mirrored = scala.collection.concurrent.TrieMap.empty[String, Path]
+    // location -> its current mirror dir: re-listing the same feed (the
+    // periodic-poll pattern) deletes the previous mirror instead of
+    // accumulating a full copy per poll until /tmp fills
+    private val locationDirs = scala.collection.concurrent.TrieMap.empty[String, Path]
+
+    private def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.foreach(deleteRecursively)
+        } finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+
+    /** The OpenSSH batch parser splits on whitespace with double-quote
+      * grouping; a quote, backslash or newline in a path would unbalance
+      * the line (silent wrong target) or inject a second command. Paths
+      * with those bytes are refused — they don't occur in legitimate
+      * feed layouts. */
+    private def batchSafe(s: String): String = {
+      require(!s.exists(c => c == '"' || c == '\\' || c == '\n' || c == '\r'),
+        s"sftp ssh transport: path contains characters unsafe for the " +
+          s"sftp batch protocol: $s")
+      s
+    }
 
     private def runBatch(batch: String): Unit = {
       val bf = Files.createTempFile("graft-sftp-batch-", ".txt")
@@ -103,7 +130,12 @@ object SftpReader {
       val loc = location.stripSuffix("/")
       val dst = Files.createTempDirectory(mirrorRoot, "loc")
       dst.toFile.deleteOnExit()
-      runBatch(s"""get -R -p "$loc" "$dst"""" + "\n")
+      locationDirs.put(loc, dst).foreach { previous =>
+        // drop the superseded mirror (and its stale path mappings)
+        mirrored.filterInPlace((_, p) => !p.startsWith(previous))
+        deleteRecursively(previous)
+      }
+      runBatch(s"""get -R -p "${batchSafe(loc)}" "${batchSafe(dst.toString)}"""" + "\n")
       // `get -R remote dst` lands the tree at dst/<basename(remote)>
       val base = dst.resolve(Paths.get(loc).getFileName.toString)
       val localRoot = if (Files.exists(base)) base else dst

@@ -85,6 +85,12 @@ object Writers {
     val opts = spec.mergeOpts.getOrElse(sys.error("merge write_type needs merge_opts"))
     val loc = spec.location.getOrElse(sys.error("native merge needs a location"))
     val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Settle any interrupted previous swap BEFORE probing existence: a
+    // crash between StagedSwap's renames leaves loc missing while the
+    // staged data (and intent) exist — probing then would take the
+    // create branch and silently drop every previously merged row.
+    // recover() rolls that swap forward first; no-op on a clean location.
+    StagedSwap.recover(spark.sparkContext.hadoopConfiguration, loc)
     val targetExists = fs.exists(new Path(loc))
     // data_format: delta + Delta jars on the classpath -> the real
     // DeltaTable MERGE (transaction-log commit); otherwise the native

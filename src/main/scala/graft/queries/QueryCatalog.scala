@@ -2101,7 +2101,11 @@ object QueryCatalog {
             Map("column" -> "c_mktsegment", "value_set" ->
               Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))),
           DQFunctionSpec("expect_column_median_to_be_between",
-            Map("column" -> "c_acctbal", "min_value" -> -1000.0, "max_value" -> 10000.0))),
+            // accuracy 1e7: rank error n/accuracy stays < 1 row for any
+            // verify scale, so the approximate sketch is EXACT and
+            // matches DuckDB's quantile_disc deterministically
+            Map("column" -> "c_acctbal", "min_value" -> -1000.0,
+              "max_value" -> 10000.0, "accuracy" -> 10000000))),
         failOnError = false, maxPercentageFailure = Some(1.0))
       val result = graft.dq.DQEngine.run(s, T(s, dir, "customer"), spec)
       graft.dq.DQEngine.resultSinkDf(s, result, "cust")

@@ -38,7 +38,10 @@ object StreamingVectorIngest {
         val dups = index.search(b, idCol, vecCol, k = 1, nProbe = nProbe)
           .where(col("score") >= t)
           .select(col("query_id").as(idCol)).distinct()
-        val freshVsIndex = b.join(dups, Seq(idCol), "left_anti")
+        // checkpoint: the within-batch pass references this subtree four
+        // times (cell tagging, both vector joins, the final anti-join) —
+        // without the cut each reference re-runs the index probe/search.
+        val freshVsIndex = b.join(dups, Seq(idCol), "left_anti").localCheckpoint()
         // within-batch pass: near-dup vectors arriving in the SAME
         // micro-batch must not all survive; keep-lowest-id like
         // StreamingDedup (drop id_b of each verified pair).

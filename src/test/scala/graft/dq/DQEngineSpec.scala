@@ -191,6 +191,32 @@ class DQEngineSpec extends SparkSpec {
     assert(bad.outcomes(2).unexpectedCount == 5) // 5 extra distinct values
   }
 
+  test("empty input never crashes a table expectation") {
+    val empty = spark.emptyDataset[(String, Double)].toDF("k", "x")
+    val r = DQEngine.run(spark, empty, spec(
+      // vacuously in-set on no rows (the old collect path's behavior)
+      "expect_column_distinct_values_to_be_in_set" ->
+        Map("column" -> "k", "value_set" -> Seq("a")),
+      // no mode / no quantiles / nothing contained in an empty column
+      "expect_column_most_common_value_to_be_in_set" ->
+        Map("column" -> "k", "value_set" -> Seq("a")),
+      "expect_column_quantile_values_to_be_between" ->
+        Map("column" -> "x", "quantile_ranges" -> Map(
+          "quantiles" -> Seq(0.5), "value_ranges" -> Seq(Seq(0.0, 1.0)))),
+      "expect_column_distinct_values_to_contain_set" ->
+        Map("column" -> "k", "value_set" -> Seq("a")),
+      // bounded aggregates observe NULL -> fail, not crash
+      "expect_column_mean_to_be_between" ->
+        Map("column" -> "x", "min_value" -> 0)))
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    assert(byFn("expect_column_distinct_values_to_be_in_set").success)
+    assert(byFn("expect_column_distinct_values_to_be_in_set").elementCount == 0)
+    assert(!byFn("expect_column_most_common_value_to_be_in_set").success)
+    assert(!byFn("expect_column_quantile_values_to_be_between").success)
+    assert(!byFn("expect_column_distinct_values_to_contain_set").success)
+    assert(!byFn("expect_column_mean_to_be_between").success)
+  }
+
   test("aggregate bound expectations: mean/sum/max/min/stdev") {
     val r = DQEngine.run(spark, df, spec(
       "expect_column_mean_to_be_between" ->

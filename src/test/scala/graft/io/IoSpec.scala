@@ -150,6 +150,13 @@ class IoSpec extends SparkSpec {
     assert(df.count() == 2)
     // a path that never came from list() fails loudly
     intercept[RuntimeException] { t.open(s"$remote/feed/ghost.csv") }
+    // batch-protocol-unsafe paths are refused, not silently mangled
+    intercept[IllegalArgumentException] { t.list("""/feed/with"quote""") }
+    // re-listing the same feed replaces the previous mirror instead of
+    // accumulating one full copy per poll
+    val relisted = t.list(s"$remote/feed")
+    assert(relisted == listed)
+    assert(new String(t.open(relisted.head).readAllBytes()) == "id,v\n1,x\n")
   }
 
   test("sharepoint reader: path rules, pattern, metadata, archive") {

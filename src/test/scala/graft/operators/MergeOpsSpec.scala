@@ -79,4 +79,24 @@ class MergeOpsSpec extends SparkSpec {
     val expected = Seq((1, 11.0), (2, 21.0), (3, 31.0)).toDF("id", "v")
     assertSameRows(incremental, expected)
   }
+
+  test("mergeWrite settles an interrupted swap before probing the target") {
+    import graft.spec.OutputSpec
+    val loc = tmpDir("merge-recover") + "/t"
+    val spec = OutputSpec(specId = "m", writeType = "merge",
+      location = Some(loc),
+      mergeOpts = Some(MergeOptions(mergePredicate = "current.id = new.id")))
+    graft.io.Writers.writeBatch(spark, spec, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // crash shape: a swap that renamed live away and died — loc is
+    // missing, loc__old holds the data. A mergeWrite that probed
+    // existence without recovering would take the create branch and
+    // silently drop every previously merged row.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(loc),
+      new org.apache.hadoop.fs.Path(loc + "__old")))
+    graft.io.Writers.writeBatch(spark, spec, Seq((2, "B"), (3, "c")).toDF("id", "v"))
+    assert(spark.read.parquet(loc).as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "B", 3 -> "c"))
+  }
 }
