@@ -2173,6 +2173,54 @@ object QueryCatalog {
         FROM uniq)
       ORDER BY expectation_type"""))
 
+  /** Streaming vector-ingest batch semantics, hash-verified: one
+    * micro-batch through [[graft.streaming.StreamingVectorIngest
+    * .ingestBatch]] in its EXACT configuration (nProbe == nLists = full
+    * probe, so the IVF screen and the within-batch pass reduce to exact
+    * cosine — SQL-expressible), evaluated side-effect-free
+    * (append = false). Survivors = batch vectors with no corpus match
+    * >= t and not the higher id of a within-batch pair >= t — the
+    * embedding analogue of q80's text-dedup contract. */
+  private val q82 = QueryDef(
+    "q82_vector_ingest_batch",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 20)
+      val batch = emb.where(col("vec_id") < 20)
+      val index = graft.functions.IvfIndex.build(
+        corpus, "vec_id", "embedding", nLists = 4, trainSampleSize = 10000)
+      val (fresh, _) = graft.streaming.StreamingVectorIngest.ingestBatch(
+        batch, "vec_id", "embedding", index,
+        indexLocation = "", sink = _ => (),
+        dedupThreshold = Some(0.35), nProbe = 4, append = false)
+      fresh.select(col("vec_id")).orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding AS cvec FROM embeddings WHERE vec_id >= 20),
+      batch AS (
+        SELECT vec_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+      vs_corpus AS (
+        SELECT DISTINCT b.vec_id
+        FROM batch b JOIN corpus c ON $cosineSql >= 0.35),
+      fresh AS (
+        SELECT vec_id, qvec FROM batch
+        WHERE vec_id NOT IN (SELECT vec_id FROM vs_corpus)),
+      inner_dups AS (
+        SELECT DISTINCT y.vec_id
+        FROM (SELECT vec_id, qvec FROM fresh) x
+        JOIN (SELECT vec_id, qvec AS cvec FROM fresh) y
+          ON x.vec_id < y.vec_id
+         AND list_sum(list_transform(list_zip(x.qvec, y.cvec),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(x.qvec,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform(y.cvec,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.35)
+      SELECT vec_id FROM fresh
+      WHERE vec_id NOT IN (SELECT vec_id FROM inner_dups)
+      ORDER BY vec_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2183,5 +2231,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81)
+    q80, q81, q82)
 }
