@@ -117,8 +117,42 @@ object DQEngine {
         Some(ca === cb || ca === cc)
       case "expect_column_values_to_not_be_null_or_empty_string" =>
         Some(c.isNotNull && trim(c.cast("string")) =!= "")
+      case "expect_column_values_to_match_strftime_format" =>
+        val fmt = strftimeToJava(str(a, "strftime_format").get)
+        Some(try_to_timestamp(c.cast("string"), lit(fmt)).isNotNull)
       case _ => None
     }
+  }
+
+  /** Translate the strftime directives GX date expectations use into the
+    * Java DateTimeFormatter pattern Spark parses. Unknown directives are
+    * rejected rather than silently mis-parsed. */
+  private[dq] def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        sb ++= (fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'j' => "DDD"
+          case '%' => "%"
+          case other => sys.error(s"unsupported strftime directive %$other in '$fmt'")
+        })
+        i += 2
+      } else {
+        // quote literal letters so they aren't read as pattern fields
+        if (ch.isLetter) { sb += '\''; sb += ch; sb += '\'' } else sb += ch
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Table expectations expressible as plain aggregate columns: the
@@ -150,6 +184,12 @@ object DQEngine {
         Some(Seq(count(lit(1))) -> { vs =>
           val n = numVal(vs.head).toLong
           val ok = inBounds(n.toDouble)
+          ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else n, Some(n.toDouble))
+        })
+      case "expect_table_row_count_to_equal" =>
+        Some(Seq(count(lit(1))) -> { vs =>
+          val n = numVal(vs.head).toLong
+          val ok = num(a, "value").contains(n.toDouble)
           ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else n, Some(n.toDouble))
         })
       case "expect_column_mean_to_be_between" =>
@@ -230,6 +270,11 @@ object DQEngine {
           .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
         val n = df.count()
         Some(ExpectationOutcome(f.function, a, dups == 0, n, dups))
+      case "expect_table_row_count_to_equal_other_table" =>
+        val other = str(a, "other_table_name").get
+        val (n, m) = (df.count(), spark.table(other).count())
+        Some(ExpectationOutcome(f.function, a, n == m, n,
+          if (n == m) 0 else math.abs(n - m), Some(n.toDouble)))
       // ---- schema-level (no data scan at all) --------------------------
       case "expect_column_to_exist" =>
         val c = str(a, "column").get

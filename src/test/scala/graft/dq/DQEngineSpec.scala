@@ -191,6 +191,26 @@ class DQEngineSpec extends SparkSpec {
     assert(bad.outcomes(2).unexpectedCount == 5) // 5 extra distinct values
   }
 
+  test("row-count equality and strftime format expectations") {
+    df.limit(2).createOrReplaceTempView("dq_other_two")
+    val dates = Seq("2024-01-15", "2024-13-40", "not a date").toDF("d")
+    val r = DQEngine.run(spark, dates, spec(
+      "expect_table_row_count_to_equal" -> Map("value" -> 3),
+      "expect_column_values_to_match_strftime_format" ->
+        Map("column" -> "d", "strftime_format" -> "%Y-%m-%d")))
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    assert(byFn("expect_table_row_count_to_equal").success)
+    assert(byFn("expect_column_values_to_match_strftime_format").unexpectedCount == 2)
+    val r2 = DQEngine.run(spark, df, spec(
+      "expect_table_row_count_to_equal_other_table" ->
+        Map("other_table_name" -> "dq_other_two")))
+    assert(!r2.outcomes.head.success) // 4 vs 2
+    assert(r2.outcomes.head.unexpectedCount == 2)
+    // unknown strftime directives are rejected, not mis-parsed
+    intercept[RuntimeException] { DQEngine.strftimeToJava("%Q") }
+    assert(DQEngine.strftimeToJava("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss")
+  }
+
   test("empty input never crashes a table expectation") {
     val empty = spark.emptyDataset[(String, Double)].toDF("k", "x")
     val r = DQEngine.run(spark, empty, spec(
