@@ -75,7 +75,11 @@ final class DataLoader(
         if (dq.tagSourceData)
           data(dq.inputId) = DQEngine.tagSource(df, dq, result)
       }
-      // streaming DQ runs inside foreachBatch (see write())
+      // Register the validated frame under the DQ spec's own id too:
+      // reference output_specs chain on the dq spec id
+      // (`algorithms/data_loader.py` stores `dfs[dq_spec.spec_id]`).
+      // Streaming DQ still runs inside foreachBatch (see write()).
+      data(dq.specId) = data(dq.inputId)
     }
     this
   }
@@ -107,9 +111,14 @@ final class DataLoader(
   /** Assemble the foreachBatch plan for one output: deferred transformers
     * (in order) then streaming DQ specs for the output's input chain. */
   private def buildMicroBatchPlan(out: OutputSpec): Option[Writers.MicroBatchPlan] = {
-    val deferred = microBatchWork.getOrElse(out.inputId, Seq.empty)
+    // an output may chain on a DQ spec's id (reference semantics) —
+    // resolve to the dq's own input for deferred-transformer lookup
+    val sourceId = acon.dqSpecs.find(_.specId == out.inputId)
+      .map(_.inputId).getOrElse(out.inputId)
+    val deferred = microBatchWork.getOrElse(sourceId, Seq.empty)
     val streamingDqs = acon.dqSpecs.filter(dq =>
-      dq.inputId == out.inputId && data.get(dq.inputId).exists(_.isStreaming))
+      (dq.inputId == sourceId || dq.specId == out.inputId) &&
+        data.get(dq.inputId).exists(_.isStreaming))
     if (deferred.isEmpty && streamingDqs.isEmpty) None
     else Some(Writers.MicroBatchPlan { batch =>
       val transformed = deferred.foldLeft(batch) { case (df, (tr, _)) =>

@@ -48,6 +48,34 @@ class EngineSpec extends SparkSpec {
     assert(Engine.manageTable(spark).executeSql("SELECT 1 AS one").head.count() == 1)
   }
 
+  test("dq args parse through ACON JSON: value_set, quantile_ranges, bounds") {
+    // value_set must arrive as a Scala Seq and quantile_ranges as a
+    // nested Map through the Jackson path — a java.util.List would make
+    // anySeq silently return empty and flip outcomes
+    val dir = tmpDir("engine-dq-json")
+    Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v")
+      .write.parquet(s"$dir/in")
+    val out = Engine.loadData(spark,
+      s"""{"input_specs": [{"spec_id": "src", "read_type": "batch",
+         |  "data_format": "parquet", "location": "$dir/in"}],
+         |"dq_specs": [{"spec_id": "dq", "input_id": "src",
+         |  "dq_functions": [
+         |    {"function": "expect_column_values_to_be_in_set",
+         |     "args": {"column": "k", "value_set": ["a", "b"]}},
+         |    {"function": "expect_column_distinct_values_to_equal_set",
+         |     "args": {"column": "k", "value_set": ["a", "b"]}},
+         |    {"function": "expect_column_quantile_values_to_be_between",
+         |     "args": {"column": "v", "quantile_ranges": {
+         |        "quantiles": [0.0, 1.0],
+         |        "value_ranges": [[0.5, 1.5], [2.5, 3.5]]}}},
+         |    {"function": "expect_column_unique_value_count_to_be_between",
+         |     "args": {"column": "k", "min_value": 2, "max_value": 2}}],
+         |  "fail_on_error": true}],
+         |"output_specs": [{"spec_id": "res", "input_id": "dq",
+         |  "data_format": "dataframe"}]}""".stripMargin.replace("\n", " "))
+    assert(out("res").count() == 3) // fail_on_error would have thrown
+  }
+
   test("executeManager dispatches a list of file/table operations") {
     val dir = tmpDir("mgr")
     java.nio.file.Files.writeString(
