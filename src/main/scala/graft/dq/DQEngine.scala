@@ -224,6 +224,29 @@ object DQEngine {
           val ok = inBounds(v)
           ExpectationOutcome(f.function, a, ok, n, if (ok) 0 else 1, Some(v))
         })
+      case "expect_column_distinct_values_to_contain_set" =>
+        // set ⊆ distinct(column): count the wanted values present via a
+        // filtered distinct aggregate — foldable into the combined pass
+        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
+        val v = coalesce(col(str(a, "column").get).cast("string"), lit("null"))
+        val inSet = if (want.isEmpty) lit(false) else v.isin(want: _*)
+        Some(Seq(count_distinct(when(inSet, v))) -> { vs =>
+          val missing = want.length - numVal(vs.head).toLong
+          ExpectationOutcome(f.function, a, missing == 0, want.length.toLong, missing)
+        })
+      case "expect_column_distinct_values_to_equal_set" =>
+        // both directions as two filtered distinct aggregates: missing
+        // wanted values + extra out-of-set values
+        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
+        val v = coalesce(col(str(a, "column").get).cast("string"), lit("null"))
+        val inSet = if (want.isEmpty) lit(false) else v.isin(want: _*)
+        Some(Seq(count_distinct(when(inSet, v)),
+          count_distinct(when(!inSet, v))) -> { vs =>
+          val (present, extra) = (numVal(vs.head).toLong, numVal(vs(1)).toLong)
+          val bad = (want.length - present) + extra
+          ExpectationOutcome(f.function, a, bad == 0,
+            want.length.toLong + extra, bad)
+        })
       case _ => None
     }
   }
@@ -373,33 +396,6 @@ object DQEngine {
         val ok = modes.exists(set)
         Some(ExpectationOutcome(f.function, a, ok, modes.length.toLong,
           if (ok) 0 else 1, unexpectedIndexList = if (ok) Seq.empty else modes.toSeq))
-      case "expect_column_distinct_values_to_contain_set" =>
-        // set ⊆ distinct(column): count how many of the wanted values
-        // appear — one filtered distinct aggregate, never a full collect
-        val c = str(a, "column").get
-        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
-        val present =
-          if (want.isEmpty) 0L
-          else df.select(coalesce(col(c).cast("string"), lit("null")).as("__v"))
-            .where(col("__v").isin(want: _*)).agg(count_distinct(col("__v")))
-            .collect()(0).getLong(0)
-        val missing = want.length - present
-        Some(ExpectationOutcome(f.function, a, missing == 0, want.length.toLong, missing))
-      case "expect_column_distinct_values_to_equal_set" =>
-        // distinct(column) == set: one aggregate over the distinct values
-        // counts both directions (missing wanted values + extra values)
-        val c = str(a, "column").get
-        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
-        val v = coalesce(col(c).cast("string"), lit("null"))
-        val inSet = if (want.isEmpty) lit(false) else col("__v").isin(want: _*)
-        val row = df.select(v.as("__v")).distinct()
-          .agg(coalesce(sum(when(inSet, 1L).otherwise(0L)), lit(0L)),
-            coalesce(sum(when(!inSet, 1L).otherwise(0L)), lit(0L)))
-          .collect()(0)
-        val (present, extra) = (row.getLong(0), row.getLong(1))
-        val bad = (want.length - present) + extra
-        Some(ExpectationOutcome(f.function, a, bad == 0,
-          want.length.toLong + extra, bad))
       case "expect_queried_column_agg_value_to_be" =>
         // templated SQL aggregate compared to bounds
         // (reference `expect_queried_column_agg_value_to_be.py`)
