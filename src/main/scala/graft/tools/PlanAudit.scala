@@ -87,21 +87,22 @@ object PlanAudit {
       |The relational operators joined the measured curve (scaled `orders`
       |+ `customer`: each copy offsets the key so merge keys and DQ
       |uniqueness hold; groups stay fixed while rows-per-group grow —
-      |1.5M orders / 750k customers at 50×). min-of-2 wall seconds,
-      |local[32] (1× column from the ×50 run):
+      |6M orders / 3M customers at 200×). min-of-2 wall seconds,
+      |local[32] (1× column from the ×200 run):
       |
-      || operator | 1× | 10× | 50× | growth @50× |
-      ||---|---|---|---|---|
-      || q25 window cadence (lag + running sum) | 0.42 | 0.46 | 0.50 | 1.2× |
-      || q27 merge upsert (full-outer + struct fold) | 0.58 | 0.95 | 1.70 | 2.9× |
-      || q29 GAB month+quarter cadences | 0.28 | 0.65 | 0.99 | 3.5× |
-      || q44 calendar range join (exploded equi-join) | 0.60 | 0.81 | 1.49 | 2.5× |
-      || q51 DQ suite (one-scan row expectations) | 0.44 | 0.76 | 0.87 | 2.0× |
-      || q72 GAB week/Sunday + snapshots | 0.52 | 1.10 | 0.88 | 1.7× |
+      || operator | 1× | 10× | 50× | 200× | growth @200× |
+      ||---|---|---|---|---|---|
+      || q25 window cadence (lag + running sum) | 0.29 | 0.46 | 0.50 | 2.01 | 6.9× |
+      || q27 merge upsert (full-outer + struct fold) | 0.54 | 0.95 | 1.70 | 4.49 | 8.3× |
+      || q29 GAB month+quarter cadences | 0.27 | 0.65 | 0.99 | 1.43 | 5.4× |
+      || q44 calendar range join (exploded equi-join) | 0.53 | 0.81 | 1.49 | 4.22 | 8.0× |
+      || q51 DQ suite (one-scan row expectations) | 0.44 | 0.76 | 0.87 | 0.93 | 2.1× |
+      || q72 GAB week/Sunday + snapshots | 0.49 | 1.10 | 0.88 | 1.22 | 2.5× |
       |
-      |50× rows cost at most 2.9× wall (the merge's shuffle join — the one
-      |operator whose work is row-proportional on both sides). q44 is the
-      |round-6 exploded BroadcastHashJoin plan — 50× fact rows for 2.5×
+      |200× rows (six MILLION orders) cost at most 8.3× wall — the
+      |merge's shuffle join, the one operator whose work is
+      |row-proportional on both sides — and typically 2–7×. q44 is the
+      |round-6 exploded BroadcastHashJoin plan — 200× fact rows for 8.0×
       |wall; the retired BNLJ evaluated every calendar window per row and
       |would grow with rows × windows.
       |(env `SPARK_GRAFT_SCALE_DIR`, `SPARK_GRAFT_SCALE_COPIES`,

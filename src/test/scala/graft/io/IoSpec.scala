@@ -216,6 +216,111 @@ class IoSpec extends SparkSpec {
     assert(archived.count() == 2)
   }
 
+  test("graph http transport: full protocol against a local fake Graph server") {
+    // No Graph tenant exists in this zero-egress environment, so the
+    // HTTP layer is exercised against a JDK HttpServer implementing the
+    // same documented endpoints over a local directory: OAuth
+    // client-credentials token fetch + caching, bearer auth on every
+    // call, item/children/content/conflict/move semantics — everything
+    // except the production host name.
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val root = java.nio.file.Paths.get(tmpDir("graph-root"))
+    def local(rel: String) = root.resolve(rel.split("/").mkString(java.io.File.separator))
+    java.nio.file.Files.createDirectories(local("reports"))
+    java.nio.file.Files.writeString(local("reports/jan.csv"), "id,v\n1,a\n")
+    java.nio.file.Files.writeString(local("reports/feb.csv"), "id,v\n2,b\n")
+
+    var tokenCalls = 0
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", (x: HttpExchange) => {
+      tokenCalls += 1
+      val body = new String(x.getRequestBody.readAllBytes())
+      val ok = body.contains("grant_type=client_credentials") &&
+        body.contains("client_id=cid") && body.contains("client_secret=sec")
+      val resp = if (ok) """{"access_token":"test-token","expires_in":3600}"""
+        else """{"error":"bad request"}"""
+      x.sendResponseHeaders(if (ok) 200 else 400, resp.length)
+      x.getResponseBody.write(resp.getBytes); x.close()
+    })
+    server.createContext("/v1.0/", (x: HttpExchange) => {
+      def reply(code: Int, body: Array[Byte]): Unit = {
+        x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) x.getResponseBody.write(body); x.close()
+      }
+      if (x.getRequestHeaders.getFirst("Authorization") != "Bearer test-token") {
+        reply(401, "unauthorized".getBytes); ()
+      } else {
+        val raw = java.net.URLDecoder.decode(x.getRequestURI.toString, "UTF-8")
+        val after = raw.substring(raw.indexOf("root:/") + 6)
+        val (path, action) =
+          if (after.endsWith(":/children")) (after.dropRight(10), "children")
+          else if (after.contains(":/content")) (after.substring(0, after.indexOf(":/content")),
+            "content" + (if (after.contains("conflictBehavior=fail")) "!fail" else ""))
+          else (after, "item")
+        val p = local(path)
+        (x.getRequestMethod, action) match {
+          case ("GET", "item") =>
+            reply(if (java.nio.file.Files.exists(p)) 200 else 404, "{}".getBytes)
+          case ("GET", "children") =>
+            val s = java.nio.file.Files.list(p)
+            val items = try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.map { f =>
+                val facet = if (java.nio.file.Files.isDirectory(f)) "folder" else "file"
+                s"""{"name":"${f.getFileName}","$facet":{}}"""
+              }.mkString(",")
+            } finally s.close()
+            reply(200, s"""{"value":[$items]}""".getBytes)
+          case ("GET", "content") =>
+            reply(200, java.nio.file.Files.readAllBytes(p))
+          case ("PUT", a) if a.startsWith("content") =>
+            if (a.endsWith("!fail") && java.nio.file.Files.exists(p)) reply(409, "{}".getBytes)
+            else {
+              java.nio.file.Files.createDirectories(p.getParent)
+              java.nio.file.Files.write(p, x.getRequestBody.readAllBytes())
+              reply(201, "{}".getBytes)
+            }
+          case ("PATCH", "item") =>
+            val body = new String(x.getRequestBody.readAllBytes())
+            val dest = body.split("root:/")(1).takeWhile(_ != '"')
+            java.nio.file.Files.createDirectories(local(dest))
+            java.nio.file.Files.move(p, local(dest).resolve(p.getFileName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            reply(200, "{}".getBytes)
+          case other => reply(500, s"unexpected $other".getBytes)
+        }
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val tokens = GraphHttp.clientCredentialsTokenProvider(
+        s"$base/token", "cid", "sec")
+      val t = new GraphHttp.GraphHttpTransport("s1", "d1", tokens, s"$base/v1.0")
+      // raw transport surface
+      assert(t.exists("reports") && !t.exists("reports/ghost.csv"))
+      assert(t.list("reports") == Seq("feb.csv", "jan.csv"))
+      assert(new String(t.download("reports/jan.csv").readAllBytes()) == "id,v\n1,a\n")
+      // end-to-end: the SAME SharepointIo read/write/archive paths the
+      // local transport runs, now over HTTP
+      SharepointIo.register("graph-test", t)
+      val df = SharepointIo.read(spark, Map("transport" -> "graph-test",
+        "folder_relative_path" -> "reports", "file_pattern" -> "*.csv",
+        "header" -> "true", "inferSchema" -> "true", "archive" -> "true"))
+      assert(df.count() == 2)
+      assert(t.list("reports/done") == Seq("feb.csv", "jan.csv"))
+      SharepointIo.write(df.limit(1), Map("transport" -> "graph-test",
+        "folder_relative_path" -> "reports", "file_name" -> "out.csv",
+        "header" -> "true"))
+      assert(t.list("reports") == Seq("out.csv"))
+      intercept[RuntimeException] {
+        t.upload("reports/out.csv", "x".getBytes, "fail")
+      }
+      // the token was fetched once and cached across ~15 HTTP calls
+      assert(tokenCalls == 1)
+    } finally server.stop(0)
+  }
+
   test("sharepoint writer: single-file upload with conflict behaviour") {
     val root = tmpDir("sharepoint-w")
     java.nio.file.Files.createDirectories(
