@@ -46,6 +46,21 @@ object ManagerDispatch {
       "destination_bucket", "destination_object", "restore_expiration",
       "retrieval_tier", "dry_run"))
 
+  /** Resolve an S3 client for archive-restore ops: operation args first
+    * (`endpoint`, `region`, `access_key`, `secret_key`, `session_token`),
+    * AWS_* environment second. None when no endpoint+credentials. */
+  private def s3ClientFor(op: Map[String, Any]): Option[graft.io.AwsSig.S3RestoreClient] = {
+    def arg(k: String, env: String): Option[String] =
+      A.str(op, k).orElse(sys.env.get(env))
+    for {
+      endpoint <- arg("endpoint", "AWS_ENDPOINT_URL")
+      region <- arg("region", "AWS_REGION").orElse(Some("us-east-1"))
+      ak <- arg("access_key", "AWS_ACCESS_KEY_ID")
+      sk <- arg("secret_key", "AWS_SECRET_ACCESS_KEY")
+    } yield new graft.io.AwsSig.S3RestoreClient(endpoint.stripSuffix("/"), region,
+      graft.io.AwsSig.Credentials(ak, sk, arg("session_token", "AWS_SESSION_TOKEN")))
+  }
+
   /** Parse an `{"operations": [...]}` ACON and run it. Returns one
     * human-readable status line per executed operation. */
   def execute(spark: SparkSession, aconJson: String): Seq[String] =
@@ -171,13 +186,45 @@ object ManagerDispatch {
             s"file/move_objects: ok" + (if (dryRun) " (dry_run)" else "")
           case "request_restore" | "check_restore_status" |
                "request_restore_to_destination_and_wait" =>
-            // Glacier archive tiers need the AWS SDK (reference
-            // `core/s3_file_manager.py`); this zero-egress build registers
-            // the operations (args validate, dry_run reports) but cannot
-            // issue restores.
+            // Archive restores are issued through the native SigV4
+            // client (graft.io.AwsSig — reference `core/s3_file_manager
+            // .py` does the same calls via boto3) when an endpoint and
+            // credentials resolve from the operation args or AWS_* env;
+            // dry_run still only validates.
             if (dryRun) s"file/$fn: validated (dry_run)"
-            else throw new UnsupportedOperationException(
-              s"$fn requires S3 Glacier access (AWS SDK); not available in this build")
+            else s3ClientFor(op) match {
+              case None => throw new UnsupportedOperationException(
+                s"$fn needs S3 access: set endpoint/region/access_key/" +
+                  "secret_key on the operation or AWS_ENDPOINT_URL/" +
+                  "AWS_REGION/AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY")
+              case Some(client) =>
+                val days = A.num(op, "restore_expiration").map(_.toInt).getOrElse(1)
+                val tier = A.str(op, "retrieval_tier").getOrElse("Standard")
+                fn match {
+                  case "request_restore" =>
+                    val accepted = client.requestRestore(
+                      s("bucket"), s("source_object"), days, tier)
+                    s"file/request_restore: " +
+                      (if (accepted) "accepted" else "already in progress or restored")
+                  case "check_restore_status" =>
+                    val st = client.restoreStatus(s("bucket"), s("source_object")) match {
+                      case None => "not under restore"
+                      case Some(true) => "in progress"
+                      case Some(false) => "restored"
+                    }
+                    s"file/check_restore_status: $st"
+                  case _ =>
+                    client.restoreToDestinationAndWait(
+                      s("bucket"), s("source_object"),
+                      s("destination_bucket"), s("destination_object"),
+                      days, tier,
+                      pollMillis = A.num(op, "poll_interval_ms")
+                        .map(_.toLong).getOrElse(30000L),
+                      maxAttempts = A.num(op, "max_wait_attempts")
+                        .map(_.toInt).getOrElse(240))
+                    s"file/request_restore_to_destination_and_wait: copied"
+                }
+            }
         }
     }
   }

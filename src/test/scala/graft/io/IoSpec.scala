@@ -321,6 +321,117 @@ class IoSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("sigv4 signer matches an independently computed reference signature") {
+    // expected values computed with python hashlib/hmac implementing the
+    // published SigV4 algorithm over the same fixed request — an
+    // independent oracle, not a round-trip through this signer
+    val payload = ("""<RestoreRequest xmlns="http://s3.amazonaws.com/doc/2006-03-01/">""" +
+      "<Days>3</Days><GlacierJobParameters><Tier>Standard</Tier>" +
+      "</GlacierJobParameters></RestoreRequest>").getBytes("UTF-8")
+    val (auth, amzDate, payloadHash) = AwsSig.sign(
+      method = "POST",
+      path = "/my-bucket/deep/archive.parquet",
+      query = Seq("restore" -> ""),
+      headers = Map("host" -> "s3.local"),
+      payload = payload,
+      region = "eu-west-1", service = "s3",
+      creds = AwsSig.Credentials("AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG/bPxRfiCYEXAMPLEKEY"),
+      at = java.time.ZonedDateTime.of(2024, 1, 15, 12, 0, 0, 0,
+        java.time.ZoneOffset.UTC))
+    assert(amzDate == "20240115T120000Z")
+    assert(payloadHash ==
+      "0af34b26caac29ab9c7e055e60895523499c483571d141e43f88dd20182248ef")
+    assert(auth == "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20240115/" +
+      "eu-west-1/s3/aws4_request, SignedHeaders=host;x-amz-content-sha256;" +
+      "x-amz-date, Signature=" +
+      "87a495048bff12ee104fa5267b1fbe852f5ff23dcccbb48f4c482901d0356f57")
+  }
+
+  test("s3 glacier restore ops against a local fake S3 endpoint") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // object state machine the fake drives: archived -> restoring ->
+    // restored; HEAD reports x-amz-restore accordingly
+    val state = scala.collection.concurrent.TrieMap[String, String](
+      "arch/data.parquet" -> "archived")
+    val copies = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      def reply(code: Int, headers: Map[String, String] = Map.empty): Unit = {
+        headers.foreach { case (k, v) => x.getResponseHeaders.set(k, v) }
+        // HEAD responses must use -1 (no body)
+        x.sendResponseHeaders(code, -1); x.close()
+      }
+      val key = x.getRequestURI.getPath.stripPrefix("/my-bucket/")
+      if (!auth.startsWith("AWS4-HMAC-SHA256 Credential=testak/") ||
+          !auth.contains("SignedHeaders=") || !auth.contains("Signature="))
+        reply(403)
+      else (x.getRequestMethod, Option(x.getRequestURI.getQuery)) match {
+        case ("POST", Some(q)) if q.startsWith("restore") =>
+          val body = new String(x.getRequestBody.readAllBytes())
+          assert(body.contains("<Days>2</Days>") && body.contains("<Tier>Bulk</Tier>"))
+          state.get(key) match {
+            case Some("archived") => state(key) = "restoring"; reply(202)
+            case Some(_) => reply(200) // already restoring/restored
+            case None => reply(404)
+          }
+        case ("HEAD", _) =>
+          state.get(key) match {
+            case Some("restoring") =>
+              // one poll observes in-progress, then the restore finishes
+              state(key) = "restored"
+              reply(200, Map("x-amz-restore" -> """ongoing-request="true""""))
+            case Some("restored") => reply(200,
+              Map("x-amz-restore" -> """ongoing-request="false", expiry-date="..."""))
+            case Some(_) => reply(200)
+            case None => reply(404)
+          }
+        case ("PUT", _) =>
+          val src = x.getRequestHeaders.getFirst("x-amz-copy-source")
+          assert(src == "/my-bucket/arch/data.parquet")
+          copies += ((src, key)); reply(200)
+        case other => reply(500)
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val common = Map("manager" -> "file", "bucket" -> "my-bucket",
+        "endpoint" -> endpoint, "region" -> "eu-west-1",
+        "access_key" -> "testak", "secret_key" -> "testsk",
+        "restore_expiration" -> 2, "retrieval_tier" -> "Bulk",
+        "dry_run" -> false)
+      // dry_run still only validates (no HTTP call)
+      val dry = graft.maintain.ManagerDispatch.execute(spark, Seq(common ++ Map(
+        "function" -> "request_restore", "source_object" -> "arch/data.parquet",
+        "dry_run" -> true)))
+      assert(dry.head.contains("(dry_run)"))
+      assert(state("arch/data.parquet") == "archived")
+      // end-to-end: request -> poll (in progress, then done) -> copy
+      val out = graft.maintain.ManagerDispatch.execute(spark, Seq(common ++ Map(
+        "function" -> "request_restore_to_destination_and_wait",
+        "source_object" -> "arch/data.parquet",
+        "destination_bucket" -> "my-bucket",
+        "destination_object" -> "hot/data.parquet",
+        "poll_interval_ms" -> 10, "max_wait_attempts" -> 5)))
+      assert(out.head.contains("copied"))
+      assert(copies.toSeq == Seq(("/my-bucket/arch/data.parquet", "hot/data.parquet")))
+      val st = graft.maintain.ManagerDispatch.execute(spark, Seq(common ++ Map(
+        "function" -> "check_restore_status",
+        "source_object" -> "arch/data.parquet")))
+      assert(st.head.contains("restored"))
+      // no credentials and no env -> clear failure, never a silent no-op
+      intercept[UnsupportedOperationException] {
+        graft.maintain.ManagerDispatch.execute(spark, Seq(Map(
+          "manager" -> "file", "function" -> "request_restore",
+          "bucket" -> "b", "source_object" -> "k",
+          "restore_expiration" -> 1, "retrieval_tier" -> "Bulk",
+          "dry_run" -> false)))
+      }
+    } finally server.stop(0)
+  }
+
   test("sharepoint writer: single-file upload with conflict behaviour") {
     val root = tmpDir("sharepoint-w")
     java.nio.file.Files.createDirectories(
