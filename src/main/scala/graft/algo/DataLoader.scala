@@ -111,14 +111,25 @@ final class DataLoader(
   /** Assemble the foreachBatch plan for one output: deferred transformers
     * (in order) then streaming DQ specs for the output's input chain. */
   private def buildMicroBatchPlan(out: OutputSpec): Option[Writers.MicroBatchPlan] = {
-    // an output may chain on a DQ spec's id (reference semantics) —
-    // resolve to the dq's own input for deferred-transformer lookup
-    val sourceId = acon.dqSpecs.find(_.specId == out.inputId)
-      .map(_.inputId).getOrElse(out.inputId)
+    // an output may chain on a DQ spec's id (reference semantics), and
+    // dq specs may chain on EACH OTHER — walk the whole chain down to
+    // the non-dq source so every dq in the lineage runs in dependency
+    // order and deferred-transformer lookup uses the true source id
+    // (one-level resolution would silently skip the lower dq specs,
+    // diverging from the batch path)
+    val chain = scala.collection.mutable.ListBuffer.empty[graft.spec.DQSpec]
+    var sourceId = out.inputId
+    var walking = true
+    while (walking) acon.dqSpecs.find(_.specId == sourceId) match {
+      case Some(dq) => chain.prepend(dq); sourceId = dq.inputId
+      case None => walking = false
+    }
     val deferred = microBatchWork.getOrElse(sourceId, Seq.empty)
-    val streamingDqs = acon.dqSpecs.filter(dq =>
-      (dq.inputId == sourceId || dq.specId == out.inputId) &&
-        data.get(dq.inputId).exists(_.isStreaming))
+    val lineageDqs =
+      if (chain.nonEmpty) chain.toSeq
+      else acon.dqSpecs.filter(_.inputId == out.inputId)
+    val streamingDqs = lineageDqs.filter(dq =>
+      data.get(dq.inputId).exists(_.isStreaming))
     if (deferred.isEmpty && streamingDqs.isEmpty) None
     else Some(Writers.MicroBatchPlan { batch =>
       val transformed = deferred.foldLeft(batch) { case (df, (tr, _)) =>

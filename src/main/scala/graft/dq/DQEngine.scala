@@ -147,8 +147,11 @@ object DQEngine {
         })
         i += 2
       } else {
-        // quote literal letters so they aren't read as pattern fields
-        if (ch.isLetter) { sb += '\''; sb += ch; sb += '\'' } else sb += ch
+        // quote literal letters so they aren't read as pattern fields;
+        // a literal quote itself must double per DateTimeFormatter rules
+        if (ch == '\'') sb ++= "''"
+        else if (ch.isLetter) { sb += '\''; sb += ch; sb += '\'' }
+        else sb += ch
         i += 1
       }
     }

@@ -65,7 +65,9 @@ object AwsSig {
     val dateStamp = amzDate.take(8)
     val payloadHash = sha256Hex(payload)
 
-    val allHeaders = (headers.map { case (k, v) => k.toLowerCase -> v.trim } ++
+    // SigV4 canonicalization: trim AND collapse sequential inner spaces
+    val allHeaders = (headers.map { case (k, v) =>
+      k.toLowerCase -> v.trim.replaceAll(" +", " ") } ++
       Map("x-amz-date" -> amzDate, "x-amz-content-sha256" -> payloadHash) ++
       creds.sessionToken.map("x-amz-security-token" -> _)).toSeq.sortBy(_._1)
     val canonicalHeaders = allHeaders.map { case (k, v) => s"$k:$v\n" }.mkString
@@ -99,11 +101,14 @@ object AwsSig {
     * production, a local fake in tests); requests are path-style
     * (`/{bucket}/{key}`), the shape every S3-compatible endpoint
     * accepts. */
+  /** One shared connection pool for every default-constructed client. */
+  lazy val defaultHttpClient: HttpClient = HttpClient.newHttpClient()
+
   final class S3RestoreClient(
       endpoint: String,
       region: String,
       creds: Credentials,
-      client: HttpClient = HttpClient.newHttpClient()) {
+      client: HttpClient = defaultHttpClient) {
 
     private def send(method: String, bucket: String, key: String,
         query: Seq[(String, String)], payload: Array[Byte],
@@ -118,7 +123,12 @@ object AwsSig {
         else "?" + query.map { case (k, v) =>
           if (v.isEmpty) k else s"$k=${URLEncoder.encode(v, UTF_8)}"
         }.mkString("&")
-      var b = HttpRequest.newBuilder(URI.create(s"$endpoint$path$qs"))
+      // the request URL must carry the SAME percent-encoded path the
+      // signature was computed over — a raw key with spaces/'#'/non-ASCII
+      // would otherwise be an illegal URI, address the wrong object, or
+      // 403 with SignatureDoesNotMatch
+      val encodedPath = uriEncode(path, keepSlash = true)
+      var b = HttpRequest.newBuilder(URI.create(s"$endpoint$encodedPath$qs"))
         .header("Authorization", auth)
         .header("x-amz-date", amzDate)
         .header("x-amz-content-sha256", payloadHash)
@@ -149,7 +159,8 @@ object AwsSig {
       val res = send("POST", bucket, key, Seq("restore" -> ""), xml.getBytes(UTF_8))
       res.statusCode() match {
         case 202 => true
-        case 200 => false
+        case 200 => false // already restored (or a duplicate of a done restore)
+        case 409 => false // RestoreAlreadyInProgress — S3's in-progress signal
         case other => sys.error(
           s"restore_object $bucket/$key returned $other: ${res.body().take(300)}")
       }

@@ -33,11 +33,8 @@ import java.time.Duration
   */
 object GraphHttp {
 
-  private val mapper = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
-    m
-  }
+  private def parseJson(body: String): Map[String, Any] =
+    graft.spec.Specs.parseJsonMap(body)
 
   /** OAuth2 client-credentials token provider with expiry-aware caching
     * (re-fetches 60 s before expiry; thread-safe). `tokenUrl` is the
@@ -66,7 +63,7 @@ object GraphHttp {
         val res = client.send(req, HttpResponse.BodyHandlers.ofString())
         require(res.statusCode() == 200,
           s"token endpoint returned ${res.statusCode()}: ${res.body().take(300)}")
-        val body = mapper.readValue(res.body(), classOf[Map[String, Any]])
+        val body = parseJson(res.body())
         val token = body.get("access_token").map(String.valueOf(_))
           .getOrElse(sys.error("token response missing access_token"))
         val expiresIn = body.get("expires_in")
@@ -127,7 +124,7 @@ object GraphHttp {
           HttpResponse.BodyHandlers.ofString())
         require(res.statusCode() == 200,
           s"graph list($folder) returned ${res.statusCode()}")
-        val body = mapper.readValue(res.body(), classOf[Map[String, Any]])
+        val body = parseJson(res.body())
         body.get("value").collect { case items: Seq[_] =>
           items.foreach {
             case item: Map[_, _] =>
@@ -168,9 +165,9 @@ object GraphHttp {
     }
 
     def move(path: String, toFolder: String): Unit = {
-      val body = mapper.writeValueAsString(Map(
-        "parentReference" -> Map(
-          "path" -> s"/drives/$driveId/root:/${toFolder.stripPrefix("/").stripSuffix("/")}")))
+      val destPath = s"/drives/$driveId/root:/${toFolder.stripPrefix("/").stripSuffix("/")}"
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      val body = s"""{"parentReference": {"path": "$destPath"}}"""
       val res = send(request(HttpRequest.newBuilder(URI.create(itemUrl(path)))
         .header("Content-Type", "application/json")
         .method("PATCH", HttpRequest.BodyPublishers.ofString(body))),

@@ -94,7 +94,7 @@ object PlanAudit {
       ||---|---|---|---|---|---|
       || q25 window cadence (lag + running sum) | 0.29 | 0.46 | 0.50 | 2.01 | 6.9× |
       || q27 merge upsert (full-outer + struct fold) | 0.54 | 0.95 | 1.70 | 4.49 | 8.3× |
-      || q29 GAB month+quarter cadences | 0.27 | 0.65 | 0.99 | 1.43 | 5.4× |
+      || q29 GAB month+quarter cadences | 0.27 | 0.65 | 0.99 | 1.43 | 5.3× |
       || q44 calendar range join (exploded equi-join) | 0.53 | 0.81 | 1.49 | 4.22 | 8.0× |
       || q51 DQ suite (one-scan row expectations) | 0.44 | 0.76 | 0.87 | 0.93 | 2.1× |
       || q72 GAB week/Sunday + snapshots | 0.49 | 1.10 | 0.88 | 1.22 | 2.5× |

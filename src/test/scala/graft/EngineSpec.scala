@@ -76,6 +76,44 @@ class EngineSpec extends SparkSpec {
     assert(out("res").count() == 3) // fail_on_error would have thrown
   }
 
+  test("streaming output chained through TWO dq specs runs the whole chain") {
+    // batch and streaming must not diverge: dqA(input=src) -> dqB(input=dqA)
+    // -> output(input=dqB); one-level resolution would silently skip dqA
+    val dir = tmpDir("engine-dq-chain")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/part-0.csv"), "id,v\n1,a\n2,\n")
+    val out = Engine.loadData(spark,
+      s"""{"input_specs": [{"spec_id": "src", "read_type": "streaming",
+         |  "data_format": "csv", "location": "$dir/in",
+         |  "schema": "id INT, v STRING",
+         |  "options": {"header": "true"}}],
+         |"dq_specs": [
+         |  {"spec_id": "dqA", "input_id": "src", "tag_source_data": true,
+         |   "dq_functions": [{"function": "expect_column_values_to_not_be_null",
+         |                     "args": {"column": "v"}}],
+         |   "fail_on_error": false, "max_percentage_failure": 1.0},
+         |  {"spec_id": "dqB", "input_id": "dqA",
+         |   "dq_functions": [{"function": "expect_column_values_to_not_be_null",
+         |                     "args": {"column": "id"}}],
+         |   "fail_on_error": false, "max_percentage_failure": 1.0}],
+         |"output_specs": [{"spec_id": "res", "input_id": "dqB",
+         |  "write_type": "append", "data_format": "parquet",
+         |  "location": "$dir/out",
+         |  "options": {"checkpointLocation": "$dir/ckpt"},
+         |  "streaming_trigger": "availableNow"}]}"""
+        .stripMargin.replace("\n", " "))
+    val res = spark.read.parquet(s"$dir/out")
+    assert(res.count() == 2)
+    // dqA ran in foreachBatch: its tagging column is present and the
+    // null-v row is marked failed
+    assert(res.columns.contains("dq_validations"))
+    assert(res.where("v IS NULL")
+      .selectExpr("size(dq_validations.dq_failure_details)").head.getInt(0) == 1)
+    assert(res.where("v IS NOT NULL")
+      .selectExpr("dq_validations.run_row_success").head.getBoolean(0))
+  }
+
   test("executeManager dispatches a list of file/table operations") {
     val dir = tmpDir("mgr")
     java.nio.file.Files.writeString(
