@@ -82,6 +82,24 @@ object PlanAudit {
       |point), so the measured times carry zero recall loss. Re-run with
       |`sbt "runMain graft.tools.ScaleCurve"`
       |
+      |### Round 6: 500× spot-check (2.5 MILLION documents)
+      |
+      |One further point past the table above for the fastest-growing
+      |dedup operators (1× column from the ×500 run, min-of-2,
+      |`dropped_buckets` = 0 at both points):
+      |
+      || operator | 1× | 500× | growth @500× |
+      ||---|---|---|---|
+      || q31 minhash near-dup | 0.91 | 12.94 | 14.3× |
+      || q76 incremental checkBatch | 0.43 | 2.13 | 4.9× |
+      || q30 exact dedup | 0.23 | 1.96 | 8.7× |
+      || q77 full curation pipeline | 0.96 | 22.52 | 23.5× |
+      |
+      |Minhash-dedups 2.5M documents in 12.9 s on one node — 500× rows
+      |for 14× wall. The steepest multiplier (q77, 23.5×) is the 5-stage
+      |composed pipeline whose packing stage shuffles the full qualified
+      |corpus; still ~21× under linear.
+      |
       |### Round 6: GAB / merge / DQ / range-join family
       |
       |The relational operators joined the measured curve (scaled `orders`
