@@ -62,6 +62,36 @@ object TrainingData {
         min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
   }
 
+  /** Sliding-window document chunking: split each document's tokens
+    * into fixed-size chunks of `chunkTokens` with `overlapTokens` of
+    * context carried between consecutive chunks (stride =
+    * chunkTokens - overlapTokens) — the standard long-document
+    * preparation for a bounded-context model, distinct from
+    * [[packSequences]] (which BINS whole short documents into budgeted
+    * packs). Chunk count per doc is `max(1, ceil((n - overlap) /
+    * stride))`, so every document emits at least one chunk and no
+    * trailing chunk is empty. One narrow projection + explode: no
+    * shuffle, scales with the corpus scan. */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap ($overlapTokens) < chunk size ($chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol),
+        TextFunctions.whitespaceTokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__chunks", greatest(lit(1),
+        ceil((col("__n") - lit(overlapTokens)).cast("double") / stride).cast("int")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          (col("__n") - col("chunk_id") * stride).cast("long")).as("n_tokens"))
+  }
+
   /** Symmetric int8 quantization stats for an embedding column: per
     * vector, the max-abs scale (`max|v| / 127`) and the worst-case
     * reconstruction error after quantize/dequantize with round-half-up

@@ -2221,6 +2221,32 @@ object QueryCatalog {
       WHERE vec_id NOT IN (SELECT vec_id FROM inner_dups)
       ORDER BY vec_id"""))
 
+  /** Sliding-window chunking of long documents (chunk 64 tokens,
+    * overlap 16): the bounded-context preparation step, hash-verified
+    * token-for-token against a DuckDB list-slicing mirror. */
+  private val q83 = QueryDef(
+    "q83_chunk_documents",
+    (s, dir) => graft.operators.TrainingData.chunkDocuments(
+        T(s, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents WHERE doc_id < 200),
+      sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+      counted AS (
+        SELECT doc_id, tk, n,
+               greatest(1, CAST(ceil((n - 16) / 48.0) AS BIGINT)) AS chunks
+        FROM sized),
+      exploded AS (
+        SELECT doc_id, tk, n, unnest(range(chunks)) AS chunk_id FROM counted)
+      SELECT doc_id, chunk_id,
+             array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+               AS chunk_text,
+             least(64, n - chunk_id * 48) AS n_tokens
+      FROM exploded ORDER BY doc_id, chunk_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2231,5 +2257,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82)
+    q80, q81, q82, q83)
 }

@@ -54,6 +54,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(sharded.agg(sum("n_docs")).as[Long].collect().head == 6L)
   }
 
+  test("chunkDocuments: sliding windows reconstruct the token stream") {
+    val long = Seq((1L, (1 to 23).map(i => s"t$i").mkString(" ")),
+      (2L, "short doc only"), (3L, "")).toDF("doc_id", "text")
+    val out = TrainingData.chunkDocuments(long, "doc_id", "text",
+        chunkTokens = 10, overlapTokens = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    // doc 1: n=23, stride=6 -> chunks = ceil((23-4)/6) = 4
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.head._3.startsWith("t1 ") && d1.head._4 == 10)
+    assert(d1.last._4 == 5) // tokens 19..23
+    // de-overlapped reconstruction: chunk 0 fully + each later chunk
+    // minus its leading overlap == the original token stream
+    val rebuilt = d1.head._3.split(" ").toSeq ++
+      d1.tail.toSeq.flatMap(_._3.split(" ").drop(4).toSeq)
+    assert(rebuilt == (1 to 23).map(i => s"t$i"))
+    // consecutive chunks share exactly the overlap
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(" ").takeRight(4).toSeq == b._3.split(" ").take(4).toSeq)
+    }
+    // short and empty docs emit exactly one chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "short doc only", 3L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 0L)))
+    intercept[IllegalArgumentException] {
+      TrainingData.chunkDocuments(long, "doc_id", "text", 10, 10)
+    }
+  }
+
   test("asofJoin attaches the latest prior right row per key") {
     val quotes = Seq( // (sym, t, px)
       ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
