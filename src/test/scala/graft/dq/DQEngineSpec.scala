@@ -211,6 +211,45 @@ class DQEngineSpec extends SparkSpec {
     assert(DQEngine.strftimeToJava("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss")
   }
 
+  test("kitchen-sink suite: every family interleaved in one run") {
+    // row-level, combined-aggregate, groupBy, schema-level and SQL
+    // expectations deliberately INTERLEAVED (combinable and
+    // non-combinable alternating) so the combined pass's offset slicing
+    // and per-instance mapping are exercised with gaps
+    val r = DQEngine.run(spark, df, spec(
+      "expect_column_values_to_not_be_null" -> Map("column" -> "id"),
+      "expect_table_row_count_to_be_between" -> Map("min_value" -> 4, "max_value" -> 4),
+      "expect_column_values_to_be_unique" -> Map("column" -> "id"),
+      "expect_column_mean_to_be_between" ->
+        Map("column" -> "amount", "min_value" -> 10, "max_value" -> 20),
+      "expect_column_to_exist" -> Map("column" -> "d"),
+      "expect_column_proportion_of_unique_values_to_be_between" ->
+        Map("column" -> "id", "min_value" -> 1.0),
+      "expect_column_most_common_value_to_be_in_set" ->
+        Map("column" -> "name", "value_set" -> Seq("a")),
+      "expect_column_distinct_values_to_equal_set" ->
+        Map("column" -> "id", "value_set" -> Seq("1", "2", "3", "4")),
+      "expect_queried_column_agg_value_to_be" ->
+        Map("query" -> "SELECT count(*) FROM {table}", "min_value" -> 4),
+      "expect_column_unique_value_count_to_be_between" ->
+        Map("column" -> "name", "min_value" -> 3, "max_value" -> 3),
+      "expect_table_row_count_to_equal" -> Map("value" -> 4)))
+    assert(r.outcomes.size == 11)
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    // spot-check values landed on the right expectations, not neighbors
+    assert(byFn("expect_table_row_count_to_be_between").observedValue.contains(4.0))
+    assert(byFn("expect_column_mean_to_be_between").observedValue.contains(14.75))
+    assert(byFn("expect_column_proportion_of_unique_values_to_be_between")
+      .observedValue.contains(1.0))
+    assert(byFn("expect_column_unique_value_count_to_be_between")
+      .observedValue.contains(3.0)) // a, b, d (null not counted)
+    assert(byFn("expect_column_distinct_values_to_equal_set").success)
+    // 4-way tie (a/b/d/null each once): ties_okay semantics — 'a' among
+    // the tied modes means success, elementCount = number of tied modes
+    assert(byFn("expect_column_most_common_value_to_be_in_set").elementCount == 4)
+    assert(r.outcomes.forall(_.success))
+  }
+
   test("empty input never crashes a table expectation") {
     val empty = spark.emptyDataset[(String, Double)].toDF("k", "x")
     val r = DQEngine.run(spark, empty, spec(
