@@ -83,6 +83,42 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments property: coverage/count/overlap laws on random docs") {
+    // 60 random docs of 0..300 tokens through ONE chunking call per
+    // parameter set; invariants checked per doc against the driver-side
+    // formula (seeded, reproducible)
+    val rng = new scala.util.Random(7)
+    val corpus = (0 until 60).map { id =>
+      (id.toLong, Seq.fill(rng.nextInt(301))(s"w${rng.nextInt(1000)}").mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((64, 16), (32, 0), (17, 13))) {
+      val stride = chunk - overlap
+      val byDoc = TrainingData.chunkDocuments(df, "doc_id", "text", chunk, overlap)
+        .as[(Long, Long, String, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+      corpus.foreach { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty).toSeq
+        val chunks = byDoc(id)
+        // count law
+        assert(chunks.length ==
+          math.max(1, math.ceil((toks.length - overlap).toDouble / stride).toInt),
+          s"doc $id count, chunk=$chunk overlap=$overlap")
+        // chunk i holds exactly tokens [i*stride, i*stride + chunk)
+        chunks.foreach { case (_, i, ctext, n) =>
+          val want = toks.slice(i.toInt * stride, i.toInt * stride + chunk)
+          assert(ctext.split(" ").filter(_.nonEmpty).toSeq == want)
+          assert(n == math.max(0, math.min(chunk, toks.length - i.toInt * stride)))
+        }
+        // de-overlapped concatenation reconstructs the full stream
+        val rebuilt = chunks.head._3.split(" ").filter(_.nonEmpty).toSeq ++
+          chunks.tail.toSeq.flatMap(
+            _._3.split(" ").filter(_.nonEmpty).drop(overlap).toSeq)
+        assert(rebuilt == toks, s"doc $id reconstruction")
+      }
+    }
+  }
+
   test("asofJoin attaches the latest prior right row per key") {
     val quotes = Seq( // (sym, t, px)
       ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
