@@ -272,9 +272,15 @@ object TrainingData {
       explode(TextFunctions.whitespaceTokens(lower(col(textCol)))).as("term"))
     val stats = terms.groupBy(col("term"))
       .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("id")).as("n_docs"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject: map-side
+    // partial top-k, no global sort to one partition), THEN rank the k
+    // survivors — the unpartitioned window runs over k rows, not the
+    // whole vocabulary (at 100 TB the raw term-stats table is millions
+    // of rows; ranking it globally was the plan's one single-partition
+    // stage)
     val w = Window.orderBy(col("n_occurrences").desc, col("term").asc)
-    stats.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    stats.orderBy(col("n_occurrences").desc, col("term").asc).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
   }
 
   /** Top-k distinctive terms per document, scored by tf * N / df (the
