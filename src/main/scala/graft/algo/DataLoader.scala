@@ -118,10 +118,16 @@ final class DataLoader(
     // (one-level resolution would silently skip the lower dq specs,
     // diverging from the batch path)
     val chain = scala.collection.mutable.ListBuffer.empty[graft.spec.DQSpec]
+    val seen = scala.collection.mutable.Set.empty[String]
     var sourceId = out.inputId
     var walking = true
     while (walking) acon.dqSpecs.find(_.specId == sourceId) match {
-      case Some(dq) => chain.prepend(dq); sourceId = dq.inputId
+      case Some(dq) =>
+        // spec_id == input_id is an accepted shape (reference resolves one
+        // level); without this guard the walk would loop forever on it —
+        // stop once a spec id repeats, keeping each dq in the chain once
+        if (!seen.add(dq.specId)) walking = false
+        else { chain.prepend(dq); sourceId = dq.inputId }
       case None => walking = false
     }
     val deferred = microBatchWork.getOrElse(sourceId, Seq.empty)

@@ -230,7 +230,7 @@ object DQEngine {
       case "expect_column_distinct_values_to_contain_set" =>
         // set ⊆ distinct(column): count the wanted values present via a
         // filtered distinct aggregate — foldable into the combined pass
-        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
+        val want = anySeq(a, "value_set").map(String.valueOf(_)).distinct.toSeq
         val v = coalesce(col(str(a, "column").get).cast("string"), lit("null"))
         val inSet = if (want.isEmpty) lit(false) else v.isin(want: _*)
         Some(Seq(count_distinct(when(inSet, v))) -> { vs =>
@@ -240,7 +240,7 @@ object DQEngine {
       case "expect_column_distinct_values_to_equal_set" =>
         // both directions as two filtered distinct aggregates: missing
         // wanted values + extra out-of-set values
-        val want = anySeq(a, "value_set").map(String.valueOf(_)).toSeq
+        val want = anySeq(a, "value_set").map(String.valueOf(_)).distinct.toSeq
         val v = coalesce(col(str(a, "column").get).cast("string"), lit("null"))
         val inSet = if (want.isEmpty) lit(false) else v.isin(want: _*)
         Some(Seq(count_distinct(when(inSet, v)),

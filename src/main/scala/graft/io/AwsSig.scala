@@ -118,11 +118,16 @@ object AwsSig {
       val host = URI.create(endpoint).getAuthority
       val (auth, amzDate, payloadHash) = sign(method, path, query,
         Map("host" -> host) ++ extraHeaders, payload, region, "s3", creds)
+      // the URL query must be byte-identical to the canonical query the
+      // signature was computed over (same uriEncode, same sort) — encoding
+      // values with a different scheme ('+' for space, raw keys) would
+      // produce SignatureDoesNotMatch for any key/value needing escaping
       val qs =
         if (query.isEmpty) ""
-        else "?" + query.map { case (k, v) =>
-          if (v.isEmpty) k else s"$k=${URLEncoder.encode(v, UTF_8)}"
-        }.mkString("&")
+        else "?" + query
+          .map { case (k, v) => (uriEncode(k, keepSlash = false),
+            uriEncode(v, keepSlash = false)) }
+          .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
       // the request URL must carry the SAME percent-encoded path the
       // signature was computed over — a raw key with spaces/'#'/non-ASCII
       // would otherwise be an illegal URI, address the wrong object, or
@@ -199,13 +204,23 @@ object AwsSig {
         bucket: String, key: String, destBucket: String, destKey: String,
         days: Int, tier: String,
         pollMillis: Long = 30000, maxAttempts: Int = 240): Unit = {
-      requestRestore(bucket, key, days, tier)
+      val issued = requestRestore(bucket, key, days, tier)
       var attempts = 0
-      while (restoreStatus(bucket, key).contains(true)) {
-        attempts += 1
-        require(attempts <= maxAttempts,
-          s"restore of $bucket/$key still in progress after $maxAttempts checks")
-        Thread.sleep(pollMillis)
+      // a HEAD issued right after the restore 202 can race the service's
+      // restore registration and return no x-amz-restore header at all —
+      // when we just issued a restore, None means "not registered yet",
+      // not "complete"; only ongoing-request="false" ends the wait
+      var done = false
+      while (!done) {
+        restoreStatus(bucket, key) match {
+          case Some(false) => done = true
+          case None if !issued => done = true // never archived; nothing to wait on
+          case _ => // ongoing, or issued-but-not-yet-registered
+            attempts += 1
+            require(attempts <= maxAttempts,
+              s"restore of $bucket/$key still in progress after $maxAttempts checks")
+            Thread.sleep(pollMillis)
+        }
       }
       copyObject(bucket, key, destBucket, destKey)
     }

@@ -210,6 +210,31 @@ class DataLoaderSpec extends SparkSpec {
     assert(tagged.where("dq_validations.run_row_success = true").count() == 2)
   }
 
+  test("self-referential dq spec (spec_id == input_id) does not hang the output planner") {
+    // r6 advice: buildMicroBatchPlan's chain walk must terminate on
+    // spec_id == input_id (a shape the reference accepts and q81 uses)
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "name")
+    val out = tmpDir("dl-selfloop") + "/t"
+    val acon =
+      s"""{
+         |  "input_specs": [{"spec_id": "cust", "data_format": "dataframe", "df_name": "d"}],
+         |  "dq_specs": [{
+         |    "spec_id": "cust", "input_id": "cust",
+         |    "dq_functions": [
+         |      {"function": "expect_column_values_to_not_be_null", "args": {"column": "name"}}
+         |    ],
+         |    "fail_on_error": true
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "tgt", "input_id": "cust", "write_type": "overwrite",
+         |    "data_format": "parquet", "location": "$out"
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon, dfs = Map("d" -> df))
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
   test("full pipeline: transform + DQ gate + merge write + notify terminator") {
     import spark.implicits._
     val out = tmpDir("dl-e2e") + "/t"

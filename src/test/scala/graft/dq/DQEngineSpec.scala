@@ -189,6 +189,16 @@ class DQEngineSpec extends SparkSpec {
     assert(bad.outcomes.forall(!_.success))
     assert(bad.outcomes(1).unexpectedCount == 1) // "7.0" missing
     assert(bad.outcomes(2).unexpectedCount == 5) // 5 extra distinct values
+    // duplicates in value_set must not inflate the wanted count into
+    // false failures (r6 advice: missing = want.length - present)
+    val dup = DQEngine.run(spark, vals, spec(
+      "expect_column_distinct_values_to_contain_set" ->
+        Map("column" -> "x", "value_set" -> Seq("1.0", "1.0", "100.0")),
+      "expect_column_distinct_values_to_equal_set" ->
+        Map("column" -> "x", "value_set" ->
+          Seq("1.0", "1.0", "2.0", "3.0", "4.0", "5.0", "100.0", "100.0"))))
+    assert(dup.outcomes.forall(_.success),
+      dup.outcomes.filterNot(_.success).toString)
   }
 
   test("row-count equality and strftime format expectations") {
