@@ -2247,6 +2247,81 @@ object QueryCatalog {
              least(64, n - chunk_id * 48) AS n_tokens
       FROM exploded ORDER BY doc_id, chunk_id"""))
 
+  private val q84 = QueryDef(
+    "q84_image_decode",
+    (s, dir) => {
+      import s.implicits._
+      // real PNG encode -> javax.imageio decode, oracle-checked: the pixel
+      // field is ImageCodec.formulaRgb, which the SQL below recomputes
+      // exactly (PNG is lossless, so decoded channel sums equal the
+      // generative sums bit-for-bit)
+      val imgs = T(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 8 + (id % 24).toInt
+          val h = 8 + ((id * 3) % 24).toInt
+          (id, graft.operators.ImageCodec.encodePng(
+            w, h, graft.operators.ImageCodec.formulaRgb(id)))
+        }.toDF("doc_id", "payload")
+      graft.operators.Multimodal.extractFeatures(imgs, "doc_id", "payload")
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          (col("sum_r").cast("double") / (col("width") * col("height"))).as("mean_r"),
+          (col("sum_g").cast("double") / (col("width") * col("height"))).as("mean_g"),
+          (col("sum_b").cast("double") / (col("width") * col("height"))).as("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h
+        FROM documents WHERE doc_id < 300),
+      px AS (
+        SELECT doc_id, w, h,
+               ((doc_id + 1) * (x + 3) * (y + 7) + (doc_id // 5) * (x + 2 * y)) % 256 AS r,
+               ((doc_id + 2) * (x + 5) * (y + 11) + (doc_id // 7) * (2 * x + y)) % 256 AS g,
+               ((doc_id + 3) * (x + 7) * (y + 13) + (doc_id // 3) * (x + y)) % 256 AS b
+        FROM docs, range(0, 32) tx(x), range(0, 32) ty(y)
+        WHERE x < w AND y < h)
+      SELECT doc_id,
+             CAST(max(w) AS BIGINT) AS width,
+             CAST(max(h) AS BIGINT) AS height,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+             CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+             CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b
+      FROM px GROUP BY doc_id ORDER BY doc_id"""))
+
+  private val q85 = QueryDef(
+    "q85_image_neardup",
+    (s, dir) => {
+      import s.implicits._
+      // 300 noise-field PNGs; every id % 10 == 0 gets a sibling (id+1)
+      // identical except a bump confined to one dHash grid cell, so the
+      // sibling's hash is within 2 bits and everything else is ~32 bits
+      // apart (P[random 64-bit pair <= 3] ~ 2e-15) — the expected pair set
+      // is exactly the planted siblings, derivable from id arithmetic
+      val imgs = T(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val baseId = if (id % 10 == 1) id - 1 else id
+          (id, graft.operators.ImageCodec.fixtureImage(
+            baseId, 32, 24, perturbTopLeft = id % 10 == 1))
+        }.toDF("doc_id", "payload")
+      graft.operators.Multimodal
+        .imageNearDuplicates(imgs, "doc_id", "payload", maxDistance = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))
+    },
+    Some("""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 10 = 0 AND b.doc_id < 300
+      ORDER BY id_a"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2257,5 +2332,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83)
+    q80, q81, q82, q83, q84, q85)
 }

@@ -202,8 +202,9 @@ class DedupAndSimilaritySpec extends SparkSpec {
     val feats = graft.operators.Multimodal.extractFeatures(bins, "id", "payload")
     assert(feats.schema == graft.operators.Multimodal.FeatureSchema)
     val row = feats.where("id = 1").collect()(0)
-    assert(row.getLong(1) == 6L) // n_bytes
-    assert(row.getSeq[Float](2).length == 8)
+    assert(row.getAs[Long]("n_bytes") == 6L)
+    assert(!row.getAs[Boolean]("is_image")) // text payload -> fallback path
+    assert(row.getSeq[Float](row.fieldIndex("features")).length == 8)
     val frames = graft.operators.Multimodal.sampleFrames(bins, "id", "payload", everyK = 2)
     assert(frames.where("id = 1").count() == 3) // offsets 0,2,4
     assert(frames.where("id = 2").count() == 1)
