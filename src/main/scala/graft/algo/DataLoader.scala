@@ -37,6 +37,13 @@ final class DataLoader(
     mutable.Map.empty[String, Seq[(TransformerSpec, String)]] // (transformer, fromSpec)
 
   def read(): this.type = {
+    // per-pipeline conf overrides first (reference applies `exec_env`
+    // tolerantly — unsupported/static confs are skipped, not fatal:
+    // `core/exec_env.py:130-146`)
+    acon.execEnv.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     acon.inputSpecs.foreach { in =>
       data(in.specId) = Readers.read(spark, in, name => providedDfs(name))
     }

@@ -50,7 +50,11 @@ object Readers {
       case "sharepoint" =>
         if (streaming) sys.error("Sharepoint reader doesn't support streaming input.")
         else SharepointIo.read(spark, spec.options)
-      case fileFormat =>
+      case requested =>
+        // `delta` without the Delta jars reads the parquet the merge-writer
+        // fallback produced — same fallback contract as Writers.mergeWrite.
+        val fileFormat =
+          if (requested == "delta" && !DeltaSupport.available) "parquet" else requested
         val loc = spec.location.getOrElse(sys.error(s"file reader needs location"))
         if (streaming) {
           val r = spark.readStream.format(fileFormat).options(spec.options)

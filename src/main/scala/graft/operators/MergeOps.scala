@@ -101,7 +101,13 @@ object MergeOps {
       insertOnly: Boolean = false): DataFrame = {
     val dataCols = target.columns.toSeq
     val t = target.select(struct(dataCols.map(col): _*).as("t"))
-    val s = source.select(struct(dataCols.map(col): _*).as("s"))
+    // the target schema is authoritative: source columns are cast to the
+    // target's types, as Delta MERGE does under the default ANSI
+    // storeAssignmentPolicy (extra source columns are already dropped by
+    // selecting the target's column set)
+    val targetTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val s = source.select(struct(
+      dataCols.map(c => col(c).cast(targetTypes(c)).as(c)): _*).as("s"))
     val joined = t.join(s, condition, "full_outer")
 
     val matched = col("t").isNotNull && col("s").isNotNull

@@ -81,7 +81,10 @@ final case class Acon(
     transformSpecs: Seq[TransformSpec] = Seq.empty,
     dqSpecs: Seq[DQSpec] = Seq.empty,
     outputSpecs: Seq[OutputSpec] = Seq.empty,
-    terminateSpecs: Seq[TerminatorSpec] = Seq.empty)
+    terminateSpecs: Seq[TerminatorSpec] = Seq.empty,
+    /** per-pipeline Spark conf overrides (reference `exec_env` ACON key,
+      * `core/exec_env.py:130-146`) — applied tolerantly before reading */
+    execEnv: Map[String, String] = Map.empty)
 
 /** JSON -> spec parsing helpers (snake_case keys, as in the reference). */
 object Specs {
@@ -192,6 +195,7 @@ object Specs {
       transformSpecs = seqOfMaps(m, "transform_specs").map(transformSpec),
       dqSpecs = seqOfMaps(m, "dq_specs").map(dqSpec),
       outputSpecs = seqOfMaps(m, "output_specs").map(outputSpec),
-      terminateSpecs = seqOfMaps(m, "terminate_specs").map(terminatorSpec))
+      terminateSpecs = seqOfMaps(m, "terminate_specs").map(terminatorSpec),
+      execEnv = strMap(m, "exec_env"))
   }
 }
