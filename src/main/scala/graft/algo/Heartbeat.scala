@@ -22,6 +22,47 @@ object Heartbeat {
     def trigger(jobId: String, sensorId: String): Unit
   }
 
+  /** Jobs `run-now` HTTP trigger — the wire shape of the reference's
+    * `SensorJobRunManager.run_job` (`core/sensor_manager.py:410-452`):
+    * `POST {base}/api/2.1/jobs/run-now` with a bearer token and body
+    * `{"job_id": ..., "notebook_params": {"msg": ...}}`; 200 carries the
+    * `run_id`, any other status carries `error_code` + `message`, which
+    * raise here (the reference logs and returns the error — a scheduler
+    * fleet wants the failed trigger loud). `baseUrl` is the workspace
+    * host; tests point it at a local fake endpoint. */
+  final class HttpJobTrigger(
+      baseUrl: String,
+      tokenProvider: () => String,
+      client: java.net.http.HttpClient =
+        java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofSeconds(30)).build())
+      extends JobTrigger {
+
+    import java.net.http.{HttpRequest, HttpResponse}
+
+    /** Trigger and return the scheduler's run id. */
+    def run(jobId: String): Long = {
+      val body =
+        s"""{"job_id": "${jobId.replace("\"", "\\\"")}", """ +
+          """"notebook_params": {"msg": "triggered via heartbeat sensor"}}"""
+      val req = HttpRequest.newBuilder(
+          java.net.URI.create(s"${baseUrl.stripSuffix("/")}/api/2.1/jobs/run-now"))
+        .header("Authorization", s"Bearer ${tokenProvider()}")
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+      val parsed = graft.spec.Specs.parseJsonMap(res.body())
+      if (res.statusCode() == 200)
+        parsed.get("run_id").collect { case n: Number => n.longValue() }
+          .getOrElse(sys.error(s"jobs/run-now 200 response missing run_id: ${res.body().take(200)}"))
+      else sys.error("jobs/run-now failed: " +
+        parsed.get("error_code").map(String.valueOf(_)).getOrElse(res.statusCode().toString) +
+        "  " + parsed.get("message").map(String.valueOf(_)).getOrElse(""))
+    }
+
+    def trigger(jobId: String, sensorId: String): Unit = run(jobId)
+  }
+
   /** One heartbeat source row. */
   final case class Source(
       sensorId: String,

@@ -110,6 +110,61 @@ object AvroCodec {
     udf(fn, BinaryType).apply(data)
   }
 
+  /** Decode a Confluent-wire-format column: 1 magic byte (0x00) + 4-byte
+    * big-endian schema id + Avro body. The schema is resolved driver-side
+    * (once, by subject) and `expectedId` pins it: a message carrying a
+    * different id means the subject evolved under us — that fails loudly
+    * rather than mis-decoding with a stale schema. `expectedId < 0` skips
+    * the id check (registries that don't assign ids). */
+  def fromAvroFramed(data: Column, schemaJson: String, expectedId: Int): Column = {
+    val sparkType = avroToSparkType(new Schema.Parser().parse(schemaJson))
+    val fn = new UDF1[Array[Byte], Any] with Serializable {
+      @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+      @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+      @transient private var decoder: BinaryDecoder = _
+      override def call(bytes: Array[Byte]): Any = {
+        if (bytes == null) null
+        else {
+          require(bytes.length >= 5 && bytes(0) == 0,
+            s"not a Confluent-framed Avro payload (len=${bytes.length}, " +
+              s"magic=${if (bytes.isEmpty) "none" else bytes(0).toString})")
+          val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+            ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+          require(expectedId < 0 || id == expectedId,
+            s"message schema id $id != resolved subject id $expectedId " +
+              "(subject evolved after resolution — re-run to re-resolve)")
+          decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+          convert(reader.read(null, decoder), schema)
+        }
+      }
+    }
+    udf(fn, sparkType).apply(data)
+  }
+
+  /** Encode a struct column to Confluent wire format (magic byte + schema
+    * id + Avro body) — the producer-side counterpart of [[fromAvroFramed]]. */
+  def toAvroFramed(data: Column, schemaJson: String, schemaId: Int): Column = {
+    val fn = new UDF1[Row, Array[Byte]] with Serializable {
+      @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+      @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+      @transient private var encoder: BinaryEncoder = _
+      override def call(row: Row): Array[Byte] = {
+        if (row == null) null
+        else {
+          val out = new ByteArrayOutputStream()
+          out.write(0)
+          out.write((schemaId >>> 24) & 0xff); out.write((schemaId >>> 16) & 0xff)
+          out.write((schemaId >>> 8) & 0xff); out.write(schemaId & 0xff)
+          encoder = EncoderFactory.get().binaryEncoder(out, encoder)
+          writer.write(rowToRecord(row, schema), encoder)
+          encoder.flush()
+          out.toByteArray
+        }
+      }
+    }
+    udf(fn, BinaryType).apply(data)
+  }
+
   private def rowToRecord(row: Row, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     schema.getFields.asScala.foreach { f =>

@@ -162,6 +162,29 @@ object DedupFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Band keys for Hamming-banded candidate generation: split `hashBits`
+    * bits of `hash` into `maxDistance + 1` contiguous blocks. Pigeonhole
+    * guarantee: two hashes within `maxDistance` differ in at most
+    * `maxDistance` blocks, so at least one block matches exactly — full
+    * recall for ANY `maxDistance`, not just the block count the caller
+    * happened to hardcode. Returns an array of (block, key) structs to
+    * explode. */
+  private[graft] def hammingBandKeys(hash: Column, hashBits: Int, maxDistance: Int): Column = {
+    val blocks = maxDistance + 1
+    require(maxDistance >= 0 && blocks <= hashBits,
+      s"maxDistance must be in [0, ${hashBits - 1}] (got $maxDistance): " +
+        s"banding needs maxDistance + 1 blocks over $hashBits hash bits")
+    val base = hashBits / blocks
+    array((0 until blocks).map { i =>
+      val lo = i * base
+      val width = if (i == blocks - 1) hashBits - lo else base
+      val key =
+        if (width >= 64) hash
+        else shiftright(hash, lo).bitwiseAND(lit((1L << width) - 1))
+      struct(lit(i).as("block"), key.as("key"))
+    }: _*)
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance <= maxDistance,
     * banded on 15-bit blocks of a 60-bit simhash (pigeonhole: distance<=3
     * over 4 blocks means at least one block matches exactly) to avoid the
@@ -178,17 +201,14 @@ object DedupFunctions {
       .select(col(idCol).as("id"),
         TextFunctions.whitespaceTokens(col(textCol)).as("toks"))
       .select(col("id"), simhash(col("toks"), 60).as("sim")))
-    val blocks = 4
     // Single pass: explode block keys, ONE shuffle groups (id, sim) by
     // (block, key), pairs expand inside each bucket — the tokenize+simhash
     // pipeline is never evaluated twice (a self-join computes both sides),
     // and the carried state per member is 16 bytes, so bucket rows stay
-    // small even for hot buckets.
+    // small even for hot buckets. Block count derives from maxDistance
+    // (pigeonhole), so recall holds for any requested distance.
     val banded = withSim.select(
-      explode(array((0 until blocks).map { i =>
-        struct(lit(i).as("block"),
-          shiftright(col("sim"), i * 15).bitwiseAND(lit(0x7fffL)).as("key"))
-      }: _*)).as("bk"),
+      explode(hammingBandKeys(col("sim"), 60, maxDistance)).as("bk"),
       struct(col("id"), col("sim")).as("m"))
     // Same bounded-bucket guard as minhash: the collect_list buffer holds
     // every bucket member in ONE aggregation row, so a degenerate hot

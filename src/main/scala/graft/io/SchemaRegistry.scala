@@ -17,19 +17,96 @@ package graft.io
   * `/subjects/<subject>/versions/latest`) a user can register without
   * touching engine code.
   */
+/** A schema as the registry serves it: global id + schema JSON. Id -1
+  * means "registry doesn't assign ids" (the in-memory transport). */
+final case class RegisteredSchema(id: Int, schemaJson: String)
+
 trait SchemaRegistryClient {
 
   /** Latest Avro schema JSON for a subject. */
   def latestSchema(subject: String): String
+
+  /** Latest schema WITH its registry-assigned id (Confluent wire-format
+    * framing embeds this id in every message). */
+  def latest(subject: String): RegisteredSchema = RegisteredSchema(-1, latestSchema(subject))
+
+  /** Schema JSON by global id (`GET /schemas/ids/{id}` wire shape). */
+  def schemaById(id: Int): String =
+    throw new UnsupportedOperationException("this registry transport has no id index")
 }
 
 /** A registry preloaded with subject -> schema-JSON entries (tests, or
-  * air-gapped deployments shipping schemas with the job). */
+  * air-gapped deployments shipping schemas with the job). Ids are assigned
+  * by registration order (1-based), mirroring a real registry's globally
+  * unique monotone ids. */
 final class InMemorySchemaRegistry(subjects: Map[String, String])
     extends SchemaRegistryClient {
-  def latestSchema(subject: String): String =
-    subjects.getOrElse(subject,
-      throw new NoSuchElementException(s"schema registry: unknown subject '$subject'"))
+  private val ordered = subjects.toSeq
+  def latestSchema(subject: String): String = latest(subject).schemaJson
+  override def latest(subject: String): RegisteredSchema =
+    ordered.indexWhere(_._1 == subject) match {
+      case -1 => throw new NoSuchElementException(s"schema registry: unknown subject '$subject'")
+      case i => RegisteredSchema(i + 1, ordered(i)._2)
+    }
+  override def schemaById(id: Int): String =
+    if (id >= 1 && id <= ordered.size) ordered(id - 1)._2
+    else throw new NoSuchElementException(s"schema registry: unknown schema id $id")
+}
+
+/** Confluent-wire HTTP registry transport over the JDK HttpClient (the
+  * reference's Databricks `from_avro(..., subject, schemaRegistryAddress)`
+  * resolves against the same REST surface —
+  * `transformers/column_reshapers.py:284-346`). Endpoints used (public
+  * Confluent Schema Registry API):
+  *   - `GET {base}/subjects/{subject}/versions/latest` -> {id, schema}
+  *   - `GET {base}/schemas/ids/{id}`                   -> {schema}
+  *
+  * Resolution happens once, driver-side; executors only see resolved
+  * schema JSON (per-row lookups from 1000 executors would DDoS the
+  * registry). `authHeader` supplies e.g. a Basic credentials value. */
+final class HttpSchemaRegistry(
+    baseUrl: String,
+    authHeader: Option[() => String] = None,
+    client: java.net.http.HttpClient = HttpSchemaRegistry.defaultClient)
+    extends SchemaRegistryClient {
+
+  import java.net.http.{HttpRequest, HttpResponse}
+
+  private def get(path: String): Map[String, Any] = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(s"${baseUrl.stripSuffix("/")}$path"))
+      .header("Accept", "application/vnd.schemaregistry.v1+json").GET()
+    authHeader.foreach(h => b.header("Authorization", h()))
+    val res = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    res.statusCode() match {
+      case 200 => graft.spec.Specs.parseJsonMap(res.body())
+      case 404 => throw new NoSuchElementException(s"schema registry: $path not found")
+      case other => sys.error(s"schema registry GET $path returned $other: ${res.body().take(300)}")
+    }
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  def latestSchema(subject: String): String = latest(subject).schemaJson
+
+  override def latest(subject: String): RegisteredSchema = {
+    val body = get(s"/subjects/${enc(subject)}/versions/latest")
+    val id = body.get("id").collect { case n: Number => n.intValue() }
+      .getOrElse(sys.error(s"registry response for '$subject' missing id"))
+    val schema = body.get("schema").map(String.valueOf(_))
+      .getOrElse(sys.error(s"registry response for '$subject' missing schema"))
+    RegisteredSchema(id, schema)
+  }
+
+  override def schemaById(id: Int): String =
+    get(s"/schemas/ids/$id").get("schema").map(String.valueOf(_))
+      .getOrElse(sys.error(s"registry response for id $id missing schema"))
+}
+
+object HttpSchemaRegistry {
+  private[io] lazy val defaultClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30)).build()
 }
 
 object SchemaRegistry {

@@ -48,15 +48,39 @@ object ImageCodec {
   private val GridW = 9
   private val GridH = 8
 
-  /** Decode an image payload. Returns None for null/empty payloads and for
-    * bytes no registered ImageIO reader recognises (text, audio, …) —
-    * callers fall back to their non-image path. */
-  def decode(payload: Array[Byte]): Option[Decoded] = {
+  /** Decompression-bomb cap: a payload whose HEADER declares more pixels
+    * than this is rejected before any pixel buffer is allocated. 64 MP
+    * covers every legitimate photo/render; a hostile PNG header declaring
+    * 50k x 50k would otherwise allocate ~10 GB on `ImageIO.read` and kill
+    * the executor with an uncatchable OutOfMemoryError. */
+  val DefaultMaxPixels: Long = 64L * 1024 * 1024
+
+  /** Decode an image payload. Returns None for null/empty payloads, for
+    * bytes no registered ImageIO reader recognises (text, audio, …), and
+    * for payloads whose declared dimensions exceed `maxPixels` — callers
+    * fall back to their non-image path. Dimensions are peeked from the
+    * stream header via `ImageReader.getWidth/getHeight` BEFORE the full
+    * decode, so oversized/hostile payloads never allocate pixel buffers. */
+  def decode(payload: Array[Byte], maxPixels: Long = DefaultMaxPixels): Option[Decoded] = {
     if (payload == null || payload.length == 0) return None
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(payload))
-      catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) None else Some(stats(img))
+    try {
+      val stream = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(stream, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+          else {
+            val img = reader.read(0)
+            if (img == null) None else Some(stats(img))
+          }
+        } finally reader.dispose()
+      } finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def stats(img: BufferedImage): Decoded = {

@@ -93,11 +93,11 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs by perceptual dHash with Hamming distance
-    * <= maxDistance, banded on 16-bit blocks of the 64-bit hash
-    * (pigeonhole: distance <= 3 over 4 blocks means at least one block
-    * matches exactly) — the same bounded-bucket candidate generation as
-    * the text SimHash path, never a cross join. Non-image payloads are
-    * excluded before banding. */
+    * <= maxDistance, banded on `maxDistance + 1` contiguous blocks of the
+    * 64-bit hash (pigeonhole: a pair within maxDistance matches at least
+    * one block exactly, for ANY maxDistance) — the same bounded-bucket
+    * candidate generation as the text SimHash path, never a cross join.
+    * Non-image payloads are excluded before banding. */
   def imageNearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -107,12 +107,9 @@ object Multimodal {
     val hashes = extractFeatures(df, idCol, binaryCol)
       .where(col("is_image"))
       .select(col("id"), col("dhash"))
-    val blocks = 4
     val banded = hashes.select(
-      explode(array((0 until blocks).map { i =>
-        struct(lit(i).as("block"),
-          shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))
-      }: _*)).as("bk"),
+      explode(graft.functions.DedupFunctions
+        .hammingBandKeys(col("dhash"), 64, maxDistance)).as("bk"),
       struct(col("id"), col("dhash")).as("m"))
     banded
       .groupBy(col("bk.block").as("block"), col("bk.key").as("key"))

@@ -154,11 +154,19 @@ object Transformers {
       val keySubject = str(args, "key_schema")
       val passthrough = df.columns.toSeq
         .filterNot(c => c == valueCol || (keySubject.isDefined && c == keyCol))
+      // wire_format: payloads carry the Confluent 5-byte header (magic +
+      // schema id), as the reference's Databricks from_avro-with-registry
+      // wire shape does; default stays plain Avro for raw payloads
+      val framed = bool(args, "wire_format")
+      def decodeWith(c: org.apache.spark.sql.Column, subj: String) =
+        if (framed) {
+          val rs = registry.latest(subj)
+          graft.functions.AvroCodec.fromAvroFramed(c, rs.schemaJson, rs.id)
+        } else graft.functions.AvroCodec.fromAvro(c, registry.latestSchema(subj))
       val decodedKey = keySubject.map(subj =>
-        graft.functions.AvroCodec.fromAvro(col(keyCol), registry.latestSchema(subj))
-          .as(keyCol)).toSeq
-      val decodedValue = graft.functions.AvroCodec.fromAvro(
-        col(valueCol), registry.latestSchema(str(args, "value_schema").get)).as(valueCol)
+        decodeWith(col(keyCol), subj).as(keyCol)).toSeq
+      val decodedValue =
+        decodeWith(col(valueCol), str(args, "value_schema").get).as(valueCol)
       val decoded = df.select(passthrough.map(col) ++ decodedKey :+ decodedValue: _*)
       val keyOut =
         if (keySubject.isEmpty) Seq.empty

@@ -498,4 +498,27 @@ class DedupAndSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("hammingBandKeys: pigeonhole recall for arbitrary maxDistance, incl. sign-bit hashes") {
+    val rnd = new scala.util.Random(7)
+    for (d <- Seq(0, 3, 5, 7)) {
+      // pairs at Hamming distance exactly <= d, bit positions anywhere in
+      // the 64 bits (incl. bit 63: shiftright sign-extends, the mask must
+      // still isolate the band)
+      val pairs = (0 until 60).map { _ =>
+        val a = rnd.nextLong()
+        val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(d + 1))
+        (a, flips.foldLeft(a)((v, bit) => v ^ (1L << bit)))
+      }
+      val df = pairs.toDF("a", "b")
+      val missed = df.select(arrays_overlap(
+        DedupFunctions.hammingBandKeys(col("a"), 64, d),
+        DedupFunctions.hammingBandKeys(col("b"), 64, d)).as("ok"))
+        .where(!col("ok")).count()
+      assert(missed == 0, s"maxDistance=$d: $missed pairs shared no band")
+    }
+    intercept[IllegalArgumentException] {
+      DedupFunctions.hammingBandKeys(col("a"), 64, 64)
+    }
+  }
 }

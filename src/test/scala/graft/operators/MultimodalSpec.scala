@@ -98,4 +98,76 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  /** A 67-byte payload whose valid PNG header declares `w` x `h`: the
+    * signature, a CRC-correct IHDR, and a truncated IDAT. Decoding it in
+    * full would allocate w*h*4 bytes — the header peek must reject it
+    * before that. */
+  private def pngBomb(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    def chunk(name: String, body: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(body.length).array()
+      out.write(len)
+      val tagged = name.getBytes("US-ASCII") ++ body
+      out.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", Array[Byte](0x78, 0x9c.toByte)) // zlib header, no data
+    out.toByteArray
+  }
+
+  test("decompression-bomb guard: huge declared dimensions route to fallback, not OOM") {
+    // header claims 50k x 50k (~10 GB decoded); the 67-byte payload must be
+    // rejected at the header peek and flow through the fallback path
+    val bomb = pngBomb(50000, 50000)
+    assert(ImageCodec.decode(bomb).isEmpty)
+    // a legitimate image alongside it still decodes; the bomb row survives
+    // the pipeline as a non-image
+    val df = Seq((1L, ImageCodec.encodePng(16, 12, formulaRgb(1))), (2L, bomb))
+      .toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(df, "id", "payload")
+      .select("id", "is_image").as[(Long, Boolean)].collect().toMap
+    assert(feats(1L) && !feats(2L))
+    // the cap is a parameter: a small image is rejected once the cap drops
+    // below its pixel count (guard is exercised, not just the 64 MP default)
+    val small = ImageCodec.encodePng(16, 12, formulaRgb(1))
+    assert(ImageCodec.decode(small, maxPixels = 100).isEmpty)
+    assert(ImageCodec.decode(small, maxPixels = 192).isDefined)
+  }
+
+  test("imageNearDuplicates recall holds when maxDistance exceeds the old fixed banding") {
+    // find a sibling at dHash Hamming distance in (3, 6]: with the old
+    // fixed 4x16 banding such a spread can span all four blocks and lose
+    // the pair; derived banding (maxDistance+1 = 7 blocks) must keep it.
+    // The fixture searches over whitened-cell perturbations (deterministic
+    // codec, so the found sibling is stable).
+    val base = ImageCodec.encodePng(36, 32, formulaRgb(3))
+    val da = ImageCodec.decode(base).get.dHash
+    // whiten k separated 4x4 cells of the 9x8 grid, k = 1..8
+    val candidates = (1 to 8).map { k =>
+      ImageCodec.encodePng(36, 32, (x, y) => {
+        val cell = (y / 4) * 9 + (x / 4) // grid-aligned 4x4 blocks
+        if (cell % 11 == 3 && cell / 11 < k) 0xffffff else formulaRgb(3)(x, y)
+      })
+    }
+    val pert = candidates.find { img =>
+      val d = java.lang.Long.bitCount(da ^ ImageCodec.decode(img).get.dHash)
+      d > 3 && d <= 6
+    }
+    assert(pert.isDefined, "fixture search found no sibling in (3, 6]")
+    val df = Seq((1L, base), (2L, pert.get)).toDF("id", "payload")
+    val pairs = Multimodal.imageNearDuplicates(df, "id", "payload", maxDistance = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
