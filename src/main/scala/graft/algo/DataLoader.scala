@@ -37,12 +37,20 @@ final class DataLoader(
     mutable.Map.empty[String, Seq[(TransformerSpec, String)]] // (transformer, fromSpec)
 
   def read(): this.type = {
-    // per-pipeline conf overrides first (reference applies `exec_env`
-    // tolerantly — unsupported/static confs are skipped, not fatal:
-    // `core/exec_env.py:130-146`)
+    // per-pipeline conf overrides first. Reference semantics
+    // (`core/exec_env.py:130-146`): ONLY the cannot-modify/not-available
+    // error family is skipped (with a warning); a bad value or any other
+    // failure re-raises — a typo'd conf must not be silently ignored.
     acon.execEnv.foreach { case (k, v) =>
       try spark.conf.set(k, v)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case scala.util.control.NonFatal(e)
+            if Option(e.getMessage).exists(m =>
+              m.contains("CANNOT_MODIFY_CONFIG") ||
+                m.contains("Cannot modify the value") ||
+                m.contains("CONFIG_NOT_AVAILABLE")) =>
+          Console.err.println(s"[data-loader] exec_env conf '$k' skipped: ${e.getMessage}")
+      }
     }
     acon.inputSpecs.foreach { in =>
       data(in.specId) = Readers.read(spark, in, name => providedDfs(name))
@@ -131,9 +139,17 @@ final class DataLoader(
     while (walking) acon.dqSpecs.find(_.specId == sourceId) match {
       case Some(dq) =>
         // spec_id == input_id is an accepted shape (reference resolves one
-        // level); without this guard the walk would loop forever on it —
-        // stop once a spec id repeats, keeping each dq in the chain once
-        if (!seen.add(dq.specId)) walking = false
+        // level) — stop the walk there. Any LONGER cycle (a -> b -> a) is
+        // an invalid config: continuing would leave sourceId on a dq spec
+        // id and silently drop that output's deferred transformers, so
+        // fail fast instead.
+        if (!seen.add(dq.specId)) {
+          if (dq.specId != dq.inputId) sys.error(
+            s"dq_specs form a cycle through '${dq.specId}' — dq input_id " +
+              "chains must terminate at a non-dq spec (only the " +
+              "self-referential spec_id == input_id shape is accepted)")
+          walking = false
+        }
         else { chain.prepend(dq); sourceId = dq.inputId }
       case None => walking = false
     }

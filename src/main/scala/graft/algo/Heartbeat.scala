@@ -51,13 +51,21 @@ object Heartbeat {
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(body)).build()
       val res = client.send(req, HttpResponse.BodyHandlers.ofString())
-      val parsed = graft.spec.Specs.parseJsonMap(res.body())
-      if (res.statusCode() == 200)
+      if (res.statusCode() == 200) {
+        val parsed = graft.spec.Specs.parseJsonMap(res.body())
         parsed.get("run_id").collect { case n: Number => n.longValue() }
           .getOrElse(sys.error(s"jobs/run-now 200 response missing run_id: ${res.body().take(200)}"))
-      else sys.error("jobs/run-now failed: " +
-        parsed.get("error_code").map(String.valueOf(_)).getOrElse(res.statusCode().toString) +
-        "  " + parsed.get("message").map(String.valueOf(_)).getOrElse(""))
+      } else {
+        // an error body may be proxy HTML or empty — a JSON parse failure
+        // there must not mask the real HTTP status and message
+        val detail = scala.util.Try(graft.spec.Specs.parseJsonMap(res.body())).toOption match {
+          case Some(p) if p.contains("error_code") || p.contains("message") =>
+            p.get("error_code").map(String.valueOf(_)).getOrElse(res.statusCode().toString) +
+              "  " + p.get("message").map(String.valueOf(_)).getOrElse("")
+          case _ => s"HTTP ${res.statusCode()}: ${res.body().take(200)}"
+        }
+        sys.error(s"jobs/run-now failed: $detail")
+      }
     }
 
     def trigger(jobId: String, sensorId: String): Unit = run(jobId)

@@ -27,6 +27,21 @@ object AwsSig {
   final case class Credentials(accessKey: String, secretKey: String,
       sessionToken: Option[String] = None)
 
+  /** Outcome of a `RestoreObject` request. Three states, not two:
+    * conflating InProgress (409) with AlreadyRestored (200) lets a
+    * racing HEAD that has no `x-amz-restore` header yet end a restore
+    * wait while the object is still archived. */
+  sealed abstract class RestoreOutcome(val describe: String)
+  object RestoreOutcome {
+    /** 202 — restore newly accepted; the service is thawing the object. */
+    case object Accepted extends RestoreOutcome("accepted")
+    /** 200 — object already restored (or never archived); copy is safe now. */
+    case object AlreadyRestored extends RestoreOutcome("already restored")
+    /** 409 RestoreAlreadyInProgress — someone else's restore is running;
+      * the object is NOT yet readable. */
+    case object InProgress extends RestoreOutcome("already in progress")
+  }
+
   private val AmzDate = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
 
   private def sha256Hex(data: Array[Byte]): String =
@@ -149,12 +164,12 @@ object AwsSig {
       client.send(req, HttpResponse.BodyHandlers.ofString())
     }
 
-    /** Issue `RestoreObject` (S3 POST ?restore). Returns true if the
-      * restore was newly accepted (202), false if one is already in
-      * progress / the object is already restored (200); any other
-      * status throws. Expedited|Standard|Bulk tiers as in the
-      * reference's ACON surface. */
-    def requestRestore(bucket: String, key: String, days: Int, tier: String): Boolean = {
+    /** Issue `RestoreObject` (S3 POST ?restore) and map the status to a
+      * [[RestoreOutcome]]: 202 Accepted, 200 AlreadyRestored, 409
+      * InProgress (RestoreAlreadyInProgress); any other status throws.
+      * Expedited|Standard|Bulk tiers as in the reference's ACON surface. */
+    def requestRestore(bucket: String, key: String, days: Int,
+        tier: String): RestoreOutcome = {
       require(Seq("Expedited", "Standard", "Bulk").contains(tier),
         s"invalid restore tier '$tier'")
       val xml =
@@ -163,9 +178,9 @@ object AwsSig {
           "</GlacierJobParameters></RestoreRequest>"
       val res = send("POST", bucket, key, Seq("restore" -> ""), xml.getBytes(UTF_8))
       res.statusCode() match {
-        case 202 => true
-        case 200 => false // already restored (or a duplicate of a done restore)
-        case 409 => false // RestoreAlreadyInProgress — S3's in-progress signal
+        case 202 => RestoreOutcome.Accepted
+        case 200 => RestoreOutcome.AlreadyRestored
+        case 409 => RestoreOutcome.InProgress
         case other => sys.error(
           s"restore_object $bucket/$key returned $other: ${res.body().take(300)}")
       }
@@ -204,18 +219,22 @@ object AwsSig {
         bucket: String, key: String, destBucket: String, destKey: String,
         days: Int, tier: String,
         pollMillis: Long = 30000, maxAttempts: Int = 240): Unit = {
-      val issued = requestRestore(bucket, key, days, tier)
+      val outcome = requestRestore(bucket, key, days, tier)
       var attempts = 0
-      // a HEAD issued right after the restore 202 can race the service's
-      // restore registration and return no x-amz-restore header at all —
-      // when we just issued a restore, None means "not registered yet",
-      // not "complete"; only ongoing-request="false" ends the wait
+      // a HEAD issued right after a 202 (ours) OR during someone else's
+      // restore (409) can race the service's restore registration and
+      // return no x-amz-restore header at all — in both states None means
+      // "not registered yet", not "complete"; only ongoing-request="false"
+      // (or AlreadyRestored + no header: object was never archived) ends
+      // the wait. Treating 409 like 200 here was the bug: the copy would
+      // run while the object was still archived.
       var done = false
       while (!done) {
         restoreStatus(bucket, key) match {
           case Some(false) => done = true
-          case None if !issued => done = true // never archived; nothing to wait on
-          case _ => // ongoing, or issued-but-not-yet-registered
+          case None if outcome == RestoreOutcome.AlreadyRestored =>
+            done = true // never archived; nothing to wait on
+          case _ => // ongoing, or issued/in-progress-but-not-yet-registered
             attempts += 1
             require(attempts <= maxAttempts,
               s"restore of $bucket/$key still in progress after $maxAttempts checks")

@@ -37,11 +37,14 @@ trait SchemaRegistryClient {
 
 /** A registry preloaded with subject -> schema-JSON entries (tests, or
   * air-gapped deployments shipping schemas with the job). Ids are assigned
-  * by registration order (1-based), mirroring a real registry's globally
-  * unique monotone ids. */
-final class InMemorySchemaRegistry(subjects: Map[String, String])
+  * by DECLARED order (1-based), mirroring a real registry's globally
+  * unique monotone ids — pass a Seq to control the order; the Map
+  * constructor sorts by subject name so ids stay stable when entries are
+  * added (an unsorted Map's iteration order reshuffles above 4 entries). */
+final class InMemorySchemaRegistry(subjects: Seq[(String, String)])
     extends SchemaRegistryClient {
-  private val ordered = subjects.toSeq
+  def this(subjects: Map[String, String]) = this(subjects.toSeq.sortBy(_._1))
+  private val ordered = subjects
   def latestSchema(subject: String): String = latest(subject).schemaJson
   override def latest(subject: String): RegisteredSchema =
     ordered.indexWhere(_._1 == subject) match {
@@ -84,8 +87,11 @@ final class HttpSchemaRegistry(
     }
   }
 
+  /** Percent-encode a path SEGMENT: URLEncoder does form encoding, where
+    * a space becomes '+' — literal in a URL path — so swap it for %20. */
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
 
   def latestSchema(subject: String): String = latest(subject).schemaJson
 

@@ -202,10 +202,9 @@ object ManagerDispatch {
                 val tier = A.str(op, "retrieval_tier").getOrElse("Standard")
                 fn match {
                   case "request_restore" =>
-                    val accepted = client.requestRestore(
+                    val outcome = client.requestRestore(
                       s("bucket"), s("source_object"), days, tier)
-                    s"file/request_restore: " +
-                      (if (accepted) "accepted" else "already in progress or restored")
+                    s"file/request_restore: ${outcome.describe}"
                   case "check_restore_status" =>
                     val st = client.restoreStatus(s("bucket"), s("source_object")) match {
                       case None => "not under restore"

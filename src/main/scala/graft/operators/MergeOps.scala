@@ -103,11 +103,27 @@ object MergeOps {
     val t = target.select(struct(dataCols.map(col): _*).as("t"))
     // the target schema is authoritative: source columns are cast to the
     // target's types, as Delta MERGE does under the default ANSI
-    // storeAssignmentPolicy (extra source columns are already dropped by
-    // selecting the target's column set)
+    // storeAssignmentPolicy. Delta's ANSI store assignment FAILS on
+    // un-castable values; plain Column.cast only does so when the session
+    // runs ANSI (Spark 4's default) and silently nulls otherwise — the
+    // raise_error guard keeps the fail-loud contract independent of the
+    // session's ansi.enabled setting (same-type columns pass through
+    // untouched, so the guard costs nothing on the common path)
     val targetTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val sourceTypes = source.schema.map(f => f.name -> f.dataType).toMap
     val s = source.select(struct(
-      dataCols.map(c => col(c).cast(targetTypes(c)).as(c)): _*).as("s"))
+      dataCols.map { c =>
+        val tgtType = targetTypes(c)
+        if (sourceTypes.get(c).contains(tgtType)) col(c).as(c)
+        else {
+          val casted = col(c).cast(tgtType)
+          when(col(c).isNotNull && casted.isNull,
+            raise_error(concat(
+              lit(s"merge: cannot cast column '$c' value '"),
+              col(c).cast("string"), lit(s"' to ${tgtType.sql}"))))
+            .otherwise(casted).as(c)
+        }
+      }: _*).as("s"))
     val joined = t.join(s, condition, "full_outer")
 
     val matched = col("t").isNotNull && col("s").isNotNull

@@ -235,6 +235,38 @@ class DataLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("multi-spec dq cycle (a -> b -> a) fails fast instead of dropping transformers") {
+    // r8 advice: a cycle longer than the accepted self-referential shape
+    // used to truncate the chain walk with sourceId still on a dq spec id,
+    // silently losing that output's deferred transformers
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("id", "name")
+    val out = tmpDir("dl-dqcycle") + "/t"
+    // dq 'a' shadows-chains on input spec 'b'; dq 'b' chains back on 'a' —
+    // every input_id resolves (so processDq runs clean) but the planner's
+    // chain walk revisits 'a' through a two-spec cycle
+    val acon =
+      s"""{
+         |  "input_specs": [{"spec_id": "b", "data_format": "dataframe", "df_name": "d"}],
+         |  "dq_specs": [
+         |    {"spec_id": "a", "input_id": "b",
+         |     "dq_functions": [{"function": "expect_column_values_to_not_be_null",
+         |                       "args": {"column": "name"}}]},
+         |    {"spec_id": "b", "input_id": "a",
+         |     "dq_functions": [{"function": "expect_column_values_to_not_be_null",
+         |                       "args": {"column": "name"}}]}
+         |  ],
+         |  "output_specs": [{
+         |    "spec_id": "tgt", "input_id": "a", "write_type": "overwrite",
+         |    "data_format": "parquet", "location": "$out"
+         |  }]
+         |}""".stripMargin
+    val e = intercept[RuntimeException] {
+      DataLoader.loadData(spark, acon, dfs = Map("d" -> df))
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("full pipeline: transform + DQ gate + merge write + notify terminator") {
     import spark.implicits._
     val out = tmpDir("dl-e2e") + "/t"

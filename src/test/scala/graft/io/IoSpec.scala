@@ -432,6 +432,56 @@ class IoSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("s3 restore-wait: 409 in-progress + headerless HEAD race does not copy early") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // Regression for the 409/200 conflation bug: another client's restore
+    // is in flight (POST ?restore -> 409), and the first HEAD races the
+    // service's restore registration (200 with NO x-amz-restore header).
+    // The old two-state logic treated 409 like "already restored" and the
+    // headerless HEAD ended the wait -> copyObject ran while the object
+    // was still archived. Now 409 must keep polling until
+    // ongoing-request="false".
+    val headsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val copyAfterHeads = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      def reply(code: Int, headers: Map[String, String] = Map.empty): Unit = {
+        headers.foreach { case (k, v) => x.getResponseHeaders.set(k, v) }
+        x.sendResponseHeaders(code, -1); x.close()
+      }
+      (x.getRequestMethod, Option(x.getRequestURI.getQuery)) match {
+        case ("POST", Some(q)) if q.startsWith("restore") =>
+          reply(409) // RestoreAlreadyInProgress
+        case ("HEAD", _) =>
+          headsSeen.incrementAndGet() match {
+            case 1 => reply(200) // registration race: no x-amz-restore yet
+            case 2 => reply(200,
+              Map("x-amz-restore" -> """ongoing-request="true""""))
+            case _ => reply(200,
+              Map("x-amz-restore" -> """ongoing-request="false", expiry-date="..."""))
+          }
+        case ("PUT", _) =>
+          copyAfterHeads.set(headsSeen.get()); reply(200)
+        case _ => reply(500)
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new AwsSig.S3RestoreClient(endpoint, "eu-west-1",
+        AwsSig.Credentials("testak", "testsk"))
+      assert(client.requestRestore("b", "arch/x.parquet", 1, "Bulk") ==
+        AwsSig.RestoreOutcome.InProgress)
+      headsSeen.set(0)
+      client.restoreToDestinationAndWait("b", "arch/x.parquet",
+        "b", "hot/x.parquet", 1, "Bulk", pollMillis = 5, maxAttempts = 10)
+      // the copy happened, and only after the third HEAD reported done —
+      // not after the headerless first one
+      assert(copyAfterHeads.get() == 3,
+        s"copy fired after ${copyAfterHeads.get()} HEADs, want 3")
+    } finally server.stop(0)
+  }
+
   test("sharepoint writer: single-file upload with conflict behaviour") {
     val root = tmpDir("sharepoint-w")
     java.nio.file.Files.createDirectories(
