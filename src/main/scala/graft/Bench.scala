@@ -9,7 +9,7 @@ object Bench {
   /** JVM-health snapshot appended to the bench line so a slow run can be
     * attributed (code-cache exhaustion / GC pressure / missing flags)
     * instead of averaged away. All values come from standard MXBeans. */
-  private def jvmDiag(): String = {
+  private[graft] def jvmDiag(): String = {
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
     val pools = ManagementFactory.getMemoryPoolMXBeans.asScala

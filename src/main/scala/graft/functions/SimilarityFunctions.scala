@@ -174,6 +174,26 @@ object SimilarityFunctions {
     IvfIndex.build(corpus, corpusId, corpusVec, nLists, trainSampleSize)
       .search(queries, queryId, queryVec, k, nProbe)
 
+  /** Exact integer ceil(log2(n)): the smallest c with 2^c >= n (0 for
+    * n <= 1). Integer arithmetic, not floating log — an FP log2 can land
+    * on either side of a power of two depending on libm, and this value
+    * must match the SQL oracle's derivation bit-for-bit. */
+  def ceilLog2(n: Long): Int =
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** Corpus-adaptive signature width: rows-per-band =
+    * clamp(ceilLog2(n) + 2, 4, 16), numBits = numBands * rowsPerBand.
+    *
+    * Rationale: expected random-collision candidates per band are
+    * ~ n^2 / 2^rows; with 2^rows >= 4n that is <= n/4 — LINEAR in corpus
+    * size, which is the whole point of banding. The +2 margin keeps the
+    * per-band key space at >= 4x the corpus; the cap of 16 rows keeps a
+    * 4-band signature inside one long (64 bits — the regime measured at
+    * 400k vectors in PLANS.md); the floor of 4 keeps tiny corpora off
+    * degenerate 1-bucket keys. */
+  def adaptiveNumBits(corpusCount: Long, numBands: Int = 4): Int =
+    numBands * math.min(16, math.max(4, ceilLog2(corpusCount) + 2))
+
   /** All corpus pairs with cosine similarity >= threshold via LSH buckets
     * (embedding near-duplicate detection).
     *
@@ -182,16 +202,25 @@ object SimilarityFunctions {
     * (1 - acos(cos)/pi)^rowsPerBand per band, ~93% catch at cos 0.99 but
     * ~3e-4 per band at cos 0.3 (sampled recall 7% at that threshold).
     * Use thresholds >= ~0.85 here; for low-threshold pair retrieval use
-    * [[bruteForceTopK]] or [[ivfTopK]]. Scale knob: `numBits` — key
-    * space must grow with the corpus (8-bit keys collide ~0.4% of ALL
-    * pairs at 400k vectors; use >= 64 bits there). */
+    * [[bruteForceTopK]] or [[ivfTopK]].
+    *
+    * `numBits` is the scale knob: the key space must grow with the corpus
+    * (8-bit keys collide ~0.4% of ALL pairs at 400k vectors — the
+    * quadratic regime banding exists to avoid). The default (0) derives
+    * it from the corpus count via [[adaptiveNumBits]] — one driver-side
+    * count() against a column-pruned scan — so the operator is correctly
+    * sized from 500 vectors to 400M without a manual knob; pass an
+    * explicit value to pin it. */
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
-      numBits: Int = 32, numBands: Int = 4,
+      numBits: Int = 0, numBands: Int = 4,
       maxBucketSize: Int = 100000,
       dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val rows = numBits / numBands
+    val bits =
+      if (numBits > 0) numBits
+      else adaptiveNumBits(df.select(col(idCol)).count(), numBands)
+    val rows = bits / numBands
     // Candidate generation is id-only (explode band keys -> ONE shuffle
     // grouping ids by bucket -> in-bucket pair expansion -> narrow dedup);
     // the float vectors are joined back only for the surviving pairs, so
@@ -199,7 +228,7 @@ object SimilarityFunctions {
     // projection is a cheap column-pruned scan, so reading it for the
     // two verify joins beats carrying 2x vectors per banded row.
     val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), dim, numBits).as("sig"))
+      lshSignature(col(vecCol), dim, bits).as("sig"))
     val banded = withSig.select(col("id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),

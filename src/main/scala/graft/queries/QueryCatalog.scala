@@ -907,6 +907,50 @@ object QueryCatalog {
       SELECT query_id, neighbor_id, round(score, 6) AS score, rnk
       FROM ranked WHERE rnk <= 7 ORDER BY query_id, rnk"""))
 
+  /** Adaptive-width variant of [[lshSigCtes]]: the signature width is
+    * DERIVED from the corpus count exactly as
+    * [[graft.functions.SimilarityFunctions.adaptiveNumBits]] derives it —
+    * rowsPerBand = clamp(ceilLog2(n) + 2, 4, 16), numBits = 4 * rows.
+    * ceil(log2) is computed integer-exactly: the FP log2 estimate is
+    * corrected by one shift-compare step, so a libm that lands on either
+    * side of a power of two cannot diverge from the JVM's
+    * numberOfLeadingZeros derivation. (At the clamp ceiling the 64th sig
+    * bit would be the BIGINT sign bit — fine in the kernel's `|=`, an
+    * overflow in SQL list_sum; the test corpora derive 44-52 bits, and
+    * the clamp comment in SimilarityFunctions documents the boundary.) */
+  private def lshSigCtesAdaptive(dim: Int): String =
+    s"""params AS (
+        SELECT r, 4*r AS nb, (CAST(1 AS BIGINT) << r) - 1 AS mask
+        FROM (
+          SELECT least(16, greatest(4, 2 +
+            CASE WHEN (CAST(1 AS BIGINT) << r0) < n THEN r0 + 1
+                 WHEN r0 > 0 AND (CAST(1 AS BIGINT) << (r0 - 1)) >= n THEN r0 - 1
+                 ELSE r0 END)) AS r
+          FROM (SELECT count(*) AS n,
+                       CASE WHEN count(*) <= 1 THEN 0
+                            ELSE CAST(ceil(log2(count(*))) AS INT) END AS r0
+                FROM embeddings) t0) t1),
+      planes AS (
+        SELECT list_transform(range((SELECT nb FROM params)), b ->
+          list_transform(range($dim), j ->
+            CAST(('0x' || substring(md5('plane-' || b || '-' || j), 1, 15)) AS BIGINT)
+              % 16777216 / 8388608.0 - 1.0)) AS pm),
+      sigs AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum(list_transform(range((SELECT nb FROM params)), b ->
+                 CASE WHEN list_sum(list_transform(embedding,
+                        (x, j) -> CAST(x AS DOUBLE) * pm[b+1][j])) > 0
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+        FROM embeddings, planes)"""
+
+  /** Adaptive-width banded CTE body shared by q40/q78: band keys sliced
+    * with the params-derived rows-per-band and mask. */
+  private val bandedAdaptiveSql =
+    """banded AS (
+        SELECT vec_id, b AS band,
+               (sig >> (b * (SELECT r FROM params))) & (SELECT mask FROM params) AS key
+        FROM sigs, range(4) t(b))"""
+
   private val q40 = QueryDef(
     "q40_embedding_neardup",
     (s, dir) => SimilarityFunctions.embeddingNearDuplicates(
@@ -914,10 +958,8 @@ object QueryCatalog {
       .select(col("id_a"), col("id_b"), round(col("score"), 6).as("score"))
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""
-      WITH ${lshSigCtes(32, 64)},
-      banded AS (
-        SELECT vec_id, b AS band, (sig >> (b*8)) & 255 AS key
-        FROM sigs, range(4) t(b)),
+      WITH ${lshSigCtesAdaptive(64)},
+      $bandedAdaptiveSql,
       cands AS (
         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         FROM banded x JOIN banded y
@@ -994,10 +1036,8 @@ object QueryCatalog {
         .orderBy(col("id"))
     },
     Some(s"""
-      WITH RECURSIVE ${lshSigCtes(32, 64)},
-      banded AS (
-        SELECT vec_id, b AS band, (sig >> (b*8)) & 255 AS key
-        FROM sigs, range(4) t(b)),
+      WITH RECURSIVE ${lshSigCtesAdaptive(64)},
+      $bandedAdaptiveSql,
       cands AS (
         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         FROM banded x JOIN banded y

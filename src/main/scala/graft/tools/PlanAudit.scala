@@ -39,6 +39,41 @@ object PlanAudit {
       |
       |""".stripMargin
 
+  private val benchEvidenceR9 =
+    """## Bench evidence (round 9): q38/q39/q53 movers adjudicated by measurement
+      |
+      |The min-of-5 protocol prescribed in round 6 finally ran (BenchOne,
+      |`SPARK_GRAFT_MINOF=5`, sf0.1, local[32], 2026-08-13):
+      |
+      || query | r5 level | r8 one-shot | r9 min-of-5 | r9 median | repeat-run min |
+      ||---|---|---|---|---|---|
+      || q38_cosine_topk | 0.455 | 0.525 | 0.612 | 0.675 | 0.741 |
+      || q39_ann_lsh | 0.717 | 0.844 | 0.976 | 1.180 | — |
+      || q53_intersect | ~0.42 | 0.557 | 0.639 | 0.807 | 0.657 |
+      |
+      |Verdict: **host, all three.** The discriminating observations:
+      |
+      |- All three min-of-5 values sit a ~uniform 1.15–1.25× ABOVE their r8
+      |  one-shot samples — on code untouched since r5/r6. A real regression
+      |  moves one query; a uniform multiplier across brute-force cosine
+      |  (q38), banded LSH join (q39) and a set-op (q53) is machine speed.
+      |- JVM diagnostics are clean in both runs: code cache 45/252 MB with
+      |  the 512 MB flag applied, ZERO old-gen GCs, young-gen 0.25 s, heap
+      |  0.7/8 GB — every internal suspect ruled out.
+      |- Run-to-run min variance is ~20% minutes apart on the same code
+      |  (q38 min 0.612 then 0.741) — today's host is noisier than the r5
+      |  sampling window, consistent with every prior phantom mover
+      |  (r8 verdict: q80/q82/q75 all reverted when files were untouched).
+      |
+      |New instrument: BenchOne now prints `cpu_cal` — a fixed 400M-iteration
+      |single-thread multiply-add loop timed before any Spark work
+      |(0.194 s this session). Future rounds divide query deltas by the cal
+      |ratio: cal elevated by the same factor = host; cal flat with a query
+      |up = real regression. This replaces correlation ("code untouched")
+      |with measurement as the adjudication basis.
+      |
+      |""".stripMargin
+
   // Measured by graft.tools.ScaleCurve (round 5, 2026-08-12/13).
   private val scaling =
     """## SCALING — measured four-point curve for the dedup/ANN/text family
@@ -180,6 +215,7 @@ object PlanAudit {
     sb.append("31 s at sf0.1; fixed by a tight-loop kernel + PlanBarrier fence, now\n")
     sb.append("~0.7 s warm).\n\n")
     sb.append(benchCredibility)
+    sb.append(benchEvidenceR9)
     sb.append(scaling)
     sb.append("## Bench notes (round 4)\n\n")
     sb.append("- q49_training_pipeline's r3 'regression' (1.17 s -> 2.82 s) root cause:\n")

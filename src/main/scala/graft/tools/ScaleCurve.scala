@@ -117,24 +117,22 @@ object ScaleCurve {
           e.where(col("vec_id") >= 10 && col("vec_id") < 20), "vec_id", "embedding",
           k = 7, nLists = 16, nProbe = 16), None)
       }),
-      // Embedding near-dup + clustering with the banded key width SIZED
-      // FOR THE CORPUS: the catalog's q40/q78 default (32 bits, 8-bit
-      // band keys) is right for 2k vectors but at 400k vectors an 8-bit
-      // key space collides ~0.4% of ALL pairs — ~10^9 candidates, the
-      // quadratic regime the operator exists to avoid. numBits is the
-      // scale knob (16-bit keys here → ~64x fewer random collisions);
-      // measuring the operator at deliberately-undersized keys would
-      // report the misconfiguration, not the algorithm.
-      "q40_neardup_64bit" -> (() => {
+      // Embedding near-dup + clustering at the ADAPTIVE key width (the
+      // round-9 default: rowsPerBand = clamp(ceilLog2(n)+2, 4, 16), so
+      // 2k vectors get 13-bit keys and 400k vectors get 16-bit keys —
+      // the width the r6 runs set manually via numBits=64). The derived
+      // width keeps random collisions per band <= n/4 at every corpus
+      // size, so the measured growth reflects the operator as users run
+      // it, not a hand-tuned configuration.
+      "q40_neardup_auto" -> (() => {
         val o = Observation()
         (SimilarityFunctions.embeddingNearDuplicates(
           emb, "vec_id", "embedding", dim = 64, threshold = 0.3,
-          numBits = 64, numBands = 4, dropObservation = Some(o)), Some(o))
+          dropObservation = Some(o)), Some(o))
       }),
-      "q78_clusters_64bit" -> (() => {
+      "q78_clusters_auto" -> (() => {
         val pairs = SimilarityFunctions.embeddingNearDuplicates(
-          emb, "vec_id", "embedding", dim = 64, threshold = 0.3,
-          numBits = 64, numBands = 4)
+          emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
         (DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b")), None)
       }),
       // index build is one-off; the timed op is the incremental check,
