@@ -158,6 +158,37 @@ object DQEngine {
     sb.toString
   }
 
+  /** Parse a GX `partition_object` into per-bucket membership predicates
+    * plus the expected weights: categorical `{"values": [...], "weights":
+    * [...]}` buckets on equality; continuous `{"bins": [b0..bk],
+    * "weights": [...]}` buckets on half-open ranges [b_i, b_i+1) with the
+    * last bin closed (the GX histogram convention). */
+  private def partitionBuckets(f: DQFunctionSpec): (Seq[Column], Seq[Double]) = {
+    val a = f.args
+    val po = a.get("partition_object").collect {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    }.getOrElse(sys.error(s"${f.function} needs partition_object"))
+    def doubles(k: String): Option[Seq[Double]] = po.get(k).collect {
+      case s: Seq[_] => s.map { case n: Number => n.doubleValue() }.toSeq
+    }
+    val weights = doubles("weights")
+      .getOrElse(sys.error(s"${f.function} partition_object needs weights"))
+    val c = col(str(a, "column").get)
+    val buckets: Seq[Column] = po.get("values") match {
+      case Some(vs: Seq[_]) => vs.map(v => c === lit(v)).toSeq
+      case _ =>
+        val bins = doubles("bins")
+          .getOrElse(sys.error(s"${f.function} partition_object needs values or bins"))
+        bins.sliding(2).toSeq.zipWithIndex.map { case (pair, i) =>
+          val (lo, hi) = (pair.head, pair.last)
+          if (i == bins.length - 2) c >= lo && c <= hi else c >= lo && c < hi
+        }
+    }
+    require(buckets.length == weights.length,
+      s"${f.function}: ${buckets.length} buckets vs ${weights.length} weights")
+    (buckets, weights)
+  }
+
   /** Table expectations expressible as plain aggregate columns: the
     * aggregates to fold into ONE combined pass plus the outcome built
     * from the corresponding value slice. [[run]] coalesces every such
@@ -236,6 +267,67 @@ object DQEngine {
         Some(Seq(count_distinct(when(inSet, v))) -> { vs =>
           val missing = want.length - numVal(vs.head).toLong
           ExpectationOutcome(f.function, a, missing == 0, want.length.toLong, missing)
+        })
+      // ---- distribution family (GX gallery names; the reference accepts
+      // any GX expectation, `core/definitions.py:739-749`). KL divergence
+      // and chi-square bucket counts are conditional sums, kurtosis/skew
+      // are built-in aggregates — all fold into the combined single-scan
+      // pass like the rest of the table-level family. ------------------
+      case "expect_column_kurtosis_to_be_between" =>
+        // Spark kurtosis = population excess kurtosis (m4/m2^2 - 3)
+        scalar(kurtosis(col(str(a, "column").get).cast("double")))
+      case "expect_column_skew_to_be_between" =>
+        scalar(skewness(col(str(a, "column").get).cast("double")))
+      case "expect_column_kl_divergence_to_be_less_than" =>
+        // KL(observed || expected) over the partition buckets; rows
+        // outside every bucket are excluded from the observed mass (pass
+        // an explicit tail bucket to count them). p=0 buckets contribute
+        // 0 (the p->0 limit); expected weight 0 with observed mass is
+        // infinite divergence.
+        val (buckets, weights) = partitionBuckets(f)
+        val threshold = num(a, "threshold").getOrElse(Double.PositiveInfinity)
+        Some(buckets.map(b => sum(when(b, 1L).otherwise(0L))) -> { vs =>
+          val counts = vs.map(v =>
+            if (v == null) 0L else v.asInstanceOf[Number].longValue())
+          val total = counts.sum
+          val kl =
+            if (total == 0L) Double.NaN
+            else counts.zip(weights).map { case (cnt, q) =>
+              val p = cnt.toDouble / total
+              if (p == 0.0) 0.0
+              else if (q <= 0.0) Double.PositiveInfinity
+              else p * math.log(p / q)
+            }.sum
+          val ok = kl < threshold
+          ExpectationOutcome(f.function, a, ok, total, if (ok) 0 else 1, Some(kl))
+        })
+      case "expect_column_chisquare_test_p_value_to_be_greater_than" =>
+        // Pearson goodness-of-fit against the partition weights;
+        // p-value from the chi-squared CDF (commons-math3, shipped with
+        // Spark), dof = buckets - 1. success = p > threshold, which is
+        // equivalent to stat < chi2inv(1 - threshold, dof) — the form a
+        // SQL oracle can mirror with a critical-value constant.
+        val (buckets, weights) = partitionBuckets(f)
+        val pThreshold = num(a, "p").getOrElse(0.05)
+        Some(buckets.map(b => sum(when(b, 1L).otherwise(0L))) -> { vs =>
+          val counts = vs.map(v =>
+            if (v == null) 0L else v.asInstanceOf[Number].longValue())
+          val total = counts.sum
+          val pValue =
+            if (total == 0L) Double.NaN
+            else {
+              val stat = counts.zip(weights).map { case (cnt, w) =>
+                val expd = w * total
+                if (expd == 0.0) { if (cnt == 0L) 0.0 else Double.PositiveInfinity }
+                else { val d = cnt - expd; d * d / expd }
+              }.sum
+              if (stat.isInfinite) 0.0
+              else 1.0 - new org.apache.commons.math3.distribution
+                .ChiSquaredDistribution(math.max(1, buckets.length - 1).toDouble)
+                .cumulativeProbability(stat)
+            }
+          val ok = pValue > pThreshold
+          ExpectationOutcome(f.function, a, ok, total, if (ok) 0 else 1, Some(pValue))
         })
       case "expect_column_distinct_values_to_equal_set" =>
         // both directions as two filtered distinct aggregates: missing

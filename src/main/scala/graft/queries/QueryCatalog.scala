@@ -2145,13 +2145,37 @@ object QueryCatalog {
             // verify scale, so the approximate sketch is EXACT and
             // matches DuckDB's quantile_disc deterministically
             Map("column" -> "c_acctbal", "min_value" -> -1000.0,
-              "max_value" -> 10000.0, "accuracy" -> 10000000))),
+              "max_value" -> 10000.0, "accuracy" -> 10000000)),
+          // distribution family (round 9): population skew/kurtosis
+          // bounds, KL divergence and chi-square goodness-of-fit against
+          // the uniform 5-segment partition
+          DQFunctionSpec("expect_column_kurtosis_to_be_between",
+            Map("column" -> "c_acctbal", "min_value" -> -3.0, "max_value" -> 3.0)),
+          DQFunctionSpec("expect_column_skew_to_be_between",
+            Map("column" -> "c_acctbal", "min_value" -> -1.0, "max_value" -> 1.0)),
+          DQFunctionSpec("expect_column_kl_divergence_to_be_less_than",
+            Map("column" -> "c_mktsegment", "threshold" -> 0.1,
+              "partition_object" -> Map(
+                "values" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+                  "HOUSEHOLD", "MACHINERY"),
+                "weights" -> Seq(0.2, 0.2, 0.2, 0.2, 0.2)))),
+          DQFunctionSpec("expect_column_chisquare_test_p_value_to_be_greater_than",
+            Map("column" -> "c_mktsegment", "p" -> 0.05,
+              "partition_object" -> Map(
+                "values" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+                  "HOUSEHOLD", "MACHINERY"),
+                "weights" -> Seq(0.2, 0.2, 0.2, 0.2, 0.2))))),
         failOnError = false, maxPercentageFailure = Some(1.0))
       val result = graft.dq.DQEngine.run(s, T(s, dir, "customer"), spec)
       graft.dq.DQEngine.resultSinkDf(s, result, "cust")
         .select(col("expectation_type"), col("success"),
           col("element_count"), col("unexpected_count"),
-          when(isnan(col("observed_value")), lit(null))
+          // the chi-square observed value is a p-value (incomplete-gamma
+          // CDF) DuckDB cannot compute — the oracle mirrors SUCCESS via
+          // the equivalent critical-value comparison and both sides null
+          // the observed column for that row
+          when(isnan(col("observed_value")) || col("expectation_type") ===
+              "expect_column_chisquare_test_p_value_to_be_greater_than", lit(null))
             .otherwise(round(col("observed_value"), 6)).as("observed"))
         .orderBy(col("expectation_type"))
     },
@@ -2173,7 +2197,35 @@ object QueryCatalog {
       uniq AS (SELECT count(DISTINCT c_nationkey) AS d FROM customer),
       prop AS (SELECT count(DISTINCT c_custkey) AS u, count(c_custkey) AS n
                FROM customer),
-      med AS (SELECT quantile_disc(c_acctbal, 0.5) AS m FROM customer)
+      med AS (SELECT quantile_disc(c_acctbal, 0.5) AS m FROM customer),
+      seg_n AS (
+        SELECT count(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 END) AS n0,
+               count(CASE WHEN c_mktsegment='BUILDING' THEN 1 END) AS n1,
+               count(CASE WHEN c_mktsegment='FURNITURE' THEN 1 END) AS n2,
+               count(CASE WHEN c_mktsegment='HOUSEHOLD' THEN 1 END) AS n3,
+               count(CASE WHEN c_mktsegment='MACHINERY' THEN 1 END) AS n4
+        FROM customer),
+      -- KL/chi terms summed in the same left-to-right bucket order as the
+      -- engine's fold, so the doubles are bit-identical
+      dist AS (
+        SELECT t,
+          (CASE WHEN n0>0 THEN (CAST(n0 AS DOUBLE)/t)*ln((CAST(n0 AS DOUBLE)/t)/0.2) ELSE 0 END
+           + CASE WHEN n1>0 THEN (CAST(n1 AS DOUBLE)/t)*ln((CAST(n1 AS DOUBLE)/t)/0.2) ELSE 0 END
+           + CASE WHEN n2>0 THEN (CAST(n2 AS DOUBLE)/t)*ln((CAST(n2 AS DOUBLE)/t)/0.2) ELSE 0 END
+           + CASE WHEN n3>0 THEN (CAST(n3 AS DOUBLE)/t)*ln((CAST(n3 AS DOUBLE)/t)/0.2) ELSE 0 END
+           + CASE WHEN n4>0 THEN (CAST(n4 AS DOUBLE)/t)*ln((CAST(n4 AS DOUBLE)/t)/0.2) ELSE 0 END) AS kl,
+          ((n0-0.2*t)*(n0-0.2*t)/(0.2*t) + (n1-0.2*t)*(n1-0.2*t)/(0.2*t)
+           + (n2-0.2*t)*(n2-0.2*t)/(0.2*t) + (n3-0.2*t)*(n3-0.2*t)/(0.2*t)
+           + (n4-0.2*t)*(n4-0.2*t)/(0.2*t)) AS chi
+        FROM (SELECT *, n0+n1+n2+n3+n4 AS t FROM seg_n)),
+      mu AS (SELECT avg(CAST(c_acctbal AS DOUBLE)) AS m, count(*) AS n FROM customer),
+      -- population central moments (Spark's skewness/kurtosis are the
+      -- population g1 / excess g2 statistics, not sample-corrected)
+      mom AS (
+        SELECT sum((c_acctbal-m)*(c_acctbal-m))/max(n) AS m2,
+               sum((c_acctbal-m)*(c_acctbal-m)*(c_acctbal-m))/max(n) AS m3,
+               sum((c_acctbal-m)*(c_acctbal-m)*(c_acctbal-m)*(c_acctbal-m))/max(n) AS m4
+        FROM customer, mu)
       SELECT * FROM (
         SELECT 'expect_column_distinct_values_to_contain_set' AS expectation_type,
                present = 2 AS success, CAST(2 AS BIGINT) AS element_count,
@@ -2210,7 +2262,33 @@ object QueryCatalog {
                d BETWEEN 1 AND 25, d,
                CASE WHEN d BETWEEN 1 AND 25 THEN 0 ELSE 1 END,
                round(CAST(d AS DOUBLE), 6)
-        FROM uniq)
+        FROM uniq
+        UNION ALL
+        -- success mirrored via the critical value chi2inv(0.95, 4):
+        -- p > 0.05 <=> stat < 9.487729036781154; observed (the p-value)
+        -- is nulled on both sides (no incomplete gamma in SQL)
+        SELECT 'expect_column_chisquare_test_p_value_to_be_greater_than',
+               chi < 9.487729036781154, t,
+               CASE WHEN chi < 9.487729036781154 THEN 0 ELSE 1 END,
+               CAST(NULL AS DOUBLE)
+        FROM dist
+        UNION ALL
+        SELECT 'expect_column_kl_divergence_to_be_less_than',
+               kl < 0.1, t, CASE WHEN kl < 0.1 THEN 0 ELSE 1 END,
+               round(kl, 6)
+        FROM dist
+        UNION ALL
+        SELECT 'expect_column_kurtosis_to_be_between',
+               (m4/(m2*m2) - 3) BETWEEN -3.0 AND 3.0, CAST(1 AS BIGINT),
+               CASE WHEN (m4/(m2*m2) - 3) BETWEEN -3.0 AND 3.0 THEN 0 ELSE 1 END,
+               round(m4/(m2*m2) - 3, 6)
+        FROM mom
+        UNION ALL
+        SELECT 'expect_column_skew_to_be_between',
+               (m3/pow(m2, 1.5)) BETWEEN -1.0 AND 1.0, CAST(1 AS BIGINT),
+               CASE WHEN (m3/pow(m2, 1.5)) BETWEEN -1.0 AND 1.0 THEN 0 ELSE 1 END,
+               round(m3/pow(m2, 1.5), 6)
+        FROM mom)
       ORDER BY expectation_type"""))
 
   /** Streaming vector-ingest batch semantics, hash-verified: one

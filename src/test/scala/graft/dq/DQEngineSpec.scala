@@ -428,4 +428,89 @@ class DQEngineSpec extends SparkSpec {
       failOnError = false, maxPercentageFailure = Some(1.0)))
     assert(!r.success)
   }
+
+  test("kl divergence: categorical + binned partitions, hand-computed values") {
+    // 60/40 split vs a uniform expected partition:
+    // KL = 0.6*ln(0.6/0.5) + 0.4*ln(0.4/0.5) = 0.020135513550688863
+    val cat = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).toDF("v")
+    val po = Map("values" -> Seq("a", "b"), "weights" -> Seq(0.5, 0.5))
+    val r = DQEngine.run(spark, cat, spec(
+      "expect_column_kl_divergence_to_be_less_than" ->
+        Map("column" -> "v", "threshold" -> 0.05, "partition_object" -> po)))
+    val o = r.outcomes.head
+    assert(o.success && o.elementCount == 10)
+    assert(math.abs(o.observedValue.get -
+      (0.6 * math.log(1.2) + 0.4 * math.log(0.8))) < 1e-12)
+    // tighter threshold fails on the same observed value
+    val bad = DQEngine.run(spark, cat, spec(
+      "expect_column_kl_divergence_to_be_less_than" ->
+        Map("column" -> "v", "threshold" -> 0.01, "partition_object" -> po)))
+    assert(!bad.outcomes.head.success)
+    // observed mass on a zero-weight bucket is infinite divergence
+    val zeroQ = DQEngine.run(spark, cat, spec(
+      "expect_column_kl_divergence_to_be_less_than" ->
+        Map("column" -> "v", "threshold" -> 1e9, "partition_object" ->
+          Map("values" -> Seq("a", "b"), "weights" -> Seq(1.0, 0.0)))))
+    assert(!zeroQ.outcomes.head.success &&
+      zeroQ.outcomes.head.observedValue.get.isPosInfinity)
+    // continuous bins: [0,5) gets 2 values, [5,10] gets 8 (10 is the
+    // closed upper edge of the LAST bin)
+    val cont = Seq(1.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.5, 9.9, 10.0).toDF("v")
+    val rb = DQEngine.run(spark, cont, spec(
+      "expect_column_kl_divergence_to_be_less_than" ->
+        Map("column" -> "v", "threshold" -> 1e9, "partition_object" ->
+          Map("bins" -> Seq(0.0, 5.0, 10.0), "weights" -> Seq(0.5, 0.5)))))
+    val ob = rb.outcomes.head
+    assert(ob.elementCount == 10)
+    assert(math.abs(ob.observedValue.get -
+      (0.2 * math.log(0.4) + 0.8 * math.log(1.6))) < 1e-12)
+  }
+
+  test("chi-square goodness of fit: perfect fit, plausible fit, gross misfit") {
+    val po = Map("values" -> Seq("a", "b"), "weights" -> Seq(0.5, 0.5))
+    // exact 50/50: stat = 0, p = 1
+    val perfect = (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("v")
+    val rp = DQEngine.run(spark, perfect, spec(
+      "expect_column_chisquare_test_p_value_to_be_greater_than" ->
+        Map("column" -> "v", "p" -> 0.05, "partition_object" -> po)))
+    assert(rp.outcomes.head.success && rp.outcomes.head.observedValue.get == 1.0)
+    // 60/40 on n=10: stat = (6-5)^2/5 + (4-5)^2/5 = 0.4, dof=1,
+    // p = 0.5270892568655381 (published chi-square value) -> passes
+    val near = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).toDF("v")
+    val rn = DQEngine.run(spark, near, spec(
+      "expect_column_chisquare_test_p_value_to_be_greater_than" ->
+        Map("column" -> "v", "p" -> 0.05, "partition_object" -> po)))
+    assert(rn.outcomes.head.success)
+    assert(math.abs(rn.outcomes.head.observedValue.get - 0.5270892568655381) < 1e-9)
+    // 100/0 on n=100: stat = 100, p ~ 0 -> fails
+    val far = Seq.fill(100)("a").toDF("v")
+    val rf = DQEngine.run(spark, far, spec(
+      "expect_column_chisquare_test_p_value_to_be_greater_than" ->
+        Map("column" -> "v", "p" -> 0.05, "partition_object" -> po)))
+    assert(!rf.outcomes.head.success &&
+      rf.outcomes.head.observedValue.get < 1e-12)
+  }
+
+  test("kurtosis and skew bounds match the population formulas") {
+    val xs = Seq(1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 9.0)
+    val mu = xs.sum / xs.length
+    def m(p: Int) = xs.map(x => math.pow(x - mu, p)).sum / xs.length
+    val skew = m(3) / math.pow(m(2), 1.5)
+    val kurt = m(4) / (m(2) * m(2)) - 3
+    val r = DQEngine.run(spark, xs.toDF("x"), spec(
+      "expect_column_skew_to_be_between" ->
+        Map("column" -> "x", "min_value" -> (skew - 0.01), "max_value" -> (skew + 0.01)),
+      "expect_column_kurtosis_to_be_between" ->
+        Map("column" -> "x", "min_value" -> (kurt - 0.01), "max_value" -> (kurt + 0.01))))
+    val byFn = r.outcomes.map(o => o.function -> o).toMap
+    assert(byFn("expect_column_skew_to_be_between").success)
+    assert(math.abs(byFn("expect_column_skew_to_be_between").observedValue.get - skew) < 1e-9)
+    assert(byFn("expect_column_kurtosis_to_be_between").success)
+    assert(math.abs(byFn("expect_column_kurtosis_to_be_between").observedValue.get - kurt) < 1e-9)
+    // bounds actually bind
+    val bad = DQEngine.run(spark, xs.toDF("x"), spec(
+      "expect_column_skew_to_be_between" ->
+        Map("column" -> "x", "min_value" -> (skew + 1.0))))
+    assert(!bad.outcomes.head.success)
+  }
 }
