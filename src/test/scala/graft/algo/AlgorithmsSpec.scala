@@ -447,4 +447,138 @@ class AlgorithmsSpec extends SparkSpec {
       }
     } finally Notifier.setTransport(prev)
   }
+
+  test("gab 18-combination matrix: every reference cadence/recon/week-start/snap combo golden-compared") {
+    // The reference's GABCombinedConfiguration
+    // (`core/definitions.py:1415-1756`) enumerates 18 entries mapping
+    // (cadence x reconciliation x week_start x snap_flag) to SQL-template
+    // behavior. This sweep materializes EVERY tuple of every entry and
+    // golden-compares the engine against an independent pure-java.time
+    // reimplementation of the calendar algebra (different code path:
+    // LocalDate adjusters vs Spark date_trunc; driver fold vs partials +
+    // cumulative window). Semantics mapping: snap_flag=N, or snap_flag=Y
+    // with a reconciliation not strictly finer than the cadence (the
+    // reference's empty join_select rows), is the plain cadence roll-up;
+    // snap_flag=Y with finer recon emits period-to-date snapshot rows.
+    import java.time.{DayOfWeek, LocalDate}
+    import java.time.temporal.TemporalAdjusters
+
+    val baseRows: Seq[(LocalDate, String, Double)] =
+      (0 until 40).map(LocalDate.of(2023, 12, 20).plusDays(_)).zipWithIndex.flatMap {
+        case (d, i) => Seq(
+          (d.plusDays(i * 2), "A", (i % 7) + 1.0),
+          (d.plusDays(i * 2), "B", (i % 5) + 0.5))
+      }
+    val src = baseRows.map { case (d, g, v) => (d.toString, g, v) }
+      .toDF("d", "grp", "v").selectExpr("CAST(d AS DATE) AS d", "grp", "v")
+      .localCheckpoint()
+    val horizon = baseRows.map(_._1).maxBy(_.toEpochDay)
+
+    // ---- independent calendar algebra (java.time) --------------------
+    def trunc(d: LocalDate, cad: String, ws: String): LocalDate = cad match {
+      case "DAY" => d
+      case "WEEK" =>
+        val dow = if (ws == "M") DayOfWeek.MONDAY else DayOfWeek.SUNDAY
+        d.`with`(TemporalAdjusters.previousOrSame(dow))
+      case "MONTH" => d.withDayOfMonth(1)
+      case "QUARTER" => LocalDate.of(d.getYear, ((d.getMonthValue - 1) / 3) * 3 + 1, 1)
+      case "YEAR" => d.withDayOfYear(1)
+    }
+    def pEnd(d: LocalDate, cad: String): LocalDate = cad match {
+      case "DAY" => d.plusDays(1)
+      case "WEEK" => d.plusDays(7)
+      case "MONTH" => d.plusMonths(1)
+      case "QUARTER" => d.plusMonths(3)
+      case "YEAR" => d.plusYears(1)
+    }
+    type Key = (String, String, String) // grp, from_date, to_date
+    def expectedPlain(cad: String, ws: String): Map[Key, (Double, Double)] =
+      baseRows.groupBy { case (d, g, _) => (g, trunc(d, cad, ws)) }.map {
+        case ((g, p), rs) =>
+          val vs = rs.map(_._3)
+          ((g, p.toString, pEnd(p, cad).toString), (vs.sum, vs.sum / vs.size))
+      }
+    def expectedSnaps(cad: String, rec: String, ws: String): Map[Key, (Double, Double)] =
+      baseRows.groupBy { case (d, g, _) => (g, trunc(d, cad, ws)) }.flatMap {
+        case ((g, p), rs) =>
+          val end = pEnd(p, cad)
+          Iterator.iterate(trunc(p, rec, ws))(pEnd(_, rec))
+            .takeWhile(_.isBefore(end))
+            .filterNot(_.isAfter(horizon))
+            .flatMap { s =>
+              val upTo = rs.filter { case (d, _, _) => !trunc(d, rec, ws).isAfter(s) }
+              if (upTo.isEmpty) None
+              else {
+                val vs = upTo.map(_._3)
+                val to = Seq(pEnd(s, rec), end).minBy(_.toEpochDay)
+                Some(((g, p.toString, to.toString), (vs.sum, vs.sum / vs.size)))
+              }
+            }
+      }
+
+    // ---- the 18 reference entries, axis sets verbatim ----------------
+    val All = Seq("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")
+    val WS = Seq("S", "M"); val YN = Seq("Y", "N")
+    val entries = Seq(
+      (1, Seq("DAY"), All, WS, YN),
+      (2, Seq("WEEK"), Seq("DAY"), WS, Seq("Y")),
+      (3, Seq("WEEK"), Seq("DAY", "MONTH", "QUARTER", "YEAR"), Seq("M"), YN),
+      (4, Seq("MONTH"), Seq("DAY"), WS, Seq("Y")),
+      (5, Seq("MONTH"), Seq("WEEK"), Seq("M"), Seq("Y")),
+      (6, Seq("MONTH"), Seq("WEEK"), Seq("S"), Seq("Y")),
+      (7, Seq("MONTH"), All, WS, YN),
+      (8, Seq("QUARTER"), Seq("DAY"), WS, Seq("Y")),
+      (9, Seq("QUARTER"), Seq("WEEK"), Seq("M"), Seq("Y")),
+      (10, Seq("QUARTER"), Seq("WEEK"), Seq("S"), Seq("Y")),
+      (11, Seq("QUARTER"), Seq("MONTH"), WS, Seq("Y")),
+      (12, Seq("QUARTER"), Seq("YEAR"), WS, Seq("N")),
+      (13, Seq("QUARTER"), All, WS, Seq("N")),
+      (14, Seq("YEAR"), Seq("WEEK"), Seq("M"), Seq("Y")),
+      (15, Seq("YEAR"), Seq("WEEK"), Seq("S"), Seq("Y")),
+      (16, Seq("YEAR"), All, WS, Seq("N")),
+      (17, Seq("YEAR"), Seq("DAY", "MONTH", "QUARTER"), WS, Seq("Y")),
+      (18, All, All, WS, YN))
+    val order = All.zipWithIndex.toMap
+    val tuples = for {
+      (id, cads, recs, wss, snaps) <- entries
+      cad <- cads; rec <- recs; ws <- wss; sn <- snaps
+    } yield (id, cad, rec, ws, sn)
+
+    // one engine run per distinct BEHAVIOR (plain per cadence/ws;
+    // snapshot per cadence/recon/ws); every matrix tuple validates
+    // against its behavior's golden result
+    val memo = scala.collection.mutable.Map.empty[(String, String, String), Map[Key, (Double, Double)]]
+    def engine(cad: String, rec: Option[String], ws: String): Map[Key, (Double, Double)] =
+      memo.getOrElseUpdate((cad, rec.getOrElse("PLAIN"), ws), {
+        val uc = Gab.UseCase("matrix", "d", Seq("grp"),
+          Seq(Gab.Metric("total", "sum", "v"), Gab.Metric("avg_v", "avg", "v")),
+          cadences = Seq(cad), weekStart = ws,
+          snapshots = rec.map(cad -> _).toMap)
+        Gab.buildInsights(src, uc)
+          .select("grp", "from_date", "to_date", "total", "avg_v")
+          .collect()
+          .map(r => ((r.getString(0), r.getDate(1).toString, r.getDate(2).toString),
+            (r.getDouble(3), r.getDouble(4))))
+          .toMap
+      })
+
+    val coveredEntries = scala.collection.mutable.Set.empty[Int]
+    tuples.foreach { case (id, cad, rec, ws, sn) =>
+      val snapshotting = sn == "Y" && order(rec) < order(cad)
+      val act = engine(cad, if (snapshotting) Some(rec) else None, ws)
+      val exp = if (snapshotting) expectedSnaps(cad, rec, ws) else expectedPlain(cad, ws)
+      withClue(s"combo #$id cadence=$cad recon=$rec week_start=$ws snap=$sn: ") {
+        assert(act.keySet == exp.keySet,
+          s"row keys diverge: extra=${(act.keySet -- exp.keySet).take(3)} " +
+            s"missing=${(exp.keySet -- act.keySet).take(3)}")
+        exp.foreach { case (k, (s1, a1)) =>
+          val (s2, a2) = act(k)
+          assert(math.abs(s1 - s2) < 1e-9 && math.abs(a1 - a2) < 1e-9,
+            s"$k: expected ($s1,$a1) got ($s2,$a2)")
+        }
+      }
+      coveredEntries += id
+    }
+    assert(coveredEntries == (1 to 18).toSet)
+  }
 }
