@@ -88,11 +88,17 @@ object Transformers {
         monotonically_increasing_id())
     case "with_auto_increment_id" => df => {
       val out = str(args, "output_col").getOrElse("lhe_row_id")
-      // consecutive 0-based id; window over a constant partition is the
-      // declarative equivalent of rdd.zipWithIndex (single-partition sort
-      // at the end of a pipeline; use with_row_id for scale)
-      df.withColumn(out,
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+      // consecutive 0-based id via zipWithIndex (the reference's own shape,
+      // `transformers/column_creators.py:46-83`): one lightweight job
+      // counts rows per partition, then offsets are added per-partition —
+      // fully distributed, unlike a row_number window over a constant
+      // partition which funnels every row through ONE task
+      val schema = df.schema.add(out, org.apache.spark.sql.types.LongType,
+        nullable = false)
+      val zipped = df.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      }
+      ctx.spark.createDataFrame(zipped, schema)
     }
     case "flatten_schema" => df =>
       SchemaTools.flatten(df,

@@ -62,6 +62,22 @@ class TransformersSpec extends SparkSpec {
       .select("lhe_row_id").distinct().count() == 3)
   }
 
+  test("with_auto_increment_id is distributed and dense on a multi-partition input") {
+    // zipWithIndex shape (r8 hardening): ids must stay consecutive
+    // 0-based over many partitions, keep each row's columns intact, and
+    // the plan must NOT funnel everything through a single-partition
+    // window
+    val wide = spark.range(0, 10000).repartition(16)
+      .selectExpr("id AS k", "concat('v', id) AS s")
+    val out = run(wide, "with_auto_increment_id", Map("output_col" -> "seq"))
+    assert(out.rdd.getNumPartitions == 16)
+    val rows = out.select("seq", "k", "s").as[(Long, Long, String)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L until 10000L))
+    // ids are assigned in partition order, but every row keeps its own
+    // payload regardless of which id it got
+    assert(rows.forall { case (_, k, s) => s == s"v$k" })
+  }
+
   test("explode_columns and flatten_schema") {
     val nested = Seq((1, Seq("x", "y"))).toDF("id", "tags")
     assert(run(nested, "explode_columns", Map("explode_arrays" -> true)).count() == 2)
