@@ -161,6 +161,21 @@ object PlanAudit {
       |(env `SPARK_GRAFT_SCALE_DIR`, `SPARK_GRAFT_SCALE_COPIES`,
       |`SPARK_GRAFT_SCALE_ONLY`).
       |
+      |Round 9 extends the two row-proportional relational operators to a
+      |500× point (15 MILLION orders / 7.5M customers, 2026-08-13) to
+      |confirm the 200× trend holds another 2.5×:
+      |
+      || operator | 1× | 500× | growth @500× |
+      ||---|---|---|---|
+      || q27 merge upsert (full-outer + struct fold) | 1.02 | 20.18 | 19.8× |
+      || q44 calendar range join (exploded equi-join) | 0.98 | 9.40 | 9.6× |
+      |
+      |Extrapolating r6's 200× factors linearly would predict ~21× (q27)
+      |and ~20× (q44) at 500×; measured 19.8× and 9.6× — the merge tracks
+      |its both-sides-row-proportional model exactly, and the range join
+      |flattens further as fixed per-query overhead amortizes. Nothing
+      |super-linear appears at 15M rows.
+      |
       |Embedding-pair operators at 200× (400k vectors, per-copy sign-flip
       |perturbation so cross-copy cosine decorrelates — the embedding
       |analogue of the documents' token suffix):
@@ -192,6 +207,33 @@ object PlanAudit {
       |its design point (use brute cosine q38 or IVF q50 for that
       |regime). On a real near-dup corpus (sparse, high-similarity true
       |pairs) the documents-side curve above is the representative one.
+      |
+      |### Round 9: corpus-adaptive signature width (the r6 knob, closed)
+      |
+      |`SimilarityFunctions.adaptiveNumBits` now derives the signature
+      |width from the corpus count — rows-per-band =
+      |clamp(ceilLog2(n) + 2, 4, 16), numBits = 4 bands × that — so the
+      |~2^rows-sized key space tracks n and nobody has to re-tune the
+      |knob per corpus. Re-measured 200× curve on the auto path
+      |(1M docs / 400k vectors, 2026-08-13):
+      |
+      || operator | 1× (auto=52-bit) | 200× (auto=64-bit) | growth | dropped_buckets |
+      ||---|---|---|---|---|
+      || q40 embedding near-dup, adaptive | 1.16 | 75.3 | 65× | 0 |
+      || q78 near-dup clusters, adaptive | 1.41 | 73.1 | 52× | 0 |
+      |
+      |Reading this honestly: at 400k vectors the derivation lands on the
+      |SAME 64-bit operating point round 6 chose by hand — the scaled-side
+      |physics is unchanged — while the 2k-vector base is right-sized to
+      |52 bits and runs ~28% faster (1.16 s vs 1.62 s). The growth RATIO
+      |therefore reads higher than the r6 table purely because the
+      |denominator shrank; the q78 absolute time actually fell 106→73 s.
+      |Recall instrument on the auto path: 3.8% (30/785) at threshold
+      |0.3 — statistically the r6 operating point (same 16-bit keys,
+      |resampled planes), confirming the derivation changed the collision
+      |budget, not the similarity trade. q40/q78 catalog oracles mirror
+      |the same derivation (oracle SQL recomputes the width from
+      |count(*)), so CORRECTNESS stays hash-exact.
       |
       |""".stripMargin
 
