@@ -27,9 +27,25 @@ object Bench {
     s"""{"code_cache":$pools,"gc":$gc,"heap_used_mb":${heap.getUsed / 1048576},"heap_max_mb":${heap.getMax / 1048576},"cc_flag":"$ccFlag"}"""
   }
 
+  /** Single-thread CPU calibration: a fixed 400M multiply-add loop whose
+    * wall time depends only on host speed. Recorded in every bench line so
+    * cross-round query deltas can be divided by the calibration ratio —
+    * "queries elevated AND cal elevated by the same factor" = host;
+    * "cal flat, one query up" = real regression. (`acc` is returned
+    * inside the tuple so the loop cannot be dead-code-eliminated.) */
+  private[graft] def cpuCal(): Double = {
+    val t0 = System.nanoTime()
+    var acc = 0L; var i = 0
+    while (i < 400000000) { acc += i * 2654435761L; i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == 42) println(acc) // defeat DCE; never true for this loop
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cal = cpuCal() // before any Spark work contends for the core
     val spark = graft.exec.ExecEnv.getOrCreate(
       appName = "graft-bench",
       master = Some(s"local[$cpus]"),
@@ -103,7 +119,7 @@ object Bench {
     val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

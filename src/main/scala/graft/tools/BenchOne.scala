@@ -20,14 +20,11 @@ object BenchOne {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_MINOF", "1").toInt
     val spark = graft.exec.ExecEnv.getOrCreate("bench-one", Some(s"local[$cpus]"),
       Map("spark.sql.shuffle.partitions" -> cpus, "spark.ui.enabled" -> "false"))
-    // single-thread CPU calibration: a fixed multiply-add loop whose time
-    // depends only on host speed — lets a future round divide out host
-    // variance instead of guessing ("min-of-5 elevated AND cal elevated by
-    // the same ratio" = host; "cal flat, query up" = regression)
-    val calT0 = System.nanoTime()
-    var acc = 0L; var i = 0
-    while (i < 400000000) { acc += i * 2654435761L; i += 1 }
-    println(f"cpu_cal=${(System.nanoTime() - calT0) / 1e9}%.3fs (acc=$acc)")
+    // single-thread CPU calibration (shared with the driver-run Bench, so
+    // every BENCH_r{N}.json carries the same host-speed instrument):
+    // "min-of-N elevated AND cal elevated by the same ratio" = host;
+    // "cal flat, query up" = regression
+    println(f"cpu_cal=${graft.Bench.cpuCal()}%.3fs")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
