@@ -61,7 +61,11 @@ object Writers {
           case "dataframe" => // terminal no-op: caller keeps the DataFrame
           case "sharepoint" => SharepointIo.write(df, spec.options)
           case _ =>
-            val w = df.write.format(fmt).options(spec.options).mode(mode)
+            // `delta` without the Delta jars: store as parquet, like the
+            // merge path's documented fallback (same data, different log)
+            val effFmt =
+              if (fmt == "delta" && !DeltaSupport.available) "parquet" else fmt
+            val w = df.write.format(effFmt).options(spec.options).mode(mode)
             val withParts =
               if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w
             (spec.dbTable, spec.location) match {

@@ -32,10 +32,12 @@ object MergeOps {
       updateSet: Map[String, Column] = Map.empty,
       deleteCondition: Option[Column] = None,
       insertCondition: Option[Column] = None,
-      insertOnly: Boolean = false): DataFrame =
+      insertOnly: Boolean = false,
+      insertSet: Map[String, Column] = Map.empty): DataFrame =
     mergeWithCondition(target, source,
       keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
-      updateCondition, updateSet, deleteCondition, insertCondition, insertOnly)
+      updateCondition, updateSet, deleteCondition, insertCondition, insertOnly,
+      insertSet)
 
   /** MERGE from a declarative [[MergeOptions]] spec whose predicates use
     * the reference's `current.` / `new.` aliases. */
@@ -47,7 +49,8 @@ object MergeOps {
       updateSet = opts.updateColumnSet.map { case (c, e) => c -> tr(e) },
       deleteCondition = opts.deletePredicate.map(tr),
       insertCondition = opts.insertPredicate.map(tr),
-      insertOnly = opts.insertOnly)
+      insertOnly = opts.insertOnly,
+      insertSet = opts.insertColumnSet.map { case (c, e) => c -> tr(e) })
   }
 
   /** Rewrite `current.x` / `new.x` references to the internal `t`/`s`
@@ -89,6 +92,10 @@ object MergeOps {
     * @param deleteCondition matched rows satisfying this are dropped
     * @param insertCondition not-matched source rows must satisfy this
     * @param insertOnly      suppress all matched actions (append-new-only)
+    * @param insertSet       columns to set on insert (empty = all source;
+    *                        unnamed target columns become NULL, the
+    *                        `whenNotMatchedInsert(values=...)` contract —
+    *                        `io/writers/delta_merge_writer.py:91-105`)
     */
   def mergeWithCondition(
       target: DataFrame,
@@ -98,7 +105,8 @@ object MergeOps {
       updateSet: Map[String, Column] = Map.empty,
       deleteCondition: Option[Column] = None,
       insertCondition: Option[Column] = None,
-      insertOnly: Boolean = false): DataFrame = {
+      insertOnly: Boolean = false,
+      insertSet: Map[String, Column] = Map.empty): DataFrame = {
     val dataCols = target.columns.toSeq
     val t = target.select(struct(dataCols.map(col): _*).as("t"))
     // the target schema is authoritative: source columns are cast to the
@@ -144,12 +152,22 @@ object MergeOps {
       }
     }
 
+    // insert_column_set: named columns take their expression (cast to the
+    // target type, as Delta's store assignment would), unnamed columns are
+    // NULL — not the source value
+    val insertedStruct =
+      if (insertSet.isEmpty) col("s")
+      else struct(dataCols.map { c =>
+        insertSet.get(c).map(_.cast(targetTypes(c)))
+          .getOrElse(lit(null).cast(targetTypes(c))).as(c)
+      }: _*)
+
     val keep = when(matched && !insertOnly, matchedResult)
       .when(matched && insertOnly, col("t"))
       .when(sourceOnly,
         insertCondition match {
-          case Some(i) => when(i, col("s")).otherwise(lit(null))
-          case None => col("s")
+          case Some(i) => when(i, insertedStruct).otherwise(lit(null))
+          case None => insertedStruct
         })
       .otherwise(col("t"))
 

@@ -59,6 +59,7 @@ final case class MergeOptions(
     deletePredicate: Option[String] = None,
     insertPredicate: Option[String] = None,
     updateColumnSet: Map[String, String] = Map.empty,
+    insertColumnSet: Map[String, String] = Map.empty,
     insertOnly: Boolean = false)
 
 final case class OutputSpec(
@@ -166,6 +167,7 @@ object Specs {
     deletePredicate = str(m, "delete_predicate"),
     insertPredicate = str(m, "insert_predicate"),
     updateColumnSet = strMap(m, "update_column_set"),
+    insertColumnSet = strMap(m, "insert_column_set"),
     insertOnly = bool(m, "insert_only"))
 
   def outputSpec(m: Map[String, Any]): OutputSpec = OutputSpec(

@@ -181,10 +181,17 @@ object Transformers {
         if (bool(args, "expand_value", default = true)) s"$valueCol.*" else valueCol
       decoded.selectExpr(passthrough ++ keyOut :+ valueOut: _*)
     }
-    case "with_regex_value" => df =>
-      df.withColumn(str(args, "output_col").getOrElse("extracted_value"),
-        regexp_extract(col(str(args, "input_col").get), str(args, "regex").get,
-          num(args, "group_index").map(_.toInt).getOrElse(1)))
+    case "with_regex_value" => df => {
+      val inputCol = str(args, "input_col").get
+      // the reference calls the group index `idx`
+      // (`transformers/regex_transformers.py:17-23`); group_index kept as
+      // an accepted alias
+      val idx = num(args, "idx").orElse(num(args, "group_index"))
+        .map(_.toInt).getOrElse(1)
+      val out = df.withColumn(str(args, "output_col").getOrElse("extracted_value"),
+        regexp_extract(col(inputCol), str(args, "regex").get, idx))
+      if (bool(args, "drop_input_col")) out.drop(inputCol) else out
+    }
     case "hash_masker" => df => {
       val approach = str(args, "approach").getOrElse("SHA")
       strSeq(args, "cols").foldLeft(df) { (d, c) =>

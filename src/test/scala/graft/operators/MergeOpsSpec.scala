@@ -45,6 +45,30 @@ class MergeOpsSpec extends SparkSpec {
     assert(out.where("id = 4").count() == 1)
   }
 
+  test("insert column set: named columns take expressions, unnamed become null") {
+    // reference whenNotMatchedInsert(values=...) semantics
+    // (io/writers/delta_merge_writer.py:91-105, exercised by
+    // tests/feature/delta_load/test_delta_load_merge_options.py)
+    val out = MergeOps.mergeWithOptions(target, source, MergeOptions(
+      mergePredicate = "current.id = new.id",
+      insertColumnSet = Map(
+        "id" -> "new.id", "amount" -> "new.amount + 101")))
+    // matched rows still update-all
+    assert(out.where("id = 2 AND name = 'b2' AND amount = 25.0").count() == 1)
+    // inserted row: expression applied, unnamed columns null
+    assert(out.where("id = 4 AND amount = 141.0 AND name IS NULL AND status IS NULL")
+      .count() == 1)
+  }
+
+  test("insert column set honors the insert predicate") {
+    val out = MergeOps.mergeWithOptions(target, source, MergeOptions(
+      mergePredicate = "current.id = new.id",
+      insertPredicate = Some("new.status = 'F'"),
+      insertColumnSet = Map("id" -> "new.id", "name" -> "new.name")))
+    assert(out.where("id = 4").count() == 0) // status O filtered out
+    assert(out.count() == 3)
+  }
+
   test("merge options with current./new. aliases and insert predicate") {
     val out = MergeOps.mergeWithOptions(target, source, MergeOptions(
       mergePredicate = "current.id = new.id",
