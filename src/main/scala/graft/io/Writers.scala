@@ -81,10 +81,21 @@ object Writers {
 
   /** MERGE into a parquet location/table: read current target, apply
     * Delta-semantics merge, write staged, swap via [[StagedSwap]] (checked
-    * renames; see its doc for the crash window). At cluster scale the
-    * target should be bucketed/partitioned by the merge key so the join
-    * co-locates; rewrite cost is bounded by touched partitions when a
-    * partition filter is part of the merge predicate. */
+    * renames; see its doc for the crash window).
+    *
+    * When the target is PARTITIONED and every partition column exists on
+    * the source, the merge is PARTITION-SCOPED: only the partitions the
+    * source touches are read (partition-pruned scan), merged, and
+    * rewritten — via Spark's dynamic partition overwrite — while every
+    * other partition's files are left physically untouched. That is what
+    * makes a daily delta load into a 100 TB table cost O(touched
+    * partitions), not O(table). Unpartitioned targets (or > cap touched
+    * partitions, or null partition values) fall back to the full
+    * rewrite + whole-location staged swap. A crash mid-overwrite can
+    * leave a torn (some-partitions-new) table; re-running the same merge
+    * converges — the recency-guarded update/delete predicates the delta
+    * loads use make merges idempotent (the reference's loaded-twice
+    * streaming golden test pins exactly that property). */
   private def mergeWrite(spark: SparkSession, spec: OutputSpec, source: DataFrame): Unit = {
     val opts = spec.mergeOpts.getOrElse(sys.error("merge write_type needs merge_opts"))
     val loc = spec.location.getOrElse(sys.error("native merge needs a location"))
@@ -116,6 +127,28 @@ object Writers {
       (if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w).save(loc)
     } else {
       val target = spark.read.format(mergeFmt).load(loc)
+      // The DISCOVERED layout (not the declared one) gates partition
+      // scoping: dynamic overwrite only replaces partition DIRS, so
+      // scoping a target whose files actually sit unpartitioned at the
+      // root would leave every stale root file in place. A declared-but-
+      // different layout falls through to the full rewrite, which
+      // converts the layout; the next merge can then scope.
+      // (analyzed, not logical: Spark 4 reads stay UnresolvedDataSource
+      // until analysis)
+      val discovered: Seq[String] =
+        scala.util.Try(target.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.partitionSchema.fieldNames.toSeq
+              case _ => Seq.empty[String]
+            }
+        }.getOrElse(Seq.empty)).getOrElse(Seq.empty)
+      if (discovered.nonEmpty &&
+          (spec.partitions.isEmpty || spec.partitions == discovered) &&
+          discovered.forall(source.columns.contains) &&
+          partitionScopedMerge(spark, spec, source, target, opts, mergeFmt, loc, discovered))
+        return
       val merged = MergeOps.mergeWithOptions(target, source, opts)
       val stage = loc.stripSuffix("/") + "__stage"
       val w = merged.write.format(mergeFmt)
@@ -124,6 +157,127 @@ object Writers {
       StagedSwap.commit(spark.sparkContext.hadoopConfiguration, loc, stage)
     }
   }
+
+  /** Partition-scoped MERGE: read only the partitions the source touches,
+    * merge, and rewrite exactly those partitions via dynamic partition
+    * overwrite. Returns false (caller falls back to the full rewrite) when
+    * the touched-partition set exceeds the cap or contains nulls.
+    *
+    * Two-hop write: the merged touched partitions land in a stage dir
+    * first, then a stage->live dynamic overwrite rewrites the touched
+    * partition dirs — the overwriting job never reads the location it is
+    * rewriting (Spark refuses overwrite-what-you-read, and a mid-job crash
+    * must not corrupt live data). Cost is 2x the TOUCHED data, O(touched),
+    * not O(table). A touched partition whose rows are all deleted by the
+    * merge produces no stage output, so its live dir is dropped explicitly
+    * after the overwrite. */
+  private def partitionScopedMerge(
+      spark: SparkSession, spec: OutputSpec, source: DataFrame, target: DataFrame,
+      opts: graft.spec.MergeOptions, mergeFmt: String, loc: String,
+      partCols: Seq[String]): Boolean = {
+    val cap = spec.options.get("merge_touched_partition_cap").map(_.toInt)
+      .getOrElse(if (partCols.size == 1) 10000 else 1000)
+    val fs0 = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Dir names are reconstructed from typed values below (for the prune
+    // set and the emptied-dir delete), so every LIVE dir name must be the
+    // canonical spelling of its parsed value — partition type inference
+    // reads `batch=0012` as int 12, which would be rewritten canonically
+    // as `batch=12`, leaving (or worse, deleting) the stale `batch=0012`.
+    // Non-canonical or escaped names: fall back to the full rewrite.
+    val partTypes = target.schema.filter(f => partCols.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    val liveDirs = listPartitionDirs(fs0, new Path(loc), partCols.size)
+    val canonical = liveDirs.forall(_.split('/').forall { seg =>
+      seg.split("=", 2) match {
+        case Array(c, v) =>
+          !v.contains("%") && (partTypes.get(c) match {
+            case Some(t) if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+              scala.util.Try(BigDecimal(v).bigDecimal.toPlainString == v ||
+                BigInt(v).toString == v).getOrElse(false)
+            case _ => true
+          })
+        case _ => false
+      }
+    })
+    if (!canonical) return false
+    // distinct partition tuples present on the source, in the TARGET's
+    // partition-column types (a string source value over an int-discovered
+    // partition must scope as the int) — the touched set; bounded driver
+    // collect (cap + 1 detects overflow without draining)
+    val touched = source
+      .select(partCols.map(c => col(c).cast(partTypes(c)).as(c)): _*)
+      .distinct().limit(cap + 1).collect()
+    if (touched.isEmpty || touched.length > cap ||
+        touched.exists(r => partCols.indices.exists(r.isNullAt))) return false
+    val prune =
+      if (partCols.size == 1) col(partCols.head).isin(touched.map(_.get(0)).toSeq: _*)
+      else touched.map { r =>
+        partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+    val merged = MergeOps.mergeWithOptions(target.where(prune), source, opts)
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(loc.stripSuffix("/") + "__stage_parts")
+    fs.delete(stage, true)
+    merged.write.format(mergeFmt).options(spec.options)
+      .partitionBy(partCols: _*).mode("overwrite").save(stage.toString)
+    // explicit schema: partition-column types must NOT be re-inferred from
+    // dir names (a string date '0123' must stay a string), and the declared
+    // schema also restores the pre-partitionBy column order
+    val stageDf = spark.read.format(mergeFmt).schema(merged.schema).load(stage.toString)
+      .select(merged.columns.map(col).toSeq: _*)
+    // the write-level option is not honored on every Spark write path, so
+    // pin the session conf for the duration of the overwrite
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try stageDf.write.format(mergeFmt).options(spec.options)
+      .partitionBy(partCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").save(loc)
+    finally prevMode match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    // touched partitions the merge emptied entirely: dynamic overwrite had
+    // no rows for them, so their stale dirs are still live — drop them
+    val surviving = listPartitionDirs(fs, stage, partCols.size)
+    touched.foreach { r =>
+      val rel = partCols.zipWithIndex
+        .map { case (c, i) => s"$c=${escapePartitionValue(String.valueOf(r.get(i)))}" }
+        .mkString("/")
+      if (!surviving.contains(rel)) fs.delete(new Path(loc, rel), true)
+    }
+    fs.delete(stage, true)
+    true
+  }
+
+  /** Relative `c1=v1/c2=v2` dir paths at exactly `depth` levels under
+    * `root`, skipping hidden (`_`/`.`) entries. */
+  private def listPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, depth: Int): Set[String] = {
+    def walk(p: Path, level: Int): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .flatMap { s =>
+          if (level == depth) Seq(s.getPath.getName)
+          else walk(s.getPath, level + 1).map(child => s"${s.getPath.getName}/$child")
+        }
+    if (!fs.exists(root)) Set.empty
+    else walk(root, 1).toSet
+  }
+
+  /** Hive-style partition-value escaping (the same characters Spark's
+    * catalog escapes), so constructed dir names line up with what
+    * `partitionBy` wrote for plain values; exotic values that escape
+    * differently only make the stale-dir delete a no-op, never wrong. */
+  private def escapePartitionValue(v: String): String =
+    v.flatMap { c =>
+      if (c >= 'a' && c <= 'z' || c >= 'A' && c <= 'Z' || c >= '0' && c <= '9' ||
+        "_-.".contains(c)) c.toString
+      else f"%%${c.toInt}%02X"
+    }
 
   // ---- streaming --------------------------------------------------------
 

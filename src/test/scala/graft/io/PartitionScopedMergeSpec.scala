@@ -1,0 +1,124 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.spec.{MergeOptions, OutputSpec}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+/** The partition-scoped merge path: a merge into a partitioned target must
+  * rewrite ONLY the partitions the source touches — the 100 TB contract is
+  * that a daily delta costs O(touched partitions), not O(table). These
+  * tests pin that physically: untouched partition FILES (path + mtime)
+  * must be bit-identical after the merge, not just row-equal. */
+class PartitionScopedMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mergeSpec(loc: String, parts: Seq[String] = Seq.empty): OutputSpec =
+    OutputSpec(specId = "out", inputId = "in", writeType = "merge",
+      dataFormat = Some("parquet"), location = Some(loc), partitions = parts,
+      mergeOpts = Some(MergeOptions(
+        mergePredicate = "current.id = new.id",
+        deletePredicate = Some("new.op = 'D'"))))
+
+  private def writeMerge(loc: String, source: DataFrame, parts: Seq[String] = Seq.empty): Unit =
+    Writers.write(spark, mergeSpec(loc, parts), source)
+
+  /** data-file name -> mtime for every parquet file under a partition. */
+  private def files(loc: String, rel: String): Map[String, Long] = {
+    val dir = Paths.get(loc, rel)
+    if (!Files.exists(dir)) Map.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+  }
+
+  private def initTarget(loc: String): Unit =
+    Seq((1, "a", 10, "U"), (2, "b", 10, "U"), (3, "c", 20, "U"), (4, "d", 30, "U"))
+      .toDF("id", "name", "day", "op")
+      .write.partitionBy("day").mode("overwrite").parquet(loc)
+
+  test("merge rewrites only touched partitions; untouched files stay bit-identical") {
+    val loc = tmpDir("psm") + "/t"
+    initTarget(loc)
+    val before20 = files(loc, "day=20")
+    val before30 = files(loc, "day=30")
+    assert(before20.nonEmpty && before30.nonEmpty)
+    // touch only day=10: update id=1, insert id=5
+    writeMerge(loc, Seq((1, "a2", 10, "U"), (5, "e", 10, "U")).toDF("id", "name", "day", "op"))
+    val out = spark.read.parquet(loc)
+    assert(out.count() == 5)
+    assert(out.where("id = 1 AND name = 'a2'").count() == 1)
+    assert(out.where("id = 5").count() == 1)
+    assert(out.where("id = 3 AND name = 'c'").count() == 1)
+    // the physical point: day=20 and day=30 files untouched
+    assert(files(loc, "day=20") == before20, "day=20 files were rewritten")
+    assert(files(loc, "day=30") == before30, "day=30 files were rewritten")
+    assert(files(loc, "day=10") != Map.empty)
+  }
+
+  test("a merge that deletes every row of a partition drops its directory") {
+    val loc = tmpDir("psm-del") + "/t"
+    initTarget(loc)
+    val before30 = files(loc, "day=30")
+    // day=20 has only id=3; delete it. day=10 untouched by this source.
+    writeMerge(loc, Seq((3, "c", 20, "D")).toDF("id", "name", "day", "op"))
+    val out = spark.read.parquet(loc)
+    assert(out.where("day = 20").count() == 0)
+    assert(!Files.exists(Paths.get(loc, "day=20")), "emptied partition dir must be dropped")
+    assert(out.count() == 3)
+    assert(files(loc, "day=30") == before30)
+  }
+
+  test("inserts create new partitions without touching existing ones") {
+    val loc = tmpDir("psm-new") + "/t"
+    initTarget(loc)
+    val before = Seq("day=10", "day=20", "day=30").map(r => r -> files(loc, r)).toMap
+    writeMerge(loc, Seq((9, "z", 40, "U")).toDF("id", "name", "day", "op"))
+    val out = spark.read.parquet(loc)
+    assert(out.count() == 5)
+    assert(out.where("day = 40 AND id = 9").count() == 1)
+    before.foreach { case (r, fs) => assert(files(loc, r) == fs, s"$r was rewritten") }
+  }
+
+  test("multi-column partitioning scopes on the tuple") {
+    val loc = tmpDir("psm-multi") + "/t"
+    Seq((1, 10, "x", "U"), (2, 10, "y", "U"), (3, 20, "x", "U"))
+      .toDF("id", "day", "region", "op")
+      .write.partitionBy("day", "region").mode("overwrite").parquet(loc)
+    val before = files(loc, "day=10/region=y")
+    writeMerge(loc, Seq((1, 10, "x", "U"), (4, 20, "x", "U")).toDF("id", "day", "region", "op"))
+    val out = spark.read.parquet(loc)
+    assert(out.count() == 4)
+    assert(files(loc, "day=10/region=y") == before, "untouched tuple partition rewritten")
+  }
+
+  test("unpartitioned target falls back to the full rewrite and stays correct") {
+    val loc = tmpDir("psm-fb") + "/t"
+    Seq((1, "a", 10, "U"), (2, "b", 10, "U"), (3, "c", 20, "U"))
+      .toDF("id", "name", "day", "op")
+      .write.mode("overwrite").parquet(loc) // no partition dirs to scope
+    writeMerge(loc, Seq((2, "b9", 10, "U"), (9, "z", 40, "U")).toDF("id", "name", "day", "op"))
+    val out = spark.read.parquet(loc)
+    assert(out.count() == 4)
+    assert(out.where("id = 2 AND name = 'b9'").count() == 1)
+    assert(out.where("id = 9 AND day = 40").count() == 1)
+  }
+
+  test("non-canonical partition dir names force the full-rewrite fallback") {
+    val loc = tmpDir("psm-str") + "/t"
+    // '0012' is re-inferred as int 12 on read, so its dir name is NOT the
+    // canonical spelling of its value — scoping would write `batch=12`
+    // beside the stale `batch=0012`; the guard must fall back instead
+    Seq((1, "0012", "U"), (2, "0034", "U")).toDF("id", "batch", "op")
+      .write.partitionBy("batch").mode("overwrite").parquet(loc)
+    writeMerge(loc, Seq((1, "0012", "U")).toDF("id", "batch", "op"))
+    val out = spark.read.parquet(loc)
+    assert(out.count() == 2) // no duplicated logical partition, no lost rows
+    assert(out.select("batch").distinct().count() == 2)
+    assert(!Files.exists(Paths.get(loc, "batch=0012")) ||
+      !Files.exists(Paths.get(loc, "batch=12")),
+      "stale and canonical spellings of the same partition coexist")
+  }
+}
