@@ -126,29 +126,22 @@ object Writers {
         .options(spec.options).mode("overwrite")
       (if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w).save(loc)
     } else {
-      val target = spark.read.format(mergeFmt).load(loc)
       // The DISCOVERED layout (not the declared one) gates partition
       // scoping: dynamic overwrite only replaces partition DIRS, so
       // scoping a target whose files actually sit unpartitioned at the
       // root would leave every stale root file in place. A declared-but-
       // different layout falls through to the full rewrite, which
-      // converts the layout; the next merge can then scope.
-      // (analyzed, not logical: Spark 4 reads stay UnresolvedDataSource
-      // until analysis)
-      val discovered: Seq[String] =
-        scala.util.Try(target.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation match {
-              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                h.partitionSchema.fieldNames.toSeq
-              case _ => Seq.empty[String]
-            }
-        }.getOrElse(Seq.empty)).getOrElse(Seq.empty)
+      // converts the layout; the next merge can then scope. Layout
+      // detection is a driver-side dir walk — the scoped path must never
+      // pay Spark's O(all partitions) distributed discovery, that's the
+      // cost it exists to avoid.
+      val discovered: Seq[String] = discoverLayout(fs, new Path(loc))
       if (discovered.nonEmpty &&
           (spec.partitions.isEmpty || spec.partitions == discovered) &&
           discovered.forall(source.columns.contains) &&
-          partitionScopedMerge(spark, spec, source, target, opts, mergeFmt, loc, discovered))
+          partitionScopedMerge(spark, spec, source, opts, mergeFmt, loc, discovered))
         return
+      val target = spark.read.format(mergeFmt).load(loc)
       val merged = MergeOps.mergeWithOptions(target, source, opts)
       val stage = loc.stripSuffix("/") + "__stage"
       val w = merged.write.format(mergeFmt)
@@ -172,51 +165,55 @@ object Writers {
     * merge produces no stage output, so its live dir is dropped explicitly
     * after the overwrite. */
   private def partitionScopedMerge(
-      spark: SparkSession, spec: OutputSpec, source: DataFrame, target: DataFrame,
+      spark: SparkSession, spec: OutputSpec, source: DataFrame,
       opts: graft.spec.MergeOptions, mergeFmt: String, loc: String,
       partCols: Seq[String]): Boolean = {
     val cap = spec.options.get("merge_touched_partition_cap").map(_.toInt)
       .getOrElse(if (partCols.size == 1) 10000 else 1000)
-    val fs0 = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Dir names are reconstructed from typed values below (for the prune
-    // set and the emptied-dir delete), so every LIVE dir name must be the
-    // canonical spelling of its parsed value — partition type inference
-    // reads `batch=0012` as int 12, which would be rewritten canonically
-    // as `batch=12`, leaving (or worse, deleting) the stale `batch=0012`.
-    // Non-canonical or escaped names: fall back to the full rewrite.
-    val partTypes = target.schema.filter(f => partCols.contains(f.name))
-      .map(f => f.name -> f.dataType).toMap
-    val liveDirs = listPartitionDirs(fs0, new Path(loc), partCols.size)
-    val canonical = liveDirs.forall(_.split('/').forall { seg =>
-      seg.split("=", 2) match {
-        case Array(c, v) =>
-          !v.contains("%") && (partTypes.get(c) match {
-            case Some(t) if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
-              scala.util.Try(BigDecimal(v).bigDecimal.toPlainString == v ||
-                BigInt(v).toString == v).getOrElse(false)
-            case _ => true
-          })
-        case _ => false
-      }
-    })
-    if (!canonical) return false
-    // distinct partition tuples present on the source, in the TARGET's
-    // partition-column types (a string source value over an int-discovered
-    // partition must scope as the int) — the touched set; bounded driver
-    // collect (cap + 1 detects overflow without draining)
-    val touched = source
-      .select(partCols.map(c => col(c).cast(partTypes(c)).as(c)): _*)
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // distinct partition tuples present on the source — the touched set;
+    // bounded driver collect (cap + 1 detects overflow without draining)
+    val touched = source.select(partCols.map(col): _*)
       .distinct().limit(cap + 1).collect()
     if (touched.isEmpty || touched.length > cap ||
         touched.exists(r => partCols.indices.exists(r.isNullAt))) return false
-    val prune =
-      if (partCols.size == 1) col(partCols.head).isin(touched.map(_.get(0)).toSeq: _*)
-      else touched.map { r =>
-        partCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
-          .reduce(_ && _)
-      }.reduce(_ || _)
-    val merged = MergeOps.mergeWithOptions(target.where(prune), source, opts)
-    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Touched dir names are constructed from the VALUE TEXT; anything that
+    // would escape (spaces, '%', '=') is rare enough that falling back
+    // beats reasoning about escaping mismatches.
+    val touchedNames: Seq[String] = touched.map(r =>
+      partCols.indices.map { i =>
+        s"${partCols(i)}=${String.valueOf(r.get(i))}"
+      }.mkString("/")).toSeq
+    if (touchedNames.exists(n => n.split('/').map(_.split("=", 2)(1))
+        .exists(v => escapePartitionValue(v) != v))) return false
+    // A live dir that is a DIFFERENT SPELLING of a touched value (e.g.
+    // `batch=0012` when the source says 12, or vice versa) would be
+    // shadowed by — or wrongly deleted beside — the canonical dir this
+    // path writes. Driver-side listing; untouched partitions with odd
+    // names are harmless, only touched-value collisions force fallback.
+    val live = listPartitionDirs(fs, new Path(loc), partCols.size)
+    def canon(name: String): String = name.split('/').map { seg =>
+      val Array(c, v) = seg.split("=", 2)
+      val cv = scala.util.Try(
+        BigDecimal(v).bigDecimal.stripTrailingZeros.toPlainString).getOrElse(v)
+      s"$c=$cv"
+    }.mkString("/")
+    val liveByCanon = live.iterator.map(l => canon(l) -> l).toMap
+    val collision = touchedNames.exists(t =>
+      liveByCanon.get(canon(t)).exists(_ != t))
+    if (collision) return false
+    // Read ONLY the touched partition dirs (basePath keeps the partition
+    // columns) — never Spark's O(all partitions) discovery of the table.
+    val existingTouched = touchedNames.filter(live.contains)
+    val targetSlice =
+      if (existingTouched.nonEmpty)
+        spark.read.format(mergeFmt).option("basePath", loc)
+          .load(existingTouched.map(n => s"${loc.stripSuffix("/")}/$n"): _*)
+      else
+        // all-new partitions: an empty slice with the live table's schema
+        spark.read.format(mergeFmt).option("basePath", loc)
+          .load(s"${loc.stripSuffix("/")}/${live.head}").limit(0)
+    val merged = MergeOps.mergeWithOptions(targetSlice, source, opts)
     val stage = new Path(loc.stripSuffix("/") + "__stage_parts")
     fs.delete(stage, true)
     merged.write.format(mergeFmt).options(spec.options)
@@ -240,16 +237,31 @@ object Writers {
       case None => spark.conf.unset(confKey)
     }
     // touched partitions the merge emptied entirely: dynamic overwrite had
-    // no rows for them, so their stale dirs are still live — drop them
+    // no rows for them, so their stale dirs are still live — drop them.
+    // Merged values are source values cast to the slice's types, so their
+    // dir spellings match `touchedNames` (collision-checked above).
     val surviving = listPartitionDirs(fs, stage, partCols.size)
-    touched.foreach { r =>
-      val rel = partCols.zipWithIndex
-        .map { case (c, i) => s"$c=${escapePartitionValue(String.valueOf(r.get(i)))}" }
-        .mkString("/")
+    touchedNames.foreach { rel =>
       if (!surviving.contains(rel)) fs.delete(new Path(loc, rel), true)
     }
     fs.delete(stage, true)
     true
+  }
+
+  /** Partition-column names read off the directory structure (first
+    * `c=v`-shaped chain), driver-side. Empty for unpartitioned layouts. */
+  private def discoverLayout(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
+    @scala.annotation.tailrec
+    def walk(p: Path, acc: Vector[String]): Vector[String] = {
+      val sub = fs.listStatus(p).find(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") &&
+        s.getPath.getName.contains("="))
+      sub match {
+        case Some(s) => walk(s.getPath, acc :+ s.getPath.getName.split("=", 2)(0))
+        case None => acc
+      }
+    }
+    if (!fs.exists(root)) Seq.empty else walk(root, Vector())
   }
 
   /** Relative `c1=v1/c2=v2` dir paths at exactly `depth` levels under

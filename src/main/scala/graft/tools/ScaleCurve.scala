@@ -89,6 +89,34 @@ object ScaleCurve {
     (runs.map(_._1).min, runs.map(_._2).max)
   }
 
+  /** One-off setup for the merge head-to-head: a bucket-partitioned and an
+    * unpartitioned copy of `dir`'s orders (bucket count scales with rows,
+    * rows-per-bucket ~constant at ~18750) plus a stable one-bucket delta
+    * (same keys, bumped price — merging it twice is idempotent, so the
+    * min-of-2 timing mutates nothing). Cached on disk per dir. */
+  private def mergeTables(spark: SparkSession, dir: String, work: String)
+      : (String, String, String) = {
+    val pLoc = s"$work/part_tbl"; val fLoc = s"$work/flat_tbl"; val dLoc = s"$work/delta"
+    if (!new java.io.File(s"$dLoc/_SUCCESS").exists()) {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val buckets = math.max(8L, orders.count() / 18750L)
+      val tagged = orders.withColumn("o_bucket",
+        pmod(hash(col("o_orderkey")), lit(buckets)).cast("int"))
+      tagged.write.partitionBy("o_bucket").mode("overwrite").parquet(pLoc)
+      tagged.write.mode("overwrite").parquet(fLoc)
+      tagged.where(col("o_bucket") === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .write.mode("overwrite").parquet(dLoc)
+    }
+    (pLoc, fLoc, dLoc)
+  }
+
+  private def mergeSpec(loc: String): graft.spec.OutputSpec =
+    graft.spec.OutputSpec(specId = "m", inputId = "m", writeType = "merge",
+      dataFormat = Some("parquet"), location = Some(loc),
+      mergeOpts = Some(graft.spec.MergeOptions(
+        mergePredicate = "current.o_orderkey = new.o_orderkey")))
+
   private def ops(spark: SparkSession, dir: String, idxBase: String)
       : Seq[(String, () => (DataFrame, Option[Observation]))] = {
     import graft.functions.{DedupFunctions, MinhashIndex, SimilarityFunctions}
@@ -135,6 +163,27 @@ object ScaleCurve {
           emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
         (DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b")), None)
       }),
+      // Partition-scoped merge head-to-head (round 9): the same one-bucket
+      // delta merged into (a) a bucket-partitioned table -> the scoped
+      // path rewrites ONE partition dir, and (b) an unpartitioned copy of
+      // the same rows -> the full-rewrite fallback. Bucket count grows
+      // with the corpus while rows-per-bucket stay ~constant, so at every
+      // scale point (a) should cost O(one partition) and (b) O(table) —
+      // the measured form of the mergeWrite O(touched) claim.
+      "merge_scoped_1part" -> {
+        lazy val t = mergeTables(spark, dir, s"$idxBase/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_merge")
+        () => {
+          graft.io.Writers.write(spark, mergeSpec(t._1), spark.read.parquet(t._3))
+          (spark.read.parquet(t._3).limit(1), None)
+        }
+      },
+      "merge_full_table" -> {
+        lazy val t = mergeTables(spark, dir, s"$idxBase/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_merge")
+        () => {
+          graft.io.Writers.write(spark, mergeSpec(t._2), spark.read.parquet(t._3))
+          (spark.read.parquet(t._3).limit(1), None)
+        }
+      },
       // index build is one-off; the timed op is the incremental check,
       // mirroring the bench's own q76 treatment
       "q76_check_batch" -> {
