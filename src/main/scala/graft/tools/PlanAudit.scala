@@ -176,6 +176,37 @@ object PlanAudit {
       |flattens further as fixed per-query overhead amortizes. Nothing
       |super-linear appears at 15M rows.
       |
+      |### Round 9: partition-scoped merge — O(touched partitions), measured
+      |
+      |`Writers.mergeWrite` now scopes a merge into a partitioned target to
+      |the partitions the source actually touches: driver-side layout
+      |detection (never Spark's O(all partitions) discovery), a
+      |basePath read of ONLY the touched dirs, dynamic partition overwrite
+      |of exactly those dirs, spelling-collision + cap + null guards with a
+      |full-rewrite fallback. ScaleCurve's head-to-head merges the same
+      |one-bucket delta into a bucket-partitioned table (scoped) and an
+      |unpartitioned copy of the same rows (full rewrite); bucket count
+      |grows with the corpus, rows-per-bucket stay ~18.75k (min-of-2,
+      |local[32], 2026-08-13):
+      |
+      || table | partitions | scoped 1-part delta | full rewrite | ratio |
+      ||---|---|---|---|---|
+      || 150k rows (1×) | 8 | 1.7 | 0.9 | 0.5× |
+      || 1.5M (10×) | 80 | 1.6 | 1.4 | 0.9× |
+      || 30M (200×) | 1600 | 1.3 | 8.8 | 6.9× |
+      || 75M (500×) | 4000 | 1.4 | 12.7 | 9.2× |
+      |
+      |The scoped path is FLAT across a 500× table growth — the measured
+      |form of "a daily delta into a 100 TB table costs O(touched), not
+      |O(table)". Below ~10× the fixed overhead (dir listing, stage hop,
+      |two extra small jobs) makes scoping a wash; it is the large-table
+      |regime that needs it, and that is where it wins unboundedly.
+      |Correctness is pinned physically, not just row-wise:
+      |PartitionScopedMergeSpec asserts untouched partition FILES keep
+      |their mtimes, emptied partitions drop their dirs, inserts create
+      |new dirs, and the non-canonical-spelling / unpartitioned cases fall
+      |back to the full rewrite.
+      |
       |Embedding-pair operators at 200× (400k vectors, per-copy sign-flip
       |perturbation so cross-copy cosine decorrelates — the embedding
       |analogue of the documents' token suffix):
