@@ -267,6 +267,47 @@ class DataLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("custom_transformation: ACON-provided function computes a KPI (reference calculate_kpi golden)") {
+    // port of tests/feature/data_loader_custom_transformer/
+    // test_data_loader_custom_transformer_calculate_kpi.py — the ACON names
+    // a function the caller supplies (a Scala lambda here, a Python
+    // callable there); fixture + control values are the reference's own
+    val in = tmpDir("dl-kpi-in")
+    val out = tmpDir("dl-kpi-out") + "/data"
+    Files.writeString(Paths.get(in, "part-01.csv"),
+      """salesorder|item|date|customer|article|amount
+        |1|1|20160601|customer1|article1|1000
+        |1|2|20160601|customer1|article2|2000
+        |1|3|20160601|customer1|article3|500
+        |""".stripMargin)
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "sales_source", "read_type": "batch", "data_format": "csv",
+         |    "options": {"mode": "FAILFAST", "header": "true", "delimiter": "|", "inferSchema": "true"},
+         |    "location": "$in"
+         |  }],
+         |  "transform_specs": [{
+         |    "spec_id": "calculated_kpi", "input_id": "sales_source",
+         |    "transformers": [{"function": "custom_transformation",
+         |      "args": {"function_name": "yet_another_kpi_calculator"}}]
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "sales_bronze", "input_id": "calculated_kpi",
+         |    "write_type": "overwrite", "data_format": "delta", "location": "$out"
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon, customFns = Map(
+      "yet_another_kpi_calculator" -> { df =>
+        df.createOrReplaceTempView("sales")
+        spark.sql("SELECT date, SUM(amount) AS amount FROM sales GROUP BY date")
+      }))
+    val result = spark.read.parquet(out).collect()
+    assert(result.length == 1)
+    assert(result.head.getAs[Any]("date").toString == "20160601")
+    assert(result.head.getAs[Any]("amount").toString == "3500")
+  }
+
   test("full pipeline: transform + DQ gate + merge write + notify terminator") {
     import spark.implicits._
     val out = tmpDir("dl-e2e") + "/t"
