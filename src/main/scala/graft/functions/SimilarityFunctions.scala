@@ -210,7 +210,9 @@ object SimilarityFunctions {
     * it from the corpus count via [[adaptiveNumBits]] — one driver-side
     * count() against a column-pruned scan — so the operator is correctly
     * sized from 500 vectors to 400M without a manual knob; pass an
-    * explicit value to pin it. */
+    * explicit value to pin it. NOTE: when `df` is a computed pipeline
+    * rather than a scan, that count() re-executes the upstream lineage —
+    * cache the input or pass an explicit `numBits` in that case. */
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,

@@ -38,9 +38,12 @@ trait SchemaRegistryClient {
 /** A registry preloaded with subject -> schema-JSON entries (tests, or
   * air-gapped deployments shipping schemas with the job). Ids are assigned
   * by DECLARED order (1-based), mirroring a real registry's globally
-  * unique monotone ids — pass a Seq to control the order; the Map
-  * constructor sorts by subject name so ids stay stable when entries are
-  * added (an unsorted Map's iteration order reshuffles above 4 entries). */
+  * unique monotone ids — pass a Seq to control the order. The Map
+  * constructor sorts by SUBJECT NAME (an unsorted Map's iteration order
+  * reshuffles above 4 entries), so its ids are deterministic for given
+  * contents but CAN shift when a subject sorting earlier is added — if
+  * ids are pinned into framed payloads across runs, use the Seq
+  * constructor. */
 final class InMemorySchemaRegistry(subjects: Seq[(String, String)])
     extends SchemaRegistryClient {
   def this(subjects: Map[String, String]) = this(subjects.toSeq.sortBy(_._1))

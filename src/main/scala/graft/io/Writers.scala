@@ -171,21 +171,33 @@ object Writers {
     val cap = spec.options.get("merge_touched_partition_cap").map(_.toInt)
       .getOrElse(if (partCols.size == 1) 10000 else 1000)
     val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SEMANTIC guards — scoping is only equivalent to the full merge when
+    // a source row cannot match, or land in, a partition outside the
+    // touched set:
+    //  - the merge predicate must PIN every partition column (an
+    //    equality conjunct `current.p = new.p`); otherwise a key match
+    //    living in an un-read partition is missed and the row duplicates.
+    //    Conservative: any OR in the predicate rejects scoping.
+    //  - update/insert column sets must not assign partition columns
+    //    (an assigned value could land outside the touched set, and the
+    //    dynamic overwrite would then wipe that un-read live partition).
+    if (!predicatePinsPartitions(opts.mergePredicate, partCols)) return false
+    if ((opts.updateColumnSet.keySet ++ opts.insertColumnSet.keySet)
+        .exists(partCols.contains)) return false
     // distinct partition tuples present on the source — the touched set;
     // bounded driver collect (cap + 1 detects overflow without draining)
     val touched = source.select(partCols.map(col): _*)
       .distinct().limit(cap + 1).collect()
     if (touched.isEmpty || touched.length > cap ||
         touched.exists(r => partCols.indices.exists(r.isNullAt))) return false
-    // Touched dir names are constructed from the VALUE TEXT; anything that
-    // would escape (spaces, '%', '=') is rare enough that falling back
-    // beats reasoning about escaping mismatches.
-    val touchedNames: Seq[String] = touched.map(r =>
-      partCols.indices.map { i =>
-        s"${partCols(i)}=${String.valueOf(r.get(i))}"
-      }.mkString("/")).toSeq
-    if (touchedNames.exists(n => n.split('/').map(_.split("=", 2)(1))
-        .exists(v => escapePartitionValue(v) != v))) return false
+    // Touched dir names are constructed from the VALUE TEXT; any value
+    // that would escape ('/', spaces, '%', '=') is rare enough that
+    // falling back beats reasoning about escaping mismatches.
+    val touchedValues: Seq[Seq[String]] =
+      touched.map(r => partCols.indices.map(i => String.valueOf(r.get(i))).toSeq).toSeq
+    if (touchedValues.exists(_.exists(v => escapePartitionValue(v) != v))) return false
+    val touchedNames: Seq[String] = touchedValues.map(vs =>
+      partCols.zip(vs).map { case (c, v) => s"$c=$v" }.mkString("/"))
     // A live dir that is a DIFFERENT SPELLING of a touched value (e.g.
     // `batch=0012` when the source says 12, or vice versa) would be
     // shadowed by — or wrongly deleted beside — the canonical dir this
@@ -193,14 +205,20 @@ object Writers {
     // names are harmless, only touched-value collisions force fallback.
     val live = listPartitionDirs(fs, new Path(loc), partCols.size)
     def canon(name: String): String = name.split('/').map { seg =>
-      val Array(c, v) = seg.split("=", 2)
-      val cv = scala.util.Try(
-        BigDecimal(v).bigDecimal.stripTrailingZeros.toPlainString).getOrElse(v)
-      s"$c=$cv"
+      seg.split("=", 2) match {
+        case Array(c, v) =>
+          val cv = scala.util.Try(
+            BigDecimal(v).bigDecimal.stripTrailingZeros.toPlainString).getOrElse(v)
+          s"$c=$cv"
+        case _ => seg
+      }
     }.mkString("/")
-    val liveByCanon = live.iterator.map(l => canon(l) -> l).toMap
-    val collision = touchedNames.exists(t =>
-      liveByCanon.get(canon(t)).exists(_ != t))
+    // grouped, not toMap: BOTH spellings of a dual-spelled live partition
+    // (batch=12 next to batch=0012) must register as a collision
+    val liveByCanon = live.groupBy(canon)
+    val collision = touchedNames.exists { t =>
+      liveByCanon.get(canon(t)).exists(g => g.size > 1 || g.head != t)
+    }
     if (collision) return false
     // Read ONLY the touched partition dirs (basePath keeps the partition
     // columns) — never Spark's O(all partitions) discovery of the table.
@@ -265,12 +283,14 @@ object Writers {
   }
 
   /** Relative `c1=v1/c2=v2` dir paths at exactly `depth` levels under
-    * `root`, skipping hidden (`_`/`.`) entries. */
+    * `root`, skipping hidden (`_`/`.`) entries and anything not shaped
+    * like a partition dir (a stray `backup/` must neither crash the
+    * canon parse nor serve as the schema-sample dir). */
   private def listPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, depth: Int): Set[String] = {
     def walk(p: Path, level: Int): Seq[String] =
       fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory &&
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         .flatMap { s =>
           if (level == depth) Seq(s.getPath.getName)
@@ -278,6 +298,24 @@ object Writers {
         }
     if (!fs.exists(root)) Set.empty
     else walk(root, 1).toSet
+  }
+
+  /** True when `predicate` is a pure AND-conjunction containing an
+    * equality conjunct `current.c = new.c` (or `<=>`, either order) for
+    * EVERY partition column — the condition under which a key match can
+    * never live outside the source's own partitions. Any OR disqualifies
+    * (conservative). */
+  private[io] def predicatePinsPartitions(predicate: String, partCols: Seq[String]): Boolean = {
+    val p = predicate.toLowerCase(java.util.Locale.ROOT)
+    if (p.matches(".*\\bor\\b.*")) return false
+    val conjuncts = p.split("\\band\\b").map(_.trim.stripPrefix("(").stripSuffix(")").trim)
+    partCols.forall { c0 =>
+      val c = java.util.regex.Pattern.quote(c0.toLowerCase(java.util.Locale.ROOT))
+      conjuncts.exists { cj =>
+        cj.matches(s"current\\.$c\\s*(=|<=>)\\s*new\\.$c") ||
+          cj.matches(s"new\\.$c\\s*(=|<=>)\\s*current\\.$c")
+      }
+    }
   }
 
   /** Hive-style partition-value escaping (the same characters Spark's

@@ -116,29 +116,46 @@ object MergeOps {
     // runs ANSI (Spark 4's default) and silently nulls otherwise — the
     // raise_error guard keeps the fail-loud contract independent of the
     // session's ansi.enabled setting (same-type columns pass through
-    // untouched, so the guard costs nothing on the common path)
+    // untouched, so the guard costs nothing on the common path).
+    //
+    // Like Delta, the cast is PER-CLAUSE, not per-row: only columns the
+    // join CONDITION references are cast eagerly (the match itself needs
+    // target-typed keys); every other column stays raw in the `s` struct
+    // and is cast inside the branch that assigns it — a row destined for
+    // the delete clause, or filtered out by the insert predicate, never
+    // evaluates the guard for values those clauses don't use.
     val targetTypes = target.schema.map(f => f.name -> f.dataType).toMap
     val sourceTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    def guardedCast(src: Column, c: String): Column = {
+      val tgtType = targetTypes(c)
+      val casted = src.cast(tgtType)
+      when(src.isNotNull && casted.isNull,
+        raise_error(concat(
+          lit(s"merge: cannot cast column '$c' value '"),
+          src.cast("string"), lit(s"' to ${tgtType.sql}"))))
+        .otherwise(casted)
+    }
+    val condRefs: Set[String] = org.apache.spark.sql.graft.ColumnRefs.names(condition)
+    def eagerlyCast(c: String): Boolean =
+      sourceTypes.get(c).contains(targetTypes(c)) || condRefs.contains(c)
     val s = source.select(struct(
       dataCols.map { c =>
-        val tgtType = targetTypes(c)
-        if (sourceTypes.get(c).contains(tgtType)) col(c).as(c)
-        else {
-          val casted = col(c).cast(tgtType)
-          when(col(c).isNotNull && casted.isNull,
-            raise_error(concat(
-              lit(s"merge: cannot cast column '$c' value '"),
-              col(c).cast("string"), lit(s"' to ${tgtType.sql}"))))
-            .otherwise(casted).as(c)
-        }
+        if (sourceTypes.get(c).contains(targetTypes(c))) col(c).as(c)
+        else if (condRefs.contains(c)) guardedCast(col(c), c).as(c)
+        else col(c).as(c)
       }: _*).as("s"))
+    // target-typed view of the source row, for the branches that assign it
+    def sCast = struct(dataCols.map { c =>
+      if (eagerlyCast(c)) col(s"s.$c").as(c)
+      else guardedCast(col(s"s.$c"), c).as(c)
+    }: _*)
     val joined = t.join(s, condition, "full_outer")
 
     val matched = col("t").isNotNull && col("s").isNotNull
     val sourceOnly = col("t").isNull && col("s").isNotNull
 
     val updatedStruct =
-      if (updateSet.isEmpty) col("s")
+      if (updateSet.isEmpty) sCast
       else struct(dataCols.map(c => updateSet.getOrElse(c, col(s"t.$c")).as(c)): _*)
 
     val matchedResult = {
@@ -156,7 +173,7 @@ object MergeOps {
     // target type, as Delta's store assignment would), unnamed columns are
     // NULL — not the source value
     val insertedStruct =
-      if (insertSet.isEmpty) col("s")
+      if (insertSet.isEmpty) sCast
       else struct(dataCols.map { c =>
         insertSet.get(c).map(_.cast(targetTypes(c)))
           .getOrElse(lit(null).cast(targetTypes(c))).as(c)

@@ -115,7 +115,10 @@ object ScaleCurve {
     graft.spec.OutputSpec(specId = "m", inputId = "m", writeType = "merge",
       dataFormat = Some("parquet"), location = Some(loc),
       mergeOpts = Some(graft.spec.MergeOptions(
-        mergePredicate = "current.o_orderkey = new.o_orderkey")))
+        // pins the partition column — the condition under which the
+        // scoped path is semantically equal to the full merge
+        mergePredicate =
+          "current.o_orderkey = new.o_orderkey and current.o_bucket = new.o_bucket")))
 
   private def ops(spark: SparkSession, dir: String, idxBase: String)
       : Seq[(String, () => (DataFrame, Option[Observation]))] = {

@@ -1,0 +1,13 @@
+// Hosted under org.apache.spark.sql because the Column -> Expression
+// bridge (ExpressionUtils) is private[sql] in Spark 4.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object ColumnRefs {
+  /** Names of the attributes a Column's expression references (both
+    * sides of a join condition — names only, no qualifiers). */
+  def names(c: Column): Set[String] =
+    ExpressionUtils.expression(c).references.map(_.name).toSet
+}

@@ -15,15 +15,17 @@ class PartitionScopedMergeSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def mergeSpec(loc: String, parts: Seq[String] = Seq.empty): OutputSpec =
+  private def mergeSpec(loc: String, parts: Seq[String] = Seq.empty,
+      predicate: String = "current.id = new.id and current.day = new.day"): OutputSpec =
     OutputSpec(specId = "out", inputId = "in", writeType = "merge",
       dataFormat = Some("parquet"), location = Some(loc), partitions = parts,
       mergeOpts = Some(MergeOptions(
-        mergePredicate = "current.id = new.id",
+        mergePredicate = predicate,
         deletePredicate = Some("new.op = 'D'"))))
 
-  private def writeMerge(loc: String, source: DataFrame, parts: Seq[String] = Seq.empty): Unit =
-    Writers.write(spark, mergeSpec(loc, parts), source)
+  private def writeMerge(loc: String, source: DataFrame, parts: Seq[String] = Seq.empty,
+      predicate: String = "current.id = new.id and current.day = new.day"): Unit =
+    Writers.write(spark, mergeSpec(loc, parts, predicate), source)
 
   /** data-file name -> mtime for every parquet file under a partition. */
   private def files(loc: String, rel: String): Map[String, Long] = {
@@ -88,7 +90,9 @@ class PartitionScopedMergeSpec extends SparkSpec {
       .toDF("id", "day", "region", "op")
       .write.partitionBy("day", "region").mode("overwrite").parquet(loc)
     val before = files(loc, "day=10/region=y")
-    writeMerge(loc, Seq((1, 10, "x", "U"), (4, 20, "x", "U")).toDF("id", "day", "region", "op"))
+    Writers.write(spark, mergeSpec(loc, predicate =
+      "current.id = new.id and current.day = new.day and current.region = new.region"),
+      Seq((1, 10, "x", "U"), (4, 20, "x", "U")).toDF("id", "day", "region", "op"))
     val out = spark.read.parquet(loc)
     assert(out.count() == 4)
     assert(files(loc, "day=10/region=y") == before, "untouched tuple partition rewritten")
@@ -106,14 +110,46 @@ class PartitionScopedMergeSpec extends SparkSpec {
     assert(out.where("id = 9 AND day = 40").count() == 1)
   }
 
-  test("non-canonical partition dir names force the full-rewrite fallback") {
+  test("a predicate that doesn't pin the partition column falls back and preserves full-merge semantics") {
+    val loc = tmpDir("psm-pin") + "/t"
+    initTarget(loc)
+    // key match lives in day=10 but the source row says day=40: scoping
+    // would read only day=40, miss the match, and DUPLICATE id=1 — the
+    // unpinned predicate must force the full path, which moves the row
+    writeMerge(loc, Seq((1, "a", 40, "U")).toDF("id", "name", "day", "op"),
+      predicate = "current.id = new.id")
+    val out = spark.read.parquet(loc)
+    assert(out.where("id = 1").count() == 1, "row duplicated across partitions")
+    assert(out.where("id = 1 AND day = 40").count() == 1)
+  }
+
+  test("update_column_set assigning a partition column falls back (no wiped partitions)") {
+    val loc = tmpDir("psm-ucs") + "/t"
+    initTarget(loc)
+    val spec = OutputSpec(specId = "out", inputId = "in", writeType = "merge",
+      dataFormat = Some("parquet"), location = Some(loc),
+      mergeOpts = Some(MergeOptions(
+        mergePredicate = "current.id = new.id and current.day = new.day",
+        // moves matched rows into day=30 — a partition the source never
+        // touches; scoping would dynamic-overwrite (wipe) live day=30
+        updateColumnSet = Map("day" -> "30"))))
+    Writers.write(spark, spec, Seq((1, "a", 10, "U")).toDF("id", "name", "day", "op"))
+    val out = spark.read.parquet(loc)
+    assert(out.where("day = 30").count() == 2, "pre-existing day=30 rows were wiped")
+    assert(out.where("id = 1 AND day = 30").count() == 1)
+    assert(out.count() == 4)
+  }
+
+  test("a live dir spelled differently from the touched value forces the full-rewrite fallback") {
     val loc = tmpDir("psm-str") + "/t"
-    // '0012' is re-inferred as int 12 on read, so its dir name is NOT the
-    // canonical spelling of its value — scoping would write `batch=12`
-    // beside the stale `batch=0012`; the guard must fall back instead
+    // the live dir says `batch=0012` (string partition written verbatim);
+    // the source says 12 — same value, different spelling. Scoping would
+    // write `batch=12` beside (or delete) the live `batch=0012`; the
+    // collision check must fall back to the full rewrite instead.
     Seq((1, "0012", "U"), (2, "0034", "U")).toDF("id", "batch", "op")
       .write.partitionBy("batch").mode("overwrite").parquet(loc)
-    writeMerge(loc, Seq((1, "0012", "U")).toDF("id", "batch", "op"))
+    writeMerge(loc, Seq((1, "12", "U")).toDF("id", "batch", "op"),
+      predicate = "current.id = new.id and current.batch = new.batch")
     val out = spark.read.parquet(loc)
     assert(out.count() == 2) // no duplicated logical partition, no lost rows
     assert(out.select("batch").distinct().count() == 2)

@@ -45,6 +45,26 @@ class MergeOpsSpec extends SparkSpec {
     assert(out.where("id = 4").count() == 1)
   }
 
+  test("cast guard is per-clause: a delete-destined row with an uncastable value merges fine") {
+    // Delta's store assignment casts at ASSIGNMENT, not per source row —
+    // a row the delete clause purges never materializes its values
+    // (io/writers/delta_merge_writer.py clause composition)
+    val tgt = Seq((1, 10), (2, 20)).toDF("id", "amount")
+    val src = Seq(("1", "N/A", "D"), ("3", "30", "I")).toDF("id", "amount", "op")
+    val out = MergeOps.mergeWithOptions(tgt.withColumn("op", lit("")), src, MergeOptions(
+      mergePredicate = "current.id = new.id",
+      deletePredicate = Some("new.op = 'D'")))
+    assert(out.where("id = 1").count() == 0) // deleted, guard never fired
+    assert(out.where("id = 3 AND amount = 30").count() == 1)
+    // the same value in an UPDATE-destined row must still fail loudly
+    val bad = Seq(("2", "N/A", "U")).toDF("id", "amount", "op")
+    val thrown = intercept[Exception] {
+      MergeOps.mergeWithOptions(tgt.withColumn("op", lit("")), bad, MergeOptions(
+        mergePredicate = "current.id = new.id")).count()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("insert column set: named columns take expressions, unnamed become null") {
     // reference whenNotMatchedInsert(values=...) semantics
     // (io/writers/delta_merge_writer.py:91-105, exercised by
