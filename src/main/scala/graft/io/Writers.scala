@@ -135,7 +135,7 @@ object Writers {
       // detection is a driver-side dir walk — the scoped path must never
       // pay Spark's O(all partitions) distributed discovery, that's the
       // cost it exists to avoid.
-      val discovered: Seq[String] = discoverLayout(fs, new Path(loc))
+      val discovered: Seq[String] = PartitionedRewrite.discoverLayout(fs, new Path(loc))
       if (discovered.nonEmpty &&
           (spec.partitions.isEmpty || spec.partitions == discovered) &&
           discovered.forall(source.columns.contains) &&
@@ -190,36 +190,15 @@ object Writers {
       .distinct().limit(cap + 1).collect()
     if (touched.isEmpty || touched.length > cap ||
         touched.exists(r => partCols.indices.exists(r.isNullAt))) return false
-    // Touched dir names are constructed from the VALUE TEXT; any value
-    // that would escape ('/', spaces, '%', '=') is rare enough that
-    // falling back beats reasoning about escaping mismatches.
+    // Touched dir names are constructed from the VALUE TEXT; unescapable
+    // values (or a live dir with a different spelling of a touched value)
+    // force fallback — see PartitionedRewrite.
     val touchedValues: Seq[Seq[String]] =
       touched.map(r => partCols.indices.map(i => String.valueOf(r.get(i))).toSeq).toSeq
-    if (touchedValues.exists(_.exists(v => escapePartitionValue(v) != v))) return false
-    val touchedNames: Seq[String] = touchedValues.map(vs =>
-      partCols.zip(vs).map { case (c, v) => s"$c=$v" }.mkString("/"))
-    // A live dir that is a DIFFERENT SPELLING of a touched value (e.g.
-    // `batch=0012` when the source says 12, or vice versa) would be
-    // shadowed by — or wrongly deleted beside — the canonical dir this
-    // path writes. Driver-side listing; untouched partitions with odd
-    // names are harmless, only touched-value collisions force fallback.
-    val live = listPartitionDirs(fs, new Path(loc), partCols.size)
-    def canon(name: String): String = name.split('/').map { seg =>
-      seg.split("=", 2) match {
-        case Array(c, v) =>
-          val cv = scala.util.Try(
-            BigDecimal(v).bigDecimal.stripTrailingZeros.toPlainString).getOrElse(v)
-          s"$c=$cv"
-        case _ => seg
-      }
-    }.mkString("/")
-    // grouped, not toMap: BOTH spellings of a dual-spelled live partition
-    // (batch=12 next to batch=0012) must register as a collision
-    val liveByCanon = live.groupBy(canon)
-    val collision = touchedNames.exists { t =>
-      liveByCanon.get(canon(t)).exists(g => g.size > 1 || g.head != t)
-    }
-    if (collision) return false
+    val touchedNames = PartitionedRewrite.touchedNames(partCols, touchedValues)
+      .getOrElse(return false)
+    val live = PartitionedRewrite.listPartitionDirs(fs, new Path(loc), partCols.size)
+    if (PartitionedRewrite.spellingCollision(live, touchedNames)) return false
     // Read ONLY the touched partition dirs (basePath keeps the partition
     // columns) — never Spark's O(all partitions) discovery of the table.
     val existingTouched = touchedNames.filter(live.contains)
@@ -232,72 +211,11 @@ object Writers {
         spark.read.format(mergeFmt).option("basePath", loc)
           .load(s"${loc.stripSuffix("/")}/${live.head}").limit(0)
     val merged = MergeOps.mergeWithOptions(targetSlice, source, opts)
-    val stage = new Path(loc.stripSuffix("/") + "__stage_parts")
-    fs.delete(stage, true)
-    merged.write.format(mergeFmt).options(spec.options)
-      .partitionBy(partCols: _*).mode("overwrite").save(stage.toString)
-    // explicit schema: partition-column types must NOT be re-inferred from
-    // dir names (a string date '0123' must stay a string), and the declared
-    // schema also restores the pre-partitionBy column order
-    val stageDf = spark.read.format(mergeFmt).schema(merged.schema).load(stage.toString)
-      .select(merged.columns.map(col).toSeq: _*)
-    // the write-level option is not honored on every Spark write path, so
-    // pin the session conf for the duration of the overwrite
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try stageDf.write.format(mergeFmt).options(spec.options)
-      .partitionBy(partCols: _*)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").save(loc)
-    finally prevMode match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
-    }
-    // touched partitions the merge emptied entirely: dynamic overwrite had
-    // no rows for them, so their stale dirs are still live — drop them.
-    // Merged values are source values cast to the slice's types, so their
-    // dir spellings match `touchedNames` (collision-checked above).
-    val surviving = listPartitionDirs(fs, stage, partCols.size)
-    touchedNames.foreach { rel =>
-      if (!surviving.contains(rel)) fs.delete(new Path(loc, rel), true)
-    }
-    fs.delete(stage, true)
+    // merged values are source values cast to the slice's types, so their
+    // dir spellings match `touchedNames` (collision-checked above)
+    PartitionedRewrite.overwriteTouched(
+      spark, merged, loc, partCols, touchedNames, mergeFmt, spec.options)
     true
-  }
-
-  /** Partition-column names read off the directory structure (first
-    * `c=v`-shaped chain), driver-side. Empty for unpartitioned layouts. */
-  private def discoverLayout(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
-    @scala.annotation.tailrec
-    def walk(p: Path, acc: Vector[String]): Vector[String] = {
-      val sub = fs.listStatus(p).find(s => s.isDirectory &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") &&
-        s.getPath.getName.contains("="))
-      sub match {
-        case Some(s) => walk(s.getPath, acc :+ s.getPath.getName.split("=", 2)(0))
-        case None => acc
-      }
-    }
-    if (!fs.exists(root)) Seq.empty else walk(root, Vector())
-  }
-
-  /** Relative `c1=v1/c2=v2` dir paths at exactly `depth` levels under
-    * `root`, skipping hidden (`_`/`.`) entries and anything not shaped
-    * like a partition dir (a stray `backup/` must neither crash the
-    * canon parse nor serve as the schema-sample dir). */
-  private def listPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, depth: Int): Set[String] = {
-    def walk(p: Path, level: Int): Seq[String] =
-      fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        .flatMap { s =>
-          if (level == depth) Seq(s.getPath.getName)
-          else walk(s.getPath, level + 1).map(child => s"${s.getPath.getName}/$child")
-        }
-    if (!fs.exists(root)) Set.empty
-    else walk(root, 1).toSet
   }
 
   /** True when `predicate` is a pure AND-conjunction containing an
@@ -317,17 +235,6 @@ object Writers {
       }
     }
   }
-
-  /** Hive-style partition-value escaping (the same characters Spark's
-    * catalog escapes), so constructed dir names line up with what
-    * `partitionBy` wrote for plain values; exotic values that escape
-    * differently only make the stale-dir delete a no-op, never wrong. */
-  private def escapePartitionValue(v: String): String =
-    v.flatMap { c =>
-      if (c >= 'a' && c <= 'z' || c >= 'A' && c <= 'Z' || c >= '0' && c <= '9' ||
-        "_-.".contains(c)) c.toString
-      else f"%%${c.toInt}%02X"
-    }
 
   // ---- streaming --------------------------------------------------------
 

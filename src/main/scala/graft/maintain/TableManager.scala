@@ -2,6 +2,7 @@ package graft.maintain
 
 import graft.algo.FileCompaction
 import graft.util.SqlSplitter
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table DDL / maintenance operations.
@@ -48,13 +49,56 @@ final class TableManager(spark: SparkSession) {
   def repairTable(table: String): Unit =
     spark.sql(s"MSCK REPAIR TABLE $table")
 
-  /** DELETE FROM ... WHERE for parquet locations: filtered rewrite with
-    * staged swap (no transaction log in this build). */
+  /** DELETE FROM ... WHERE for parquet locations (no transaction log in
+    * this build). Partitioned layouts are PARTITION-SCOPED: only the
+    * partitions holding matching rows are rewritten (via
+    * [[graft.io.PartitionedRewrite]]); when the condition constrains the
+    * partition columns, even the touched-partition DISCOVERY scan is
+    * partition-pruned — a retention delete on a date-partitioned 100 TB
+    * table reads and writes only the expiring dates. Unpartitioned (or
+    * guard-rejected) layouts take the full filtered rewrite with a
+    * staged swap, which now preserves the partition layout it reads. */
   def deleteWhere(location: String, condition: String): Unit = {
+    import graft.io.PartitionedRewrite
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(location).getFileSystem(conf)
+    val partCols = PartitionedRewrite.discoverLayout(fs, new Path(location))
+    if (partCols.nonEmpty && scopedDelete(location, condition, partCols)) return
     val df = spark.read.parquet(location).where(s"NOT ($condition)")
     val stage = location.stripSuffix("/") + "__delete"
-    df.write.mode("overwrite").parquet(stage)
-    graft.io.StagedSwap.commit(spark.sparkContext.hadoopConfiguration, location, stage)
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(stage)
+    graft.io.StagedSwap.commit(conf, location, stage)
+  }
+
+  /** Scoped delete: find the partitions holding matching rows (pruned
+    * scan when the condition allows), rewrite only those with the
+    * survivors. False -> caller falls back to the full rewrite. */
+  private def scopedDelete(
+      location: String, condition: String, partCols: Seq[String]): Boolean = {
+    import graft.io.PartitionedRewrite
+    val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cap = 10000
+    val table = spark.read.parquet(location)
+    val touched = table.where(condition)
+      .select(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().limit(cap + 1).collect()
+    if (touched.isEmpty) return true // nothing matches: delete is a no-op
+    if (touched.length > cap ||
+        touched.exists(r => partCols.indices.exists(r.isNullAt))) return false
+    val values = touched.map(r =>
+      partCols.indices.map(i => String.valueOf(r.get(i))).toSeq).toSeq
+    val names = PartitionedRewrite.touchedNames(partCols, values)
+      .getOrElse(return false)
+    val live = PartitionedRewrite.listPartitionDirs(fs, new Path(location), partCols.size)
+    if (PartitionedRewrite.spellingCollision(live, names)) return false
+    val existing = names.filter(live.contains)
+    if (existing.isEmpty) return true
+    val slice = spark.read.option("basePath", location)
+      .parquet(existing.map(n => s"${location.stripSuffix("/")}/$n"): _*)
+    PartitionedRewrite.overwriteTouched(spark, slice.where(s"NOT ($condition)"),
+      location, partCols, existing, "parquet", Map.empty)
+    true
   }
 
   /** OPTIMIZE analogue: compact a parquet location's small files. */
