@@ -109,6 +109,8 @@ object MergeOps {
       insertSet: Map[String, Column] = Map.empty): DataFrame = {
     val dataCols = target.columns.toSeq
     val t = target.select(struct(dataCols.map(col): _*).as("t"))
+      // per-target-row identity for the multiple-match guard below
+      .withColumn("__tid", monotonically_increasing_id())
     // the target schema is authoritative: source columns are cast to the
     // target's types, as Delta MERGE does under the default ANSI
     // storeAssignmentPolicy. Delta's ANSI store assignment FAILS on
@@ -144,15 +146,61 @@ object MergeOps {
         else if (condRefs.contains(c)) guardedCast(col(c), c).as(c)
         else col(c).as(c)
       }: _*).as("s"))
+      // per-source-row identity: spreads the guard window for unmatched
+      // rows (see below); negative so it never collides with a __tid
+      .withColumn("__sid", -monotonically_increasing_id() - 1)
     // target-typed view of the source row, for the branches that assign it
     def sCast = struct(dataCols.map { c =>
       if (eagerlyCast(c)) col(s"s.$c").as(c)
       else guardedCast(col(s"s.$c"), c).as(c)
     }: _*)
-    val joined = t.join(s, condition, "full_outer")
+
+    // insert_column_set: named columns take their expression (cast to the
+    // target type, as Delta's store assignment would), unnamed columns are
+    // NULL — not the source value
+    val insertedStruct =
+      if (insertSet.isEmpty) sCast
+      else struct(dataCols.map { c =>
+        insertSet.get(c).map(_.cast(targetTypes(c)))
+          .getOrElse(lit(null).cast(targetTypes(c))).as(c)
+      }: _*)
+
+    if (insertOnly) {
+      // WHEN NOT MATCHED ... INSERT only: the target passes through
+      // untouched (no shuffle, no join) and only the source is anti-joined
+      // against it. This also makes multi-match trivially sound — a target
+      // row matched by N source rows is emitted exactly once, where the
+      // full-outer formulation would emit it once per matched pair.
+      val anti = s.join(t.select(col("t")), condition, "left_anti")
+      val filtered = insertCondition.fold(anti)(anti.where)
+      return target.unionAll(
+        filtered.select(insertedStruct.as("r")).select(col("r.*")))
+    }
+
+    val joinedRaw = t.join(s, condition, "full_outer")
 
     val matched = col("t").isNotNull && col("s").isNotNull
     val sourceOnly = col("t").isNull && col("s").isNotNull
+
+    // Multiple-match guard, mirroring Delta MERGE's runtime contract
+    // (DeltaErrors.multipleSourceRowMatchingTargetRowInMergeException,
+    // surfaced by the reference through `delta_merge_writer.py:110-139`):
+    // a target row matched by more than one source row is non-deterministic
+    // to update/delete, so the merge FAILS — except when the merge is an
+    // unconditional delete (Delta's special case: deleting the same row
+    // twice is idempotent). Implemented as a count over a window keyed by
+    // the target-row id; unmatched rows get their own singleton partitions
+    // (coalesce with the unique negative __sid), so the window introduces
+    // no skew. Cost: one extra shuffle of the joined set, the same price
+    // Delta pays in its touched-file/multiple-match detection join.
+    val unconditionalDelete =
+      deleteCondition.exists(org.apache.spark.sql.graft.ColumnRefs.isTrueLiteral)
+    val joined =
+      if (unconditionalDelete) joinedRaw.withColumn("__n", lit(1L))
+      else joinedRaw.withColumn("__n",
+        count(when(matched, lit(1))).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(coalesce(col("__tid"), col("__sid")))))
 
     val updatedStruct =
       if (updateSet.isEmpty) sCast
@@ -169,18 +217,12 @@ object MergeOps {
       }
     }
 
-    // insert_column_set: named columns take their expression (cast to the
-    // target type, as Delta's store assignment would), unnamed columns are
-    // NULL — not the source value
-    val insertedStruct =
-      if (insertSet.isEmpty) sCast
-      else struct(dataCols.map { c =>
-        insertSet.get(c).map(_.cast(targetTypes(c)))
-          .getOrElse(lit(null).cast(targetTypes(c))).as(c)
-      }: _*)
-
-    val keep = when(matched && !insertOnly, matchedResult)
-      .when(matched && insertOnly, col("t"))
+    val keep = when(matched && col("__n") > 1, raise_error(concat(
+        lit("merge: "), col("__n").cast("string"),
+        lit(" source rows matched the same target row; matched clauses" +
+          " cannot be applied deterministically (Delta MERGE" +
+          " multiple-source-row-match contract)"))))
+      .when(matched, matchedResult)
       .when(sourceOnly,
         insertCondition match {
           case Some(i) => when(i, insertedStruct).otherwise(lit(null))

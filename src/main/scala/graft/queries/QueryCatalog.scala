@@ -29,9 +29,28 @@ object QueryCatalog {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts arrives as parquet TIMESTAMP(NANOS) which Spark surfaces as
-    * a nanosecond long (nanosAsLong) and DuckDB as TIMESTAMP_NS. */
-  private val tsNsToMicros = "timestamp_micros(ts div 1000)"
+  /** events.ts has shipped in two testdata vintages: parquet
+    * TIMESTAMP(NANOS) — which Spark surfaces as a nanosecond long under
+    * `nanosAsLong` — and parquet timestamp[us] without timezone — which
+    * Spark surfaces as TIMESTAMP_NTZ. DuckDB reads either as a timestamp,
+    * so its `epoch_ns`/`epoch_us` oracles are vintage-agnostic; only the
+    * Spark side needs normalizing. This helper inspects the live schema
+    * and yields epoch **micros** as a BIGINT column either way (the
+    * session timezone is pinned to UTC in [[graft.exec.ExecEnv]], so the
+    * NTZ→timestamp cast is the identity on the wall clock). */
+  private def tsMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
+
+  /** Same normalization, surfaced as a TimestampType column. */
+  private def tsAsTimestamp(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$c div 1000"))
+      case _ => col(c).cast("timestamp")
+    }
 
   // ---------------------------------------------------------------------
   // Relational core (reference §2.3–2.6 transformer/join/agg surface)
@@ -1059,11 +1078,15 @@ object QueryCatalog {
 
   private val q41 = QueryDef(
     "q41_event_hourly",
-    (s, dir) => T(s, dir, "events")
-      .groupBy((col("ts") / lit(3600000000000L)).cast("long").as("hour_bucket"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
-      .orderBy(col("hour_bucket"), col("event_type")),
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      // epoch_ns // 3.6e12 == epoch_us // 3.6e9 exactly (both sides of the
+      // floor division scale by 1000), so the nanos oracle needs no change.
+      ev.withColumn("ts_us", tsMicros(ev))
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    },
     Some("""
       SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
              count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -1352,15 +1375,17 @@ object QueryCatalog {
 
   private val q55 = QueryDef(
     "q55_sessionize",
-    (s, dir) => T(s, dir, "events")
-      .withColumn("t", expr(tsNsToMicros))
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      ev.withColumn("t", tsAsTimestamp(ev))
       .groupBy(session_window(col("t"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
       .select(col("user_id"),
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         col("n_events"), col("total_value"))
-      .orderBy(col("user_id"), col("session_start")),
+      .orderBy(col("user_id"), col("session_start"))
+    },
     Some("""
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
       marked AS (
@@ -1491,13 +1516,18 @@ object QueryCatalog {
     * in the events table, so the winner is deterministic. */
   private val q61 = QueryDef(
     "q61_stateful_condense",
-    // DuckDB truncates parquet TIMESTAMP(NANOS) to micros, so the emitted
-    // ts is micro-normalized on both sides ((user_id, micro-ts) is still
-    // unique, so the per-key winner is identical).
-    (s, dir) => graft.streaming.StatefulCondense
-      .latestPerKey(T(s, dir, "events"), Seq("user_id"), "ts")
-      .withColumn("ts", expr("(ts div 1000) * 1000"))
-      .orderBy(col("user_id")),
+    // The oracle emits epoch-nanos (`epoch_ns`), so the Spark side emits
+    // micros*1000 regardless of vintage: under the nanos-long vintage that
+    // micro-truncates (DuckDB truncates parquet TIMESTAMP(NANOS) to micros
+    // too, and (user_id, micro-ts) stays unique so the per-key winner is
+    // identical); under the timestamp[us] vintage it is exact.
+    (s, dir) => {
+      val latest = graft.streaming.StatefulCondense
+        .latestPerKey(T(s, dir, "events"), Seq("user_id"), "ts")
+      latest
+        .withColumn("ts", tsMicros(latest) * lit(1000L))
+        .orderBy(col("user_id"))
+    },
     Some("""
       SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props
       FROM events
@@ -1528,8 +1558,9 @@ object QueryCatalog {
   private val q63 = QueryDef(
     "q63_asof_join",
     (s, dir) => {
-      val ev = T(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val evRaw = T(s, dir, "events")
+      val ev = evRaw
+        .withColumn("ts_us", tsMicros(evRaw))
         .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("ts_us").as("click_ts"),

@@ -24,9 +24,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulCondense {
 
+  /** to_json's default timestamp formats are milli-precision; CDC versions
+    * are micro-precision, so the state round-trip must carry micros or
+    * re-emitted records silently lose them. */
+  private val jsonTsOpts: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
   /** @param df        streaming (or batch) DataFrame of change records
     * @param keys      primary-key columns
-    * @param versionCol monotone version/timestamp column (castable to long)
+    * @param versionCol monotone version/timestamp column — a numeric
+    *                   (cast to long) or a timestamp / timestamp_ntz
+    *                   (compared at micro precision), covering both
+    *                   LSN-style and commit-timestamp-style CDC versions
     * @return stream of (key-changed) latest records, schema = df's schema;
     *         run with OutputMode.Update
     */
@@ -34,10 +44,16 @@ object StatefulCondense {
     val spark = df.sparkSession
     import spark.implicits._
     val schema = df.schema
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val versionAsLong = df.schema(versionCol).dataType match {
+      case TimestampType => unix_micros(col(versionCol))
+      case TimestampNTZType => unix_micros(col(versionCol).cast(TimestampType))
+      case _ => col(versionCol).cast("long")
+    }
     val keyed = df.select(
         concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*).as("k"),
-        to_json(struct(df.columns.map(col): _*)).as("j"),
-        col(versionCol).cast("long").as("v"))
+        to_json(struct(df.columns.map(col): _*), jsonTsOpts).as("j"),
+        versionAsLong.as("v"))
       .as[(String, String, Long)]
 
     val updated = keyed
@@ -59,6 +75,6 @@ object StatefulCondense {
           } else Iterator.empty
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING), Encoders.STRING)
 
-    updated.select(from_json(col("value"), schema).as("r")).select("r.*")
+    updated.select(from_json(col("value"), schema, jsonTsOpts).as("r")).select("r.*")
   }
 }

@@ -10,4 +10,12 @@ object ColumnRefs {
     * sides of a join condition — names only, no qualifiers). */
   def names(c: Column): Set[String] =
     ExpressionUtils.expression(c).references.map(_.name).toSet
+
+  /** Whether the column is the literal TRUE (an unconditional predicate).
+    * Matched on the Column's node (Spark 4 Columns carry a lazily-analyzed
+    * ColumnNode; the Catalyst expression is not evaluable pre-analysis). */
+  def isTrueLiteral(c: Column): Boolean = c.node match {
+    case l: org.apache.spark.sql.internal.Literal => l.value == true
+    case _ => false
+  }
 }

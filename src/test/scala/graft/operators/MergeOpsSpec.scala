@@ -143,4 +143,60 @@ class MergeOpsSpec extends SparkSpec {
     assert(spark.read.parquet(loc).as[(Int, String)].collect().toMap ==
       Map(1 -> "a", 2 -> "B", 3 -> "c"))
   }
+
+  // --- multiple-source-row match contract (Delta MERGE runtime semantics,
+  // surfaced by the reference through delta_merge_writer.py:110-139): a
+  // target row matched by >1 source rows cannot be updated/deleted
+  // deterministically → the merge must FAIL, not silently duplicate the
+  // target row — except insert-only merges and the unconditional-delete
+  // special case (idempotent).
+
+  private def dupSource = Seq(
+    (2, "b2", 25.0, "O"), (2, "b3", 26.0, "O"), (4, "d", 40.0, "O"))
+    .toDF("id", "name", "amount", "status")
+
+  test("multi-match update raises (Delta multiple-source-row contract)") {
+    val thrown = intercept[Exception] {
+      MergeOps.merge(target, dupSource, Seq("id")).count()
+    }
+    assert(thrown.getMessage.contains("source rows matched the same target row"))
+  }
+
+  test("multi-match with a conditional delete raises even when the condition never fires") {
+    // Delta raises on the multiplicity itself, not on clause applicability
+    val thrown = intercept[Exception] {
+      MergeOps.merge(target, dupSource, Seq("id"),
+        deleteCondition = Some(col("s.status") === "F")).count()
+    }
+    assert(thrown.getMessage.contains("source rows matched the same target row"))
+  }
+
+  test("multi-match unconditional delete is allowed and deletes once") {
+    val out = MergeOps.merge(target, dupSource, Seq("id"),
+      deleteCondition = Some(lit(true)))
+    // id=2 deleted (twice, idempotently); unmatched target rows kept;
+    // id=4 inserted
+    assert(out.where("id = 2").count() == 0)
+    assert(out.where("id IN (1, 3)").count() == 2)
+    assert(out.where("id = 4").count() == 1)
+  }
+
+  test("multi-match insert_only emits the matched target row exactly once") {
+    val out = MergeOps.merge(target, dupSource, Seq("id"), insertOnly = true)
+    assert(out.where("id = 2").count() == 1) // not duplicated per matched pair
+    assert(out.where("id = 2 AND name = 'b'").count() == 1) // and unmodified
+    assert(out.where("id = 4").count() == 1)
+    assert(out.count() == 4)
+  }
+
+  test("a source row matching two target rows is not a multi-match error") {
+    // the contract is per-TARGET-row multiplicity; one source row updating
+    // two target rows is legal MERGE (both get the update)
+    val tgt = Seq((1, "x", "a"), (1, "y", "b")).toDF("id", "sub", "v")
+    val src = Seq((1, "Z")).toDF("id", "v")
+    val out = MergeOps.mergeWithCondition(tgt, src.withColumn("sub", lit("")),
+      col("t.id") === col("s.id"),
+      updateSet = Map("v" -> col("s.v")))
+    assert(out.where("v = 'Z'").count() == 2)
+  }
 }
