@@ -135,14 +135,31 @@ object Writers {
       // detection is a driver-side dir walk — the scoped path must never
       // pay Spark's O(all partitions) distributed discovery, that's the
       // cost it exists to avoid.
+      // Schema auto-merge honors the same session conf the reference's
+      // schema-evolution acons set (Delta OSS conf name; exec_env applies
+      // it via DataLoader). Evolution forces the full-rewrite path: the
+      // scoped path would leave un-touched partitions on the old schema.
+      val autoMerge = spark.conf
+        .getOption("spark.databricks.delta.schema.autoMerge.enabled")
+        .exists(_.trim.equalsIgnoreCase("true"))
+      def schemasAgree: Boolean = {
+        val tCols = spark.read.format(mergeFmt).load(loc).columns
+          .map(_.toLowerCase).toSet
+        source.columns.forall(c => tCols(c.toLowerCase)) &&
+          tCols.size == source.columns.size
+      }
+      val evolving = autoMerge && !schemasAgree
       val discovered: Seq[String] = PartitionedRewrite.discoverLayout(fs, new Path(loc))
-      if (discovered.nonEmpty &&
+      if (!evolving && discovered.nonEmpty &&
           (spec.partitions.isEmpty || spec.partitions == discovered) &&
           discovered.forall(source.columns.contains) &&
           partitionScopedMerge(spark, spec, source, opts, mergeFmt, loc, discovered))
         return
       val target = spark.read.format(mergeFmt).load(loc)
-      val merged = MergeOps.mergeWithOptions(target, source, opts)
+      val (t2, s2, opts2) =
+        if (autoMerge) MergeOps.evolveForAutoMerge(target, source, opts)
+        else (target, source, opts)
+      val merged = MergeOps.mergeWithOptions(t2, s2, opts2)
       val stage = loc.stripSuffix("/") + "__stage"
       val w = merged.write.format(mergeFmt)
         .options(spec.options).mode("overwrite")

@@ -53,6 +53,50 @@ object MergeOps {
       insertSet = opts.insertColumnSet.map { case (c, e) => c -> tr(e) })
   }
 
+  /** Delta schema auto-merge (`spark.databricks.delta.schema.autoMerge
+    * .enabled`, the conf the reference's schema-evolution acons set —
+    * `tests/feature/test_schema_evolution.py`): align target and source
+    * schemas before the merge.
+    *
+    *   - columns only in the SOURCE are appended to the target schema
+    *     (pre-existing target rows read NULL for them);
+    *   - columns only in the TARGET are kept — inserted rows read NULL,
+    *     and an update-all (`UPDATE SET *`) keeps the target's value for
+    *     them rather than nulling it out;
+    *   - explicit update/insert column sets are left untouched (they name
+    *     their assignments, evolution only widens the schema).
+    *
+    * Returns the merge inputs unchanged when the column sets already
+    * agree (case-insensitive, matching Spark's default resolution).
+    * Without auto-merge the engine keeps Delta's strict behavior: extra
+    * source columns are silently ignored and a missing source column
+    * fails the merge's analysis. */
+  def evolveForAutoMerge(
+      target: DataFrame,
+      source: DataFrame,
+      opts: MergeOptions): (DataFrame, DataFrame, MergeOptions) = {
+    val tSet = target.columns.map(_.toLowerCase).toSet
+    val sSet = source.columns.map(_.toLowerCase).toSet
+    val added = source.columns.toSeq.filterNot(c => tSet(c.toLowerCase))
+    val removed = target.columns.toSeq.filterNot(c => sSet(c.toLowerCase))
+    if (added.isEmpty && removed.isEmpty) (target, source, opts)
+    else {
+      val target2 = added.foldLeft(target)((d, c) =>
+        d.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+      val source2 = removed.foldLeft(source)((d, c) =>
+        d.withColumn(c, lit(null).cast(target.schema(c).dataType)))
+      val opts2 =
+        if (removed.isEmpty || opts.insertOnly || opts.updateColumnSet.nonEmpty) opts
+        else {
+          // key by the TARGET's casing (updateSet lookups are exact-match)
+          val tByLower = target.columns.map(c => c.toLowerCase -> c).toMap
+          opts.copy(updateColumnSet = source.columns.toSeq
+            .map(c => tByLower.getOrElse(c.toLowerCase, c) -> s"new.$c").toMap)
+        }
+      (target2, source2, opts2)
+    }
+  }
+
   /** Rewrite `current.x` / `new.x` references to the internal `t`/`s`
     * struct aliases. Quote-aware: occurrences inside single/double-quoted
     * string literals or backquoted identifiers (e.g. `status = 'new.pending'`)

@@ -402,6 +402,52 @@ class AlgorithmsSpec extends SparkSpec {
     assert(srcs == Seq(Heartbeat.Source("hb9", s"$base/up1", jobId = "job-9")))
   }
 
+  test("sensor→heartbeat e2e: a landing file flips the streaming sensor and triggers exactly once") {
+    // the reference's actual operating loop (`algorithms/sensor.py:90-108`
+    // + `sensors/heartbeat.py:42-832`): files LAND in an upstream
+    // location; the heartbeat sweep reads it as a stream (checkpointed,
+    // so each sweep sees only files that arrived since the last one),
+    // flips the sensor control row, and fires the downstream job trigger.
+    val base = tmpDir("hb-e2e")
+    val up = s"$base/upstream"
+    Files.createDirectories(Paths.get(up))
+    val src = Heartbeat.Source("lnd1", up, dataFormat = "csv",
+      readType = "streaming", schema = Some("id INT, v STRING"),
+      jobId = "job-lnd")
+    val triggered = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val trig: Heartbeat.JobTrigger =
+      (jobId: String, sensorId: String) => triggered += (jobId -> sensorId)
+    val ctl = s"$base/control"
+
+    // sweep 1: upstream is empty — no acquisition, no trigger
+    val r1 = Heartbeat.run(spark, ctl, Seq(src), trig)
+    assert(r1 == Seq(Heartbeat.Result("lnd1", acquiredNewData = false, None)))
+    assert(triggered.isEmpty)
+
+    // a file lands → sweep 2 acquires and fires the job
+    Files.writeString(Paths.get(s"$up/batch1.csv"), "1,a\n2,b\n")
+    val r2 = Heartbeat.run(spark, ctl, Seq(src), trig)
+    assert(r2 == Seq(Heartbeat.Result("lnd1", acquiredNewData = true, Some("job-lnd"))))
+    assert(triggered.toSeq == Seq("job-lnd" -> "lnd1"))
+    val sensor = new Sensor(spark, ctl)
+    assert(sensor.status("lnd1").contains(Sensor.Acquired))
+
+    // downstream consumed; sweep 3 sees the SAME file — checkpointed
+    // stream yields nothing new, job must NOT re-fire
+    sensor.markProcessed("lnd1")
+    val r3 = Heartbeat.run(spark, ctl, Seq(src), trig)
+    assert(r3 == Seq(Heartbeat.Result("lnd1", acquiredNewData = false, None)))
+    assert(triggered.size == 1)
+    assert(sensor.status("lnd1").contains(Sensor.Processed))
+
+    // a second file lands → sweep 4 re-acquires and re-fires
+    Files.writeString(Paths.get(s"$up/batch2.csv"), "3,c\n")
+    val r4 = Heartbeat.run(spark, ctl, Seq(src), trig)
+    assert(r4 == Seq(Heartbeat.Result("lnd1", acquiredNewData = true, Some("job-lnd"))))
+    assert(triggered.toSeq == Seq("job-lnd" -> "lnd1", "job-lnd" -> "lnd1"))
+    assert(sensor.status("lnd1").contains(Sensor.Acquired))
+  }
+
   test("reconciliator thresholds: green within, raises on red") {
     val truth = Seq(("A", 100.0), ("B", 50.0)).toDF("k", "m")
     val current = Seq(("A", 99.0), ("B", 50.0)).toDF("k", "m")

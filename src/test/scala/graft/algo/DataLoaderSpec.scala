@@ -182,6 +182,89 @@ class DataLoaderSpec extends SparkSpec {
     assert(evolved.where("id = 2 AND score = 9.5").count() == 1)
   }
 
+  test("schema evolution on merge loads: the reference autoMerge scenario matrix") {
+    // Golden port of `tests/feature/test_schema_evolution.py` (delta-load
+    // family): the acon's exec_env sets the Delta OSS conf
+    // `spark.databricks.delta.schema.autoMerge.enabled` and the merge
+    // writer evolves — or refuses to evolve — the target schema.
+    import spark.implicits._
+
+    def acon(out: String, dfName: String, autoMerge: Boolean) =
+      s"""{
+         |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "$dfName"}],
+         |  "output_specs": [{
+         |    "spec_id": "tgt", "input_id": "src", "write_type": "merge",
+         |    "data_format": "parquet", "location": "$out",
+         |    "merge_opts": {"merge_predicate": "current.id = new.id"}
+         |  }],
+         |  "exec_env": {"spark.databricks.delta.schema.autoMerge.enabled": "$autoMerge"}
+         |}""".stripMargin
+    val init = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "name", "amount")
+
+    try {
+      // enabled + ADD column: column appended; pre-existing rows null;
+      // matched row takes the new value
+      val outAdd = tmpDir("dl-evo-add") + "/t"
+      DataLoader.loadData(spark, acon(outAdd, "init", autoMerge = true),
+        dfs = Map("init" -> init))
+      DataLoader.loadData(spark, acon(outAdd, "d", autoMerge = true),
+        dfs = Map("d" -> Seq((2, "b2", 25.0, "EU"), (3, "c", 30.0, "US"))
+          .toDF("id", "name", "amount", "region")))
+      val add = spark.read.parquet(outAdd)
+      assert(add.columns.toSet == Set("id", "name", "amount", "region"))
+      assertSameRows(add, Seq(
+        (1, "a", 10.0, null.asInstanceOf[String]), (2, "b2", 25.0, "EU"), (3, "c", 30.0, "US"))
+        .toDF("id", "name", "amount", "region"))
+
+      // disabled + ADD column: merge succeeds, the new column is IGNORED
+      val outAdd2 = tmpDir("dl-evo-add2") + "/t"
+      DataLoader.loadData(spark, acon(outAdd2, "init", autoMerge = false),
+        dfs = Map("init" -> init))
+      DataLoader.loadData(spark, acon(outAdd2, "d", autoMerge = false),
+        dfs = Map("d" -> Seq((2, "b2", 25.0, "EU")).toDF("id", "name", "amount", "region")))
+      val add2 = spark.read.parquet(outAdd2)
+      assert(add2.columns.toSet == Set("id", "name", "amount"))
+      assert(add2.where("id = 2 AND name = 'b2' AND amount = 25.0").count() == 1)
+
+      // enabled + REMOVE column: column kept; UPDATED row keeps its target
+      // value; INSERTED row reads null
+      val outRm = tmpDir("dl-evo-rm") + "/t"
+      DataLoader.loadData(spark, acon(outRm, "init", autoMerge = true),
+        dfs = Map("init" -> init))
+      DataLoader.loadData(spark, acon(outRm, "d", autoMerge = true),
+        dfs = Map("d" -> Seq((2, 29.0), (3, 30.0)).toDF("id", "amount")))
+      val rm = spark.read.parquet(outRm)
+      assert(rm.columns.toSet == Set("id", "name", "amount"))
+      assertSameRows(rm, Seq(
+        (1, "a", 10.0), (2, "b", 29.0), (3, null.asInstanceOf[String], 30.0))
+        .toDF("id", "name", "amount"))
+
+      // disabled + REMOVE column: the merge FAILS (reference
+      // auto_merge_disabled_remove_column expects an analysis error
+      // naming the missing column)
+      val outRm2 = tmpDir("dl-evo-rm2") + "/t"
+      DataLoader.loadData(spark, acon(outRm2, "init", autoMerge = false),
+        dfs = Map("init" -> init))
+      val thrown = intercept[Exception] {
+        DataLoader.loadData(spark, acon(outRm2, "d", autoMerge = false),
+          dfs = Map("d" -> Seq((2, 29.0)).toDF("id", "amount")))
+      }
+      assert(thrown.getMessage.toLowerCase.contains("name"))
+
+      // enabled + CAST column (int source for a double target): merge
+      // succeeds, the target type does NOT change
+      val outCast = tmpDir("dl-evo-cast") + "/t"
+      DataLoader.loadData(spark, acon(outCast, "init", autoMerge = true),
+        dfs = Map("init" -> init))
+      DataLoader.loadData(spark, acon(outCast, "d", autoMerge = true),
+        dfs = Map("d" -> Seq((2, "b2", 99)).toDF("id", "name", "amount")))
+      val cast = spark.read.parquet(outCast)
+      assert(cast.schema("amount").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(cast.where("id = 2 AND amount = 99.0").count() == 1)
+    } finally spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
+  }
+
   test("dq spec: failing expectation raises; tagging adds dq_validations") {
     import spark.implicits._
     val df = Seq((1, "x"), (2, null.asInstanceOf[String]), (3, "z")).toDF("id", "name")
