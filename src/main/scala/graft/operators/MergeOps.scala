@@ -37,7 +37,7 @@ object MergeOps {
     mergeWithCondition(target, source,
       keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _),
       updateCondition, updateSet, deleteCondition, insertCondition, insertOnly,
-      insertSet)
+      insertSet, equiKeys = Some(keys.map(_ -> true)))
 
   /** MERGE from a declarative [[MergeOptions]] spec whose predicates use
     * the reference's `current.` / `new.` aliases. */
@@ -50,7 +50,31 @@ object MergeOps {
       deleteCondition = opts.deletePredicate.map(tr),
       insertCondition = opts.insertPredicate.map(tr),
       insertOnly = opts.insertOnly,
-      insertSet = opts.insertColumnSet.map { case (c, e) => c -> tr(e) })
+      insertSet = opts.insertColumnSet.map { case (c, e) => c -> tr(e) },
+      equiKeys = equiKeysOf(opts.mergePredicate))
+  }
+
+  /** When the merge predicate is PURELY a conjunction of same-column
+    * equalities (`current.k = new.k` / `<=>`, either order), the key list
+    * with each key's null-safety — the common CDC-upsert shape, which
+    * lets the multiple-match guard run on the source side instead of the
+    * joined set (see [[mergeWithCondition]]). Any OR, theta conjunct, or
+    * cross-column equality yields None (guard falls back to the general
+    * path). */
+  private[operators] def equiKeysOf(predicate: String): Option[Seq[(String, Boolean)]] = {
+    val p = predicate.toLowerCase(java.util.Locale.ROOT)
+    if (p.matches("(?s).*\\bor\\b.*")) return None
+    val conjuncts = p.split("\\band\\b").map(_.trim.stripPrefix("(").stripSuffix(")").trim)
+    val ident = "([a-z_][a-z0-9_]*)"
+    val fwd = s"current\\.$ident\\s*(=|<=>)\\s*new\\.$ident".r
+    val rev = s"new\\.$ident\\s*(=|<=>)\\s*current\\.$ident".r
+    val keys = conjuncts.toSeq.map {
+      case fwd(a, op, b) if a == b => Some(a -> (op == "<=>"))
+      case rev(a, op, b) if a == b => Some(a -> (op == "<=>"))
+      case _ => None
+    }
+    if (keys.forall(_.isDefined) && keys.nonEmpty) Some(keys.flatten.distinctBy(_._1))
+    else None
   }
 
   /** Delta schema auto-merge (`spark.databricks.delta.schema.autoMerge
@@ -150,7 +174,8 @@ object MergeOps {
       deleteCondition: Option[Column] = None,
       insertCondition: Option[Column] = None,
       insertOnly: Boolean = false,
-      insertSet: Map[String, Column] = Map.empty): DataFrame = {
+      insertSet: Map[String, Column] = Map.empty,
+      equiKeys: Option[Seq[(String, Boolean)]] = None): DataFrame = {
     val dataCols = target.columns.toSeq
     val t = target.select(struct(dataCols.map(col): _*).as("t"))
       // per-target-row identity for the multiple-match guard below
@@ -221,8 +246,6 @@ object MergeOps {
         filtered.select(insertedStruct.as("r")).select(col("r.*")))
     }
 
-    val joinedRaw = t.join(s, condition, "full_outer")
-
     val matched = col("t").isNotNull && col("s").isNotNull
     val sourceOnly = col("t").isNull && col("s").isNotNull
 
@@ -232,19 +255,53 @@ object MergeOps {
     // a target row matched by more than one source row is non-deterministic
     // to update/delete, so the merge FAILS — except when the merge is an
     // unconditional delete (Delta's special case: deleting the same row
-    // twice is idempotent). Implemented as a count over a window keyed by
-    // the target-row id; unmatched rows get their own singleton partitions
-    // (coalesce with the unique negative __sid), so the window introduces
-    // no skew. Cost: one extra shuffle of the joined set, the same price
-    // Delta pays in its touched-file/multiple-match detection join.
+    // twice is idempotent).
+    //
+    // Cost model, in order:
+    //  - pure equi-key merge (the CDC-upsert hot path): per-key source
+    //    multiplicity IS the per-target-row match count, so `__n` is a
+    //    window over the SOURCE ONLY — the guard's extra shuffle moves
+    //    just the source (the small delta in a CDC merge), never the
+    //    target. (The window partitions by the SMJ's own key rewrite so
+    //    the exchange COULD be shared, but Spark pre-projects window
+    //    partition expressions into `_w` aliases, which hides the
+    //    equivalence from EnsureRequirements — hence source-shuffle
+    //    cost, not zero.)
+    //  - general theta condition: a count over the joined set keyed by
+    //    the target-row id (unmatched rows get singleton partitions via
+    //    the unique negative __sid — no skew). One extra shuffle of the
+    //    joined set (target + source), the price Delta pays in its own
+    //    multiple-match detection join.
     val unconditionalDelete =
       deleteCondition.exists(org.apache.spark.sql.graft.ColumnRefs.isTrueLiteral)
-    val joined =
-      if (unconditionalDelete) joinedRaw.withColumn("__n", lit(1L))
-      else joinedRaw.withColumn("__n",
-        count(when(matched, lit(1))).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(coalesce(col("__tid"), col("__sid")))))
+    val targetTypeCI = target.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    // Partition the source-side window by the SAME expressions the SMJ's
+    // key extraction produces — plain `s.k` for `=`, the
+    // `(coalesce(s.k, default), isnull(s.k))` rewrite for `<=>` — so the
+    // window's exchange IS the join's exchange. None when a key's type
+    // has no default literal or the key is unknown (fall back to the
+    // joined-set window).
+    def equiPartExprs(keys: Seq[(String, Boolean)]): Option[Seq[Column]] =
+      scala.util.Try(keys.flatMap { case (k, nullSafe) =>
+        if (nullSafe) Seq(
+          coalesce(col(s"s.$k"), org.apache.spark.sql.graft.ColumnRefs
+            .defaultLiteral(targetTypeCI(k.toLowerCase))),
+          isnull(col(s"s.$k")))
+        else Seq(col(s"s.$k"))
+      }).toOption
+    val joined = (equiKeys.flatMap(equiPartExprs), unconditionalDelete) match {
+      case (_, true) =>
+        t.join(s, condition, "full_outer").withColumn("__n", lit(1L))
+      case (Some(partExprs), _) =>
+        val sw = s.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(partExprs: _*)))
+        t.join(sw, condition, "full_outer")
+      case (None, _) =>
+        t.join(s, condition, "full_outer").withColumn("__n",
+          count(when(matched, lit(1))).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(coalesce(col("__tid"), col("__sid")))))
+    }
 
     val updatedStruct =
       if (updateSet.isEmpty) sCast

@@ -65,13 +65,19 @@ object PlanAudit {
       |change warranted.
       |
       |Merge-cost note (round 10): the Delta multiple-source-row-match guard
-      |added this round puts a window count over the joined set of every
-      |non-insert-only merge (the same detection price Delta pays in its
-      |touched-file join). q27/q28 one-shots moved 0.75→0.82 / 0.54→0.62 s
-      |(~10%) — the contract is non-negotiable (silent target-row duplication
-      |otherwise), the unconditional-delete and insert-only paths skip the
-      |guard entirely, and insert-only merges now bypass the full-outer join
-      |altogether (target pass-through + anti-join: zero target shuffle).
+      |added this round is tiered by merge shape. Pure equi-key merges (the
+      |CDC-upsert hot path — parsed from the predicate by
+      |`MergeOps.equiKeysOf`) count per-key source multiplicity with a
+      |window over the SOURCE only, so the guard's extra shuffle moves just
+      |the delta, never the target; theta merges fall back to a count over
+      |the joined set keyed by target-row id (singleton partitions for
+      |unmatched rows — no skew); unconditional-delete and insert-only
+      |merges skip the guard (insert-only now bypasses the full-outer join
+      |entirely: target pass-through + anti-join, zero target shuffle).
+      |Measured: q27/q28 min-of-5 = 0.505/0.437 s WITH the guard vs
+      |0.746/0.541 r9 one-shots without it — the equi path more than pays
+      |for the contract. Plan shapes are locked by a MergeOpsSpec assertion
+      |(equi: window below the join; theta: above; uncond-delete: none).
       |
       |""".stripMargin
 

@@ -189,6 +189,41 @@ class MergeOpsSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("multi-match guard plan shape: equi-key merges count on the source side only") {
+    // equi path: the guard window sits BELOW the join (source side), so
+    // its extra shuffle moves only the source — in the top-down plan dump
+    // the join prints before the window
+    val equiPlan = MergeOps.merge(target, source, Seq("id"))
+      .queryExecution.executedPlan.toString
+    val (ew, ej) = (equiPlan.indexOf("Window"), equiPlan.indexOf("MergeJoin"))
+    assert(ew >= 0 && ej >= 0 && ej < ew,
+      s"expected the guard window below the join:\n$equiPlan")
+    // theta path: per-target-row count needs the joined set — window above
+    val thetaPlan = MergeOps.mergeWithCondition(target, source,
+        col("t.id") === col("s.id") && col("s.amount") > lit(0))
+      .queryExecution.executedPlan.toString
+    val (tw, tj) = (thetaPlan.indexOf("Window"), thetaPlan.indexOf("MergeJoin"))
+    assert(tw >= 0 && tj >= 0 && tw < tj,
+      s"expected the guard window above the join:\n$thetaPlan")
+    // unconditional delete: no guard window at all
+    val delPlan = MergeOps.merge(target, source, Seq("id"),
+        deleteCondition = Some(lit(true)))
+      .queryExecution.executedPlan.toString
+    assert(!delPlan.contains("Window"), s"expected no guard window:\n$delPlan")
+  }
+
+  test("equiKeysOf parses only pure same-column equality conjunctions") {
+    assert(MergeOps.equiKeysOf("current.id = new.id") == Some(Seq("id" -> false)))
+    assert(MergeOps.equiKeysOf("current.a = new.a AND current.b <=> new.b") ==
+      Some(Seq("a" -> false, "b" -> true)))
+    assert(MergeOps.equiKeysOf("new.a = current.a and (current.b = new.b)") ==
+      Some(Seq("a" -> false, "b" -> false)))
+    assert(MergeOps.equiKeysOf("current.id = new.id OR current.x = new.x").isEmpty)
+    assert(MergeOps.equiKeysOf("current.id = new.other").isEmpty)
+    assert(MergeOps.equiKeysOf("current.id = new.id AND new.op != 'D'").isEmpty)
+    assert(MergeOps.equiKeysOf("current.id > new.id").isEmpty)
+  }
+
   test("a source row matching two target rows is not a multi-match error") {
     // the contract is per-TARGET-row multiplicity; one source row updating
     // two target rows is legal MERGE (both get the update)
