@@ -262,6 +262,31 @@ class DataLoaderSpec extends SparkSpec {
       assert(cast.schema("amount").dataType ==
         org.apache.spark.sql.types.DoubleType)
       assert(cast.where("id = 2 AND amount = 99.0").count() == 1)
+
+      // enabled + RENAME column (in the source file): treated as remove +
+      // add — the old column persists, the renamed one lands as NEW
+      // (reference auto_merge_enabled_rename_column_file)
+      val outRen = tmpDir("dl-evo-ren") + "/t"
+      DataLoader.loadData(spark, acon(outRen, "init", autoMerge = true),
+        dfs = Map("init" -> init))
+      DataLoader.loadData(spark, acon(outRen, "d", autoMerge = true),
+        dfs = Map("d" -> Seq((2, "b2", 25.0), (3, "c", 30.0))
+          .toDF("id", "full_name", "amount")))
+      val ren = spark.read.parquet(outRen)
+      assert(ren.columns.toSet == Set("id", "name", "amount", "full_name"))
+      assert(ren.where("id = 2 AND name = 'b' AND full_name = 'b2'").count() == 1)
+      assert(ren.where("id = 1 AND full_name IS NULL").count() == 1)
+      assert(ren.where("id = 3 AND name IS NULL AND full_name = 'c'").count() == 1)
+
+      // disabled + RENAME column: fails like a removed column
+      val outRen2 = tmpDir("dl-evo-ren2") + "/t"
+      DataLoader.loadData(spark, acon(outRen2, "init", autoMerge = false),
+        dfs = Map("init" -> init))
+      val renThrown = intercept[Exception] {
+        DataLoader.loadData(spark, acon(outRen2, "d", autoMerge = false),
+          dfs = Map("d" -> Seq((2, "b2", 25.0)).toDF("id", "full_name", "amount")))
+      }
+      assert(renThrown.getMessage.toLowerCase.contains("name"))
     } finally spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
   }
 
