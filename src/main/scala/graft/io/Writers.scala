@@ -142,20 +142,24 @@ object Writers {
       val autoMerge = spark.conf
         .getOption("spark.databricks.delta.schema.autoMerge.enabled")
         .exists(_.trim.equalsIgnoreCase("true"))
-      def schemasAgree: Boolean = {
-        val tCols = spark.read.format(mergeFmt).load(loc).columns
-          .map(_.toLowerCase).toSet
-        source.columns.forall(c => tCols(c.toLowerCase)) &&
-          tCols.size == source.columns.size
+      // under autoMerge the target is opened once here and reused for the
+      // full-rewrite read below; without it the scoped path stays free of
+      // any whole-location listing (that is its point)
+      val targetForEvolve: Option[DataFrame] =
+        if (autoMerge) Some(spark.read.format(mergeFmt).load(loc)) else None
+      val evolving = targetForEvolve.exists { tdf =>
+        val tCols = tdf.columns.map(_.toLowerCase).toSet
+        !(source.columns.forall(c => tCols(c.toLowerCase)) &&
+          tCols.size == source.columns.size)
       }
-      val evolving = autoMerge && !schemasAgree
       val discovered: Seq[String] = PartitionedRewrite.discoverLayout(fs, new Path(loc))
       if (!evolving && discovered.nonEmpty &&
           (spec.partitions.isEmpty || spec.partitions == discovered) &&
           discovered.forall(source.columns.contains) &&
           partitionScopedMerge(spark, spec, source, opts, mergeFmt, loc, discovered))
         return
-      val target = spark.read.format(mergeFmt).load(loc)
+      val target = targetForEvolve
+        .getOrElse(spark.read.format(mergeFmt).load(loc))
       val (t2, s2, opts2) =
         if (autoMerge) MergeOps.evolveForAutoMerge(target, source, opts)
         else (target, source, opts)

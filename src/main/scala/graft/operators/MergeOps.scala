@@ -178,8 +178,6 @@ object MergeOps {
       equiKeys: Option[Seq[(String, Boolean)]] = None): DataFrame = {
     val dataCols = target.columns.toSeq
     val t = target.select(struct(dataCols.map(col): _*).as("t"))
-      // per-target-row identity for the multiple-match guard below
-      .withColumn("__tid", monotonically_increasing_id())
     // the target schema is authoritative: source columns are cast to the
     // target's types, as Delta MERGE does under the default ANSI
     // storeAssignmentPolicy. Delta's ANSI store assignment FAILS on
@@ -215,9 +213,6 @@ object MergeOps {
         else if (condRefs.contains(c)) guardedCast(col(c), c).as(c)
         else col(c).as(c)
       }: _*).as("s"))
-      // per-source-row identity: spreads the guard window for unmatched
-      // rows (see below); negative so it never collides with a __tid
-      .withColumn("__sid", -monotonically_increasing_id() - 1)
     // target-typed view of the source row, for the branches that assign it
     def sCast = struct(dataCols.map { c =>
       if (eagerlyCast(c)) col(s"s.$c").as(c)
@@ -240,7 +235,7 @@ object MergeOps {
       // against it. This also makes multi-match trivially sound — a target
       // row matched by N source rows is emitted exactly once, where the
       // full-outer formulation would emit it once per matched pair.
-      val anti = s.join(t.select(col("t")), condition, "left_anti")
+      val anti = s.join(t, condition, "left_anti")
       val filtered = insertCondition.fold(anti)(anti.where)
       return target.unionAll(
         filtered.select(insertedStruct.as("r")).select(col("r.*")))
@@ -297,7 +292,13 @@ object MergeOps {
           org.apache.spark.sql.expressions.Window.partitionBy(partExprs: _*)))
         t.join(sw, condition, "full_outer")
       case (None, _) =>
-        t.join(s, condition, "full_outer").withColumn("__n",
+        // row identities exist ONLY on this path — the tiered fast paths
+        // never pay for them: __tid names the target row the count is
+        // per; the unique negative __sid gives every unmatched row its
+        // own singleton window partition (no skew, no collision)
+        val tt = t.withColumn("__tid", monotonically_increasing_id())
+        val ss = s.withColumn("__sid", -monotonically_increasing_id() - 1L)
+        tt.join(ss, condition, "full_outer").withColumn("__n",
           count(when(matched, lit(1))).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(coalesce(col("__tid"), col("__sid")))))

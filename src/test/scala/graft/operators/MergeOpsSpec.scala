@@ -181,6 +181,16 @@ class MergeOpsSpec extends SparkSpec {
     assert(out.where("id = 4").count() == 1)
   }
 
+  test("multi-match unconditional delete via acon predicate string is also exempt") {
+    // the declarative path builds deleteCondition with expr("true")
+    // (SqlExpression node), not lit(true) — the exemption must hold there
+    val out = MergeOps.mergeWithOptions(target, dupSource, MergeOptions(
+      mergePredicate = "current.id = new.id",
+      deletePredicate = Some("true")))
+    assert(out.where("id = 2").count() == 0)
+    assert(out.where("id IN (1, 3)").count() == 2)
+  }
+
   test("multi-match insert_only emits the matched target row exactly once") {
     val out = MergeOps.merge(target, dupSource, Seq("id"), insertOnly = true)
     assert(out.where("id = 2").count() == 1) // not duplicated per matched pair

@@ -39,9 +39,12 @@ class EventsVintageSpec extends SparkSpec {
   private def baseRows: Seq[(Long, Long, Long, String, Double, String)] =
     (0L until 400L).map { i =>
       val user = i % 13
-      // strictly increasing per user, irregular gaps (some > the q55
-      // 30-minute session gap), unique (user_id, micros)
-      val micros = 1706600000000000L + i * 137000000L + user * 977L
+      // Base stride between a user's consecutive events is 13 x 137 s =
+      // 1781 s; the parity term alternates +/-600 s on top, so per-user
+      // gaps alternate 2381 s (> the q55 30-minute session gap -> split)
+      // and 1181 s (< gap -> same session). Unique (user_id, micros).
+      val micros = 1706600000000000L + i * 137000000L + user * 977L +
+        (i % 2) * 600000000L
       (i, micros, user, eventTypes((i % 7 % 4).toInt),
         (i % 100) / 7.0, s"""{"k": ${i % 23}}""")
     }
@@ -79,6 +82,10 @@ class EventsVintageSpec extends SparkSpec {
       val a = canon(fn(spark, nanosDir))
       val b = canon(fn(spark, microsDir))
       assert(a.count() > 0, s"$name: empty result on nanos vintage")
+      // the fixture must actually exercise session splitting: more
+      // sessions than users proves gaps straddle the 30-minute boundary
+      if (name == "q55_sessionize")
+        assert(a.count() > 13, s"$name: fixture produced no session splits")
       withClue(s"$name disagrees across ts vintages: ") {
         assertSameRows(a, b)
       }
