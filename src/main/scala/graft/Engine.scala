@@ -12,12 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Engine {
 
   /** `load_data`: run an ACON pipeline (read -> transform -> DQ -> write
-    * -> terminate); returns the produced DataFrames by spec id. */
+    * -> terminate); returns the produced DataFrames by spec id.
+    * `collectEngineUsage` mirrors the reference's strategy parameter
+    * (`engine.py:32`, default prod_only): the invocation is recorded via
+    * [[exec.EngineUsage]] before the load runs. */
   def loadData(
       spark: SparkSession, aconJson: String,
       dfs: Map[String, DataFrame] = Map.empty,
-      customFns: Map[String, DataFrame => DataFrame] = Map.empty): Map[String, DataFrame] =
+      customFns: Map[String, DataFrame => DataFrame] = Map.empty,
+      collectEngineUsage: String = exec.EngineUsage.ProdOnly): Map[String, DataFrame] = {
+    exec.EngineUsage.record(spark, aconJson, "load_data", collectEngineUsage)
     algo.DataLoader.loadData(spark, aconJson, dfs, customFns)
+  }
 
   /** `execute_reconciliation`: truth-vs-current diff with thresholded
     * metrics; throws on a red breach. */
@@ -41,8 +47,12 @@ object Engine {
     * `{"operations": [{"manager": "table"|"file", "function": ..., ...}]}`;
     * every operation validates before any executes. Returns one status
     * line per operation. */
-  def executeManager(spark: SparkSession, aconJson: String): Seq[String] =
+  def executeManager(
+      spark: SparkSession, aconJson: String,
+      collectEngineUsage: String = exec.EngineUsage.ProdOnly): Seq[String] = {
+    exec.EngineUsage.record(spark, aconJson, "execute_manager", collectEngineUsage)
     maintain.ManagerDispatch.execute(spark, aconJson)
+  }
 
   /** `execute_manager` over already-parsed operation maps. */
   def executeManager(

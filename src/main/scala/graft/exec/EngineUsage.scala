@@ -1,0 +1,108 @@
+package graft.exec
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+/** Engine-usage telemetry, capability parity with the reference's
+  * `utils/engine_usage_stats.py:20-110` + `engine.py` wiring: each public
+  * engine call can record WHAT ran (the acon, scrubbed of credentials),
+  * WHO ran it (`dp_name`) and WHEN, as one JSON file under a configured
+  * usage location, partitioned `{path}/{dp_name}/{year}/{month}/`.
+  *
+  * Collection strategies mirror `CollectEngineUsage`
+  * (`core/definitions.py`): `enabled` (always record), `prod_only`
+  * (record only when the environment is prod — the reference's default),
+  * `disabled`. The environment and paths come from session confs — the
+  * engine analogue of the reference's deployed ENGINE_CONFIG — so an acon
+  * can set them via `exec_env`:
+  *
+  *   - `spark.graft.engineUsagePath`     (prod usage location)
+  *   - `spark.graft.engineDevUsagePath`  (non-prod usage location)
+  *   - `spark.graft.environment`         ("prod" selects the prod path)
+  *   - `spark.graft.dpName`              (fallback when the acon has no
+  *     `exec_env.dp_name`)
+  *
+  * Recording NEVER fails the caller: any error is logged to stderr and
+  * swallowed, as the reference does (`engine_usage_stats.py:68-73`).
+  */
+object EngineUsage {
+
+  val Enabled = "enabled"
+  val ProdOnly = "prod_only"
+  val Disabled = "disabled"
+
+  val EngineVersion = "graft 0.10.0"
+
+  /** Reference `ConfigUtils.SENSITIVE_INFO` (`utils/configs/config_utils
+    * .py:17-26`): keys whose values are masked in the recorded acon. */
+  val SensitiveKeys: Set[String] = Set(
+    "kafka.ssl.keystore.password", "kafka.ssl.truststore.password",
+    "password", "secret", "credential", "credentials", "pass", "key")
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** Recursively mask sensitive values (exact key match, like the
+    * reference's `remove_sensitive_info`). */
+  def scrub(v: Any): Any = v match {
+    case m: Map[_, _] => m.map { case (k, value) =>
+      val ks = String.valueOf(k)
+      ks -> (if (SensitiveKeys(ks)) "******" else scrub(value))
+    }
+    case s: Seq[_] => s.map(scrub)
+    case other => other
+  }
+
+  /** Record one engine invocation. Returns the written file path, or None
+    * when collection is off for this strategy/environment (or on error). */
+  def record(
+      spark: SparkSession,
+      aconJson: String,
+      funcName: String,
+      collect: String = ProdOnly): Option[String] =
+    try {
+      val acon: Map[String, Any] =
+        try mapper.readValue(aconJson, classOf[Map[String, Any]])
+        catch { case _: Throwable => Map("raw" -> aconJson) }
+      val conf = spark.conf
+      val environment = conf.getOption("spark.graft.environment").getOrElse("dev")
+      val path: Option[String] =
+        if (environment == "prod") conf.getOption("spark.graft.engineUsagePath")
+        else if (collect != ProdOnly) conf.getOption("spark.graft.engineDevUsagePath")
+        else None
+      if (collect == Disabled || path.isEmpty) return None
+
+      val execEnv = acon.get("exec_env") match {
+        case Some(m: Map[_, _]) => m.map { case (k, v) => String.valueOf(k) -> v }
+        case _ => Map.empty[String, Any]
+      }
+      val dpName = execEnv.get("dp_name").map(String.valueOf)
+        .orElse(conf.getOption("spark.graft.dpName")).getOrElse("unknown")
+      val now = LocalDateTime.now()
+      val stats: Map[String, Any] = Map(
+        "acon" -> scrub(acon),
+        "function" -> funcName,
+        "engine_version" -> EngineVersion,
+        "start_timestamp" -> now.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME),
+        "year" -> now.getYear,
+        "month" -> now.getMonthValue,
+        "dp_name" -> dpName,
+        "environment" -> environment)
+      val file = new Path(
+        s"${path.get.stripSuffix("/")}/$dpName/${now.getYear}/${now.getMonthValue}/" +
+          s"eng_usage_${funcName}_${now.format(DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))}.json")
+      val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(file, true)
+      try out.write(mapper.writeValueAsBytes(stats))
+      finally out.close()
+      Some(file.toString)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"[engine-usage] failed to record $funcName: ${e.getMessage}")
+        None
+    }
+}

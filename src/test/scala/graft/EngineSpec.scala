@@ -208,4 +208,57 @@ class EngineSpec extends SparkSpec {
         "AND UPPER(ANALYZED_STATUS) = UPPER('X'))")
     intercept[IllegalArgumentException] { Engine.generateSensorSapLogchainQuery("") }
   }
+
+  test("engine usage stats: strategies, scrubbing, and the partitioned layout") {
+    // reference `utils/engine_usage_stats.py` + `tests/feature/
+    // test_engine_usage_stats.py`: load_data records the scrubbed acon
+    // under {path}/{dp_name}/{year}/{month}/eng_usage_load_data_*.json
+    import graft.exec.EngineUsage
+    val usage = tmpDir("usage")
+    val acon =
+      """{
+        |  "input_specs": [{"spec_id": "src", "data_format": "dataframe",
+        |    "df_name": "d", "options": {"password": "dummy_password"}}],
+        |  "output_specs": [{"spec_id": "out", "input_id": "src",
+        |    "write_type": "append", "data_format": "dataframe"}],
+        |  "exec_env": {"dp_name": "sales_dp"}
+        |}""".stripMargin
+    try {
+      // dev environment + prod_only (the default): nothing recorded
+      spark.conf.set("spark.graft.engineDevUsagePath", s"$usage/dev")
+      assert(EngineUsage.record(spark, acon, "load_data").isEmpty)
+      // dev environment + enabled: dev path, partitioned, scrubbed
+      val written = EngineUsage.record(spark, acon, "load_data", EngineUsage.Enabled)
+      assert(written.isDefined)
+      val now = java.time.LocalDateTime.now()
+      assert(written.get.contains(s"/dev/sales_dp/${now.getYear}/${now.getMonthValue}/"))
+      val payload = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(written.get).getPath)))
+      assert(payload.contains("\"password\":\"******\""))
+      assert(!payload.contains("dummy_password"))
+      assert(payload.contains("\"function\":\"load_data\""))
+      assert(payload.contains("\"dp_name\":\"sales_dp\""))
+      // prod environment + prod_only: prod path used
+      spark.conf.set("spark.graft.environment", "prod")
+      spark.conf.set("spark.graft.engineUsagePath", s"$usage/prod")
+      val prodWritten = EngineUsage.record(spark, acon, "execute_manager")
+      assert(prodWritten.exists(_.contains("/prod/sales_dp/")))
+      // disabled: never records, even in prod
+      assert(EngineUsage.record(spark, acon, "load_data", EngineUsage.Disabled).isEmpty)
+      spark.conf.unset("spark.graft.environment")
+      // recording must never fail the caller: an unparseable acon is
+      // still recorded (as raw text)
+      assert(EngineUsage.record(spark, "not json {", "load_data",
+        EngineUsage.Enabled).isDefined)
+      // e2e through the facade: loadData with enabled writes the file
+      spark.conf.unset("spark.graft.environment")
+      import spark.implicits._
+      Engine.loadData(spark, acon, dfs = Map("d" -> Seq((1, "a")).toDF("id", "v")),
+        collectEngineUsage = EngineUsage.Enabled)
+      val dir = new java.io.File(
+        s"$usage/dev/sales_dp/${now.getYear}/${now.getMonthValue}")
+      assert(dir.listFiles().exists(_.getName.startsWith("eng_usage_load_data_")))
+    } finally Seq("spark.graft.engineDevUsagePath", "spark.graft.engineUsagePath",
+      "spark.graft.environment").foreach(spark.conf.unset)
+  }
 }
