@@ -181,6 +181,9 @@ final class DataLoader(
 
   /** Full pipeline; returns every stage's DataFrame keyed by spec_id. */
   def execute(): Map[String, DataFrame] = {
+    // fail fast on unsupported formats before any IO (reference
+    // `utils/acon_utils.py:38-97` validate-then-run contract)
+    graft.spec.AconValidation.validate(acon)
     read().transform().processDq().write().terminate()
     data.toMap
   }

@@ -201,3 +201,43 @@ object Specs {
       execEnv = strMap(m, "exec_env"))
   }
 }
+
+/** Fail-fast acon validation, capability parity with the reference's
+  * `utils/acon_utils.py:38-97` (`validate_and_resolve_acon`): a spec that
+  * names an unsupported format raises BEFORE any IO runs, with the
+  * format and spec id in the message — not a deep Spark "failed to find
+  * data source" stack after half the pipeline executed.
+  *
+  * The accepted sets mirror the reference's `InputFormat`/`OutputFormat`
+  * enums (`core/definitions.py:109-126,430-446`) plus the Spark-native
+  * formats this engine adds (orc, text). `cloudfiles` (Databricks
+  * Autoloader) is deliberately NOT accepted: it is proprietary runtime
+  * glue; streaming file reads cover the use case on open-source Spark.
+  */
+object AconValidation {
+
+  val InputFormats: Set[String] = Set(
+    "jdbc", "avro", "json", "csv", "parquet", "orc", "text", "delta",
+    "kafka", "sql", "sap_bw", "sap_b4", "dataframe", "sftp", "sharepoint",
+    "table")
+
+  val OutputFormats: Set[String] = Set(
+    "jdbc", "avro", "json", "csv", "parquet", "orc", "text", "delta",
+    "kafka", "console", "noop", "dataframe", "rest_api", "file", "table",
+    "sharepoint")
+
+  def validate(acon: Acon): Unit = {
+    acon.inputSpecs.foreach { s =>
+      s.dataFormat.foreach { f =>
+        if (!InputFormats(f.toLowerCase(java.util.Locale.ROOT)) && s.dbTable.isEmpty)
+          sys.error(s"Input format not supported: $f (input spec '${s.specId}')")
+      }
+    }
+    acon.outputSpecs.foreach { s =>
+      s.dataFormat.foreach { f =>
+        if (!OutputFormats(f.toLowerCase(java.util.Locale.ROOT)))
+          sys.error(s"Output format not supported: $f (output spec '${s.specId}')")
+      }
+    }
+  }
+}

@@ -290,6 +290,40 @@ class DataLoaderSpec extends SparkSpec {
     } finally spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
   }
 
+  test("acon validation fails fast on unsupported formats, before any IO") {
+    import spark.implicits._
+    // unsupported input format: raised with the format + spec id, and the
+    // OUTPUT side never runs (no directory created)
+    val out = tmpDir("dl-badfmt") + "/t"
+    val bad = intercept[RuntimeException] {
+      DataLoader.loadData(spark,
+        s"""{
+           |  "input_specs": [{"spec_id": "src", "data_format": "cloudfiles",
+           |    "location": "/nope"}],
+           |  "output_specs": [{"spec_id": "o", "input_id": "src",
+           |    "write_type": "overwrite", "data_format": "parquet", "location": "$out"}]
+           |}""".stripMargin)
+    }
+    assert(bad.getMessage.contains("Input format not supported: cloudfiles"))
+    assert(bad.getMessage.contains("src"))
+    assert(!new java.io.File(out).exists())
+    // unsupported output format
+    val bad2 = intercept[RuntimeException] {
+      DataLoader.loadData(spark,
+        """{
+          |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "d"}],
+          |  "output_specs": [{"spec_id": "o", "input_id": "src",
+          |    "write_type": "overwrite", "data_format": "excel", "location": "/nope"}]
+          |}""".stripMargin, dfs = Map("d" -> Seq(1).toDF("id")))
+    }
+    assert(bad2.getMessage.contains("Output format not supported: excel"))
+    // a db_table input with an exotic format tag is NOT rejected
+    // (reference: presence of db_table bypasses the format check)
+    graft.spec.AconValidation.validate(graft.spec.Acon(inputSpecs = Seq(
+      graft.spec.InputSpec(specId = "t", dataFormat = Some("weird"),
+        dbTable = Some("db.t")))))
+  }
+
   test("dq spec: failing expectation raises; tagging adds dq_validations") {
     import spark.implicits._
     val df = Seq((1, "x"), (2, null.asInstanceOf[String]), (3, "z")).toDF("id", "name")
