@@ -34,6 +34,20 @@ private[graft] object PartitionedRewrite {
     if (!fs.exists(root)) Seq.empty else walk(root, Vector())
   }
 
+  /** First data file under `root` (depth-first, hidden entries skipped) —
+    * a cheap schema-probe target that avoids Spark's O(all partitions)
+    * discovery when only the column set is needed. */
+  def firstDataFile(fs: FileSystem, root: Path): Option[Path] = {
+    def walk(p: Path): Option[Path] = {
+      val entries = fs.listStatus(p).filterNot(s =>
+        s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      entries.find(_.isFile).map(_.getPath)
+        .orElse(entries.filter(_.isDirectory)
+          .iterator.map(d => walk(d.getPath)).collectFirst { case Some(f) => f })
+    }
+    if (fs.exists(root)) walk(root) else None
+  }
+
   /** Relative `c1=v1/c2=v2` dir paths at exactly `depth` levels under
     * `root`, skipping hidden (`_`/`.`) entries and anything not shaped
     * like a partition dir (a stray `backup/` must neither crash the

@@ -142,24 +142,30 @@ object Writers {
       val autoMerge = spark.conf
         .getOption("spark.databricks.delta.schema.autoMerge.enabled")
         .exists(_.trim.equalsIgnoreCase("true"))
-      // under autoMerge the target is opened once here and reused for the
-      // full-rewrite read below; without it the scoped path stays free of
-      // any whole-location listing (that is its point)
-      val targetForEvolve: Option[DataFrame] =
-        if (autoMerge) Some(spark.read.format(mergeFmt).load(loc)) else None
-      val evolving = targetForEvolve.exists { tdf =>
-        val tCols = tdf.columns.map(_.toLowerCase).toSet
+      val discovered: Seq[String] = PartitionedRewrite.discoverLayout(fs, new Path(loc))
+      // The autoMerge evolution probe needs only the target's COLUMN SET;
+      // reading one leaf file's footer plus the discovered partition-col
+      // names gets it without Spark's O(all partitions) discovery, so a
+      // non-evolving merge on a big partitioned table still takes the
+      // scoped path at scoped cost. Falls back to the full-location read
+      // when no data file is found (degenerate layouts).
+      val evolving = autoMerge && {
+        val tCols: Set[String] = PartitionedRewrite
+          .firstDataFile(fs, new Path(loc))
+          .map(f => spark.read.format(mergeFmt).options(spec.options)
+            .load(f.toString).columns.map(_.toLowerCase).toSet ++
+            discovered.map(_.toLowerCase))
+          .getOrElse(spark.read.format(mergeFmt).options(spec.options)
+            .load(loc).columns.map(_.toLowerCase).toSet)
         !(source.columns.forall(c => tCols(c.toLowerCase)) &&
           tCols.size == source.columns.size)
       }
-      val discovered: Seq[String] = PartitionedRewrite.discoverLayout(fs, new Path(loc))
       if (!evolving && discovered.nonEmpty &&
           (spec.partitions.isEmpty || spec.partitions == discovered) &&
           discovered.forall(source.columns.contains) &&
           partitionScopedMerge(spark, spec, source, opts, mergeFmt, loc, discovered))
         return
-      val target = targetForEvolve
-        .getOrElse(spark.read.format(mergeFmt).load(loc))
+      val target = spark.read.format(mergeFmt).load(loc)
       val (t2, s2, opts2) =
         if (autoMerge) MergeOps.evolveForAutoMerge(target, source, opts)
         else (target, source, opts)

@@ -200,4 +200,26 @@ class PartitionScopedMergeSpec extends SparkSpec {
       !Files.exists(Paths.get(loc, "batch=12")),
       "stale and canonical spellings of the same partition coexist")
   }
+
+  test("autoMerge enabled with an unchanged schema still takes the scoped path") {
+    // the evolution probe must stay cheap AND must not disable scoping
+    // when the column sets agree (the common case: autoMerge left on)
+    val loc = tmpDir("psm-am") + "/t"
+    initTarget(loc)
+    val before20 = files(loc, "day=20")
+    spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
+    try {
+      writeMerge(loc, Seq((1, "a9", 10, "U")).toDF("id", "name", "day", "op"))
+      assert(spark.read.parquet(loc).where("id = 1 AND name = 'a9'").count() == 1)
+      assert(files(loc, "day=20") == before20,
+        "autoMerge probe disabled partition scoping on an unchanged schema")
+      // and an actually-evolving merge still works end-to-end (full rewrite)
+      writeMerge(loc, Seq((2, "b9", 10, "U", "EU"))
+        .toDF("id", "name", "day", "op", "region"))
+      val out = spark.read.parquet(loc)
+      assert(out.columns.contains("region"))
+      assert(out.where("id = 2 AND region = 'EU'").count() == 1)
+      assert(out.where("id = 1 AND region IS NULL").count() == 1)
+    } finally spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
+  }
 }
