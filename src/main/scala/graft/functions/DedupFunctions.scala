@@ -326,4 +326,86 @@ object DedupFunctions {
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Substring-level exact-duplication metrics: rolling k-token windows
+    * fingerprinted and counted corpus-wide, aggregated per document.
+    *
+    * This is the scalable stand-in for suffix-array substring dedup
+    * ("Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021): a k-token span repeated ANYWHERE in the corpus (across
+    * documents or within one) marks every occurrence as duplicated text.
+    * The suffix-array formulation needs a global sorted structure; the
+    * rolling-window formulation is a plain key-partitioned count — one
+    * shuffle on a 16-byte fingerprint, one on the doc id — which is the
+    * shape that survives 100 TB. Fingerprints are `unhex(md5(window))`:
+    * 16 bytes on the wire regardless of window text length, and
+    * cross-engine reproducible (the SQL oracle groups by the raw window
+    * string; md5 collisions are the only divergence source, ~2^-64 per
+    * corpus). Documents shorter than k tokens contribute their whole
+    * text as one window (same semantics as [[Kernels.allShingles]]).
+    *
+    * @return (id, n_windows, dup_windows, dup_frac, max_repeat) — one row
+    *         per input document, `dup_frac = dup_windows / n_windows`,
+    *         `max_repeat` = highest corpus-wide count among this doc's
+    *         windows.
+    */
+  def repeatedSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minRepeat: Int = 2): DataFrame = {
+    require(minRepeat >= 2, "minRepeat < 2 would mark every window duplicated")
+    val wins = df
+      .select(col(idCol).as("id"),
+        explode(Kernels.allShingles(col(textCol), k)).as("w"))
+      .select(col("id"), unhex(md5(col("w"))).as("span_key"))
+    // count(*) over (partition by span_key) instead of groupBy+self-join:
+    // same single shuffle on the fingerprint, no second scan of the
+    // window stream, and the per-key groups are tiny (mostly 1) so the
+    // WindowExec sort is cheap.
+    val counted = wins.withColumn("c",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("span_key"))))
+    counted.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= minRepeat, 1L).otherwise(0L)).as("dup_windows"),
+        max(col("c")).as("max_repeat"))
+      .select(col("id"), col("n_windows"), col("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows")).as("dup_frac"),
+        col("max_repeat"))
+  }
+
+  /** The most-repeated k-token spans in the corpus, with occurrence and
+    * document counts — the observability companion to
+    * [[repeatedSpanStats]] (which spans are inflating the dup fraction?).
+    *
+    * Grouping is per (span, doc) first, then per span, so the distinct
+    * document count is a plain second-stage `count(*)` (no expensive
+    * distinct aggregation) and the second shuffle moves one row per
+    * (span, doc), already collapsed. This query intentionally keys on the
+    * raw span STRING — the output must contain the text — so its shuffle
+    * is wider than [[repeatedSpanStats]]'s; the map-side partial
+    * aggregation collapses within-partition repeats first.
+    *
+    * @return (span, n_occ, n_docs) — top `topN` by occurrence count,
+    *         ties broken by span text for determinism.
+    */
+  def topRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minRepeat: Int = 2,
+      topN: Int = 20): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(Kernels.allShingles(col(textCol), k)).as("span"))
+      .groupBy(col("span"), col("id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("span"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
+      .where(col("n_occ") >= minRepeat)
+      .orderBy(col("n_occ").desc, col("span"))
+      .limit(topN)
 }

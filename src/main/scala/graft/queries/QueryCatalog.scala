@@ -2471,6 +2471,48 @@ object QueryCatalog {
       WHERE a.doc_id % 10 = 0 AND b.doc_id < 300
       ORDER BY id_a"""))
 
+  private val q86 = QueryDef(
+    "q86_repeated_spans",
+    (s, dir) => DedupFunctions.repeatedSpanStats(
+        T(s, dir, "documents"), "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      wins AS (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+          THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+          ELSE [array_to_string(tk, ' ')] END) AS w
+        FROM toks),
+      cnt AS (SELECT w, count(*) AS c FROM wins GROUP BY w)
+      SELECT doc_id,
+             count(*) AS n_windows,
+             CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+             sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS dup_frac,
+             CAST(max(c) AS BIGINT) AS max_repeat
+      FROM wins JOIN cnt USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  private val q87 = QueryDef(
+    "q87_top_spans",
+    (s, dir) => DedupFunctions.topRepeatedSpans(
+        T(s, dir, "documents"), "doc_id", "text", k = 8, topN = 20),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      wins AS (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+          THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+          ELSE [array_to_string(tk, ' ')] END) AS w
+        FROM toks),
+      per AS (SELECT w AS span, doc_id, count(*) AS c FROM wins GROUP BY w, doc_id)
+      SELECT span, CAST(sum(c) AS BIGINT) AS n_occ, CAST(count(*) AS BIGINT) AS n_docs
+      FROM per GROUP BY span HAVING sum(c) >= 2
+      ORDER BY n_occ DESC, span LIMIT 20"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2481,5 +2523,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85)
+    q80, q81, q82, q83, q84, q85, q86, q87)
 }

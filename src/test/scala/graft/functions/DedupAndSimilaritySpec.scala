@@ -521,4 +521,55 @@ class DedupAndSimilaritySpec extends SparkSpec {
       DedupFunctions.hammingBandKeys(col("a"), 64, 64)
     }
   }
+
+  test("repeatedSpanStats counts corpus-wide window repeats per document") {
+    // k=3 windows; "a b c d" appears in docs 10 and 11 (shared 3-token
+    // spans "a b c" and "b c d"), doc 12 repeats "x y z" twice internally,
+    // doc 13 is all-unique.
+    val corpus = Seq(
+      (10L, "a b c d"),
+      (11L, "a b c d e"),
+      (12L, "x y z q x y z"),
+      (13L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val stats = DedupFunctions.repeatedSpanStats(corpus, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 10: windows [a b c, b c d] — both shared with doc 11
+    assert(stats(10L) === ((10L, 2L, 2L, 1.0, 2L)))
+    // doc 11: [a b c, b c d, c d e] — 2 of 3 shared
+    assert(stats(11L) === ((11L, 3L, 2L, 2.0 / 3.0, 2L)))
+    // doc 12: [x y z, y z q, z q x, q x y, x y z] — "x y z" twice (within-doc)
+    assert(stats(12L) === ((12L, 5L, 2L, 0.4, 2L)))
+    // doc 13: [p q r, q r s, r s t] — no repeats
+    assert(stats(13L) === ((13L, 3L, 0L, 0.0, 1L)))
+  }
+
+  test("repeatedSpanStats: docs shorter than k contribute one whole-text window") {
+    val corpus = Seq(
+      (1L, "tiny doc"), (2L, "tiny doc"), (3L, "other")).toDF("doc_id", "text")
+    val stats = DedupFunctions.repeatedSpanStats(corpus, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stats(1L) === ((1L, 1L, 1L, 1.0, 2L))) // whole-text dup with doc 2
+    assert(stats(3L) === ((3L, 1L, 0L, 0.0, 1L)))
+    intercept[IllegalArgumentException] {
+      DedupFunctions.repeatedSpanStats(corpus, "doc_id", "text", k = 3, minRepeat = 1)
+    }
+  }
+
+  test("topRepeatedSpans surfaces the most-repeated spans with doc counts") {
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),
+      (3L, "a b c f a b c g"), // "a b c" twice within one doc
+      (4L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val top = DedupFunctions.topRepeatedSpans(corpus, "doc_id", "text", k = 3, topN = 5)
+      .as[(String, Long, Long)].collect()
+    // "a b c": 4 occurrences (docs 1, 2, 3x2) over 3 docs — must rank first
+    assert(top.head === (("a b c", 4L, 3L)))
+    // every returned span genuinely repeats
+    assert(top.forall(_._2 >= 2))
+    // no span from the unique doc 4
+    assert(!top.exists(_._1.contains("unrelated")))
+  }
 }
