@@ -408,4 +408,72 @@ object DedupFunctions {
       .where(col("n_occ") >= minRepeat)
       .orderBy(col("n_occ").desc, col("span"))
       .limit(topN)
+
+  /** Remove duplicated substrings from document text, keeping the first
+    * occurrence — the transform stage of suffix-array substring dedup
+    * (Lee et al. 2021), on top of [[repeatedSpanStats]]'s rolling-window
+    * formulation.
+    *
+    * A k-token window repeated (>= minRepeat occurrences corpus-wide)
+    * keeps its GLOBALLY FIRST occurrence — lowest (doc id, position) —
+    * and every other occurrence is marked removable; a token is dropped
+    * when any removable window covers it. Removal is therefore
+    * deterministic and idempotent at the window level (re-running on the
+    * cleaned corpus finds no repeats among surviving spans of the same
+    * alignment), though overlapping removable windows can still erode
+    * tokens inside a kept occurrence — the same window-granularity
+    * approximation the byte-range original makes.
+    *
+    * Scale shape: one shuffle on the 16-byte window fingerprint (count +
+    * first-occurrence rank share one exchange and one sort), one narrow
+    * shuffle of (id, dup positions), then a join back to the corpus so
+    * document text itself moves exactly once. The rebuild kernel is a
+    * per-row JVM loop over (text, sorted removable starts).
+    *
+    * Output text is whitespace-normalized (tokens rejoined with single
+    * spaces) for every document, cleaned or not, so the transform is
+    * uniform. `n_removed` counts dropped tokens.
+    *
+    * @return (id, clean_text, n_removed)
+    */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minRepeat: Int = 2): DataFrame = {
+    require(minRepeat >= 2, "minRepeat < 2 would mark every window duplicated")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
+    val wins = df
+      .select(col(idCol).as("id"),
+        posexplode(Kernels.allShingles(col(textCol), k)).as(Seq("pos", "w")))
+      .select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
+    val removable = wins
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("id"), col("pos"))))
+      .where(col("c") >= minRepeat && col("rn") >= 2)
+    val dropStarts = removable.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val rebuild = udf { (text: String, starts: Seq[Int], kk: Int) =>
+      val raw = if (text == null) Array.empty[String] else text.split(" ", -1)
+      val toks = raw.filter(_.nonEmpty)
+      if (starts == null || starts.isEmpty) (toks.mkString(" "), 0L)
+      else {
+        val win = math.min(kk, toks.length) // whole-doc window when short
+        val covered = new Array[Boolean](toks.length)
+        starts.foreach { s =>
+          var i = s
+          val end = math.min(s + win, toks.length)
+          while (i < end) { covered(i) = true; i += 1 }
+        }
+        val kept = toks.indices.collect { case i if !covered(i) => toks(i) }
+        (kept.mkString(" "), (toks.length - kept.length).toLong)
+      }
+    }
+    df.select(col(idCol).as("id"), col(textCol).as("lhe_text"))
+      .join(dropStarts, Seq("id"), "left")
+      .select(col("id"),
+        rebuild(col("lhe_text"), col("starts"), lit(k)).as("r"))
+      .select(col("id"), col("r._1").as("clean_text"), col("r._2").as("n_removed"))
+  }
 }

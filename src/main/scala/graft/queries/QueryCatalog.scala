@@ -2513,6 +2513,40 @@ object QueryCatalog {
       FROM per GROUP BY span HAVING sum(c) >= 2
       ORDER BY n_occ DESC, span LIMIT 20"""))
 
+  private val q88 = QueryDef(
+    "q88_remove_spans",
+    (s, dir) => DedupFunctions.removeRepeatedSpans(
+        T(s, dir, "documents"), "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      wins AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+          SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+            THEN list_transform(range(1, len(tk) - 6), i -> {'pos': i, 'w': array_to_string(tk[i:i+7], ' ')})
+            ELSE [{'pos': CAST(1 AS BIGINT), 'w': array_to_string(tk, ' ')}] END) AS u
+          FROM toks)),
+      marked AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY w) AS c,
+               row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        FROM wins),
+      drops AS (
+        SELECT doc_id, list_sort(list(pos)) AS ps FROM marked
+        WHERE c >= 2 AND rn >= 2 GROUP BY doc_id),
+      fin AS (
+        SELECT t.doc_id, tk,
+          list_filter(tk, (tok, ti) -> len(list_filter(coalesce(ps, CAST([] AS BIGINT[])),
+            s -> ti >= s AND ti < s + least(8, len(tk)))) = 0) AS kept
+        FROM toks t LEFT JOIN drops d USING (doc_id))
+      SELECT doc_id,
+             coalesce(array_to_string(kept, ' '), '') AS clean_text,
+             CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
+      FROM fin ORDER BY doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2523,5 +2557,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

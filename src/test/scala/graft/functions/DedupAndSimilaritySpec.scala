@@ -556,6 +556,39 @@ class DedupAndSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("removeRepeatedSpans keeps the globally first occurrence, drops the rest") {
+    val corpus = Seq(
+      (10L, "a b c d"),            // first occurrence of the shared spans: kept whole
+      (11L, "a b c d e"),          // loses the 4 tokens covered by repeated windows
+      (12L, "x y z q x y z"),      // within-doc repeat: second x-y-z removed
+      (13L, "p q r s t"),          // untouched
+      (14L, "tiny"), (15L, "tiny") // short-doc exact dup: 15 emptied
+    ).toDF("doc_id", "text")
+    val out = DedupFunctions.removeRepeatedSpans(corpus, "doc_id", "text", k = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) === (("a b c d", 0L)))
+    assert(out(11L) === (("e", 4L)))     // windows abc@1,bcd@2 removable -> tokens 1-4 gone
+    assert(out(12L) === (("x y z q", 3L)))
+    assert(out(13L) === (("p q r s t", 0L)))
+    assert(out(14L) === (("tiny", 0L)))
+    assert(out(15L) === (("", 1L)))
+    // re-running on the cleaned corpus removes nothing further: the kept
+    // first occurrences are now unique at this k
+    val again = DedupFunctions.removeRepeatedSpans(
+      out.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", k = 3)
+      .as[(Long, String, Long)].collect()
+    assert(again.filter(_._1 != 15L).forall(_._3 == 0L))
+  }
+
+  test("removeRepeatedSpans normalizes whitespace uniformly") {
+    val corpus = Seq((1L, "  spaced   out  doc  "), (2L, "other words here"))
+      .toDF("doc_id", "text")
+    val out = DedupFunctions.removeRepeatedSpans(corpus, "doc_id", "text", k = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) === "spaced out doc")
+  }
+
   test("topRepeatedSpans surfaces the most-repeated spans with doc counts") {
     val corpus = Seq(
       (1L, "a b c d"),
