@@ -150,7 +150,9 @@ object ManagerDispatch {
             A.num(op, "vacuum_hours").map(_.toInt).getOrElse(168))
           case "describe" => tm.describe(s("table_or_view")).collect()
           case "optimize" => tm.optimize(s("path"),
-            A.num(op, "target_partitions").map(_.toInt).getOrElse(0))
+            A.num(op, "target_partitions").map(_.toInt).getOrElse(0),
+            A.str(op, "optimize_zorder_col_list").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
           case "show_tbl_properties" => tm.showTblProperties(s("table_or_view")).collect()
           case "get_tbl_pk" => tm.getTablePk(s("table_or_view"))
           case "repair_table" => tm.repairTable(s("table_or_view"))

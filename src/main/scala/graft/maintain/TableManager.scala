@@ -101,9 +101,16 @@ final class TableManager(spark: SparkSession) {
     true
   }
 
-  /** OPTIMIZE analogue: compact a parquet location's small files. */
-  def optimize(location: String, targetPartitions: Int = 0): Unit =
-    FileCompaction.compact(spark, location, targetPartitions)
+  /** OPTIMIZE analogue: compact a parquet location's small files; with
+    * `zorderCols` it additionally clusters the rewrite on the Morton curve
+    * of those columns (reference `terminators/dataset_optimizer.py:115-143`
+    * `optimize_zorder_col_list`) so min/max file stats prune on any of
+    * them. */
+  def optimize(location: String, targetPartitions: Int = 0,
+      zorderCols: Seq[String] = Nil): Unit =
+    if (zorderCols.nonEmpty)
+      ZOrder.rewrite(spark, location, zorderCols, targetPartitions)
+    else FileCompaction.compact(spark, location, targetPartitions)
 
   /** VACUUM is a transaction-log operation; without Delta the staged-swap
     * writers already leave no stale files, so this is a documented no-op. */

@@ -2547,6 +2547,39 @@ object QueryCatalog {
              CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
       FROM fin ORDER BY doc_id"""))
 
+  /** Z-order curve key (reference `terminators/dataset_optimizer.py:
+    * 115-143` `optimize_zorder_col_list`): the Morton interleave that
+    * [[graft.maintain.ZOrder]] clusters rewrites on, hash-verified
+    * against the identical magic-mask arithmetic in DuckDB. Pure
+    * whole-stage-codegen column math — the layout rewrite's key is as
+    * cheap as a projection at any scale. */
+  private val q89 = QueryDef(
+    "q89_zorder_key",
+    (s, dir) => {
+      val xa = col("o_custkey") % lit(65536L)
+      val xb = col("o_orderkey") % lit(65536L)
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.maintain.ZOrder.zValue(Seq(xa, xb)).as("zval"))
+        .orderBy(col("zval"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH t0 AS (
+        SELECT o_orderkey, o_custkey,
+               o_custkey % 65536 AS a, o_orderkey % 65536 AS b
+        FROM orders),
+      t1 AS (SELECT *, ((a | (a << 8)) & 16711935) AS a1,
+                       ((b | (b << 8)) & 16711935) AS b1 FROM t0),
+      t2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
+                       ((b1 | (b1 << 4)) & 252645135) AS b2 FROM t1),
+      t3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
+                       ((b2 | (b2 << 2)) & 858993459) AS b3 FROM t2),
+      t4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+                       ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM t3)
+      SELECT o_orderkey, o_custkey, (a4 | (b4 << 1)) AS zval
+      FROM t4 ORDER BY zval, o_orderkey LIMIT 100"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2557,5 +2590,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }
