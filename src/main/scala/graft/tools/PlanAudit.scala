@@ -79,6 +79,20 @@ object PlanAudit {
       |for the contract. Plan shapes are locked by a MergeOpsSpec assertion
       |(equi: window below the join; theta: above; uncond-delete: none).
       |
+      |Shuffle-width A/B, q87_top_spans (round 10): the wide-key caveat in
+      |its Scaladoc ("keys on the raw span STRING") was put to the test — a
+      |fingerprint-keyed two-pass variant (count on 16-byte md5 keys, then
+      |re-attach span text via a second scan broadcast-joined against the
+      |~topN winning fingerprints) was implemented and measured with a
+      |task-metrics listener at sf0.1. Result: shuffle write 14.1 → 9.9 MiB
+      |(only −30%, not the naive −60%: spark.shuffle.compress squeezes
+      |repetitive span text well, while md5 bytes are incompressible) for
+      |+48% wall (0.99 → 1.47 s min-of-3) from the extra full scan of the
+      |window stream. The single-pass raw-span shape was kept: a second
+      |scan of ~the whole token stream buys back less than a third of the
+      |shuffle even at 100 TB, where both sides of the trade grow
+      |linearly. Measured, decided, reverted.
+      |
       |""".stripMargin
 
   private val benchEvidenceR9 =
