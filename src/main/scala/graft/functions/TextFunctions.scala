@@ -100,4 +100,55 @@ object TextFunctions {
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRegex, "<EMAIL>"),
       "[0-9]{4,}", "<NUM>")
+
+  /** Corpus-LM negative log-likelihood per document — the scoring stage of
+    * CCNet-style perplexity filtering ("CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", Wenzek et al. 2020), with
+    * the unigram model trained on the corpus itself. `nll` is the mean
+    * negative natural-log probability of the document's tokens (the log of
+    * its per-token perplexity); natural text scores low, keyboard-mash and
+    * rare-token soup score high.
+    *
+    * Scale shape (the same at any n-gram order — only the count key
+    * widens): one shuffle builds the token count table, the score join
+    * re-shuffles the token stream on the same key (the count side reuses
+    * its partitioning), one narrow shuffle aggregates per doc. The corpus
+    * token total is a 1-row driver aggregate. No driver-side vocabulary,
+    * no broadcast of the (at web scale, multi-GB) count table.
+    *
+    * Documents with zero tokens have no defined perplexity and are absent
+    * from the output. `nll` is rounded (default 4 decimals) because the
+    * per-doc mean is a float reduction whose summation order is
+    * engine-dependent.
+    *
+    * @return (id, n_tokens, nll)
+    */
+  def unigramNll(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(whitespaceTokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum(col("c"))).head().getLong(0).toDouble
+    toks.join(counts, "tok")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-avg(log(col("c").cast("double") / lit(n))), roundTo).as("nll"))
+  }
+
+  /** Keep documents whose unigram NLL is at or below `maxNll` — the
+    * filter stage of perplexity filtering. The score join moves only
+    * (id, token); document text is semi-joined afterwards by id, so text
+    * bytes are shuffled at most once regardless of width. */
+  def perplexityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxNll: Double): org.apache.spark.sql.DataFrame = {
+    val keep = unigramNll(df, idCol, textCol).where(col("nll") <= maxNll)
+    df.join(keep.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+  }
 }

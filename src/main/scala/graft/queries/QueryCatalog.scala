@@ -2580,6 +2580,28 @@ object QueryCatalog {
       SELECT o_orderkey, o_custkey, (a4 | (b4 << 1)) AS zval
       FROM t4 ORDER BY zval, o_orderkey LIMIT 100"""))
 
+  /** Corpus-unigram LM perplexity scores (CCNet-style quality filtering,
+    * Wenzek et al. 2020): token count table → score join → per-doc mean
+    * NLL. Exercises [[TextFunctions.unigramNll]]; the DuckDB oracle
+    * rebuilds the same unigram model. */
+  private val q90 = QueryDef(
+    "q90_lm_perplexity",
+    (s, dir) => TextFunctions.unigramNll(
+        T(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(-avg(ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+      FROM toks JOIN cnt USING (tok), tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2590,5 +2612,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -300,4 +300,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(terms.where("rnk > 2").count() == 0)
     assert(terms.groupBy("id").count().where("count > 2").count() == 0)
   }
+
+  test("unigramNll matches a hand-computed corpus LM; filter thresholds on it") {
+    import graft.functions.TextFunctions
+    // Corpus counts: a->4, b->1, total 5.
+    val corpus = Seq((1L, "a a a"), (2L, "a b"), (3L, "  ")).toDF("doc_id", "text")
+    val scored = TextFunctions.unigramNll(corpus, "doc_id", "text")
+      .orderBy("id").collect()
+    // Zero-token doc 3 is absent.
+    assert(scored.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val nll1 = scored(0).getDouble(2)
+    val nll2 = scored(1).getDouble(2)
+    assert(nll1 == math.round(-math.log(4.0 / 5.0) * 1e4) / 1e4) // 0.2231
+    val expected2 = -(math.log(4.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0
+    assert(math.abs(nll2 - expected2) < 1e-4) // 0.9163
+    assert(scored(0).getLong(1) == 3L && scored(1).getLong(1) == 2L)
+
+    val kept = TextFunctions.perplexityFilter(corpus, "doc_id", "text", maxNll = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
 }
