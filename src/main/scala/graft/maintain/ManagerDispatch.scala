@@ -152,7 +152,8 @@ object ManagerDispatch {
           case "optimize" => tm.optimize(s("path"),
             A.num(op, "target_partitions").map(_.toInt).getOrElse(0),
             A.str(op, "optimize_zorder_col_list").toSeq
-              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+            A.str(op, "optimize_where"))
           case "show_tbl_properties" => tm.showTblProperties(s("table_or_view")).collect()
           case "get_tbl_pk" => tm.getTablePk(s("table_or_view"))
           case "repair_table" => tm.repairTable(s("table_or_view"))

@@ -105,12 +105,55 @@ final class TableManager(spark: SparkSession) {
     * `zorderCols` it additionally clusters the rewrite on the Morton curve
     * of those columns (reference `terminators/dataset_optimizer.py:115-143`
     * `optimize_zorder_col_list`) so min/max file stats prune on any of
-    * them. */
+    * them. `where` scopes the rewrite to matching hive partitions
+    * (reference `optimize_where`) — like Delta's OPTIMIZE WHERE it must
+    * reference partition columns only, and each touched partition dir is
+    * rewritten independently (its own staged swap), so cost is O(touched
+    * partitions) and untouched data is never read. */
   def optimize(location: String, targetPartitions: Int = 0,
-      zorderCols: Seq[String] = Nil): Unit =
-    if (zorderCols.nonEmpty)
-      ZOrder.rewrite(spark, location, zorderCols, targetPartitions)
-    else FileCompaction.compact(spark, location, targetPartitions)
+      zorderCols: Seq[String] = Nil, where: Option[String] = None): Unit =
+    where match {
+      case Some(cond) => optimizeScoped(location, cond, targetPartitions, zorderCols)
+      case None =>
+        if (zorderCols.nonEmpty)
+          ZOrder.rewrite(spark, location, zorderCols, targetPartitions)
+        else FileCompaction.compact(spark, location, targetPartitions)
+    }
+
+  private def optimizeScoped(location: String, condition: String,
+      targetPartitions: Int, zorderCols: Seq[String]): Unit = {
+    import graft.io.PartitionedRewrite
+    val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCols = PartitionedRewrite.discoverLayout(fs, new Path(location))
+    if (partCols.isEmpty)
+      sys.error("optimize where requires a hive-partitioned location")
+    val refs = spark.sessionState.sqlParser.parseExpression(condition)
+      .references.map(_.name).toSet
+    val extra = refs -- partCols.toSet
+    if (extra.nonEmpty)
+      sys.error(s"optimize where may reference partition columns only; " +
+        s"got ${extra.mkString(", ")} (Delta OPTIMIZE WHERE has the same contract)")
+    if (zorderCols.exists(partCols.contains))
+      sys.error("zorder columns must be data columns, not partition columns")
+    // Partition-only predicate: this distinct reads no data pages, just
+    // the pruned listing.
+    val cap = 10000
+    val touched = spark.read.parquet(location).where(condition)
+      .select(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().limit(cap + 1).collect()
+    if (touched.length > cap)
+      sys.error(s"optimize where matched more than $cap partitions; widen the rewrite instead")
+    val values = touched.map(r =>
+      partCols.indices.map(i => String.valueOf(r.get(i))).toSeq).toSeq
+    val names = PartitionedRewrite.touchedNames(partCols, values).getOrElse(
+      sys.error("optimize where: partition values need escaping; run an unscoped optimize"))
+    val live = PartitionedRewrite.listPartitionDirs(fs, new Path(location), partCols.size)
+    names.filter(live.contains).foreach { name =>
+      val dir = s"${location.stripSuffix("/")}/$name"
+      if (zorderCols.nonEmpty) ZOrder.rewrite(spark, dir, zorderCols, targetPartitions)
+      else FileCompaction.compact(spark, dir, targetPartitions)
+    }
+  }
 
   /** VACUUM is a transaction-log operation; without Delta the staged-swap
     * writers already leave no stale files, so this is a documented no-op. */

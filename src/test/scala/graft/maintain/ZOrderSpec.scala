@@ -100,6 +100,47 @@ class ZOrderSpec extends SparkSpec {
     assert(after <= 8, s"expected <=8 files for a 1/8 y-band, got $after")
   }
 
+  test("optimize where: rewrites only matching partitions, validates refs") {
+    import spark.implicits._
+    val loc = tmpDir("optwhere") + "/t"
+    (1 to 400).map(i => (i % 4, i.toLong, s"v$i")).toDF("year", "x", "s")
+      .repartition(8) // 8 small files per partition
+      .write.partitionBy("year").mode("overwrite").parquet(loc)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(p: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/$p"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val untouchedBefore = filesIn("year=1")
+    assert(filesIn("year=2").size > 1)
+
+    val tm = new TableManager(spark)
+    tm.optimize(loc, targetPartitions = 1, where = Some("year = 2"))
+    assert(filesIn("year=2").size === 1)
+    assert(filesIn("year=1") === untouchedBefore) // untouched partition intact
+    assert(spark.read.parquet(loc).count() === 400L)
+
+    // zorder variant, scoped to one partition
+    tm.optimize(loc, targetPartitions = 1, zorderCols = Seq("x"),
+      where = Some("year = 3"))
+    assert(filesIn("year=3").size === 1)
+    assert(spark.read.parquet(loc).where("year = 3").count() === 100L)
+
+    // contract errors: non-partition column in where; partition col in zorder
+    intercept[RuntimeException] {
+      tm.optimize(loc, where = Some("x > 5"))
+    }
+    intercept[RuntimeException] {
+      tm.optimize(loc, zorderCols = Seq("year"), where = Some("year = 2"))
+    }
+    // unpartitioned location
+    val flat = tmpDir("optwhere") + "/flat"
+    spark.range(10).write.parquet(flat)
+    intercept[RuntimeException] {
+      tm.optimize(flat, where = Some("id = 1"))
+    }
+  }
+
   test("zorder rewrite handles strings, timestamps and nulls") {
     import spark.implicits._
     val df = Seq(
