@@ -259,4 +259,65 @@ object SimilarityFunctions {
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("score"))
       .where(col("score") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et al.
+    * 2023): partition the embedding space into cells, and within each
+    * cell drop every vector that has a near-duplicate (cosine >=
+    * `simThreshold`) which is FARTHER from the cell centroid — the
+    * paper's keep-the-least-central policy (edge examples carry more
+    * signal than cluster cores), made deterministic with an id tiebreak.
+    *
+    * Cells come from the deterministic hyperplane signature rather than
+    * the paper's k-means: O(1) per vector, no iterative fitting, and
+    * reproducible across engines (the catalog oracle rebuilds the same
+    * cells in SQL). Centroids are computed by a posexplode/(cell, pos)
+    * aggregation — a `dim`-fold but values-only shuffle — and rounded to
+    * 6 decimals so the float-reduction order of avg() can never leak
+    * into the keep/drop comparisons; the per-cell centroid table is at
+    * most 2^numBits rows and broadcasts. In-cell pair expansion reuses
+    * the bounded-bucket discipline of [[embeddingNearDuplicates]]:
+    * vectors join back only for in-cell candidate pairs, never into the
+    * candidate shuffle itself. Scale knob: raise `numBits` with corpus
+    * size (cells ~ n / expected cell population).
+    *
+    * @return kept rows only: (id, cell, centroid_sim)
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numBits: Int = 8, simThreshold: Double = 0.8,
+      maxCellSize: Int = 100000): DataFrame = {
+    val members = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), dim, numBits).as("cell"))
+    val cent = members
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cvec"))
+    val withSim = members.join(broadcast(cent), Seq("cell"))
+      .select(col("id"), col("cell"),
+        round(dot(col("vec"), col("cvec")) /
+          (l2Norm(col("vec")) * l2Norm(col("cvec"))), 6).as("centroid_sim"))
+    val cands = members.groupBy(col("cell"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxCellSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val va = members.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = members.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val neighbors = cands
+      .join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .where(cosine(col("vec_a"), col("vec_b")) >= simThreshold)
+      .select(col("id_a"), col("id_b"))
+    val simA = withSim.select(col("id").as("id_a"), col("centroid_sim").as("sim_a"))
+    val simB = withSim.select(col("id").as("id_b"), col("centroid_sim").as("sim_b"))
+    val dropped = neighbors.join(simA, Seq("id_a")).join(simB, Seq("id_b"))
+      .where(col("sim_b") < col("sim_a") ||
+        (col("sim_b") === col("sim_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("id")).distinct()
+    withSim.join(dropped, Seq("id"), "left_anti")
+  }
 }

@@ -2602,6 +2602,58 @@ object QueryCatalog {
       FROM toks JOIN cnt USING (tok), tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** SemDeDup semantic dedup (Abbas et al. 2023) over deterministic
+    * hyperplane cells: centroid per cell, keep the least-central member
+    * of every near-duplicate relation. The oracle rebuilds cells,
+    * centroids and the dominance rule in SQL, so the keep/drop set is
+    * hash-verified cross-engine. */
+  private val q91 = QueryDef(
+    "q91_semantic_dedup",
+    (s, dir) => SimilarityFunctions.semanticDedup(
+        T(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, numBits = 8, simThreshold = 0.3)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id")),
+    Some(s"""
+      WITH ${lshSigCtes(8, 64)},
+      memb AS (SELECT vec_id, embedding, sig AS cell FROM sigs),
+      cent AS (
+        SELECT cell, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+        FROM memb, range(1, 65) r(i) GROUP BY cell, i),
+      cvecs AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM cent GROUP BY cell),
+      csim AS (
+        SELECT m.vec_id, m.cell,
+               round(
+                 list_sum(list_transform(list_zip(m.embedding, c.cvec),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(m.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.cvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 6) AS centroid_sim
+        FROM memb m JOIN cvecs c USING (cell)),
+      nbr AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM memb a JOIN memb b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.3),
+      dropped AS (
+        SELECT DISTINCT n.id_a AS vec_id
+        FROM nbr n
+        JOIN csim sa ON sa.vec_id = n.id_a
+        JOIN csim sb ON sb.vec_id = n.id_b
+        WHERE sb.centroid_sim < sa.centroid_sim
+           OR (sb.centroid_sim = sa.centroid_sim AND n.id_b < n.id_a))
+      SELECT vec_id, cell, centroid_sim FROM csim
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2612,5 +2664,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

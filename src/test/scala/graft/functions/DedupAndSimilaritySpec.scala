@@ -230,6 +230,32 @@ class DedupAndSimilaritySpec extends SparkSpec {
       dim = 4, threshold = 0.9).count() == 10)
   }
 
+  test("semanticDedup keeps the least-central member of a near-dup pair") {
+    // Vectors 0 and 1 are near-identical (land in one cell, cosine ~1);
+    // vector 2 is identical to 0 (exact dup); 3 is orthogonal-ish noise.
+    val base = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.01f * i)
+    val close = base.clone(); close(1) = base(1) + 0.001f
+    val vecs = Seq(
+      (0L, base), (1L, close), (2L, base.clone()),
+      (3L, Array.tabulate(8)(i => if (i == 7) -1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = SimilarityFunctions.semanticDedup(
+        vecs, "vec_id", "embedding", dim = 8, numBits = 6, simThreshold = 0.9)
+      .orderBy("id").collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    // 3 has no near-dup: always kept. Of {0,1,2} exactly one survives
+    // (they are pairwise near-dups in one cell).
+    assert(keptIds.contains(3L))
+    assert((keptIds - 3L).size == 1)
+    // Output carries the cell and a centroid similarity in [-1, 1].
+    assert(kept.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    // Deterministic across runs.
+    val again = SimilarityFunctions.semanticDedup(
+        vecs, "vec_id", "embedding", dim = 8, numBits = 6, simThreshold = 0.9)
+      .orderBy("id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+  }
+
   test("TopK aggregator matches the rank window when scores contain NaN") {
     // Spark sorts NaN as the LARGEST double, so ORDER BY score DESC puts
     // NaN rows first; the aggregator must agree (zero-norm vectors yield
