@@ -287,19 +287,31 @@ object SimilarityFunctions {
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numBits: Int = 8, simThreshold: Double = 0.8,
       maxCellSize: Int = 100000): DataFrame = {
+    // Eagerly materialized (same discipline as [[minhashNearDuplicates]]):
+    // five downstream branches consume (id, vec, cell); without this the
+    // signature UDF would re-project per branch.
     val members = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), dim, numBits).as("cell"))
-    val cent = members
+      .localCheckpoint(true)
+    // Fenced: downstream dot() and l2Norm() both consume cvec, and
+    // without the barrier CollapseProject would inline the array
+    // assembly into each of them (the PlanAuditSpec duplicate gate
+    // catches exactly this).
+    val cent = graft.util.PlanBarrier.fence(members
       .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("cv"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("cvec"))
+        s => s.getField("cv")).as("cvec")))
+    // Also materialized: three consumers (the kept output, and the two
+    // sides of the dominance join) would otherwise each replay the
+    // centroid aggregation and the cosine fold.
     val withSim = members.join(broadcast(cent), Seq("cell"))
       .select(col("id"), col("cell"),
         round(dot(col("vec"), col("cvec")) /
           (l2Norm(col("vec")) * l2Norm(col("cvec"))), 6).as("centroid_sim"))
+      .localCheckpoint(true)
     val cands = members.groupBy(col("cell"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")).between(2, maxCellSize))
