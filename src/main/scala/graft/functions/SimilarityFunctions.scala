@@ -304,10 +304,15 @@ object SimilarityFunctions {
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("cvec")))
+    // Centroid table size is 2^numBits rows x dim doubles: broadcast
+    // while that is clearly executor-safe (<= 2^14 cells * 64 dims ~ 8
+    // MB), otherwise fall back to a shuffle join on the cell key — the
+    // corpus side shuffles (id, vec, cell) once either way.
+    val centSide = if (numBits <= 14) broadcast(cent) else cent
     // Also materialized: three consumers (the kept output, and the two
     // sides of the dominance join) would otherwise each replay the
     // centroid aggregation and the cosine fold.
-    val withSim = members.join(broadcast(cent), Seq("cell"))
+    val withSim = members.join(centSide, Seq("cell"))
       .select(col("id"), col("cell"),
         round(dot(col("vec"), col("cvec")) /
           (l2Norm(col("vec")) * l2Norm(col("cvec"))), 6).as("centroid_sim"))

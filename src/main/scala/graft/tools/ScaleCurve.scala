@@ -161,6 +161,17 @@ object ScaleCurve {
           emb, "vec_id", "embedding", dim = 64, threshold = 0.3,
           dropObservation = Some(o)), Some(o))
       }),
+      // Semantic dedup with the cell width growing with the corpus
+      // (target ~20 vectors/cell): measures that the in-cell pair
+      // expansion, the centroid aggregation and the dominance join all
+      // stay near-linear when cells scale out instead of filling up.
+      "q91_semantic_dedup" -> (() => {
+        val e = emb
+        val bits = math.min(18, math.max(8,
+          SimilarityFunctions.ceilLog2(math.max(1L, e.count() / 20L))))
+        (SimilarityFunctions.semanticDedup(e, "vec_id", "embedding",
+          dim = 64, numBits = bits, simThreshold = 0.3), None)
+      }),
       "q78_clusters_auto" -> (() => {
         val pairs = SimilarityFunctions.embeddingNearDuplicates(
           emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
