@@ -156,6 +156,27 @@ class EngineSpec extends SparkSpec {
     intercept[RuntimeException] { Engine.executeManager(spark, """{"operations": []}""") }
   }
 
+  test("executeManager optimize: zorder col list and where scoping reach the rewrite") {
+    import spark.implicits._
+    val loc = tmpDir("mgropt") + "/t"
+    (1 to 100).map(i => (i % 2, i.toLong)).toDF("p", "x")
+      .repartition(4).write.partitionBy("p").mode("overwrite").parquet(loc)
+    val st = Engine.executeManager(spark,
+      s"""{"operations": [
+         |  {"manager": "table", "function": "optimize", "path": "$loc",
+         |   "target_partitions": 1, "optimize_zorder_col_list": "x",
+         |   "optimize_where": "p = 1"}
+         |]}""".stripMargin)
+    assert(st.size == 1)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/p=1"))
+      .count(_.getPath.getName.endsWith(".parquet")) == 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/p=0"))
+      .count(_.getPath.getName.endsWith(".parquet")) > 1)
+    assert(spark.read.parquet(loc).count() == 100L)
+  }
+
   test("executeManager: dry_run strings honored, bad types and argless creates rejected") {
     val dir = tmpDir("mgr2")
     java.nio.file.Files.writeString(
