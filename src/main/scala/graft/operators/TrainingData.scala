@@ -168,6 +168,38 @@ object TrainingData {
       .drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum (Efraimidis &
+    * Spirakis 2006): each row draws a deterministic uniform u from a
+    * 60-bit md5 of its id and competes on the exponential key
+    * ln(u)/weight — the top-k keys per stratum are a bona fide weighted
+    * sample without replacement, with heavier rows proportionally more
+    * likely to win. No RNG state: the same corpus always yields the same
+    * sample, and the SQL oracle reproduces u bit-for-bit from the same
+    * md5 arithmetic.
+    *
+    * Scale shape: the per-stratum selection runs through the k-bounded
+    * [[graft.functions.TopKAggregator]] (map-side partial top-k), so only
+    * ~k rows per stratum per input partition reach the shuffle — a giant
+    * stratum never sorts, unlike the rank-window formulation. Weights
+    * must be strictly positive.
+    *
+    * @return (strata, id, rnk) — rnk 1..k best-first within each stratum
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, strataCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    val u = (conv(substring(md5(
+        concat(lit("ws-"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double") + lit(0.5)) / lit(1.152921504606846976e18)
+    val esKey = log(u) / weightCol.cast("double")
+    df.select(col(strataCol).as("strata"), col(idCol).as("id"), esKey.as("es_key"))
+      .groupBy(col("strata"))
+      .agg(graft.functions.TopKAggregator.topK(k, col("id"), col("es_key")).as("top"))
+      .select(col("strata"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("strata"), col("s.neighbor_id").as("id"),
+        (col("i") + 1).cast("long").as("rnk"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the number of
     * its distinct word n-grams that appear in ANY benchmark document
     * (`contamination` = shared / total, in [0, 1]; filter on it to drop

@@ -2654,6 +2654,31 @@ object QueryCatalog {
       WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
       ORDER BY vec_id"""))
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis keys),
+    * k per language, weight = document length. Exercises
+    * [[graft.operators.TrainingData.weightedSample]] — the k-bounded
+    * aggregator path — against a rank-window oracle over the identical
+    * md5-derived keys. */
+  private val q92 = QueryDef(
+    "q92_weighted_sample",
+    (s, dir) => graft.operators.TrainingData.weightedSample(
+        T(s, dir, "documents"), "doc_id", "lang", col("n_chars"), k = 10)
+      .withColumnRenamed("strata", "lang")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("lang"), col("rnk")),
+    Some("""
+      WITH scored AS (
+        SELECT lang, doc_id,
+               ln((CAST(('0x' || substring(md5('ws-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                  / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rnk
+        FROM scored)
+      SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2664,5 +2689,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

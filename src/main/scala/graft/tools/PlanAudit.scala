@@ -173,6 +173,23 @@ object PlanAudit {
       |point), so the measured times carry zero recall loss. Re-run with
       |`sbt "runMain graft.tools.ScaleCurve"`
       |
+      |### Round 10: semantic dedup (q91) two-point curve
+      |
+      |SemDeDup over the embeddings corpus, cell width growing with the
+      |corpus (~20 vectors/cell target; numBits 8 at 1×, 16 at 200× —
+      |past the broadcast ceiling, so the 200× point exercises the
+      |shuffle-join centroid path):
+      |
+      || operator | 1× (5k vecs) | 10× | 200× (1M vecs) | growth @200× |
+      ||---|---|---|---|---|
+      || q91 semantic dedup | 1.53 | 3.09 | 51.7 | 33.8× |
+      |
+      |Near-linear where it matters: the 10×→200× leg is 20× data for
+      |16.7× wall (the 1× point is overhead-dominated by the two
+      |localCheckpoint materializations). One million vectors cell-ed,
+      |centroid-ed, pair-expanded and dominance-filtered in 52 s on one
+      |node; dropped_buckets 0 at every point.
+      |
       |### Round 6: 500× spot-check (2.5 MILLION documents)
       |
       |One further point past the table above for the fastest-growing

@@ -301,6 +301,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(terms.groupBy("id").count().where("count > 2").count() == 0)
   }
 
+  test("weightedSample: aggregator path == window formulation; weights bias selection") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", if (i <= 10) 1000.0 else 1.0))
+      .toDF("id", "strata", "w")
+    val got = TrainingData.weightedSample(rows, "id", "strata", col("w"), k = 5)
+    // Law: identical to the rank-window formulation over the same keys.
+    val u = (conv(substring(md5(concat(lit("ws-"), col("id").cast("string"))), 1, 15), 16, 10)
+      .cast("double") + lit(0.5)) / lit(1.152921504606846976e18)
+    val win = rows
+      .withColumn("k", log(u) / col("w"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("strata").orderBy(col("k").desc, col("id"))).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("strata"), col("id"), col("rnk"))
+    assertSameRows(got.select("strata", "id", "rnk"), win)
+    // The 10 heavy rows (1000x weight, 2% of rows) should dominate the
+    // sample: each stratum has 5 heavy members, expect most of the top-5.
+    val heavy = got.where(col("id") <= 10).count()
+    assert(heavy >= 6, s"expected heavy rows to dominate, got $heavy of 10")
+    // Deterministic.
+    assertSameRows(got,
+      TrainingData.weightedSample(rows, "id", "strata", col("w"), k = 5))
+  }
+
   test("unigramNll matches a hand-computed corpus LM; filter thresholds on it") {
     import graft.functions.TextFunctions
     // Corpus counts: a->4, b->1, total 5.
