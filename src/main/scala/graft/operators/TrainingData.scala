@@ -35,6 +35,32 @@ object TrainingData {
     sources.map { case (df, w) => hashSample(df, col(keyCol), w, salt) }
       .reduce(_.unionByName(_))
 
+  /** Temperature-scaled mixture rates: the standard multilingual /
+    * multi-source rebalancing formula (sampling probability proportional
+    * to count^alpha, alpha in (0, 1] — alpha 1 = natural proportions,
+    * alpha -> 0 = uniform across sources; "Unsupervised Cross-lingual
+    * Representation Learning at Scale", Conneau et al. 2020, §3). For a
+    * target corpus size `nTarget`, each source's per-row keep rate is
+    * min(1, nTarget * weight / count). One count aggregation (narrow
+    * shuffle on the source key); feed the rates into [[hashSample]] /
+    * [[mixSources]] for the actual draw.
+    *
+    * @return (source, n_rows, weight, rate) — weights sum to 1
+    */
+  def temperatureMixRates(
+      df: DataFrame, sourceCol: String, alpha: Double,
+      nTarget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(
+      sum(pow(col("n_rows").cast("double"), lit(alpha)))).head().getDouble(0)
+    counts.select(col("source"), col("n_rows"),
+      (pow(col("n_rows").cast("double"), lit(alpha)) / lit(total)).as("weight"))
+      .withColumn("rate",
+        least(lit(1.0), lit(nTarget.toDouble) * col("weight") / col("n_rows")))
+  }
+
   /** Fixed-budget sequence packing: within each shard, documents fill
     * context windows of `tokenBudget` tokens in id order; a document's
     * pack is `floor(tokens-before-it / budget)` (prefix-sum packing, so

@@ -2679,6 +2679,28 @@ object QueryCatalog {
       SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
       FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""))
 
+  /** Temperature-scaled source mixing rates (count^alpha rebalancing,
+    * Conneau et al. 2020): one count aggregation, driver-free rate
+    * derivation. Exercises
+    * [[graft.operators.TrainingData.temperatureMixRates]]. */
+  private val q93 = QueryDef(
+    "q93_temperature_mix",
+    (s, dir) => graft.operators.TrainingData.temperatureMixRates(
+        T(s, dir, "documents"), "source", alpha = 0.5, nTarget = 300L)
+      .select(col("source"), col("n_rows"),
+        round(col("weight"), 6).as("weight"),
+        round(col("rate"), 6).as("rate"))
+      .orderBy(col("source")),
+    Some("""
+      WITH c AS (
+        SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+      t AS (SELECT sum(pow(CAST(n_rows AS DOUBLE), 0.5)) AS tot FROM c)
+      SELECT source, n_rows,
+             round(pow(CAST(n_rows AS DOUBLE), 0.5) / tot, 6) AS weight,
+             round(least(1.0, 300.0 * (pow(CAST(n_rows AS DOUBLE), 0.5) / tot)
+                              / n_rows), 6) AS rate
+      FROM c, t ORDER BY source"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2689,5 +2711,5 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 }

@@ -326,6 +326,26 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.weightedSample(rows, "id", "strata", col("w"), k = 5))
   }
 
+  test("temperatureMixRates: alpha=1 is natural, small alpha flattens, rates cap") {
+    val rows = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (1000L + i, "small"))).toDF("id", "source")
+    val natural = TrainingData.temperatureMixRates(rows, "source", 1.0, 500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(natural("big")._2 === 0.9 && natural("small")._2 === 0.1)
+    val flat = TrainingData.temperatureMixRates(rows, "source", 0.3, 500L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // 0.3-temperature pulls the 9:1 imbalance toward uniform.
+    assert(flat("small") > 0.1 && flat("small") < 0.5)
+    assert(math.abs(flat("small") + flat("big") - 1.0) < 1e-9)
+    // A tiny source asked for more rows than it has caps at rate 1.
+    val capped = TrainingData.temperatureMixRates(rows, "source", 0.01, 900L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(capped("small") === 1.0)
+    intercept[IllegalArgumentException] {
+      TrainingData.temperatureMixRates(rows, "source", 0.0, 10L)
+    }
+  }
+
   test("unigramNll matches a hand-computed corpus LM; filter thresholds on it") {
     import graft.functions.TextFunctions
     // Corpus counts: a->4, b->1, total 5.
