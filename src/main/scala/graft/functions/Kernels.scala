@@ -279,4 +279,42 @@ object Kernels {
     }
     f(a, b)
   }
+
+  /** 2-D Hilbert curve index of a (x, y) cell pair in a 2^bits x 2^bits
+    * grid — the better-locality alternative to the Morton interleave for
+    * layout clustering (every consecutive pair of Hilbert indices is a
+    * grid 4-neighbor; Morton jumps). The standard iterative
+    * quadrant-rotation algorithm; a kernel rather than column math
+    * because the per-step rotation feeds (x, y) state into the next
+    * step — as a Column tree, 16 self-referencing steps explode
+    * exponentially under CollapseProject. Used by layout REWRITES (a
+    * one-off job per table), not hot query paths. Reproducible
+    * cross-engine: the catalog oracle replays the identical integer
+    * steps as chained SQL CTEs. */
+  def hilbertIndex(xCol: Column, yCol: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "hilbert bits must be in [1, 31]")
+    val n = 1L << bits
+    val f = udf { (xIn: java.lang.Long, yIn: java.lang.Long) =>
+      if (xIn == null || yIn == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var x = xIn.longValue() & (n - 1)
+        var y = yIn.longValue() & (n - 1)
+        var d = 0L
+        var s = n >> 1
+        while (s > 0) {
+          val rx = if ((x & s) > 0) 1L else 0L
+          val ry = if ((y & s) > 0) 1L else 0L
+          d += s * s * ((3L * rx) ^ ry)
+          // rotate quadrant
+          if (ry == 0L) {
+            if (rx == 1L) { x = n - 1 - x; y = n - 1 - y }
+            val t = x; x = y; y = t
+          }
+          s >>= 1
+        }
+        java.lang.Long.valueOf(d)
+      }
+    }
+    f(xCol, yCol)
+  }
 }

@@ -139,20 +139,46 @@ object ZOrder {
     zValue(buckets)
   }
 
-  /** Rewrite a parquet location clustered by the Z-curve of `zorderCols`.
-    * One shuffle (range partition on the curve key), staged-swap commit;
-    * `targetPartitions` 0 derives the output file count from the current
-    * file count like compaction does. */
+  /** The Hilbert-curve key for `df` over exactly two columns — the
+    * better-locality curve (every consecutive index pair is a grid
+    * 4-neighbor; the Morton curve jumps at quadrant boundaries), the one
+    * newer clustering implementations prefer. Same equal-width bucket
+    * normalization as [[curveKey]]. */
+  def hilbertKey(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.size == 2, "the hilbert curve is defined here for exactly 2 columns")
+    val bits = bitsFor(2)
+    val projs = cols.map(orderable(df, _))
+    val aggs = projs.zipWithIndex.flatMap { case (p, i) =>
+      Seq(min(p).as(s"lo$i"), max(p).as(s"hi$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val buckets = projs.zipWithIndex.map { case (p, i) =>
+      val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val hi = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      bucketId(p, lo, hi, bits)
+    }
+    graft.functions.Kernels.hilbertIndex(buckets(0), buckets(1), bits)
+  }
+
+  /** Rewrite a parquet location clustered by the chosen space-filling
+    * curve of `zorderCols` (`curve` = "zorder" | "hilbert"; hilbert needs
+    * exactly 2 columns). One shuffle (range partition on the curve key),
+    * staged-swap commit; `targetPartitions` 0 derives the output file
+    * count from the current file count like compaction does. */
   def rewrite(
       spark: SparkSession,
       location: String,
       zorderCols: Seq[String],
-      targetPartitions: Int = 0): Unit = {
+      targetPartitions: Int = 0,
+      curve: String = "zorder"): Unit = {
     require(zorderCols.nonEmpty, "zorder rewrite needs columns")
     val df = spark.read.parquet(location)
     val n = if (targetPartitions > 0) targetPartitions
       else math.max(1, (df.inputFiles.length / 8.0).ceil.toInt)
-    val z = curveKey(df, zorderCols)
+    val z = curve match {
+      case "zorder" => curveKey(df, zorderCols)
+      case "hilbert" => hilbertKey(df, zorderCols)
+      case other => sys.error(s"unknown curve '$other' (zorder | hilbert)")
+    }
     val stage = location.stripSuffix("/") + "__zorder"
     df.withColumn("__zcurve", z)
       .repartitionByRange(n, col("__zcurve"))

@@ -2701,6 +2701,53 @@ object QueryCatalog {
                               / n_rows), 6) AS rate
       FROM c, t ORDER BY source"""))
 
+  /** Chained CTEs replaying [[graft.functions.Kernels.hilbertIndex]]'s
+    * quadrant-rotation steps in SQL, one per bit level: each stage
+    * computes the next (x, y, d) from the previous stage's columns —
+    * linear SQL, where the equivalent Column tree would explode
+    * exponentially under projection collapse. */
+  private def hilbertCtes(bits: Int): String = {
+    val n = 1 << bits
+    val steps = (bits - 1 to 0 by -1).map(1 << _)
+    val init =
+      s"""h0 AS (
+        SELECT o_orderkey, o_custkey,
+               o_custkey % $n AS x, o_orderkey % $n AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM orders)"""
+    val chain = steps.zipWithIndex.map { case (s, i) =>
+      s"""h${i + 1} AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN (y & $s) = 0
+               THEN (CASE WHEN (x & $s) > 0 THEN ${n - 1} - y ELSE y END)
+               ELSE x END AS x,
+          CASE WHEN (y & $s) = 0
+               THEN (CASE WHEN (x & $s) > 0 THEN ${n - 1} - x ELSE x END)
+               ELSE y END AS y,
+          d + $s * $s * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+                            (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d
+        FROM h$i)"""
+    }
+    (init +: chain).mkString(",\n      ")
+  }
+
+  /** Hilbert curve key (the locality-optimal layout curve behind
+    * `ZOrder.rewrite(..., curve = "hilbert")`), hash-verified against the
+    * step-by-step SQL replay. */
+  private val q94 = QueryDef(
+    "q94_hilbert_key",
+    (s, dir) => T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.functions.Kernels.hilbertIndex(
+          col("o_custkey") % lit(256L), col("o_orderkey") % lit(256L),
+          bits = 8).as("hkey"))
+      .orderBy(col("hkey"), col("o_orderkey"))
+      .limit(100),
+    Some(s"""
+      WITH ${hilbertCtes(8)}
+      SELECT o_orderkey, o_custkey, d AS hkey
+      FROM h8 ORDER BY hkey, o_orderkey LIMIT 100"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2711,5 +2758,6 @@ object QueryCatalog {
     q41, q42, q43, q45, q46, q47, q48, q49, q50, q51,
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
+    q94)
 }

@@ -100,6 +100,50 @@ class ZOrderSpec extends SparkSpec {
     assert(after <= 8, s"expected <=8 files for a 1/8 y-band, got $after")
   }
 
+  test("hilbertIndex is a bijection with unit-step adjacency (true Hilbert)") {
+    import spark.implicits._
+    val bits = 4 // 16x16 grid, 256 cells
+    val cells = spark.range(256).select(
+      (col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"))
+    val d = cells.select(col("x"), col("y"),
+        graft.functions.Kernels.hilbertIndex(col("x"), col("y"), bits).as("d"))
+      .orderBy("d").collect()
+    // Bijection: every index 0..255 exactly once.
+    assert(d.map(_.getLong(2)).toSeq === (0L until 256L))
+    // The defining Hilbert property (Morton fails it): consecutive
+    // indices are grid 4-neighbors.
+    d.sliding(2).foreach { w =>
+      val dist = math.abs(w(0).getLong(0) - w(1).getLong(0)) +
+        math.abs(w(0).getLong(1) - w(1).getLong(1))
+      assert(dist === 1L, s"jump between ${w(0)} and ${w(1)}")
+    }
+  }
+
+  test("hilbert rewrite clusters the grid at least as tightly as zorder") {
+    import spark.implicits._
+    val n = 128
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val loc = tmpDir("hilbert") + "/grid"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(loc)
+    ZOrder.rewrite(spark, loc, Seq("x", "y"), targetPartitions = 16,
+      curve = "hilbert")
+    val touched = spark.read.parquet(loc)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("y").as("y0"), max("y").as("y1"))
+      .where(col("y0") <= 15 && col("y1") >= 0)
+      .count()
+    assert(touched <= 8, s"1/8 y-band touched $touched of 16 hilbert files")
+    assert(spark.read.parquet(loc).count() === n.toLong * n)
+    intercept[RuntimeException] {
+      ZOrder.rewrite(spark, loc, Seq("x"), curve = "hilbert")
+    }
+    intercept[RuntimeException] {
+      ZOrder.rewrite(spark, loc, Seq("x", "y"), curve = "peano")
+    }
+  }
+
   test("optimize where: rewrites only matching partitions, validates refs") {
     import spark.implicits._
     val loc = tmpDir("optwhere") + "/t"
