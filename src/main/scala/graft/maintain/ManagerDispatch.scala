@@ -153,7 +153,8 @@ object ManagerDispatch {
             A.num(op, "target_partitions").map(_.toInt).getOrElse(0),
             A.str(op, "optimize_zorder_col_list").toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-            A.str(op, "optimize_where"))
+            A.str(op, "optimize_where"),
+            A.str(op, "optimize_curve").getOrElse("zorder"))
           case "show_tbl_properties" => tm.showTblProperties(s("table_or_view")).collect()
           case "get_tbl_pk" => tm.getTablePk(s("table_or_view"))
           case "repair_table" => tm.repairTable(s("table_or_view"))

@@ -111,17 +111,20 @@ final class TableManager(spark: SparkSession) {
     * rewritten independently (its own staged swap), so cost is O(touched
     * partitions) and untouched data is never read. */
   def optimize(location: String, targetPartitions: Int = 0,
-      zorderCols: Seq[String] = Nil, where: Option[String] = None): Unit =
+      zorderCols: Seq[String] = Nil, where: Option[String] = None,
+      curve: String = "zorder"): Unit =
     where match {
-      case Some(cond) => optimizeScoped(location, cond, targetPartitions, zorderCols)
+      case Some(cond) =>
+        optimizeScoped(location, cond, targetPartitions, zorderCols, curve)
       case None =>
         if (zorderCols.nonEmpty)
-          ZOrder.rewrite(spark, location, zorderCols, targetPartitions)
+          ZOrder.rewrite(spark, location, zorderCols, targetPartitions, curve)
         else FileCompaction.compact(spark, location, targetPartitions)
     }
 
   private def optimizeScoped(location: String, condition: String,
-      targetPartitions: Int, zorderCols: Seq[String]): Unit = {
+      targetPartitions: Int, zorderCols: Seq[String],
+      curve: String = "zorder"): Unit = {
     import graft.io.PartitionedRewrite
     val fs = new Path(location).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partCols = PartitionedRewrite.discoverLayout(fs, new Path(location))
@@ -150,7 +153,8 @@ final class TableManager(spark: SparkSession) {
     val live = PartitionedRewrite.listPartitionDirs(fs, new Path(location), partCols.size)
     names.filter(live.contains).foreach { name =>
       val dir = s"${location.stripSuffix("/")}/$name"
-      if (zorderCols.nonEmpty) ZOrder.rewrite(spark, dir, zorderCols, targetPartitions)
+      if (zorderCols.nonEmpty)
+        ZOrder.rewrite(spark, dir, zorderCols, targetPartitions, curve)
       else FileCompaction.compact(spark, dir, targetPartitions)
     }
   }
