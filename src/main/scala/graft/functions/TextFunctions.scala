@@ -139,6 +139,31 @@ object TextFunctions {
         round(-avg(log(col("c").cast("double") / lit(n))), roundTo).as("nll"))
   }
 
+  /** CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3): within
+    * each stratum (language, in the paper), rank documents by ascending
+    * NLL and cut into `buckets` rank-equal groups — "head" is the most
+    * natural text, "tail" the least; downstream pipelines keep head+middle
+    * or sample per bucket. Rank ties resolve by id, so the split is
+    * deterministic and engine-reproducible (ntile over an explicit total
+    * order). One stratum-keyed window over the (id, nll) score table —
+    * document text never enters the shuffle.
+    *
+    * @return (id, strata, n_tokens, nll, bucket) — bucket 1..`buckets`
+    */
+  def perplexityBuckets(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      strataCol: String,
+      textCol: String,
+      buckets: Int = 3): org.apache.spark.sql.DataFrame = {
+    val scored = unigramNll(df, idCol, textCol)
+      .join(df.select(col(idCol).as("id"), col(strataCol).as("strata")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("strata")).orderBy(col("nll"), col("id"))
+    scored.select(col("id"), col("strata"), col("n_tokens"), col("nll"),
+      ntile(buckets).over(w).cast("long").as("bucket"))
+  }
+
   /** Keep documents whose unigram NLL is at or below `maxNll` — the
     * filter stage of perplexity filtering. The score join moves only
     * (id, token); document text is semi-joined afterwards by id, so text

@@ -2748,6 +2748,34 @@ object QueryCatalog {
       SELECT o_orderkey, o_custkey, d AS hkey
       FROM h8 ORDER BY hkey, o_orderkey LIMIT 100"""))
 
+  /** CCNet head/middle/tail perplexity buckets per language (rank-based
+    * terciles over the q90 scores). Exercises
+    * [[TextFunctions.perplexityBuckets]]. */
+  private val q95 = QueryDef(
+    "q95_ccnet_buckets",
+    (s, dir) => TextFunctions.perplexityBuckets(
+        T(s, dir, "documents"), "doc_id", "lang", "text", buckets = 3)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("strata", "lang")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+      sc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(-avg(ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        FROM toks JOIN cnt USING (tok), tot
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.lang, sc.n_tokens, sc.nll,
+             CAST(ntile(3) OVER (PARTITION BY d.lang
+                                 ORDER BY sc.nll, d.doc_id) AS BIGINT) AS bucket
+      FROM sc JOIN documents d USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2759,5 +2787,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94)
+    q94, q95)
 }

@@ -365,4 +365,24 @@ class TrainingDataSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L))
   }
+
+  test("perplexityBuckets: rank-equal terciles per stratum, head = most natural") {
+    import graft.functions.TextFunctions
+    // Nine docs in one stratum; doc i repeats the common token 'a' less
+    // and the rare-but-distinct tokens more as i grows -> nll increases.
+    val corpus = (1 to 9).map { i =>
+      val commons = Seq.fill(10 - i)("a")
+      val rares = (1 to i).map(j => s"rare_${i}_$j")
+      (i.toLong, "en", (commons ++ rares).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val b = TextFunctions.perplexityBuckets(corpus, "doc_id", "lang", "text")
+      .orderBy("id").collect()
+    // Balanced cut: 3 docs per bucket.
+    assert(b.map(_.getLong(4)).groupBy(identity).view.mapValues(_.length).toMap
+      == Map(1L -> 3, 2L -> 3, 3L -> 3))
+    // nll is monotone in the bucket assignment.
+    val byBucket = b.groupBy(_.getLong(4)).view.mapValues(_.map(_.getDouble(3))).toMap
+    assert(byBucket(1L).max <= byBucket(2L).min + 1e-9)
+    assert(byBucket(2L).max <= byBucket(3L).min + 1e-9)
+  }
 }
