@@ -291,6 +291,29 @@ object DedupFunctions {
     * Pass `dropObservation` to measure how many postings were dropped
     * (recall observability); zero dropped means the result IS the exact
     * all-pairs answer. */
+  /** The gram inverted index shared by the jaccard and containment pair
+    * generators: ONE shuffle groups (id, n_grams) by gram (the posting
+    * list), pairs expand inside each posting — identical pair multiset
+    * to the self-join formulation (a posting of B docs yields the same
+    * B^2/2 pairs the equi-join would), but the tokenize+shingle chain is
+    * evaluated once, not per join side. */
+  private def gramPostings(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxPostingSize: Int,
+      dropObservation: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val grams = PlanBarrier.fence(df
+      .select(col(idCol).as("id"),
+        Kernels.distinctShingles(col(textCol), n).as("grams"))
+      .select(col("id"), col("grams"), size(col("grams")).as("n_grams")))
+    observeDrops(
+      grams
+        .select(explode(col("grams")).as("g"), struct(col("id"), col("n_grams")).as("m"))
+        .groupBy(col("g"))
+        .agg(collect_list(col("m")).as("ms")),
+      size(col("ms")), maxPostingSize, dropObservation)
+      .where(size(col("ms")).between(2, maxPostingSize))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -299,23 +322,7 @@ object DedupFunctions {
       threshold: Double = 0.5,
       maxPostingSize: Int = 100000,
       dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val grams = PlanBarrier.fence(df
-      .select(col(idCol).as("id"),
-        Kernels.distinctShingles(col(textCol), n).as("grams"))
-      .select(col("id"), col("grams"), size(col("grams")).as("n_grams")))
-    // Single pass over the gram pipeline: ONE shuffle groups (id, n_grams)
-    // by gram (the inverted-index posting list), pairs expand inside each
-    // posting — identical pair multiset to the self-join formulation (a
-    // posting of B docs yields the same B^2/2 pairs the equi-join would),
-    // but the tokenize+shingle chain is evaluated once, not per join side.
-    val postings = observeDrops(
-      grams
-        .select(explode(col("grams")).as("g"), struct(col("id"), col("n_grams")).as("m"))
-        .groupBy(col("g"))
-        .agg(collect_list(col("m")).as("ms")),
-      size(col("ms")), maxPostingSize, dropObservation)
-      .where(size(col("ms")).between(2, maxPostingSize))
-    postings
+    gramPostings(df, idCol, textCol, n, maxPostingSize, dropObservation)
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a.id") < col("b.id"))
@@ -326,6 +333,37 @@ object DedupFunctions {
         (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Asymmetric containment pairs: C(A, B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)| — the excerpt detector. A short quote A lifted into a
+    * long document B has containment ~1 while its Jaccard is only
+    * ~|A|/|B|, so symmetric dedup never fires; containment-based
+    * filtering is the standard companion pass (cf. the suffix-array
+    * dedup motivation in Lee et al. 2021). Same single-shuffle inverted
+    * index as [[ngramJaccardPairs]]; output is ORDERED (id_a contained
+    * in id_b), so each unordered pair can appear in both directions with
+    * different scores.
+    *
+    * @return (id_a, id_b, containment) with containment >= threshold
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxPostingSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    gramPostings(df, idCol, textCol, n, maxPostingSize, dropObservation)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_grams").as("n_a"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / col("n_a")).as("containment"))
+      .where(col("containment") >= threshold)
 
   /** Substring-level exact-duplication metrics: rolling k-token windows
     * fingerprinted and counted corpus-wide, aggregated per document.

@@ -2776,6 +2776,36 @@ object QueryCatalog {
       FROM sc JOIN documents d USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Asymmetric n-gram containment pairs (the excerpt detector; ordered,
+    * inter / |grams(A)|). Exercises
+    * [[DedupFunctions.ngramContainmentPairs]] against the q33-style
+    * inverted-index oracle. */
+  private val q96 = QueryDef(
+    "q96_containment",
+    (s, dir) => DedupFunctions.ngramContainmentPairs(
+        T(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
+        n = 2, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents WHERE doc_id < 300),
+      grams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 2
+                 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                 ELSE [array_to_string(tk, ' ')] END) AS gs
+        FROM toks),
+      sized AS (SELECT doc_id, gs, len(gs) AS n_grams FROM grams),
+      exploded AS (SELECT doc_id, n_grams, unnest(gs) AS g FROM sized)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) / CAST(a.n_grams AS DOUBLE) AS containment
+      FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_grams
+      HAVING count(*) / CAST(a.n_grams AS DOUBLE) >= 0.3
+      ORDER BY id_a, id_b"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2787,5 +2817,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95)
+    q94, q95, q96)
 }

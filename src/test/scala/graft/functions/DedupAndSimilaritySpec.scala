@@ -230,6 +230,25 @@ class DedupAndSimilaritySpec extends SparkSpec {
       dim = 4, threshold = 0.9).count() == 10)
   }
 
+  test("containment finds an excerpt that jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val host = (1 to 15).map(i => s"filler$i word$i").mkString(" ") +
+      " " + quote + " " + (16 to 30).map(i => s"filler$i word$i").mkString(" ")
+    val corpus = Seq((1L, quote), (2L, host), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val cont = DedupFunctions.ngramContainmentPairs(
+        corpus, "doc_id", "text", n = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // The quote is (nearly) fully contained in the host, directionally.
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.8 })
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L })
+    // Symmetric jaccard at the same bar finds nothing: the quote is a
+    // small fraction of the host's grams.
+    val jac = DedupFunctions.ngramJaccardPairs(
+      corpus, "doc_id", "text", n = 2, threshold = 0.8)
+    assert(jac.count() == 0L)
+  }
+
   test("semanticDedup keeps the least-central member of a near-dup pair") {
     // Vectors 0 and 1 are near-identical (land in one cell, cosine ~1);
     // vector 2 is identical to 0 (exact dup); 3 is orthogonal-ish noise.
