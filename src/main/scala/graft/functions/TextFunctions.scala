@@ -139,6 +139,40 @@ object TextFunctions {
         round(-avg(log(col("c").cast("double") / lit(n))), roundTo).as("nll"))
   }
 
+  /** Bigram conditional NLL per document — the order-2 instance of the
+    * [[unigramNll]] shape (the count key widens to the token pair; the
+    * conditional denominator c1(w1) is the pair table re-aggregated, not
+    * a second corpus pass). nll = mean over adjacent pairs of
+    * -ln(c2(w1,w2) / c1(w1·)), unsmoothed MLE — every observed pair has
+    * positive probability by construction. Documents with fewer than two
+    * tokens are absent (no bigram events).
+    *
+    * @return (id, n_bigrams, nll)
+    */
+  def bigramNll(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
+    val toks = graft.util.PlanBarrier.fence(
+      df.select(col(idCol).as("id"), whitespaceTokens(col(textCol)).as("tk")))
+    val pairs = toks
+      .where(size(col("tk")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("c2").cast("double") / col("c1").cast("double"))),
+          roundTo).as("nll"))
+  }
+
   /** CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.3): within
     * each stratum (language, in the paper), rank documents by ascending
     * NLL and cut into `buckets` rank-equal groups — "head" is the most

@@ -2806,6 +2806,31 @@ object QueryCatalog {
       HAVING count(*) / CAST(a.n_grams AS DOUBLE) >= 0.3
       ORDER BY id_a, id_b"""))
 
+  /** Bigram conditional LM scores — the order-2 extension of q90.
+    * Exercises [[TextFunctions.bigramNll]]. */
+  private val q97 = QueryDef(
+    "q97_bigram_lm",
+    (s, dir) => TextFunctions.bigramNll(
+        T(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      flat AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)),
+                   i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+          FROM toks WHERE len(tk) >= 2)),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM flat GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-avg(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS nll
+      FROM flat JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2817,5 +2842,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96)
+    q94, q95, q96, q97)
 }

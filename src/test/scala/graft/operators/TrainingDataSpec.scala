@@ -366,6 +366,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("bigramNll matches a hand-computed conditional model") {
+    import graft.functions.TextFunctions
+    // Bigrams: (a b) x2 from docs 1,2; (b a) x1; (a a) x1.
+    // c2: (a,b)=2, (b,a)=1, (a,a)=1; c1: a·=3, b·=1.
+    val corpus = Seq((1L, "a b a a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramNll(corpus, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // "x" has no bigrams
+    // doc 1: pairs (a,b),(b,a),(a,a): -[ln(2/3)+ln(1/1)+ln(1/3)]/3
+    val exp1 = -(math.log(2.0 / 3) + math.log(1.0) + math.log(1.0 / 3)) / 3
+    assert(math.abs(got(0).getDouble(2) - exp1) < 1e-4)
+    // doc 2: single pair (a,b): -ln(2/3)
+    assert(math.abs(got(1).getDouble(2) + math.log(2.0 / 3)) < 1e-4)
+    assert(got(0).getLong(1) == 3L && got(1).getLong(1) == 1L)
+  }
+
   test("perplexityBuckets: rank-equal terciles per stratum, head = most natural") {
     import graft.functions.TextFunctions
     // Nine docs in one stratum; doc i repeats the common token 'a' less
