@@ -2831,6 +2831,56 @@ object QueryCatalog {
       FROM flat JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Curation pipeline v2 — the round's curation stages composed end to
+    * end: exact dedup (keep lowest id per text) → corpus LM rebuilt over
+    * the SURVIVORS → CCNet head+middle filter → weighted sample (5 per
+    * language, weight = length). Every stage feeds the next, so the
+    * oracle must replay the whole chain — a single hash compare locks the
+    * full integration. */
+  private val q98 = QueryDef(
+    "q98_curation_v2",
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+      val surv = DedupFunctions.dedupExact(docs, Seq("text"), Seq(col("doc_id")))
+      val keep = TextFunctions.perplexityBuckets(surv, "doc_id", "lang", "text")
+        .where(col("bucket") <= 2).select(col("id").as("doc_id"))
+      val filtered = surv.join(keep, Seq("doc_id"))
+      graft.operators.TrainingData.weightedSample(
+          filtered, "doc_id", "lang", col("n_chars"), k = 5)
+        .withColumnRenamed("strata", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("lang"), col("rnk"))
+    },
+    Some("""
+      WITH keep1 AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      surv AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        FROM surv),
+      cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+      sc AS (
+        SELECT doc_id, round(-avg(ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        FROM toks JOIN cnt USING (tok), tot GROUP BY doc_id),
+      bucketed AS (
+        SELECT s.doc_id, d.lang, d.n_chars,
+               ntile(3) OVER (PARTITION BY d.lang ORDER BY s.nll, s.doc_id) AS bucket
+        FROM sc s JOIN surv d USING (doc_id)),
+      keep2 AS (SELECT * FROM bucketed WHERE bucket <= 2),
+      scored AS (
+        SELECT lang, doc_id,
+               ln((CAST(('0x' || substring(md5('ws-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                  / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS es_key
+        FROM keep2),
+      r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rnk
+        FROM scored)
+      SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY lang, rnk"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2842,5 +2892,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97)
+    q94, q95, q96, q97, q98)
 }
