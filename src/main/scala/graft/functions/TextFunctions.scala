@@ -198,6 +198,44 @@ object TextFunctions {
       ntile(buckets).over(w).cast("long").as("bucket"))
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the mixture diagnostic for multi-source corpora: KL(p_source ||
+    * p_corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t)). A source of generic
+    * text scores near 0; a source with its own vocabulary scores high —
+    * the number that tells you which source a mixture weight change will
+    * actually move. Always well-defined without smoothing: every token a
+    * source emits is in the corpus by construction, so p_c(t) > 0
+    * wherever p_s(t) > 0.
+    *
+    * Scale shape: one shuffle to the (source, token) count grid, one
+    * token-keyed aggregation for the corpus marginal that joins back on
+    * the token key, one narrow per-source rollup. Nothing is collected
+    * except the two scalar totals.
+    *
+    * @return (source, n_tokens, kl) — kl in nats, rounded
+    */
+  def sourceDivergence(
+      df: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      textCol: String,
+      roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
+    val st = df.select(col(sourceCol).as("source"),
+        explode(whitespaceTokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+    val corpus = st.groupBy(col("tok")).agg(sum(col("cs")).as("cc"))
+    val totals = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val n = corpus.agg(sum(col("cc"))).head().getLong(0).toDouble
+    st.join(corpus, Seq("tok")).join(totals, Seq("source"))
+      .select(col("source"), col("ns"),
+        ((col("cs").cast("double") / col("ns")) *
+          log((col("cs").cast("double") / col("ns")) /
+              (col("cc").cast("double") / lit(n)))).as("term"))
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_tokens"),
+        round(sum(col("term")), roundTo).as("kl"))
+  }
+
   /** Keep documents whose unigram NLL is at or below `maxNll` — the
     * filter stage of perplexity filtering. The score join moves only
     * (id, token); document text is semi-joined afterwards by id, so text

@@ -2881,6 +2881,29 @@ object QueryCatalog {
       SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
       FROM r WHERE rnk <= 5 ORDER BY lang, rnk"""))
 
+  /** Per-source KL divergence from the corpus unigram distribution (the
+    * mixture diagnostic). Exercises [[TextFunctions.sourceDivergence]]. */
+  private val q99 = QueryDef(
+    "q99_source_divergence",
+    (s, dir) => TextFunctions.sourceDivergence(
+        T(s, dir, "documents"), "source", "text")
+      .orderBy(col("source")),
+    Some("""
+      WITH st AS (
+        SELECT source, tok, count(*) AS cs FROM (
+          SELECT source,
+                 unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+          FROM documents)
+        GROUP BY source, tok),
+      corpus AS (SELECT tok, CAST(sum(cs) AS BIGINT) AS cc FROM st GROUP BY tok),
+      totals AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM st GROUP BY source),
+      n AS (SELECT CAST(sum(cc) AS DOUBLE) AS n FROM corpus)
+      SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+             round(sum((CAST(cs AS DOUBLE) / ns) *
+                       ln((CAST(cs AS DOUBLE) / ns) / (CAST(cc AS DOUBLE) / n))), 4) AS kl
+      FROM st JOIN corpus USING (tok) JOIN totals USING (source), n
+      GROUP BY source ORDER BY source"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2892,5 +2915,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97, q98)
+    q94, q95, q96, q97, q98, q99)
 }

@@ -366,6 +366,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("sourceDivergence matches a hand-computed KL") {
+    import graft.functions.TextFunctions
+    // Corpus: a,a,b,c (n=4). Source A = "a a b" (p: a 2/3, b 1/3),
+    // source B = "c" (p: c 1). KL(A)=ln(4/3), KL(B)=ln(4).
+    val corpus = Seq(("A", "a a b"), ("B", "c")).toDF("source", "text")
+    val kl = TextFunctions.sourceDivergence(corpus, "source", "text")
+      .orderBy("source").collect()
+    assert(kl.map(_.getString(0)).toSeq == Seq("A", "B"))
+    assert(math.abs(kl(0).getDouble(2) - math.log(4.0 / 3)) < 1e-4)
+    assert(math.abs(kl(1).getDouble(2) - math.log(4.0)) < 1e-4)
+    assert(kl(0).getLong(1) == 3L && kl(1).getLong(1) == 1L)
+  }
+
   test("bigramNll matches a hand-computed conditional model") {
     import graft.functions.TextFunctions
     // Bigrams: (a b) x2 from docs 1,2; (b a) x1; (a a) x1.
