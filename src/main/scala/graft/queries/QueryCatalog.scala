@@ -2904,6 +2904,44 @@ object QueryCatalog {
       FROM st JOIN corpus USING (tok) JOIN totals USING (source), n
       GROUP BY source ORDER BY source"""))
 
+  /** Per-label embedding centroids and their pairwise cosine matrix —
+    * the embedding-space mixture diagnostic (which label clusters
+    * overlap?). Centroid aggregation is the q91 shape; the label x label
+    * theta join is over the tiny centroid table (10 labels here, always
+    * #labels rows), the legitimate broadcast-nested-loop case. */
+  private val q100 = QueryDef(
+    "q100_label_centroids",
+    (s, dir) => {
+      val cent = graft.util.PlanBarrier.fence(T(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("cvec")))
+        .localCheckpoint(true)
+      val a = cent.select(col("label").cast("long").as("label_a"), col("cvec").as("va"))
+      val b = cent.select(col("label").cast("long").as("label_b"), col("cvec").as("vb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(SimilarityFunctions.dot(col("va"), col("vb")) /
+            (SimilarityFunctions.l2Norm(col("va")) *
+             SimilarityFunctions.l2Norm(col("vb"))), 6).as("cos"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+        FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
+      cvecs AS (SELECT label, list(cv ORDER BY i) AS cvec FROM cent GROUP BY label)
+      SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+             round(list_sum(list_transform(list_zip(a.cvec, b.cvec),
+                     p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(a.cvec, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.cvec, x -> x * x)))), 6) AS cos
+      FROM cvecs a JOIN cvecs b ON a.label < b.label
+      ORDER BY label_a, label_b"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2915,5 +2953,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97, q98, q99)
+    q94, q95, q96, q97, q98, q99, q100)
 }

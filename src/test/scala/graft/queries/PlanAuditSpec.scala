@@ -22,7 +22,10 @@ class PlanAuditSpec extends SparkSpec {
     * join: a range/theta condition against a tiny broadcast side IS the
     * right 100 TB shape (calendar windows, broadcast query sets). */
   private val bnljWhitelist = Set(
-    "q38_cosine_topk")   // corpus x broadcast query set, non-equi (id <>)
+    "q38_cosine_topk",   // corpus x broadcast query set, non-equi (id <>)
+    "q100_label_centroids") // #labels x #labels centroid matrix: both
+                            // sides are the per-label centroid table,
+                            // bounded by label cardinality, never rows
   // q44_range_join left the whitelist in round 6: day-grain calendar
   // windows are exploded to per-day rows and equi-joined (BHJ).
 
