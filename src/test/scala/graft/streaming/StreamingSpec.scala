@@ -178,6 +178,51 @@ class StreamingSpec extends SparkSpec {
     assert(sensor.status("s-empty").isEmpty)
   }
 
+  test("streaming weighted reservoir equals the batch weightedSample at every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val ckpt = tmpDir("res-ckpt")
+    // Capture the reservoir emitted per micro-batch, tagged by batch id.
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(String, Long, Long)])]
+    val q = graft.streaming.StreamingSample.weightedReservoir(
+        mem.toDF().toDF("id", "strata", "w"), "id", "strata", "w", k = 3)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingSample.Sampled],
+         bid: Long) =>
+          emissions.synchronized {
+            emissions += ((bid, b.collect()
+              .map(s => (s.strata, s.id, s.rnk)).toSet))
+          }
+          ()
+      }
+      .start()
+    val batch1 = (1L to 20L).map(i => (i, if (i % 2 == 0) "e" else "o", 1.0 + i))
+    val batch2 = (21L to 40L).map(i => (i, if (i % 2 == 0) "e" else "o", 1.0 + i))
+    def batchExpected(rows: Seq[(Long, String, Double)]): Set[(String, Long, Long)] =
+      graft.operators.TrainingData.weightedSample(
+          rows.toDF("id", "strata", "w"), "id", "strata", col("w"), k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val afterB1 = emissions.synchronized(emissions.filter(_._2.nonEmpty).last._2)
+      assert(afterB1 == batchExpected(batch1))
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val afterB2 = emissions.synchronized(emissions.filter(_._2.nonEmpty).last._2)
+      // The law: the reservoir after any prefix equals the batch operator
+      // over all rows seen so far, regardless of batch boundaries.
+      assert(afterB2 == batchExpected(batch1 ++ batch2))
+      assert(afterB2 != afterB1) // heavier later rows displaced earlier ones
+    } finally q.stop()
+  }
+
   test("streaming sessionization: session_window with watermark over a stream") {
     // the streaming variant of q55's sessionize operator: gap-based
     // session windows close when the watermark passes session end + gap
