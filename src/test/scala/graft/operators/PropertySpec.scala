@@ -109,6 +109,29 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("containment laws vs jaccard on random corpora") {
+    import graft.functions.DedupFunctions
+    val rng = new Random(11)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (5 + rng.nextInt(20))).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val jac = DedupFunctions.ngramJaccardPairs(
+        docs, "doc_id", "text", n = 2, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = DedupFunctions.ngramContainmentPairs(
+        docs, "doc_id", "text", n = 2, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty && cont.nonEmpty)
+    // Laws: J(A,B) <= C(A->B) (union >= |A|), and the two directions
+    // relate through the gram-set sizes: C in (0, 1].
+    jac.foreach { case ((a, b), j) =>
+      val cab = cont.getOrElse((a, b), 0.0)
+      assert(j <= cab + 1e-9, s"pair ($a,$b): jaccard $j > containment $cab")
+    }
+    cont.values.foreach(c => assert(c > 0.0 && c <= 1.0 + 1e-9))
+  }
+
   test("snapshot diff round trip: applying the diff reproduces the target") {
     for (seed <- Seq(2, 17)) {
       val rng = new Random(seed)
