@@ -216,12 +216,22 @@ object Terminators {
     case "execute_sql" =>
       spec.args.get("sql").foreach(q => spark.sql(String.valueOf(q)))
     case "optimize_dataset" | "vacuum" =>
-      // Delta OPTIMIZE/VACUUM need Delta; compaction for parquet locations
-      // is available via FileCompaction.compact
+      // Full reference signature (`terminators/dataset_optimizer.py:18-77`):
+      // compaction by default, Z-order/Hilbert clustering via
+      // optimize_zorder_col_list, partition scoping via optimize_where —
+      // routed through TableManager.optimize (Delta-free equivalents).
       spec.args.get("location").foreach { loc =>
-        FileCompaction.compact(spark, String.valueOf(loc),
-          spec.args.get("target_partitions").collect { case n: Number => n.intValue() }
-            .getOrElse(0))
+        val zcols = spec.args.get("optimize_zorder_col_list")
+          .map(String.valueOf(_)).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        new graft.maintain.TableManager(spark).optimize(
+          String.valueOf(loc),
+          spec.args.get("target_partitions")
+            .collect { case n: Number => n.intValue() }.getOrElse(0),
+          zcols,
+          spec.args.get("optimize_where").map(String.valueOf(_)),
+          spec.args.get("optimize_curve").map(String.valueOf(_))
+            .getOrElse("zorder"))
       }
     case "terminate_spark" => spark.stop()
     case "notify" => Notifier.notify(spec)

@@ -494,4 +494,31 @@ class DataLoaderSpec extends SparkSpec {
       assert(sent.length == 1 && sent.head.subject == "load ok")
     } finally Notifier.setTransport(prev)
   }
+
+  test("optimize_dataset terminator: compaction, zorder cols and where scoping") {
+    import spark.implicits._
+    import graft.spec.TerminatorSpec
+    val loc = tmpDir("termopt") + "/t"
+    (1 to 200).map(i => (i.toLong, (i % 7).toLong)).toDF("x", "y")
+      .repartition(12).write.mode("overwrite").parquet(loc)
+    Terminators.run(spark, TerminatorSpec("optimize_dataset",
+      Map("location" -> loc, "target_partitions" -> 2,
+        "optimize_zorder_col_list" -> "x,y")))
+    assert(spark.read.parquet(loc).inputFiles.length == 2)
+    assert(spark.read.parquet(loc).agg(org.apache.spark.sql.functions.sum("x"))
+      .head.getLong(0) == 200L * 201 / 2)
+
+    val ploc = tmpDir("termopt") + "/p"
+    (1 to 100).map(i => (i % 2, i.toLong)).toDF("p", "v")
+      .repartition(6).write.partitionBy("p").mode("overwrite").parquet(ploc)
+    Terminators.run(spark, TerminatorSpec("optimize_dataset",
+      Map("location" -> ploc, "target_partitions" -> 1,
+        "optimize_where" -> "p = 0")))
+    val fs = new org.apache.hadoop.fs.Path(ploc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$ploc/p=0"))
+      .count(_.getPath.getName.endsWith(".parquet")) == 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$ploc/p=1"))
+      .count(_.getPath.getName.endsWith(".parquet")) > 1)
+  }
 }
