@@ -35,6 +35,54 @@ object TrainingData {
     sources.map { case (df, w) => hashSample(df, col(keyCol), w, salt) }
       .reduce(_.unionByName(_))
 
+  /** Shard the corpus into size-bounded training shards with a manifest —
+    * the export stage of a curation pipeline (the parquet analogue of
+    * webdataset-style sharding): rows are globally ordered by `idCol`
+    * (deterministic shard membership across runs), cut into shards of
+    * `rowsPerShard`, written hive-partitioned by shard id, and described
+    * by a manifest table (one row per shard: row count + id span) the
+    * training loader can consume without listing data files.
+    *
+    * The global rank is the distributed zipWithIndex shape (range
+    * partition + in-partition sort, then per-partition counts + offsets —
+    * no single-partition window), so sharding 100 TB is as parallel as
+    * the sort. Returns the manifest.
+    *
+    * @return manifest (shard, n_rows, min_id, max_id), also written to
+    *         `outDir/manifest`
+    */
+  def writeShards(
+      df: DataFrame, idCol: String, outDir: String,
+      rowsPerShard: Long, sortPartitions: Int = 0): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    val spark = df.sparkSession
+    val parts = if (sortPartitions > 0) sortPartitions
+      else spark.sparkContext.defaultParallelism.max(1)
+    val ordered = df.repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(idCol)
+    val schema = ordered.schema.add("__rank", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val ranked = spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      }, schema)
+    val sharded = ranked
+      .withColumn("shard", (col("__rank") / lit(rowsPerShard)).cast("long"))
+      .drop("__rank")
+    sharded.write.partitionBy("shard").mode("overwrite")
+      .parquet(s"${outDir.stripSuffix("/")}/data")
+    // partition-dir inference surfaces `shard` as int; pin it back to long
+    val manifest = spark.read
+      .parquet(s"${outDir.stripSuffix("/")}/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .orderBy(col("shard"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"${outDir.stripSuffix("/")}/manifest")
+    spark.read.parquet(s"${outDir.stripSuffix("/")}/manifest")
+  }
+
   /** Temperature-scaled mixture rates: the standard multilingual /
     * multi-source rebalancing formula (sampling probability proportional
     * to count^alpha, alpha in (0, 1] — alpha 1 = natural proportions,

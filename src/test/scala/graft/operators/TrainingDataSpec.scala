@@ -366,6 +366,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("writeShards: bounded shards, exact manifest, deterministic membership") {
+    val docs = (1L to 107L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = tmpDir("shards")
+    val manifest = TrainingData.writeShards(docs, "doc_id", out, rowsPerShard = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 107 rows / 25 per shard -> 5 shards, last one short.
+    assert(manifest.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(manifest.map(_._2).toSeq == Seq(25L, 25L, 25L, 25L, 7L))
+    // Id-ordered membership: shard spans partition the id range in order.
+    assert(manifest.map(m => (m._3, m._4)).toSeq ==
+      Seq((1L, 25L), (26L, 50L), (51L, 75L), (76L, 100L), (101L, 107L)))
+    // Data round-trips and each shard dir holds exactly its rows.
+    val data = spark.read.parquet(s"$out/data")
+    assert(data.count() == 107L)
+    assert(data.where("shard = 2").agg(min("doc_id"), max("doc_id"))
+      .head.toSeq == Seq(51L, 75L))
+    // Re-running produces identical shard membership.
+    val again = TrainingData.writeShards(docs, "doc_id", out, rowsPerShard = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.toSeq == manifest.map(m => (m._1, m._4)).toSeq)
+  }
+
   test("sourceDivergence matches a hand-computed KL") {
     import graft.functions.TextFunctions
     // Corpus: a,a,b,c (n=4). Source A = "a a b" (p: a 2/3, b 1/3),
