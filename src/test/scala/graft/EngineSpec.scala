@@ -156,6 +156,38 @@ class EngineSpec extends SparkSpec {
     intercept[RuntimeException] { Engine.executeManager(spark, """{"operations": []}""") }
   }
 
+  test("RunAcon main: load and manage modes run acon files end to end") {
+    import spark.implicits._
+    val dir = tmpDir("runacon")
+    val in = s"$dir/in"
+    Seq((1L, 5.0), (2L, -1.0)).toDF("id", "amount")
+      .write.mode("overwrite").parquet(in)
+    val out = s"$dir/out"
+    val loadAcon = s"""{
+      |  "input_specs": [{"spec_id": "src", "read_type": "batch",
+      |    "data_format": "parquet", "location": "$in"}],
+      |  "transform_specs": [{"spec_id": "t", "input_id": "src",
+      |    "transformers": [{"function": "expression_filter",
+      |      "args": {"exp": "amount > 0"}}]}],
+      |  "output_specs": [{"spec_id": "o", "input_id": "t",
+      |    "write_type": "overwrite", "data_format": "parquet",
+      |    "location": "$out"}]
+      |}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/load.json"), loadAcon)
+    RunAcon.main(Array("load", s"$dir/load.json"))
+    assert(spark.read.parquet(out).count() == 1L)
+
+    val manageAcon = s"""{"operations": [
+      |  {"manager": "table", "function": "optimize", "path": "$out",
+      |   "target_partitions": 1}]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/manage.json"), manageAcon)
+    RunAcon.main(Array("manage", s"$dir/manage.json"))
+    assert(spark.read.parquet(out).inputFiles.length == 1)
+
+    intercept[RuntimeException] { RunAcon.main(Array("bogus", s"$dir/load.json")) }
+    intercept[IllegalArgumentException] { RunAcon.main(Array("load")) }
+  }
+
   test("executeManager optimize: zorder col list and where scoping reach the rewrite") {
     import spark.implicits._
     val loc = tmpDir("mgropt") + "/t"
