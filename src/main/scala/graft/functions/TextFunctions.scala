@@ -198,6 +198,43 @@ object TextFunctions {
       ntile(buckets).over(w).cast("long").as("bucket"))
   }
 
+  /** Word-level vocabulary encoding — the tokenize-to-ids stage of a
+    * training pipeline, with the vocabulary derived from the corpus:
+    * the `vocabSize` most frequent tokens get ids 1..vocabSize (rank by
+    * count desc, token asc — deterministic), everything else encodes as
+    * 0 (OOV). Output is the first `maxTokens` ids per document as a
+    * '-'-joined string (engine-stable; no float or array comparisons).
+    *
+    * Scale shape: token counts are one shuffle; the global rank window
+    * runs AFTER the top-`vocabSize` cut, so it orders a bounded table
+    * (vocabSize rows), and the id mapping joins back broadcast. The
+    * per-doc reassembly shuffles (id, pos, vid) triples once.
+    *
+    * @return (id, n_tokens, ids)
+    */
+  def vocabEncode(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 1000,
+      maxTokens: Int = 32): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(whitespaceTokens(col(textCol))).as(Seq("pos", "tok")))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+    val vocab = top.withColumn("vid",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok"))).cast("long"))
+      .select(col("tok"), col("vid"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("id"), col("pos"), coalesce(col("vid"), lit(0L)).as("vid"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws("-", slice(transform(
+          array_sort(collect_list(struct(col("pos"), col("vid")))),
+          s => s.getField("vid").cast("string")), 1, maxTokens)).as("ids"))
+  }
+
   /** Per-source KL divergence from the corpus unigram distribution —
     * the mixture diagnostic for multi-source corpora: KL(p_source ||
     * p_corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t)). A source of generic

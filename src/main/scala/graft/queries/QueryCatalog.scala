@@ -2942,6 +2942,33 @@ object QueryCatalog {
       FROM cvecs a JOIN cvecs b ON a.label < b.label
       ORDER BY label_a, label_b"""))
 
+  /** Word-level vocab encoding (token → frequency-ranked id, OOV = 0).
+    * Exercises [[TextFunctions.vocabEncode]]. */
+  private val q101 = QueryDef(
+    "q101_vocab_encode",
+    (s, dir) => TextFunctions.vocabEncode(
+        T(s, dir, "documents"), "doc_id", "text", vocabSize = 40, maxTokens = 16)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   list_filter(string_split(text, ' '), t -> len(t) > 0),
+                   (t, i) -> {'tok': t, 'pos': i})) AS u
+          FROM documents)),
+      cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      vocab AS (
+        SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS vid
+        FROM cnt ORDER BY c DESC, tok LIMIT 40),
+      enc AS (
+        SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS vid
+        FROM toks t LEFT JOIN vocab v USING (tok))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos)[1:16], '-') AS ids
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2953,5 +2980,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97, q98, q99, q100)
+    q94, q95, q96, q97, q98, q99, q100, q101)
 }

@@ -388,6 +388,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(again.toSeq == manifest.map(m => (m._1, m._4)).toSeq)
   }
 
+  test("vocabEncode: frequency-ranked ids, OOV = 0, order preserved") {
+    import graft.functions.TextFunctions
+    // counts: b=3, a=2, z=1 -> vocab(2): b=1, a=2; z OOV.
+    val corpus = Seq((1L, "a b z b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextFunctions.vocabEncode(corpus, "doc_id", "text",
+        vocabSize = 2, maxTokens = 3)
+      .orderBy("id").collect()
+    assert(got(0).getString(2) == "2-1-0") // a b z (truncated at 3 of 4)
+    assert(got(1).getString(2) == "1-2")   // b a
+    assert(got(0).getLong(1) == 4L && got(1).getLong(1) == 2L)
+  }
+
   test("sourceDivergence matches a hand-computed KL") {
     import graft.functions.TextFunctions
     // Corpus: a,a,b,c (n=4). Source A = "a a b" (p: a 2/3, b 1/3),
