@@ -2969,6 +2969,57 @@ object QueryCatalog {
              array_to_string(list(CAST(vid AS VARCHAR) ORDER BY pos)[1:16], '-') AS ids
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Pivot: per-source document counts spread across language columns
+    * (`RelationalGroupedDataset.pivot` with an explicit value list —
+    * the deterministic, no-discovery-scan form; the oracle mirrors with
+    * portable conditional sums). */
+  private val q102 = QueryDef(
+    "q102_pivot",
+    (s, dir) => T(s, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source")),
+    Some("""
+      SELECT source,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Unpivot/melt (`Dataset.unpivot`, the inverse of q102): wide metric
+    * columns to (key, metric, value) rows; oracle = UNION ALL. */
+  private val q103 = QueryDef(
+    "q103_unpivot",
+    (s, dir) => T(s, dir, "lineitem")
+      .where(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""
+      WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS l_quantity,
+               CAST(l_discount AS DOUBLE) AS l_discount,
+               CAST(l_tax AS DOUBLE) AS l_tax
+        FROM lineitem WHERE l_orderkey < 100)
+      SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM base
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base)
+      ORDER BY l_orderkey, l_linenumber, metric"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2980,5 +3031,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97, q98, q99, q100, q101)
+    q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }
