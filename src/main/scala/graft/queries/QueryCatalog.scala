@@ -3020,6 +3020,31 @@ object QueryCatalog {
         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base)
       ORDER BY l_orderkey, l_linenumber, metric"""))
 
+  /** GROUPING SETS (completes the rollup q46 / cube q52 family with the
+    * arbitrary-sets form). Null group markers are coalesced to 'ALL' on
+    * both sides (the grouped columns are non-null in the data). */
+  private val q104 = QueryDef(
+    "q104_grouping_sets",
+    (s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("q104_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n
+        FROM q104_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")
+    },
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             round(sum(l_extendedprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3031,5 +3056,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
 }
