@@ -156,6 +156,8 @@ object TextFunctions {
       roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
     val toks = graft.util.PlanBarrier.fence(
       df.select(col(idCol).as("id"), whitespaceTokens(col(textCol)).as("tk")))
+    // Materialized: both the count build and the score join consume the
+    // pair stream; without this the tokenize+pair chain runs twice.
     val pairs = toks
       .where(size(col("tk")) >= 2)
       .select(col("id"), explode(transform(
@@ -163,6 +165,7 @@ object TextFunctions {
         i => struct(element_at(col("tk"), i + 1).as("w1"),
           element_at(col("tk"), i + 2).as("w2")))).as("p"))
       .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(true)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
