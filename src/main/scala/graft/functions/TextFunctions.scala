@@ -128,8 +128,11 @@ object TextFunctions {
       idCol: String,
       textCol: String,
       roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
+    // Materialized: the count build and the score join both consume the
+    // token stream; without this the tokenize chain runs twice.
     val toks = df.select(col(idCol).as("id"),
       explode(whitespaceTokens(col(textCol))).as("tok"))
+      .localCheckpoint(true)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val n = counts.agg(sum(col("c"))).head().getLong(0).toDouble
     toks.join(counts, "tok")

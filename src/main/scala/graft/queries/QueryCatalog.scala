@@ -2841,7 +2841,11 @@ object QueryCatalog {
     "q98_curation_v2",
     (s, dir) => {
       val docs = T(s, dir, "documents")
+      // Materialized: the survivor set feeds the LM build, the bucket
+      // join and the sampling stage — without this the dedup window
+      // re-runs per consumer.
       val surv = DedupFunctions.dedupExact(docs, Seq("text"), Seq(col("doc_id")))
+        .localCheckpoint(true)
       val keep = TextFunctions.perplexityBuckets(surv, "doc_id", "lang", "text")
         .where(col("bucket") <= 2).select(col("id").as("doc_id"))
       val filtered = surv.join(keep, Seq("doc_id"))
