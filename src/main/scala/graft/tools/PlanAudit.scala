@@ -79,6 +79,16 @@ object PlanAudit {
       |for the contract. Plan shapes are locked by a MergeOpsSpec assertion
       |(equi: window below the join; theta: above; uncond-delete: none).
       |
+      |Materialization pass over the round-10 curation additions: the LM
+      |scorers and composed pipelines feed one derived stream into several
+      |consumers (count build + score join; survivor set into LM, bucket
+      |join and sampler). Eager localCheckpoints landed where BenchOne
+      |showed a recompute, with min-of-3 evidence at sf0.1: q97_bigram_lm
+      |1.15→0.77 s, q90_lm_perplexity 0.85→0.79 s, q95_ccnet_buckets
+      |0.80→0.70 s, q98_curation_v2 → 1.11 s. At cluster scale the same
+      |move is staging the derived table; lineage truncation also caps the
+      |replay cost of executor loss.
+      |
       |Shuffle-width A/B, q87_top_spans (round 10): the wide-key caveat in
       |its Scaladoc ("keys on the raw span STRING") was put to the test — a
       |fingerprint-keyed two-pass variant (count on 16-byte md5 keys, then
