@@ -279,6 +279,64 @@ object TextFunctions {
         round(sum(col("term")), roundTo).as("kl"))
   }
 
+  /** DSIR-style importance weights ("Data Selection for Language Models
+    * via Importance Resampling", Xie et al. 2023): score every document
+    * by how much more likely its hashed-unigram bag is under the target
+    * domain's token distribution than under the raw corpus distribution,
+    *   logw(d) = Σ_b n_d(b) · (ln p̂_t(b) − ln p̂_r(b)),
+    * over `buckets` hashed feature buckets with add-one smoothing. The
+    * target domain is any row predicate (in the paper, a small
+    * high-quality sample; here typically a language or source marker);
+    * raw is the whole input. Downstream, resampling keeps the top weights
+    * (or Gumbel-perturbed top-k) — the weight itself is the deliverable.
+    *
+    * The bucket hash is md5-prefix arithmetic (not Spark's internal
+    * hash), so the features — and therefore the weights — are
+    * engine-reproducible; the paper's hashing-trick property only needs
+    * any fixed uniform hash.
+    *
+    * Scale shape: ONE tokenize pass builds the (doc, bucket) count grid
+    * (materialized — both consumers below read it); both distributions
+    * roll up from that grid as conditional sums (no second corpus scan),
+    * and the bucket table is `buckets` rows — broadcast to the score
+    * join, so the only wide shuffle is the grid aggregation itself. The
+    * corpus totals are a 1-row driver aggregate. Documents with zero
+    * tokens have no features and are absent from the output.
+    *
+    * @return (id, n_tokens, log_weight) — natural-log weight, rounded
+    */
+  def importanceWeights(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int = 256,
+      roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val grid = df.select(col(idCol).as("id"), targetPred.as("is_tgt"),
+        explode(whitespaceTokens(col(textCol))).as("tok"))
+      .select(col("id"), col("is_tgt"),
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("id"), col("is_tgt"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val dist = grid.groupBy(col("bucket")).agg(
+      sum(col("n")).as("cr"),
+      sum(when(col("is_tgt"), col("n")).otherwise(lit(0L))).as("ct"))
+    val tot = dist.agg(sum(col("cr")), sum(col("ct"))).head()
+    val nr = tot.getLong(0).toDouble
+    val nt = tot.getLong(1).toDouble
+    val k = buckets.toDouble
+    grid.join(broadcast(dist), Seq("bucket"))
+      .select(col("id"), col("n"),
+        (col("n") * (log((col("ct") + lit(1.0)) / lit(nt + k)) -
+                     log((col("cr") + lit(1.0)) / lit(nr + k)))).as("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum(col("term")), roundTo).as("log_weight"))
+  }
+
   /** Keep documents whose unigram NLL is at or below `maxNll` — the
     * filter stage of perplexity filtering. The score join moves only
     * (id, token); document text is semi-joined afterwards by id, so text

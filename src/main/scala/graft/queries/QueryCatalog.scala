@@ -3049,6 +3049,40 @@ object QueryCatalog {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY rf, ls"""))
 
+  /** DSIR importance weights (Xie et al. 2023): hashed-unigram bag
+    * likelihood ratio of the target domain (lang = 'en') vs the raw
+    * corpus, add-one smoothed over 256 md5-derived buckets. The oracle
+    * rebuilds the bucket grid, both distributions and the log-ratio sum
+    * in SQL, so the weights are hash-verified cross-engine. */
+  private val q105 = QueryDef(
+    "q105_importance_weights",
+    (s, dir) => TextFunctions.importanceWeights(
+        T(s, dir, "documents"), "doc_id", "text", col("lang") === "en",
+        buckets = 256)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_tgt,
+               unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+        FROM documents),
+      grid AS (
+        SELECT doc_id, is_tgt,
+               CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 256 AS bucket,
+               count(*) AS n
+        FROM toks GROUP BY 1, 2, 3),
+      dist AS (
+        SELECT bucket, sum(n) AS cr,
+               sum(CASE WHEN is_tgt THEN n ELSE 0 END) AS ct
+        FROM grid GROUP BY bucket),
+      tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+                     CAST(sum(ct) AS DOUBLE) AS nt FROM dist)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+             round(sum(n * (ln((ct + 1.0) / (nt + 256.0))
+                          - ln((cr + 1.0) / (nr + 256.0)))), 4) AS log_weight
+      FROM grid JOIN dist USING (bucket), tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3060,5 +3094,5 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
+    q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
 }

@@ -413,6 +413,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(kl(0).getLong(1) == 3L && kl(1).getLong(1) == 1L)
   }
 
+  test("importanceWeights matches a hand-computed DSIR ratio; 1 bucket is the zero model") {
+    import graft.functions.TextFunctions
+    // Target doc "t t", raw doc "r": nt=2, nr=3 (raw includes target).
+    // "t" and "r" land in different md5 buckets (6 and 76 mod 256), so
+    // with k=256: w(doc1) = 2*(ln(3/258) - ln(3/259)) = 2*ln(259/258),
+    // w(doc2) = ln(1/258) - ln(2/259) = ln(259/516).
+    val corpus = Seq((1L, "en", "t t"), (2L, "de", "r"), (3L, "de", " "))
+      .toDF("doc_id", "lang", "text")
+    val got = TextFunctions.importanceWeights(
+        corpus, "doc_id", "text", col("lang") === "en", buckets = 256)
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // empty doc absent
+    assert(math.abs(got(0).getDouble(2) - 2 * math.log(259.0 / 258)) < 1e-4)
+    assert(math.abs(got(1).getDouble(2) - math.log(259.0 / 516)) < 1e-4)
+    assert(got(0).getLong(1) == 2L && got(1).getLong(1) == 1L)
+    // The target doc scores above the raw doc — the resampling order.
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+    // Degenerate single-bucket model: smoothed target and raw
+    // distributions are both the constant 1, so every weight is 0.
+    val one = TextFunctions.importanceWeights(
+        corpus, "doc_id", "text", col("lang") === "en", buckets = 1)
+      .select("log_weight").as[Double].collect()
+    assert(one.forall(_ == 0.0))
+  }
+
   test("bigramNll matches a hand-computed conditional model") {
     import graft.functions.TextFunctions
     // Bigrams: (a b) x2 from docs 1,2; (b a) x1; (a a) x1.
