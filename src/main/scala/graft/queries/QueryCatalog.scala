@@ -3083,6 +3083,35 @@ object QueryCatalog {
       FROM grid JOIN dist USING (bucket), tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BPE training round-1 pair statistics (Sennrich et al. 2016): the
+    * weighted adjacent-symbol-pair counts over the corpus vocabulary that
+    * every merge round argmaxes over — on the initial character symbols,
+    * where a SQL oracle can rebuild them positionally. Exercises the
+    * corpus-collapse + pair-stream stages of [[graft.functions.Bpe]];
+    * the iterative rewrite rounds are golden-tested in BpeSpec. */
+  private val q106 = QueryDef(
+    "q106_bpe_pair_stats",
+    (s, dir) => graft.functions.Bpe.initialPairCounts(
+        T(s, dir, "documents"), "text")
+      .orderBy(col("pair_count").desc, col("l"), col("r"))
+      .limit(50),
+    Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+        FROM documents),
+      wc AS (SELECT w, count(*) AS c FROM toks WHERE len(w) <= 64 GROUP BY w),
+      pos AS (
+        SELECT w, c, unnest(range(1, len(w) + 1)) AS i FROM wc),
+      pairs AS (
+        SELECT substring(w, i, 1) AS l,
+               CASE WHEN i < len(w) THEN substring(w, i + 1, 1)
+                    ELSE '</w>' END AS r,
+               c
+        FROM pos)
+      SELECT l, r, CAST(sum(c) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY l, r
+      ORDER BY pair_count DESC, l, r LIMIT 50"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3094,5 +3123,6 @@ object QueryCatalog {
     q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
-    q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
+    q106)
 }
