@@ -3112,6 +3112,54 @@ object QueryCatalog {
       FROM pairs GROUP BY l, r
       ORDER BY pair_count DESC, l, r LIMIT 50"""))
 
+  /** Product-quantization ADC top-k (Jégou et al. 2011) through the
+    * generic [[graft.functions.PqIndex]] encode/table/scan machinery, on
+    * the rank-1 uniform-grid codebook instance whose centroids a SQL
+    * oracle derives in closed form (exact dyadic grid over [-1, 1]) — so
+    * code assignment, the per-query distance tables and the ADC scan are
+    * all hash-verified cross-engine. KMeans codebooks (not
+    * SQL-derivable) are covered by PqSpec's recall/error laws. */
+  private val q107 = QueryDef(
+    "q107_pq_adc",
+    (s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val idx = graft.functions.PqIndex.fromCodebooks(
+        emb, "vec_id", "embedding",
+        graft.functions.PqIndex.uniformCodebooks(-1.0, 1.0, dim = 64, m = 8, ksub = 16))
+      idx.adcSearch(emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT vec_id, embedding,
+               list_transform(range(8), mi ->
+                 list_transform(range(16), j ->
+                   list_sum(list_transform(range(8), i ->
+                     (CAST(embedding[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))
+                     * (CAST(embedding[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))))))
+                 AS dd
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id,
+               list_transform(dd, ds -> list_position(ds, list_min(ds)) - 1) AS cs
+        FROM d),
+      qtab AS (SELECT vec_id AS query_id, dd AS qdd FROM d WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(8), mi ->
+                 q.qdd[mi + 1][c.cs[mi + 1] + 1])) AS adc_dist
+        FROM codes c CROSS JOIN qtab q WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist,
+             CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3124,5 +3172,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106)
+    q106, q107)
 }
