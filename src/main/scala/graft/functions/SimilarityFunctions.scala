@@ -77,27 +77,38 @@ object SimilarityFunctions {
     * Computed by a tight-loop kernel over the precomputed plane matrix.
     */
   def lshSignature(vec: Column, dim: Int, numBits: Int): Column = {
-    val planes: Array[Array[Double]] = Array.tabulate(numBits, dim) { (i, j) =>
-      (Kernels.md5Hash60(s"plane-$i-$j") % (1 << 24)).toDouble / (1 << 23) - 1.0
-    }
+    val planes = lshPlanes(dim, numBits)
     val f = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
       if (v == null) null.asInstanceOf[java.lang.Long]
-      else {
-        var sig = 0L
-        var i = 0
-        while (i < numBits) {
-          val plane = planes(i)
-          var proj = 0.0
-          var j = 0
-          val n = math.min(plane.length, v.length)
-          while (j < n) { proj += v(j).toDouble * plane(j); j += 1 }
-          if (proj > 0) sig |= (1L << i)
-          i += 1
-        }
-        java.lang.Long.valueOf(sig)
-      }
+      else java.lang.Long.valueOf(lshSignatureOf(v, planes))
     }
     f(vec)
+  }
+
+  /** The deterministic md5-derived hyperplane matrix behind
+    * [[lshSignature]] (see there for the derivation contract). */
+  def lshPlanes(dim: Int, numBits: Int): Array[Array[Double]] =
+    Array.tabulate(numBits, dim) { (i, j) =>
+      (Kernels.md5Hash60(s"plane-$i-$j") % (1 << 24)).toDouble / (1 << 23) - 1.0
+    }
+
+  /** Driver/closure-side signature of one vector — bit-identical to the
+    * [[lshSignature]] column (same ascending fold, same sign rule), for
+    * code that must probe a vector's cell outside a DataFrame (e.g. an
+    * IVF exact-match probe function). */
+  def lshSignatureOf(v: Seq[Float], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val plane = planes(i)
+      var proj = 0.0
+      var j = 0
+      val n = math.min(plane.length, v.length)
+      while (j < n) { proj += v(j).toDouble * plane(j); j += 1 }
+      if (proj > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
   }
 
   /** LSH-bucketed approximate top-k: candidates share at least one band of

@@ -3160,6 +3160,81 @@ object QueryCatalog {
              CAST(rnk AS BIGINT) AS rnk
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
+  /** IVFADC (Jégou et al. 2011 §5) through the generic
+    * [[graft.functions.IvfPqIndex]]: coarse cells + product-quantized
+    * RESIDUALS, searched by per-(query, cell) distance tables. This
+    * instance is fully SQL-derivable — hyperplane-LSH cells (q39's
+    * md5-dyadic planes), rounded per-cell mean centroids (q91's), the
+    * uniform-grid residual codebook (q107's), exact-match single-probe —
+    * so cell assignment, residuals, codes, tables and the ADC ranking
+    * are hash-verified end-to-end. The KMeans-cell/KMeans-codebook
+    * path is covered by IvfPqSpec recall laws. Bounded collects: the
+    * centroid grid (≤ 2^4 cells × 64 dims) and the 5 query vectors. */
+  private val q108 = QueryDef(
+    "q108_ivfpq_adc",
+    (s, dir) => {
+      import graft.functions.{IvfPq, PqIndex, SimilarityFunctions}
+      val emb = T(s, dir, "embeddings")
+      val tagged = emb.select(col("vec_id"), col("embedding"),
+        SimilarityFunctions.lshSignature(col("embedding"), 64, 4).as("cell"))
+      val centroids: Map[Long, Array[Double]] = tagged
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("cv"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      val idx = IvfPq.fromAssignments(tagged, "vec_id", "embedding", "cell",
+        centroids, PqIndex.uniformCodebooks(-1.0, 1.0, dim = 64, m = 8, ksub = 16))
+      val planes = SimilarityFunctions.lshPlanes(64, 4)
+      idx.search(emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          probe = v => Seq(SimilarityFunctions.lshSignatureOf(v, planes)))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${lshSigCtes(4, 64)},
+      memb AS (SELECT vec_id, embedding, sig AS cell FROM sigs),
+      cent AS (
+        SELECT cell, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+        FROM memb, range(1, 65) r(i) GROUP BY cell, i),
+      cvecs AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM cent GROUP BY cell),
+      resid AS (
+        SELECT m.vec_id, m.cell,
+               list_transform(range(64), i ->
+                 CAST(CAST(m.embedding[i + 1] AS DOUBLE) - c.cvec[i + 1] AS FLOAT)) AS res
+        FROM memb m JOIN cvecs c USING (cell)),
+      d AS (
+        SELECT vec_id, cell,
+               list_transform(range(8), mi ->
+                 list_transform(range(16), j ->
+                   list_sum(list_transform(range(8), i ->
+                     (CAST(res[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))
+                     * (CAST(res[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))))))
+                 AS dd
+        FROM resid),
+      codes AS (
+        SELECT vec_id, cell,
+               list_transform(dd, ds -> list_position(ds, list_min(ds)) - 1) AS cs
+        FROM d),
+      qt AS (SELECT vec_id AS query_id, cell, dd AS qdd FROM d WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(8), mi ->
+                 q.qdd[mi + 1][c.cs[mi + 1] + 1])) AS adc_dist
+        FROM codes c JOIN qt q USING (cell) WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist,
+             CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3172,5 +3247,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107)
+    q106, q107, q108)
 }
