@@ -3235,6 +3235,52 @@ object QueryCatalog {
              CAST(rnk AS BIGINT) AS rnk
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
+  /** Analytic-window completeness: lag/lead, percent_rank/cume_dist and
+    * framed aggregates (running total, 3-row sliding mean) in one pass —
+    * the §2.5 surface beyond row_number/rank. Frame sums accumulate in
+    * DECIMAL (engine-exact regardless of the window aggregator's
+    * summation tree) and only the final value casts to double. */
+  private val q109 = QueryDef(
+    "q109_window_suite",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      T(s, dir, "orders").where(col("o_custkey") < 500)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(sum(dec).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 2).as("running"),
+          round((sum(dec).over(w.rowsBetween(-2, 0)).cast("double") /
+            count(lit(1)).over(w.rowsBetween(-2, 0))), 4).as("avg3"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_orderkey, 1) OVER w AS next_orderkey,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+               AS running,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / count(*) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+      FROM orders WHERE o_custkey < 500
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3247,5 +3293,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108)
+    q106, q107, q108, q109)
 }

@@ -220,7 +220,13 @@ object ScaleCurve {
     // customer tables (round-6 addition: the relational operators get
     // measured growth factors, not just the dedup/ANN family)
     "q25_window_cadence", "q27_merge_upsert", "q29_gab_cadence",
-    "q44_range_join", "q51_dq_summary", "q72_gab_week_sunday_snapshot")
+    "q44_range_join", "q51_dq_summary", "q72_gab_week_sunday_snapshot",
+    // round-10 additions: data selection, tokenizer training, PQ/IVFADC
+    // (query sides fixed at vec_id < 5, so the curve isolates the corpus
+    // scan; q108's centroid collect is bounded by the 16 LSH cells at
+    // any corpus size)
+    "q105_importance_weights", "q106_bpe_pair_stats", "q107_pq_adc",
+    "q108_ivfpq_adc")
 
   /** Measured LSH pair-recall on a ~500-vector sample of `dir`'s corpus:
     * brute-force the sample's true cos≥threshold pairs, run the banded
