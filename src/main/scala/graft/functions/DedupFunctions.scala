@@ -230,6 +230,35 @@ object DedupFunctions {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Edit-distance-verified near-duplicate pairs: SimHash banding
+    * generates candidates (recall bounded by the Hamming radius — the
+    * standard blocking trade, same as every banded generator here), and
+    * only candidate pairs pay the O(len²) Levenshtein verification, with
+    * text attached to survivors by id-keyed joins — full text never
+    * enters the banding shuffle. The char-level verify catches what
+    * token-set measures miss (reorderings score far under Jaccard but
+    * small under edit distance, and vice versa for global substitutions).
+    *
+    * @return (id_a, id_b, hamming, edits) with edits <= maxEdits
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      simhashMaxDistance: Int = 3,
+      maxEdits: Int = 20,
+      maxBucketSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val cands = simhashNearDuplicates(df, idCol, textCol,
+      simhashMaxDistance, maxBucketSize, dropObservation)
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    cands.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edits"))
+      .where(col("edits") <= maxEdits)
+  }
+
   /** Resolve near-duplicate pairs into clusters: connected components
     * over the pair graph (GraphX Pregel CC — iterative, executor-side,
     * no driver union-find), each member mapped to its cluster's minimum

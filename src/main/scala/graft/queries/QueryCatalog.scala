@@ -3281,6 +3281,50 @@ object QueryCatalog {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_orderkey"""))
 
+  /** Edit-distance-verified near-dup pairs: q32's SimHash banding for
+    * candidates, char-level Levenshtein on the survivors only (text
+    * joins in by id AFTER banding — full text never rides the banding
+    * shuffle). Both stages mirror in SQL, so candidate generation AND
+    * the verify filter are hash-verified. */
+  private val q110 = QueryDef(
+    "q110_edit_distance_pairs",
+    (s, dir) => DedupFunctions.editDistancePairs(
+        T(s, dir, "documents"), "doc_id", "text",
+        simhashMaxDistance = 3, maxEdits = 10)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"),
+        col("edits"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      th AS (
+        SELECT doc_id, list_transform(tk,
+          t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+        FROM toks),
+      sims AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
+            CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) > len(hs)
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sim
+        FROM th),
+      blocks AS (
+        SELECT doc_id, sim, b AS block, (sim >> (b*15)) & 32767 AS key
+        FROM sims, range(4) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM blocks x JOIN blocks y
+          ON x.block = y.block AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS hamming,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS edits
+      FROM cands c
+      JOIN sims sa ON sa.doc_id = c.id_a
+      JOIN sims sb ON sb.doc_id = c.id_b
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+      WHERE bit_count(xor(sa.sim, sb.sim)) <= 3
+        AND levenshtein(da.text, db.text) <= 10
+      ORDER BY id_a, id_b"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3293,5 +3337,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109)
+    q106, q107, q108, q109, q110)
 }

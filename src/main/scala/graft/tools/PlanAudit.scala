@@ -200,6 +200,28 @@ object PlanAudit {
       |centroid-ed, pair-expanded and dominance-filtered in 52 s on one
       |node; dropped_buckets 0 at every point.
       |
+      |### Round 10: DSIR / BPE / PQ / IVFADC curves
+      |
+      |The round-10 operators joined the measured curve (docs family at
+      |50×, embeddings family at 200×; min-of-2, local[32], fixed query
+      |sides — vec_id < 5 for the ANN scans):
+      |
+      || operator | 1× | 50× | 200× | growth |
+      ||---|---|---|---|---|
+      || q105 DSIR importance weights | 1.13 | 4.02 | — | 3.6× @50× |
+      || q106 BPE round-1 pair stats | 0.45 | 0.95 | — | 2.1× @50× |
+      || q107 PQ ADC top-k | 0.35 | — | 0.73 | 2.1× @200× |
+      || q108 IVFADC (LSH cells + residual PQ) | 0.75 | — | 2.43 | 3.2× @200× |
+      |
+      |All four strongly sub-linear. q105's shape is the LM-scorer family
+      |(one tokenize pass + a bounded-broadcast score join): 50× rows for
+      |3.6× wall. q107 scans 400k PQ codes for 2.1× the 2k-vector wall —
+      |the ADC scan is map-side over m-int codes, so the curve is nearly
+      |flat until the scan itself dominates. q108 adds the residual
+      |encode (corpus-proportional) and the per-cell table lookup; its
+      |bounded collects (16 LSH cells × 64 dims of centroids, 5 query
+      |vectors) are corpus-independent by construction.
+      |
       |### Round 6: 500× spot-check (2.5 MILLION documents)
       |
       |One further point past the table above for the fastest-growing

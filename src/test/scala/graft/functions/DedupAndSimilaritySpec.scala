@@ -230,6 +230,40 @@ class DedupAndSimilaritySpec extends SparkSpec {
       dim = 4, threshold = 0.9).count() == 10)
   }
 
+  test("editDistancePairs: banded candidates verified by char-level Levenshtein") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok7 ", "tok9 ")),      // 1-char substitution
+      (3L, base.replace("tok7 ", "dinosaur ")),  // same token slot, big edit
+      (4L, (100 to 130).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = DedupFunctions.editDistancePairs(docs, "doc_id", "text",
+        simhashMaxDistance = 8, maxEdits = 10)
+      .select("id_a", "id_b", "edits").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // Independent DP Levenshtein for the expected values.
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    // tok7 -> tok9 is one substituted char.
+    assert(got((1L, 2L)) == 1L)
+    assert(got.contains((1L, 3L)))
+    assert(got((1L, 3L)) == lev(base, base.replace("tok7 ", "dinosaur ")))
+    // The unrelated doc never pairs.
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // Tightening maxEdits filters the big edit but keeps the 1-char one.
+    val tight = DedupFunctions.editDistancePairs(docs, "doc_id", "text",
+        simhashMaxDistance = 8, maxEdits = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight.contains((1L, 2L)) && !tight.contains((1L, 3L)))
+  }
+
   test("containment finds an excerpt that jaccard misses") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val host = (1 to 15).map(i => s"filler$i word$i").mkString(" ") +
