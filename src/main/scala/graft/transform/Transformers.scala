@@ -30,7 +30,11 @@ object Transformers {
     * re-planned into foreachBatch (reference `transformer_factory.py:29-34`). */
   val StreamingUnsupported: Set[String] =
     Set("condense_record_mode_cdc", "group_and_rank", "with_row_id",
-      "with_auto_increment_id", "sql_transformation")
+      "with_auto_increment_id", "sql_transformation",
+      // corpus-statistics curation stages: their filters derive from a
+      // full pass over the input, so they carry per-micro-batch
+      // semantics and must run inside foreachBatch
+      "minhash_dedup", "perplexity_filter", "importance_filter")
 
   /** Resolve a transformer name + args into a DataFrame function. */
   def resolve(name: String, args: Map[String, Any], ctx: TransformContext): DataFrame => DataFrame = name match {
@@ -328,6 +332,43 @@ object Transformers {
     case "persist" => df =>
       df.persist(StorageLevel.fromString(str(args, "storage_level").getOrElse("MEMORY_AND_DISK")))
     case "unpersist" => df => df.unpersist(bool(args, "blocking"))
+
+    // ---- curation stages as declarative pipeline steps (engine
+    // extension: the reference reaches custom logic only through
+    // `custom_transformation` lambdas; these make the training-data
+    // operators config-addressable, so an ACON file alone can express
+    // dedup -> quality-filter -> sample). The corpus-statistics stages
+    // are in StreamingUnsupported and re-plan into foreachBatch. ------
+    case "minhash_dedup" => df => {
+      val idc = str(args, "id_col").get
+      val pairs = graft.functions.DedupFunctions.minhashNearDuplicates(
+        df, idc, str(args, "text_col").get,
+        threshold = num(args, "threshold").getOrElse(0.8))
+      // Cluster-safe survivor rule: one canonical member per duplicate
+      // CLIQUE (pairwise keep-lowest would over-drop chained pairs).
+      val dropped = graft.functions.DedupFunctions
+        .duplicateClusters(pairs.select("id_a", "id_b"))
+        .where(col("id") =!= col("canonical_id"))
+        .select(col("id").cast(df.schema(idc).dataType).as(idc))
+      df.join(dropped, Seq(idc), "left_anti")
+    }
+    case "perplexity_filter" => df =>
+      graft.functions.TextFunctions.perplexityFilter(df,
+        str(args, "id_col").get, str(args, "text_col").get,
+        num(args, "max_nll").get)
+    case "importance_filter" => df => {
+      val idc = str(args, "id_col").get
+      val keep = graft.functions.TextFunctions.importanceWeights(df, idc,
+          str(args, "text_col").get, expr(str(args, "target_exp").get),
+          num(args, "buckets").map(_.toInt).getOrElse(256))
+        .where(col("log_weight") >= num(args, "min_log_weight").get)
+        .select(col("id").cast(df.schema(idc).dataType).as(idc))
+      df.join(keep, Seq(idc), "left_semi")
+    }
+    case "hash_sample" => df =>
+      graft.operators.TrainingData.hashSample(df,
+        col(str(args, "key_col").get), num(args, "fraction").get,
+        num(args, "salt").map(_.toLong).getOrElse(0L))
 
     // ---- streaming (§2.8) ----------------------------------------------
     case "with_watermark" => df =>

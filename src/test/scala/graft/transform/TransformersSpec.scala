@@ -176,6 +176,39 @@ class TransformersSpec extends SparkSpec {
     assert(out.as[Long].collect().head == 3)
   }
 
+  test("curation transformers: minhash_dedup / perplexity_filter / importance_filter / hash_sample") {
+    val rep = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", rep),                          // near-dup of 2, lowest id
+      (2L, "en", rep.replace("w3 ", "w99 ")),   // near-dup of 1
+      (3L, "en", "common common common words"), // low-perplexity tokens
+      (4L, "de", "xq zk vj qp wm yt"))          // rare-token soup
+      .toDF("doc_id", "lang", "text")
+
+    val deduped = run(docs, "minhash_dedup",
+      Map("id_col" -> "doc_id", "text_col" -> "text", "threshold" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(deduped == Set(1L, 3L, 4L)) // clique keeps canonical min id
+
+    val calm = run(docs, "perplexity_filter",
+      Map("id_col" -> "doc_id", "text_col" -> "text", "max_nll" -> 3.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(calm.contains(3L) && !calm.contains(4L)) // soup scores high
+
+    val en = run(docs, "importance_filter",
+      Map("id_col" -> "doc_id", "text_col" -> "text",
+        "target_exp" -> "lang = 'en'", "min_log_weight" -> 0.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(en.contains(4L) == false) // de-only tokens weigh negative
+    assert(en.nonEmpty)
+
+    val sampled = run(docs, "hash_sample",
+      Map("key_col" -> "doc_id", "fraction" -> 1.0))
+    assert(sampled.count() == 4) // fraction 1 keeps everything
+    assert(run(docs, "hash_sample",
+      Map("key_col" -> "doc_id", "fraction" -> 0.0)).count() == 0)
+  }
+
   test("unknown transformer raises") {
     intercept[IllegalArgumentException] {
       Transformers.resolve("no_such_op", Map.empty, TransformContext(spark))
