@@ -109,6 +109,52 @@ class DataLoaderSpec extends SparkSpec {
     assert(result.where("salesorder = 1 AND item = 2").count() == 1)
   }
 
+  test("malformed-row read modes: permissive keeps, dropmalformed drops, failfast raises (reference append_load family)") {
+    // Golden port of `tests/feature/test_append_load.py` (jdbc_permissive /
+    // failfast / streaming_dropmalformed): the same corrupt CSV driven
+    // through all three reader modes of the ACON path.
+    val in = tmpDir("dl-mode-in")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$in/part-01.csv"),
+      "id|amount\n1|10\n2|not_a_number\n3|30\n")
+    def acon(mode: String, out: String, streaming: Boolean = false, ckpt: String = "") =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "${if (streaming) "streaming" else "batch"}",
+         |    "data_format": "csv", "location": "$in",
+         |    "schema": "id INT, amount INT",
+         |    "options": {"mode": "$mode", "header": "true", "delimiter": "|"}
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "src",
+         |    "write_type": "append", "data_format": "parquet", "location": "$out"
+         |    ${if (streaming) s""", "streaming_trigger": "availableNow",
+         |    "options": {"checkpointLocation": "$ckpt"}""" else ""}
+         |  }]
+         |}""".stripMargin
+
+    val outP = tmpDir("dl-mode-perm") + "/d"
+    DataLoader.loadData(spark, acon("PERMISSIVE", outP))
+    val perm = spark.read.parquet(outP)
+    assert(perm.count() == 3) // bad row kept, unparseable field nulled
+    assert(perm.where("amount IS NULL").count() == 1)
+
+    val outD = tmpDir("dl-mode-drop") + "/d"
+    DataLoader.loadData(spark, acon("DROPMALFORMED", outD))
+    assert(spark.read.parquet(outD).select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
+
+    val outF = tmpDir("dl-mode-ff") + "/d"
+    intercept[org.apache.spark.SparkException] {
+      DataLoader.loadData(spark, acon("FAILFAST", outF))
+    }
+
+    // Streaming dropmalformed: the same file through a file stream.
+    val outS = tmpDir("dl-mode-sdrop") + "/d"
+    DataLoader.loadData(spark,
+      acon("DROPMALFORMED", outS, streaming = true, ckpt = tmpDir("dl-mode-ck")))
+    assert(spark.read.parquet(outS).select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
+  }
+
   test("partitioned write: layout on disk + partition pruning on read") {
     import spark.implicits._
     val out = tmpDir("dl-part") + "/t"
