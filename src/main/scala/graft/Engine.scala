@@ -71,9 +71,10 @@ object Engine {
   def executeSensor(
       spark: SparkSession, controlLocation: String, sensorId: String,
       upstream: InputSpec, preprocessQuery: Option[String] = None,
-      assets: Seq[String] = Seq.empty): Boolean =
+      assets: Seq[String] = Seq.empty,
+      failOnEmptyResult: Boolean = false): Boolean =
     new algo.Sensor(spark, controlLocation)
-      .checkUpstream(sensorId, upstream, preprocessQuery, assets)
+      .checkUpstream(sensorId, upstream, preprocessQuery, assets, failOnEmptyResult)
 
   /** `update_sensor_status`: mark a sensor's data consumed. */
   def updateSensorStatus(

@@ -30,12 +30,21 @@ final class Sensor(spark: SparkSession, controlLocation: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ControlSchema)
   }
 
-  /** Check one sensor's upstream; returns true when new data was acquired. */
+  /** Check one sensor's upstream; returns true when new data was acquired.
+    *
+    * Registration contract (reference `algorithms/sensor.py:39-88`): a
+    * sensor_id must keep its asset set and an asset set must keep its
+    * sensor_id — re-registering either under a different partner raises
+    * [[Sensor.SensorAlreadyExistsException]]. With `failOnEmptyResult`
+    * (the reference's `fail_on_empty_result`), an empty upstream raises
+    * [[Sensor.NoNewDataException]] instead of returning false. */
   def checkUpstream(
       sensorId: String,
       upstream: InputSpec,
       preprocessQuery: Option[String] = None,
-      assets: Seq[String] = Seq.empty): Boolean = {
+      assets: Seq[String] = Seq.empty,
+      failOnEmptyResult: Boolean = false): Boolean = {
+    assertNotDuplicate(sensorId, assets)
     val raw = Readers.read(spark, upstream)
     val hasNew =
       if (raw.isStreaming) {
@@ -66,12 +75,35 @@ final class Sensor(spark: SparkSession, controlLocation: String) {
         candidate.limit(1).count() > 0
       }
     if (hasNew) updateStatus(sensorId, Acquired, assets)
+    else if (failOnEmptyResult)
+      throw Sensor.NoNewDataException(
+        s"No data was acquired by $sensorId sensor.")
     hasNew
   }
 
-  /** Mark a sensor's data as consumed. */
+  /** Mark a sensor's data as consumed (assets registration is kept —
+    * status changes must not erase the sensor's identity row). */
   def markProcessed(sensorId: String): Unit =
-    updateStatus(sensorId, Processed, Seq.empty)
+    updateStatus(sensorId, Processed, registeredAssets(sensorId))
+
+  private def registeredAssets(sensorId: String): Seq[String] =
+    controlDf().where(col("sensor_id") === sensorId)
+      .select("assets").collect().headOption
+      .flatMap(r => Option(r.getSeq[String](0))).getOrElse(Seq.empty)
+
+  /** Reference `sensor.py:74-88`: same id with different assets, or same
+    * assets under a different id, is a duplicate registration. */
+  private def assertNotDuplicate(sensorId: String, assets: Seq[String]): Unit = {
+    val rows = controlDf().select("sensor_id", "assets").collect()
+      .map(r => (r.getString(0), Option(r.getSeq[String](1)).getOrElse(Seq.empty)))
+    val conflict = rows.exists { case (id, regAssets) =>
+      (id == sensorId && regAssets.nonEmpty && assets.nonEmpty && regAssets != assets) ||
+        (id != sensorId && assets.nonEmpty && regAssets == assets)
+    }
+    if (conflict)
+      throw Sensor.SensorAlreadyExistsException(
+        "There's already a sensor registered with same id or assets!")
+  }
 
   def status(sensorId: String): Option[String] =
     controlDf().where(col("sensor_id") === sensorId)
@@ -94,6 +126,14 @@ final class Sensor(spark: SparkSession, controlLocation: String) {
 object Sensor {
   val Acquired = "ACQUIRED_NEW_DATA"
   val Processed = "PROCESSED_NEW_DATA"
+
+  /** Reference `SensorAlreadyExistsException` (duplicate registration). */
+  final case class SensorAlreadyExistsException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Reference `NoNewDataException` (`fail_on_empty_result`). */
+  final case class NoNewDataException(msg: String)
+    extends RuntimeException(msg)
 
   /** Reference SENSOR_SCHEMA (`core/definitions.py:1145-1155`). */
   val ControlSchema: StructType = StructType(Seq(

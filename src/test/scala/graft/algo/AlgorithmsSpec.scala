@@ -39,6 +39,74 @@ class AlgorithmsSpec extends SparkSpec {
     assert(sensor.status("s2").isEmpty)
   }
 
+  test("sensor registration contract: duplicate id/assets raise; fail_on_empty_result; assets survive status changes") {
+    // Golden port of `tests/feature/test_sensors.py`
+    // test_if_sensor_already_exists + the fail_on_empty_result contract.
+    val ctl = tmpDir("sensor-reg") + "/control"
+    val dataDir = tmpDir("sensor-reg-data")
+    Seq((1, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$dataDir/up")
+    val sensor = new Sensor(spark, ctl)
+    val spec = InputSpec(specId = "up", dataFormat = Some("parquet"),
+      location = Some(s"$dataDir/up"))
+    assert(sensor.checkUpstream("sensor_id_1", spec, assets = Seq("dummy_asset_1")))
+
+    // Same asset under a different sensor id.
+    val byAssets = intercept[Sensor.SensorAlreadyExistsException] {
+      sensor.checkUpstream("sensor_id_2", spec, assets = Seq("dummy_asset_1"))
+    }
+    assert(byAssets.getMessage ==
+      "There's already a sensor registered with same id or assets!")
+    // Same sensor id with different assets.
+    intercept[Sensor.SensorAlreadyExistsException] {
+      sensor.checkUpstream("sensor_id_1", spec, assets = Seq("dummy_asset_2"))
+    }
+    // Re-running the SAME registration is fine (the sensor's normal loop).
+    assert(sensor.checkUpstream("sensor_id_1", spec, assets = Seq("dummy_asset_1")))
+
+    // Status change must not erase the assets registration.
+    sensor.markProcessed("sensor_id_1")
+    assert(sensor.status("sensor_id_1").contains(Sensor.Processed))
+    intercept[Sensor.SensorAlreadyExistsException] {
+      sensor.checkUpstream("sensor_id_3", spec, assets = Seq("dummy_asset_1"))
+    }
+
+    // fail_on_empty_result: an empty upstream raises instead of false.
+    intercept[Sensor.NoNewDataException] {
+      sensor.checkUpstream("sensor_id_4", spec,
+        preprocessQuery = Some("SELECT * FROM sensor_new_data WHERE id > 100"),
+        failOnEmptyResult = true)
+    }
+  }
+
+  test("jdbc sensor: new rows flip the sensor through a Derby upstream") {
+    // Golden port of `tests/feature/test_sensors.py` test_jdbc_sensor:
+    // the sensor's upstream is a JDBC table read through the same
+    // reader factory, with a watermark preprocess query.
+    val dir = tmpDir("sensor-jdbc")
+    val dbUrl = s"jdbc:derby:$dir/db;create=true"
+    val opts = Map("url" -> dbUrl,
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver", "dbtable" -> "events")
+    Seq((1, "a")).toDF("id", "v").write.format("jdbc").options(opts).save()
+
+    val ctl = tmpDir("sensor-jdbc-ctl") + "/control"
+    val sensor = new Sensor(spark, ctl)
+    val spec = InputSpec(specId = "up", dataFormat = Some("jdbc"), options = opts)
+    assert(sensor.checkUpstream("j1", spec,
+      preprocessQuery = Some("SELECT * FROM sensor_new_data WHERE id > 0")))
+    assert(sensor.status("j1").contains(Sensor.Acquired))
+    sensor.markProcessed("j1")
+    // Watermarked query sees nothing new after processing id <= 1...
+    assert(!sensor.checkUpstream("j1", spec,
+      preprocessQuery = Some("SELECT * FROM sensor_new_data WHERE id > 1")))
+    assert(sensor.status("j1").contains(Sensor.Processed))
+    // ...until new rows land in the JDBC table.
+    Seq((2, "b")).toDF("id", "v").write.format("jdbc").options(opts)
+      .mode("append").save()
+    assert(sensor.checkUpstream("j1", spec,
+      preprocessQuery = Some("SELECT * FROM sensor_new_data WHERE id > 1")))
+    assert(sensor.status("j1").contains(Sensor.Acquired))
+  }
+
   test("dq validator over a file input") {
     val dir = tmpDir("dqv")
     Seq((1, "a"), (2, "b")).toDF("id", "name")
