@@ -49,4 +49,43 @@ object RestApiWriter {
   /** Convenience: build the payload from a set of columns as JSON then send. */
   def writeColumns(df: DataFrame, cols: Seq[String], sender: Sender): Long =
     write(df.withColumn("__payload", to_json(struct(cols.map(col): _*))), "__payload", sender)
+
+  /** Test hook for the ACON path: when set, [[writeSpec]] builds its
+    * sender here instead of over live HTTP. */
+  @volatile var senderFactory: (String, String) => Sender =
+    (url, method) => new HttpSender(url, method)
+
+  /** ACON-facing entry (reference `rest_api_writer.py:44-121` option
+    * names): the input DataFrame must carry a `payload` JSON-string
+    * column (the reference's contract, usually built upstream with
+    * `to_json(struct(...))`); `rest_api_url` / `rest_api_method` select
+    * the endpoint; any send outside `rest_api_success_status_codes`
+    * (default 200,201,202) raises after the pass completes, so a failed
+    * batch surfaces instead of silently dropping rows. */
+  def writeSpec(df: DataFrame, options: Map[String, String]): Long = {
+    require(df.columns.contains("payload"),
+      "Input DataFrame must contain 'payload' column.")
+    val url = options.getOrElse("rest_api_url",
+      sys.error("rest_api output needs rest_api_url"))
+    val method = options.getOrElse("rest_api_method", "POST")
+    val ok = options.get("rest_api_success_status_codes")
+      .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set(200, 201, 202))
+    val failures = failingSends(df, "payload", senderFactory(url, method), ok)
+    if (failures > 0)
+      sys.error(s"rest_api sink: $failures sends outside success codes $ok")
+    failures
+  }
+
+  /** [[write]] with an explicit success-code set. */
+  private def failingSends(
+      df: DataFrame, payloadCol: String, sender: Sender, ok: Set[Int]): Long = {
+    val failures = df.sparkSession.sparkContext.longAccumulator("rest_failures")
+    df.select(col(payloadCol).cast("string")).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        try rows.foreach { r =>
+          if (!ok.contains(sender.send(r.getString(0)))) failures.add(1)
+        } finally sender.close()
+    }
+    failures.value
+  }
 }

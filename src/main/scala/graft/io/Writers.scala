@@ -60,6 +60,7 @@ object Writers {
               truncate = spec.options.get("truncate").forall(_.toBoolean))
           case "dataframe" => // terminal no-op: caller keeps the DataFrame
           case "sharepoint" => SharepointIo.write(df, spec.options)
+          case "rest_api" => RestApiWriter.writeSpec(df, spec.options)
           case _ =>
             // `delta` without the Delta jars: store as parquet, like the
             // merge path's documented fallback (same data, different log)
@@ -286,7 +287,8 @@ object Writers {
       plan: Option[MicroBatchPlan]): StreamingQuery = {
     val trigger = resolveTrigger(spec)
     val needsForeachBatch = plan.isDefined || spec.writeType == "merge" ||
-      spec.dataFormat.contains("jdbc") || spec.dataFormat.contains("dataframe")
+      spec.dataFormat.contains("jdbc") || spec.dataFormat.contains("dataframe") ||
+      spec.dataFormat.contains("rest_api")
     if (needsForeachBatch) {
       df.writeStream
         .trigger(trigger)

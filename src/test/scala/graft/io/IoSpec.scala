@@ -39,6 +39,59 @@ class IoSpec extends SparkSpec {
     assert(payloads == Set("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}""", """{"id":3,"v":"c"}"""))
   }
 
+  test("rest_api output spec routes through the writer factory, batch and streaming") {
+    // Reference `test_writers.py` write_batch_rest_api /
+    // write_streaming_rest_api: data_format rest_api in an OutputSpec,
+    // payload column contract, success-status gate.
+    val sent = IoSpec.sentQueue
+    sent.clear()
+    val prevFactory = RestApiWriter.senderFactory
+    try {
+      RestApiWriter.senderFactory = (_, _) => IoSpec.recordingSender
+      val df = Seq((1, "a"), (3, "c")).toDF("id", "v")
+        .selectExpr("to_json(struct(id, v)) AS payload")
+      Writers.write(spark, graft.spec.OutputSpec(
+        specId = "api", inputId = "in", writeType = "append",
+        dataFormat = Some("rest_api"),
+        options = Map("rest_api_url" -> "http://fake/api")), df)
+      assert(sent.toArray.map(_.toString).toSet ==
+        Set("""{"id":1,"v":"a"}""", """{"id":3,"v":"c"}"""))
+
+      // A rejected payload (the fake 500s id=2) fails the batch loudly.
+      val bad = Seq((2, "b")).toDF("id", "v")
+        .selectExpr("to_json(struct(id, v)) AS payload")
+      intercept[RuntimeException] {
+        Writers.write(spark, graft.spec.OutputSpec(
+          specId = "api", inputId = "in", writeType = "append",
+          dataFormat = Some("rest_api"),
+          options = Map("rest_api_url" -> "http://fake/api")), bad)
+      }
+      // Missing the payload column is the reference's explicit error.
+      intercept[IllegalArgumentException] {
+        Writers.write(spark, graft.spec.OutputSpec(
+          specId = "api", inputId = "in", writeType = "append",
+          dataFormat = Some("rest_api"),
+          options = Map("rest_api_url" -> "http://fake/api")),
+          Seq((1, "a")).toDF("id", "v"))
+      }
+
+      // Streaming: the sink re-plans into foreachBatch.
+      sent.clear()
+      val srcDir = tmpDir("rest-stream-in")
+      Seq((7, "z")).toDF("id", "v").write.mode("overwrite").json(srcDir)
+      val stream = spark.readStream.schema("id INT, v STRING").json(srcDir)
+        .selectExpr("to_json(struct(id, v)) AS payload")
+      Writers.write(spark, graft.spec.OutputSpec(
+        specId = "api", inputId = "in", writeType = "append",
+        dataFormat = Some("rest_api"),
+        streamingTrigger = Some("availableNow"),
+        options = Map("rest_api_url" -> "http://fake/api",
+          "checkpointLocation" -> tmpDir("rest-stream-ck"))), stream)
+        .foreach(_.awaitTermination())
+      assert(sent.toArray.map(_.toString).toSeq == Seq("""{"id":7,"v":"z"}"""))
+    } finally RestApiWriter.senderFactory = prevFactory
+  }
+
   test("reader factory reads csv with schema and filepath projection") {
     val dir = tmpDir("reader")
     java.nio.file.Files.writeString(
