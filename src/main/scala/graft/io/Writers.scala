@@ -61,6 +61,11 @@ object Writers {
           case "dataframe" => // terminal no-op: caller keeps the DataFrame
           case "sharepoint" => SharepointIo.write(df, spec.options)
           case "rest_api" => RestApiWriter.writeSpec(df, spec.options)
+          case "noop" =>
+            // evaluate-and-discard sink (Spark's noop source): the plan
+            // runs fully — the benchmarking/drain semantics — with no
+            // location required
+            df.write.format("noop").mode("overwrite").save()
           case _ =>
             // `delta` without the Delta jars: store as parquet, like the
             // merge path's documented fallback (same data, different log)

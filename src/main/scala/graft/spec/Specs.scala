@@ -221,9 +221,13 @@ object AconValidation {
     "kafka", "sql", "sap_bw", "sap_b4", "dataframe", "sftp", "sharepoint",
     "table")
 
+  // "file" is deliberately absent: the reference marks it internal-only
+  // (`core/definitions.py:444`, the writer-factory routing name for the
+  // concrete csv/json/parquet/orc/text formats) — accepting it here
+  // would pass validation and then fail DataSource lookup at runtime.
   val OutputFormats: Set[String] = Set(
     "jdbc", "avro", "json", "csv", "parquet", "orc", "text", "delta",
-    "kafka", "console", "noop", "dataframe", "rest_api", "file", "table",
+    "kafka", "console", "noop", "dataframe", "rest_api", "table",
     "sharepoint")
 
   def validate(acon: Acon): Unit = {

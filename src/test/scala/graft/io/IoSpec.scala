@@ -92,6 +92,13 @@ class IoSpec extends SparkSpec {
     } finally RestApiWriter.senderFactory = prevFactory
   }
 
+  test("noop output evaluates the plan and writes nothing") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Writers.write(spark, graft.spec.OutputSpec(
+      specId = "drain", inputId = "in", writeType = "append",
+      dataFormat = Some("noop")), df) // no location needed, no error
+  }
+
   test("reader factory reads csv with schema and filepath projection") {
     val dir = tmpDir("reader")
     java.nio.file.Files.writeString(
