@@ -165,18 +165,38 @@ object AvroCodec {
     udf(fn, BinaryType).apply(data)
   }
 
+  /** Container-file bridge ([[graft.io.AvroFiles]]): decoded record → Row. */
+  def recordToRow(rec: GenericRecord, schema: Schema): Row =
+    convert(rec, schema).asInstanceOf[Row]
+
+  /** Container-file bridge: Row → record under the writer schema. */
+  def rowToRecordPublic(row: Row, schema: Schema): GenericRecord =
+    rowToRecord(row, schema)
+
   private def rowToRecord(row: Row, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     schema.getFields.asScala.foreach { f =>
-      val v = row.get(f.pos()) match {
-        case r: Row => rowToRecord(r, resolve(f.schema()))
-        case s: Seq[_] => s.asJava
-        case m: Map[_, _] => m.asJava
-        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-        case other => other
-      }
-      rec.put(f.pos(), v)
+      rec.put(f.pos(), valueToAvro(row.get(f.pos()), f.schema()))
     }
     rec
+  }
+
+  /** Catalyst value → Avro datum, schema-directed. Matches on
+    * `scala.collection.Seq`/`Map` (NOT the immutable aliases): Spark
+    * surfaces array columns as `mutable.ArraySeq`, which the plain
+    * `Seq` pattern silently misses in Scala 2.13, leaving a raw Scala
+    * collection to fail inside the Avro writer. */
+  private def valueToAvro(v: Any, fieldSchema: Schema): Any = v match {
+    case null => null
+    case r: Row => rowToRecord(r, resolve(fieldSchema))
+    case s: scala.collection.Seq[_] =>
+      val es = resolve(fieldSchema).getElementType
+      s.map(valueToAvro(_, es)).asJava
+    case m: scala.collection.Map[_, _] =>
+      val vs = resolve(fieldSchema).getValueType
+      m.map { case (k, vv) => String.valueOf(k) -> valueToAvro(vv, vs) }
+        .toMap.asJava
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case other => other
   }
 }

@@ -1,0 +1,152 @@
+package graft.io
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Avro OBJECT CONTAINER FILE read/write on the core Avro runtime.
+  *
+  * `/opt/spark/jars` ships avro-1.x but not the spark-avro DataSource, so
+  * `spark.read.format("avro")` fails lookup at runtime even though the
+  * ACON surface (reference `core/definitions.py:110-121`) accepts
+  * `data_format: avro`. This closes the gap the same way
+  * [[graft.functions.AvroCodec]] does for payload columns: the container
+  * framing (header, schema, sync-marked blocks, deflate/snappy codecs)
+  * comes from the Avro runtime itself; Spark parallelism comes from
+  * one-task-per-file scheduling.
+  *
+  * Scale shape: files are the split unit (a container file is not
+  * block-splittable without the DataSource's sync-seek logic — documented
+  * trade; write many files upstream for parallel reads). The writer emits
+  * one container file per partition, so write parallelism equals the
+  * plan's partitioning. When the spark-avro jar IS present, the factories
+  * prefer it ([[AvroFiles.dataSourceAvailable]]) and none of this runs.
+  */
+object AvroFiles {
+
+  /** True when `format("avro")` would actually resolve. A bare
+    * Class.forName check is NOT enough: Spark 4 ships the avro classes
+    * inside spark-sql but still special-cases the "avro" shortname in
+    * DataSource.lookupDataSource to fail unless the external module is
+    * deployed — so ask the lookup itself. */
+  lazy val dataSourceAvailable: Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+        "avro", org.apache.spark.sql.internal.SQLConf.get)
+      true
+    } catch { case _: Throwable => false }
+
+  /** Catalyst -> Avro schema (nullable unions everywhere, mirroring what
+    * [[graft.functions.AvroCodec.avroToSparkType]] maps back). */
+  def sparkToAvroSchema(dt: DataType, name: String = "topLevelRecord"): Schema = {
+    def nullable(s: Schema): Schema =
+      Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), s))
+    def go(t: DataType, recName: String): Schema = t match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case ArrayType(et, _) => Schema.createArray(nullable(go(et, recName + "_item")))
+      case MapType(StringType, vt, _) => Schema.createMap(nullable(go(vt, recName + "_value")))
+      case StructType(fields) =>
+        Schema.createRecord(recName, null, "graft.avro", false,
+          fields.map(f => new Schema.Field(f.name,
+            nullable(go(f.dataType, recName + "_" + f.name)), null,
+            Schema.Field.NULL_DEFAULT_VALUE)).toSeq.asJava)
+      case other => sys.error(s"avro writer: unsupported Spark type $other")
+    }
+    go(dt, name)
+  }
+
+  private def listAvroFiles(spark: SparkSession, loc: String): Seq[String] = {
+    val path = new Path(loc)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) sys.error(s"avro reader: $loc does not exist")
+    val it =
+      if (fs.getFileStatus(path).isFile) Iterator(fs.getFileStatus(path))
+      else {
+        val files = fs.listStatus(path).iterator
+        files.filter(_.isFile)
+      }
+    val all = it.map(_.getPath.toString)
+      .filterNot(p => p.endsWith("_SUCCESS") || p.contains("/."))
+      .toSeq.sorted
+    if (all.isEmpty) sys.error(s"avro reader: no files under $loc")
+    all
+  }
+
+  /** Read `loc` (a container file or a directory of them) into a
+    * DataFrame. Schema: explicit Avro JSON wins; otherwise the first
+    * file's embedded writer schema. */
+  def read(spark: SparkSession, loc: String, schemaJson: Option[String] = None): DataFrame = {
+    val files = listAvroFiles(spark, loc)
+    val readerSchemaJson = schemaJson.getOrElse {
+      val p = new Path(files.head)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try {
+        val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        try s.getSchema.toString finally s.close()
+      } finally ()
+    }
+    val sparkType = graft.functions.AvroCodec
+      .avroToSparkType(new Schema.Parser().parse(readerSchemaJson))
+      .asInstanceOf[StructType]
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { file =>
+        val schema = new Schema.Parser().parse(readerSchemaJson)
+        val p = new Path(file)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val stream = new DataFileStream(fs.open(p),
+          new GenericDatumReader[GenericRecord](null, schema))
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = stream.hasNext
+            if (!h) stream.close()
+            h
+          }
+          override def next(): Row =
+            graft.functions.AvroCodec.recordToRow(stream.next(), schema)
+        }
+      }
+    spark.createDataFrame(rdd, sparkType)
+  }
+
+  /** Write the DataFrame as one container file per partition under
+    * `loc` (+ `_SUCCESS`), honoring overwrite/append/error/ignore. */
+  def write(df: DataFrame, loc: String, mode: String): Unit = {
+    val spark = df.sparkSession
+    val path = new Path(loc)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) mode match {
+      case "overwrite" => fs.delete(path, true)
+      case "error" => sys.error(s"avro writer: $loc already exists")
+      case "ignore" => return
+      case _ => () // append: new uniquely-named part files land beside old
+    }
+    fs.mkdirs(path)
+    val schemaJson = sparkToAvroSchema(df.schema).toString
+    val stamp = System.currentTimeMillis()
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val p = new Path(s"$loc/part-$stamp-$pid.avro")
+      val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, fsx.create(p, true))
+      var n = 0L
+      try rows.foreach { r =>
+        w.append(graft.functions.AvroCodec.rowToRecordPublic(r, schema)); n += 1
+      } finally w.close()
+      Iterator.single(n)
+    }.count()
+    fs.create(new Path(s"$loc/_SUCCESS"), true).close()
+  }
+}

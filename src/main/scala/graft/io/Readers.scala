@@ -50,6 +50,13 @@ object Readers {
       case "sharepoint" =>
         if (streaming) sys.error("Sharepoint reader doesn't support streaming input.")
         else SharepointIo.read(spark, spec.options)
+      case "avro" if !AvroFiles.dataSourceAvailable =>
+        // no spark-avro DataSource on the classpath: container files are
+        // read on the core Avro runtime (one task per file)
+        if (streaming) sys.error(
+          "streaming avro reads need the spark-avro DataSource jar")
+        AvroFiles.read(spark,
+          spec.location.getOrElse(sys.error("avro reader needs location")))
       case requested =>
         // `delta` without the Delta jars reads the parquet the merge-writer
         // fallback produced — same fallback contract as Writers.mergeWrite.

@@ -66,6 +66,12 @@ object Writers {
             // runs fully — the benchmarking/drain semantics — with no
             // location required
             df.write.format("noop").mode("overwrite").save()
+          case "avro" if !AvroFiles.dataSourceAvailable =>
+            // container files on the core Avro runtime (one per partition)
+            require(spec.partitions.isEmpty,
+              "avro writer without the spark-avro jar does not support partitionBy")
+            AvroFiles.write(df,
+              spec.location.getOrElse(sys.error("avro writer needs location")), mode)
           case _ =>
             // `delta` without the Delta jars: store as parquet, like the
             // merge path's documented fallback (same data, different log)

@@ -92,6 +92,46 @@ class IoSpec extends SparkSpec {
     } finally RestApiWriter.senderFactory = prevFactory
   }
 
+  test("avro container files round-trip without the spark-avro DataSource") {
+    assert(!AvroFiles.dataSourceAvailable) // this build has no spark-avro
+    val loc = tmpDir("avro-files") + "/data"
+    val df = Seq(
+      (1L, "a", Seq(1.5f, 2.5f), Map("k" -> 1), Array[Byte](1, 2)),
+      (2L, null, Seq.empty[Float], Map.empty[String, Int], Array.empty[Byte]))
+      .toDF("id", "name", "vec", "m", "raw").repartition(2)
+
+    // ACON path: output spec + input spec, data_format avro.
+    Writers.write(spark, graft.spec.OutputSpec(
+      specId = "o", inputId = "i", writeType = "overwrite",
+      dataFormat = Some("avro"), location = Some(loc)), df)
+    assert(new java.io.File(loc).listFiles().count(_.getName.endsWith(".avro")) == 2)
+    val back = Readers.read(spark, InputSpec(
+      specId = "i", dataFormat = Some("avro"), location = Some(loc)))
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "vec", "m", "raw"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a")
+    assert(rows(0).getSeq[Float](2) == Seq(1.5f, 2.5f))
+    assert(rows(0).getMap[String, Int](3) == Map("k" -> 1))
+    assert(rows(0).getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2))
+    assert(rows(1).isNullAt(1) == false || rows(1).getString(1) == null)
+
+    // append adds files; error mode raises; ignore is a no-op.
+    Writers.write(spark, graft.spec.OutputSpec(
+      specId = "o", inputId = "i", writeType = "append",
+      dataFormat = Some("avro"), location = Some(loc)), df.limit(1))
+    assert(Readers.read(spark, InputSpec(
+      specId = "i", dataFormat = Some("avro"), location = Some(loc))).count() == 3)
+    intercept[RuntimeException] {
+      Writers.write(spark, graft.spec.OutputSpec(
+        specId = "o", inputId = "i", writeType = "error",
+        dataFormat = Some("avro"), location = Some(loc)), df)
+    }
+    Writers.write(spark, graft.spec.OutputSpec(
+      specId = "o", inputId = "i", writeType = "ignore",
+      dataFormat = Some("avro"), location = Some(loc)), df)
+  }
+
   test("noop output evaluates the plan and writes nothing") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
     Writers.write(spark, graft.spec.OutputSpec(
