@@ -299,7 +299,9 @@ object Writers {
     val trigger = resolveTrigger(spec)
     val needsForeachBatch = plan.isDefined || spec.writeType == "merge" ||
       spec.dataFormat.contains("jdbc") || spec.dataFormat.contains("dataframe") ||
-      spec.dataFormat.contains("rest_api")
+      spec.dataFormat.contains("rest_api") ||
+      // container-file fallback is a batch writer
+      (spec.dataFormat.contains("avro") && !AvroFiles.dataSourceAvailable)
     if (needsForeachBatch) {
       df.writeStream
         .trigger(trigger)

@@ -132,6 +132,22 @@ class IoSpec extends SparkSpec {
       dataFormat = Some("avro"), location = Some(loc)), df)
   }
 
+  test("streaming avro output re-plans into the container-file writer") {
+    val srcDir = tmpDir("avro-stream-in")
+    Seq((5, "q")).toDF("id", "v").write.mode("overwrite").json(srcDir)
+    val out = tmpDir("avro-stream-out") + "/d"
+    val stream = spark.readStream.schema("id INT, v STRING").json(srcDir)
+    Writers.write(spark, graft.spec.OutputSpec(
+      specId = "o", inputId = "i", writeType = "append",
+      dataFormat = Some("avro"), location = Some(out),
+      streamingTrigger = Some("availableNow"),
+      options = Map("checkpointLocation" -> tmpDir("avro-stream-ck"))), stream)
+      .foreach(_.awaitTermination())
+    val back = Readers.read(spark, InputSpec(
+      specId = "i", dataFormat = Some("avro"), location = Some(out)))
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((5, "q")))
+  }
+
   test("noop output evaluates the plan and writes nothing") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
     Writers.write(spark, graft.spec.OutputSpec(
