@@ -3,7 +3,7 @@ package graft.io
 import java.io.InputStream
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, substring, trim}
 
 /** SFTP ingestion behind a pluggable transport
   * (reference `io/readers/sftp_reader.py:36-150` +
@@ -170,12 +170,34 @@ object SftpReader {
   def register(name: String, transport: SftpTransport): Unit =
     transports(name) = transport
 
-  private val Formats = Set("csv", "json")
+  /** The reference's accepted set (`sftp_extraction_utils.py:236-242`):
+    * csv/json/xml parse through Spark's built-in datasources; fwf
+    * (fixed-width) through [[fwfParse]], Spark having no fwf source. */
+  private val Formats = Set("csv", "json", "xml", "fwf")
+
+  /** Fixed-width parse of a spooled text read: `fwf_widths` gives the
+    * comma-separated field widths (pandas `read_fwf(widths=...)`);
+    * column names come from `fwf_columns` (comma-separated, default
+    * c0..cn), values are trimmed. A pure substring projection —
+    * codegen-friendly, no per-row interpretation. */
+  private def fwfParse(raw: DataFrame, options: Map[String, String]): DataFrame = {
+    val widths = options.getOrElse("fwf_widths",
+      sys.error("sftp fwf format needs fwf_widths (comma-separated)"))
+      .split(",").map(_.trim.toInt)
+    val names = options.get("fwf_columns")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(widths.indices.map(i => s"c$i"))
+    require(names.length == widths.length,
+      s"fwf_columns has ${names.length} names for ${widths.length} widths")
+    val starts = widths.scanLeft(1)(_ + _)
+    raw.select(widths.indices.map(i =>
+      trim(substring(col("value"), starts(i), widths(i))).as(names(i))): _*)
+  }
 
   /** Read all files under `location` through the named transport.
     *
     * Options (mirroring the reference ACON surface):
-    *   - `sftp_files_format`: csv | json (mandatory)
+    *   - `sftp_files_format`: csv | fwf | json | xml (mandatory)
     *   - `transport`: registered transport name (default "local")
     *   - `file_name_contains`: substring filter on the path
     *   - `file_metadata`: "true" adds `filename` + `modification_time`
@@ -199,7 +221,12 @@ object SftpReader {
     val nameFilter = options.get("file_name_contains")
     val withMeta = options.get("file_metadata").contains("true")
     val sparkOpts = options -- Seq(
-      "sftp_files_format", "transport", "file_name_contains", "file_metadata", "port")
+      "sftp_files_format", "transport", "file_name_contains", "file_metadata",
+      "port", "fwf_widths", "fwf_columns")
+    // fwf spools as raw text and parses positionally afterwards
+    val readFmt = if (fmt == "fwf") "text" else fmt
+    def parse(df: DataFrame): DataFrame =
+      if (fmt == "fwf") fwfParse(df, options) else df
 
     val files = transport.list(location)
       .filter(p => nameFilter.forall(p.contains))
@@ -227,10 +254,10 @@ object SftpReader {
     // for (the lit() columns must vary per file); otherwise a single read
     // over the whole spool dir.
     if (!withMeta)
-      spark.read.format(fmt).options(sparkOpts).load(spool.toString)
+      parse(spark.read.format(readFmt).options(sparkOpts).load(spool.toString))
     else
       staged.map { case (remote, local, mtime) =>
-        spark.read.format(fmt).options(sparkOpts).load(local.toString)
+        parse(spark.read.format(readFmt).options(sparkOpts).load(local.toString))
           .withColumn("filename", lit(remote))
           .withColumn("modification_time",
             lit(new java.sql.Timestamp(mtime * 1000L)))

@@ -179,6 +179,37 @@ class IoSpec extends SparkSpec {
     assert(spark.table("io_spec_out").count() == 1)
   }
 
+  test("sftp reader parses xml and fixed-width formats (reference sftp format set)") {
+    // Reference `sftp_extraction_utils.py:236-242` accepts csv/fwf/json/xml.
+    val dir = tmpDir("sftp-fmt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/feed.xml"),
+      "<rows><row><id>1</id><v>x</v></row><row><id>2</id><v>y</v></row></rows>")
+    val xml = SftpReader.read(spark, dir,
+      Map("sftp_files_format" -> "xml", "rowTag" -> "row",
+        "file_name_contains" -> ".xml"))
+    assert(xml.orderBy("id").collect().map(r =>
+      (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("v")))).toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+
+    // fwf: widths 3/5/2, pandas read_fwf(widths=...) semantics, trimmed.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/fix.txt"),
+      "001alpha 7\n002beta  9\n")
+    val fwf = SftpReader.read(spark, dir,
+      Map("sftp_files_format" -> "fwf", "fwf_widths" -> "3,6,1",
+        "fwf_columns" -> "id,name,n", "file_name_contains" -> ".txt"))
+    assert(fwf.orderBy("id").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("001", "alpha", "7"), ("002", "beta", "9")))
+    // width/name mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      SftpReader.read(spark, dir,
+        Map("sftp_files_format" -> "fwf", "fwf_widths" -> "3,6,1",
+          "fwf_columns" -> "id,name", "file_name_contains" -> ".txt"))
+    }
+  }
+
   test("sftp reader stages files through the local transport") {
     val dir = tmpDir("sftp")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/sub"))
