@@ -115,8 +115,12 @@ final class DataLoader(
       val df = data(out.inputId)
       val plan = buildMicroBatchPlan(out)
       Writers.write(spark, out, df, plan) match {
-        case Some(q) => q.awaitTermination()
-        case None => ()
+        case Some(q) if out.streamingAwaitTermination =>
+          out.streamingAwaitTerminationTimeoutMs match {
+            case Some(t) => q.awaitTermination(t)
+            case None => q.awaitTermination()
+          }
+        case _ => () // fire-and-forget: the caller owns the query handle
       }
       data(out.specId) = df
     }

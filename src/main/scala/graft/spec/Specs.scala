@@ -73,7 +73,12 @@ final case class OutputSpec(
     options: Map[String, String] = Map.empty,
     mergeOpts: Option[MergeOptions] = None,
     streamingTrigger: Option[String] = None, // availableNow|once|processingTime=<t>|continuous=<t>
-    withBatchId: Boolean = false)
+    withBatchId: Boolean = false,
+    // reference `core/definitions.py:941-944`: await the streaming query
+    // (default true — the batch-like contract); false returns immediately
+    // for long-running triggers, optional timeout in milliseconds
+    streamingAwaitTermination: Boolean = true,
+    streamingAwaitTerminationTimeoutMs: Option[Long] = None)
 
 final case class TerminatorSpec(function: String, args: Map[String, Any] = Map.empty)
 
@@ -183,7 +188,10 @@ object Specs {
       mergeOptions(mm.map { case (a, b) => a.toString -> b })
     },
     streamingTrigger = str(m, "streaming_trigger"),
-    withBatchId = bool(m, "with_batch_id"))
+    withBatchId = bool(m, "with_batch_id"),
+    streamingAwaitTermination = bool(m, "streaming_await_termination", default = true),
+    streamingAwaitTerminationTimeoutMs =
+      num(m, "streaming_await_termination_timeout").map(_.toLong))
 
   def terminatorSpec(m: Map[String, Any]): TerminatorSpec = TerminatorSpec(
     function = str(m, "function").getOrElse(sys.error("terminator needs function")),

@@ -155,6 +155,44 @@ class DataLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(outS).select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
   }
 
+  test("streaming_await_termination=false returns while the query keeps running") {
+    // Reference `core/definitions.py:941-944`: await defaults true; false
+    // is the fire-and-forget contract for long-running triggers.
+    val in = tmpDir("dl-nowait-in")
+    val out = tmpDir("dl-nowait-out") + "/data"
+    writeFixture(in)
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "data_format": "csv",
+         |    "location": "$in",
+         |    "schema": "salesorder INT, item INT, date INT, customer STRING, article STRING, amount INT",
+         |    "options": {"header": "true", "delimiter": "|"}
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "src",
+         |    "write_type": "append", "data_format": "parquet", "location": "$out",
+         |    "streaming_trigger": "processingTime=100 milliseconds",
+         |    "streaming_await_termination": false,
+         |    "options": {"checkpointLocation": "${tmpDir("dl-nowait-ck")}"}
+         |  }]
+         |}""".stripMargin
+    val active0 = spark.streams.active.length
+    DataLoader.loadData(spark, acon) // returns without blocking
+    val q = spark.streams.active.filterNot(_ => false)
+    assert(spark.streams.active.length == active0 + 1)
+    try {
+      // the un-awaited query still delivers data
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 5 && System.nanoTime() < deadline) {
+        n = try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+        if (n < 5) Thread.sleep(200)
+      }
+      assert(n == 5, s"expected 5 streamed rows, saw $n")
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
   test("partitioned write: layout on disk + partition pruning on read") {
     import spark.implicits._
     val out = tmpDir("dl-part") + "/t"
