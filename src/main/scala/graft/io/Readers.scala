@@ -63,15 +63,16 @@ object Readers {
         val fileFormat =
           if (requested == "delta" && !DeltaSupport.available) "parquet" else requested
         val loc = spec.location.getOrElse(sys.error(s"file reader needs location"))
+        val declared = resolvedSchema(spark, spec)
         if (streaming) {
           val r = spark.readStream.format(fileFormat).options(spec.options)
           // streaming file sources require a schema
-          val withSchema = spec.schema.map(s => r.schema(SchemaTools.schemaFromAny(s)))
+          val withSchema = declared.map(r.schema)
             .getOrElse(r.schema(spark.read.format(fileFormat).options(spec.options).load(loc).schema))
           withSchema.load(loc)
         } else {
           val r = spark.read.format(fileFormat).options(spec.options)
-          spec.schema.map(s => r.schema(SchemaTools.schemaFromAny(s))).getOrElse(r).load(loc)
+          declared.map(r.schema).getOrElse(r).load(loc)
         }
     }
 
@@ -82,6 +83,23 @@ object Readers {
     spec.tempView.foreach(v => withPath.createOrReplaceTempView(v))
     withPath
   }
+
+  /** Declared-schema resolution, reference precedence
+    * (`utils/schema_utils.py:76-99`): enforce-from-table wins, then a
+    * schema FILE (JSON StructType or DDL text at any Hadoop-visible
+    * path), then the inline schema. */
+  private def resolvedSchema(
+      spark: SparkSession, spec: InputSpec): Option[org.apache.spark.sql.types.StructType] =
+    spec.enforceSchemaFromTable.map(t => spark.table(t).schema)
+      .orElse(spec.schemaPath.map { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(path)
+        try SchemaTools.schemaFromAny(
+          new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      })
+      .orElse(spec.schema.map(SchemaTools.schemaFromAny))
 }
 
 /** JDBC parallel-extraction helpers.

@@ -21,6 +21,9 @@ final case class InputSpec(
     query: Option[String] = None,
     dfName: Option[String] = None, // programmatically-provided DataFrame key
     schema: Option[String] = None, // StructType JSON or DDL
+    // reference precedence (schema_utils.py:76-99): table > path > inline
+    schemaPath: Option[String] = None,
+    enforceSchemaFromTable: Option[String] = None,
     options: Map[String, String] = Map.empty,
     withFilepath: Boolean = false,
     tempView: Option[String] = None)
@@ -100,6 +103,10 @@ object Specs {
   def parseJsonMap(json: String): Map[String, Any] =
     mapper.readValue(json, classOf[Map[String, Any]])
 
+  /** Re-serialize a parsed JSON sub-tree (e.g. a dict-form schema back
+    * into `StructType.fromJson` input). */
+  def renderJson(v: Any): String = mapper.writeValueAsString(v)
+
   /** Tolerant typed accessors over a parsed JSON map. */
   object A {
     def str(m: Map[String, Any], k: String): Option[String] =
@@ -134,7 +141,14 @@ object Specs {
     location = str(m, "location"),
     query = str(m, "query"),
     dfName = str(m, "df_name"),
-    schema = str(m, "schema").orElse(str(m, "schema_ddl")),
+    schema = m.get("schema").flatMap {
+      case s: String => Some(s)
+      // the reference's schema is a StructType DICT — re-serialize it
+      case mm: Map[_, _] => Some(renderJson(mm))
+      case _ => None
+    }.orElse(str(m, "schema_ddl")),
+    schemaPath = str(m, "schema_path"),
+    enforceSchemaFromTable = str(m, "enforce_schema_from_table"),
     options = strMap(m, "options"),
     withFilepath = bool(m, "with_filepath"),
     tempView = str(m, "temp_view"))

@@ -155,6 +155,46 @@ class IoSpec extends SparkSpec {
       dataFormat = Some("noop")), df) // no location needed, no error
   }
 
+  test("schema resolution: dict-form schema, schema_path file, table precedence") {
+    // Reference schema_utils.py:76-99: enforce_schema_from_table >
+    // schema_path > schema; and the reference's inline `schema` is a
+    // StructType DICT, which must survive the acon JSON round trip.
+    val dir = tmpDir("schres")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/d.csv"), "1|x\n2|y\n")
+
+    val dictAcon =
+      s"""{"input_specs": [{
+         |  "spec_id": "src", "read_type": "batch", "data_format": "csv",
+         |  "location": "$dir", "options": {"delimiter": "|"},
+         |  "schema": {"type": "struct", "fields": [
+         |    {"name": "id", "type": "long", "nullable": true, "metadata": {}},
+         |    {"name": "v", "type": "string", "nullable": true, "metadata": {}}]}
+         |}], "output_specs": [{"spec_id": "o", "input_id": "src",
+         |  "data_format": "dataframe"}]}""".stripMargin
+    val spec = graft.spec.Specs.parseAcon(dictAcon).inputSpecs.head
+    val viaDict = Readers.read(spark, spec)
+    assert(viaDict.schema.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq(("id", "long"), ("v", "string")))
+
+    // schema_path: DDL text in a file, overrides the inline schema.
+    val schemaFile = s"$dir/schema.ddl"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(schemaFile), "key STRING, val STRING")
+    val viaPath = Readers.read(spark, spec.copy(schemaPath = Some(schemaFile)))
+    assert(viaPath.schema.fieldNames.toSeq == Seq("key", "val"))
+
+    // enforce_schema_from_table wins over both.
+    spark.sql("DROP TABLE IF EXISTS schres_shape")
+    spark.sql("CREATE TABLE schres_shape (a INT, b STRING) USING parquet")
+    try {
+      val viaTable = Readers.read(spark, spec.copy(
+        schemaPath = Some(schemaFile),
+        enforceSchemaFromTable = Some("schres_shape")))
+      assert(viaTable.schema.fieldNames.toSeq == Seq("a", "b"))
+    } finally spark.sql("DROP TABLE schres_shape")
+  }
+
   test("reader factory reads csv with schema and filepath projection") {
     val dir = tmpDir("reader")
     java.nio.file.Files.writeString(
