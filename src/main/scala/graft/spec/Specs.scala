@@ -201,7 +201,13 @@ object Specs {
     mergeOpts = m.get("merge_opts").collect { case mm: Map[_, _] =>
       mergeOptions(mm.map { case (a, b) => a.toString -> b })
     },
-    streamingTrigger = str(m, "streaming_trigger"),
+    streamingTrigger = str(m, "streaming_trigger")
+      // the reference spells triggers as separate fields
+      // (`core/definitions.py:931-966`); accept both
+      .orElse(if (bool(m, "streaming_available_now")) Some("availableNow") else None)
+      .orElse(if (bool(m, "streaming_once")) Some("once") else None)
+      .orElse(str(m, "streaming_processing_time").map(t => s"processingTime=$t"))
+      .orElse(str(m, "streaming_continuous").map(t => s"continuous=$t")),
     withBatchId = bool(m, "with_batch_id"),
     streamingAwaitTermination = bool(m, "streaming_await_termination", default = true),
     streamingAwaitTerminationTimeoutMs =

@@ -155,6 +155,23 @@ class DataLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(outS).select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
   }
 
+  test("reference-style trigger fields parse to the trigger spec") {
+    def trig(field: String): Option[String] =
+      graft.spec.Specs.parseAcon(
+        s"""{"input_specs": [{"spec_id": "s", "data_format": "parquet", "location": "/x"}],
+           |"output_specs": [{"spec_id": "o", "input_id": "s",
+           |  "data_format": "parquet", "location": "/y", $field}]}""".stripMargin)
+        .outputSpecs.head.streamingTrigger
+    assert(trig(""""streaming_available_now": true""").contains("availableNow"))
+    assert(trig(""""streaming_once": true""").contains("once"))
+    assert(trig(""""streaming_processing_time": "10 seconds"""")
+      .contains("processingTime=10 seconds"))
+    assert(trig(""""streaming_continuous": "1 second"""").contains("continuous=1 second"))
+    // the native single-key spelling still wins when both are present
+    assert(trig(""""streaming_trigger": "once", "streaming_available_now": true""")
+      .contains("once"))
+  }
+
   test("streaming_await_termination=false returns while the query keeps running") {
     // Reference `core/definitions.py:941-944`: await defaults true; false
     // is the fire-and-forget contract for long-running triggers.
