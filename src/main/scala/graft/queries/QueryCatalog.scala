@@ -3325,6 +3325,37 @@ object QueryCatalog {
         AND levenshtein(da.text, db.text) <= 10
       ORDER BY id_a, id_b"""))
 
+  /** Generic numeric band join ([[graft.operators.RangeJoin]]): events of
+    * the same user within a 20-minute window, as a bucketed equi-join
+    * (never BNLJ — the plan gate enforces it). The oracle is the naive
+    * theta join, so the bucketing's exactly-once match property is
+    * hash-verified. Vintage-safe through [[tsMicros]]. */
+  private val q111 = QueryDef(
+    "q111_band_join",
+    (s, dir) => {
+      val ev = T(s, dir, "events").where(col("user_id") < 30)
+      val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        tsMicros(ev).as("us_a"))
+      val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+        tsMicros(ev).as("us_b"))
+      graft.operators.RangeJoin.bandJoin(
+          a, col("us_a"), b, col("us_b"), Seq("user_id"), 1200000000L)
+        .where(col("id_a") < col("id_b"))
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          abs(col("us_b") - col("us_a")).as("dt_us"))
+        .orderBy(col("user_id"), col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us
+        FROM events WHERE user_id < 30)
+      SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+             abs(b.us - a.us) AS dt_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(a.us - b.us) <= 1200000000
+      ORDER BY a.user_id, id_a, id_b"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3337,5 +3368,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110)
+    q106, q107, q108, q109, q110, q111)
 }

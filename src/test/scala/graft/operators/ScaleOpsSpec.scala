@@ -16,6 +16,32 @@ class ScaleOpsSpec extends SparkSpec {
     assertSameRows(salted.select("k", "v", "name"), plain.select("k", "v", "name"))
   }
 
+  test("bandJoin equals the naive theta join, exactly once per pair") {
+    import org.apache.spark.sql.functions._
+    // keys straddle bucket boundaries (radius 10: buckets [0,10),[10,20)...)
+    val left = Seq((1L, "u", 9L), (2L, "u", 11L), (3L, "u", 35L), (4L, "v", 10L))
+      .toDF("id_a", "grp", "ka")
+    val right = Seq((10L, "u", 19L), (11L, "u", 21L), (12L, "u", 36L), (13L, "v", 20L))
+      .toDF("id_b", "grp", "kb")
+    val banded = RangeJoin.bandJoin(left, col("ka"), right, col("kb"),
+      Seq("grp"), radius = 10L)
+      .select("grp", "id_a", "id_b")
+    val naive = left.join(right, Seq("grp"))
+      .where(abs(col("ka") - col("kb")) <= 10)
+      .select("grp", "id_a", "id_b")
+    assertSameRows(banded, naive)
+    // exactly-once: no pair appears twice despite the x3 bucket explode
+    assert(banded.count() == banded.distinct().count())
+    // boundary |diff| == radius is IN (1,10: 9 vs 19); cross-group never
+    // pairs (4,10 differ by 9 but grp u vs v)
+    val pairs = banded.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains(("u", 1L, 10L)))
+    assert(!pairs.exists { case (_, a, b) => a == 4L && b != 13L })
+    // the plan is an equi-join: no nested-loop/cartesian node
+    val plan = banded.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "av")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "bv")

@@ -31,7 +31,8 @@ class EventsVintageSpec extends SparkSpec {
   /** Queries whose Spark plan reads the events table. */
   private val eventQueries = Seq(
     "q08_condense_cdc", "q22_json_extract", "q41_event_hourly",
-    "q55_sessionize", "q61_stateful_condense", "q63_asof_join")
+    "q55_sessionize", "q61_stateful_condense", "q63_asof_join",
+    "q111_band_join")
 
   private val eventTypes = Seq("click", "view", "purchase", "signup")
 
