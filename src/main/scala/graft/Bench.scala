@@ -119,7 +119,23 @@ object Bench {
     val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of stdout, so the
+    // 110-query full-name JSON never fits. Two artifacts instead:
+    //  1. BENCH_FULL.json — the complete record (full names, full
+    //     precision, jvm diag), written where the driver/judge can read it.
+    //  2. ONE compact stdout line — qNN short keys, 3 decimals — small
+    //     enough to survive the tail capture and parse.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // never fail the bench over the side-file
+    val shortKeys = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val qsShort =
+      if (shortKeys.map(_._1).distinct.size == results.size)
+        jmap(shortKeys.map { case (k, v) => k -> f"$v%.3f" })
+      else qs // fall back to full names if short ids ever collide
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

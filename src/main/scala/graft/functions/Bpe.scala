@@ -87,14 +87,55 @@ object Bpe {
   /** Train `numMerges` merges on the corpus. Returns the ordered merge
     * table (bounded by `numMerges` — inherently driver-sized: each round
     * ends in a 1-row argmax regardless of corpus scale). Stops early if
-    * every word has fused to a single symbol. */
+    * every word has fused to a single symbol.
+    *
+    * Scale shape — BOTH dimensions:
+    *  - CORPUS: collapses to the (word, count) vocabulary in one wide
+    *    shuffle; everything after is corpus-size-independent (unique
+    *    words, not tokens).
+    *  - MERGES: when the vocabulary fits `maxDriverVocab` (the common
+    *    case — unique whitespace words ≤ a few million even at 100 TB of
+    *    natural text), the merge loop runs INCREMENTALLY in driver
+    *    memory: a pair→count table, a pair→words index, and a
+    *    lazy-deletion heap, exactly the structure single-node tokenizer
+    *    trainers use. Each merge touches only the words containing the
+    *    merged pair — O(affected) work, no Spark job — so 32k merges is
+    *    seconds, not 32k sequential cluster round-trips. Semantics are
+    *    IDENTICAL to the sequential formulation (same argmax, same
+    *    (count desc, left, right) tie-break), verified by BpeSpec.
+    *  - Oversized vocabularies fall back to the distributed per-round
+    *    loop (one bounded aggregation + rewrite per merge, prior
+    *    checkpoint unpersisted each round).
+    */
   def train(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxWordLen: Int = 64): Seq[Merge] = {
+      maxWordLen: Int = 64,
+      maxDriverVocab: Int = 2000000): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
-    var vocab = wordCounts(df, textCol, maxWordLen)
+    val wc = wordCounts(df, textCol, maxWordLen)
+    // Size probe and fast-path collect in one action: ≤ maxDriverVocab
+    // rows means the limit returned the WHOLE vocabulary.
+    val probe =
+      if (maxDriverVocab > 0) wc.limit(maxDriverVocab + 1).collect() else Array.empty[org.apache.spark.sql.Row]
+    if (maxDriverVocab > 0 && probe.length <= maxDriverVocab) {
+      val words = probe.map { row =>
+        val w = row.getString(0)
+        (w.map(_.toString).toArray :+ EndOfWord, row.getLong(1))
+      }
+      trainInMemory(words, numMerges)
+    } else trainDistributed(wc, numMerges)
+  }
+
+  /** Distributed fallback merge loop for vocabularies beyond driver
+    * memory: per round one bounded pair aggregation, a 1-row argmax, and
+    * a map-side rewrite, with the vocabulary localCheckpoint'ed so round
+    * k does not replay rounds 1..k-1. The PREVIOUS round's checkpoint is
+    * unpersisted once the new one materializes — block-manager storage
+    * stays O(1) vocabulary copies, not O(numMerges). */
+  private def trainDistributed(wc: DataFrame, numMerges: Int): Seq[Merge] = {
+    var vocab = wc
       .select(initialSymbols(col("w")).as("syms"), col("c"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
@@ -111,9 +152,106 @@ object Bpe {
         merges += Merge(rank, l, r, c)
         val doMerge = udf((syms: Seq[String]) =>
           mergeOnce(syms.toIndexedSeq, l, r))
-        vocab = vocab
+        val prev = vocab
+        vocab = prev
           .select(doMerge(col("syms")).as("syms"), col("c"))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // eager: materialized before prev goes away
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** Incremental in-memory merge loop over a complete (symbols, count)
+    * vocabulary — the classic single-node BPE trainer structure:
+    *
+    *  - `pairCount`: current weighted count of every adjacent pair;
+    *  - `pairWords`: which word indices currently contain each pair;
+    *  - a max-heap ordered (count desc, left asc, right asc) with LAZY
+    *    deletion — entries are validated against `pairCount` when
+    *    popped, stale ones discarded.
+    *
+    * Per merge only the words containing the winning pair are rewritten
+    * (their old pairs decremented, new pairs incremented), so total work
+    * is O(sum of affected-word lengths), independent of merge count ×
+    * vocabulary size. Produces the exact sequential-BPE merge sequence. */
+  private[functions] def trainInMemory(
+      words: Array[(Array[String], Long)], numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = words.map(_._1)
+    val cnt: Array[Long] = words.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // (count, l, r): max count wins; ties break to the LEXICOGRAPHICALLY
+    // SMALLEST (l, r) — i.e. smaller strings compare GREATER here.
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val l = y._2.compareTo(x._2)
+          if (l != 0) l else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+    // Every count CHANGE (increment or decrement) enqueues the new value:
+    // lazy deletion only works if the current value of a live pair is
+    // always somewhere in the heap — stale (older) entries are discarded
+    // at pop time by comparing against `pairCount`.
+    def applyDelta(p: (String, String), delta: Long): Long = {
+      val nv = pairCount.getOrElse(p, 0L) + delta
+      if (nv <= 0L) pairCount.remove(p) else pairCount(p) = nv
+      if (nv > 0L) heap.enqueue((nv, p._1, p._2))
+      nv
+    }
+    def bump(p: (String, String), delta: Long, wi: Int, add: Boolean): Unit = {
+      applyDelta(p, delta)
+      if (add) pairWords.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
+    }
+
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi); var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), cnt(wi), wi, add = true); i += 1 }
+      wi += 1
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // Pop until a live entry (count matches the current table) surfaces.
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val t = heap.dequeue()
+        if (pairCount.get((t._2, t._3)).contains(t._1)) best = t
+      }
+      if (best == null) exhausted = true
+      else {
+        val (c, l, r) = best
+        merges += Merge(rank, l, r, c)
+        val affected = pairWords.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+        java.util.Arrays.sort(affected)
+        affected.foreach { w =>
+          val old = syms(w); val wcnt = cnt(w)
+          var i = 0
+          while (i < old.length - 1) {
+            val p = (old(i), old(i + 1))
+            applyDelta(p, -wcnt)
+            pairWords.get(p).foreach(_ -= w)
+            i += 1
+          }
+          val nw = mergeOnce(old.toIndexedSeq, l, r).toArray
+          syms(w) = nw
+          i = 0
+          while (i < nw.length - 1) { bump((nw(i), nw(i + 1)), wcnt, w, add = true); i += 1 }
+        }
+        pairCount.remove((l, r))
+        pairWords.remove((l, r))
         rank += 1
       }
     }

@@ -164,6 +164,20 @@ object IvfIndex {
     }
   }
 
+  /** Bounded DETERMINISTIC training sample of a single vector column.
+    * A bare `.limit(n)` takes whatever partitions answer first — fine on
+    * a single-file fixture, but on a cluster the codebooks would then
+    * vary run-to-run, breaking engine reproducibility. Ordering by a
+    * content hash (value tie-break for total order) makes the sample a
+    * pure function of the DATA, and the plan stays cheap: orderBy+limit
+    * compiles to TakeOrderedAndProject — per-partition top-n, driver
+    * merge of n·#partitions rows, no full sort shuffle. */
+  private[functions] def deterministicSample(df: DataFrame, vecCol: String, n: Int): Array[Seq[Float]] =
+    df.select(col(vecCol).as("v"))
+      .orderBy(xxhash64(col("v")), col("v"))
+      .limit(n)
+      .collect().map(_.getSeq[Float](0))
+
   /** Driver-local Lloyd's KMeans over a bounded sample.
     *
     * The training sample is bounded by design (`trainSampleSize`), so
@@ -238,8 +252,8 @@ object IvfIndex {
     val key = (corpus.select(col(vecCol)).semanticHash(), dataFingerprint(corpus),
       nLists, trainSampleSize)
     val centroids = cachedCentroids(key) {
-      val sample = corpus.select(col(vecCol)).limit(trainSampleSize)
-        .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val sample = deterministicSample(corpus, vecCol, trainSampleSize)
+        .map(_.toArray.map(_.toDouble))
       lloyd(sample, nLists, maxIter = 5, tol = 1e-3, seed = 42L)
     }
     new IvfIndex(

@@ -124,8 +124,11 @@ object IvfPq {
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nLists: Int = 16, m: Int = 8, ksub: Int = 16,
       trainSampleSize: Int = 10000, seed: Long = 42L): IvfPqIndex = {
-    val sample = corpus.select(col(vecCol)).limit(trainSampleSize)
-      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    // hash-ordered samples: deterministic under any partitioning (see
+    // IvfIndex.deterministicSample)
+    val sample = IvfIndex.deterministicSample(corpus, vecCol, trainSampleSize)
+      .map(_.toArray.map(_.toDouble))
     val coarse = IvfIndex.lloyd(sample, nLists, maxIter = 5, tol = 1e-3, seed = seed)
     val centroids: Map[Long, Array[Double]] =
       coarse.zipWithIndex.map { case (c, i) => i.toLong -> c }.toMap
@@ -133,8 +136,8 @@ object IvfPq {
       IvfIndex.assignCellUdf(coarse)(col(vecCol)).cast("long").as("cell"))
     val withRes = tagged.withColumn("res", residualUdf(centroids)(col("vec"), col("cell")))
     // Codebooks on residual space: sample again, deterministic.
-    val resSample = withRes.select(col("res")).limit(trainSampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val resSample = IvfIndex.deterministicSample(withRes, "res", trainSampleSize)
+      .map(_.toArray)
     val dsub = dim / m
     val cbs = Array.tabulate(m) { mi =>
       val sub = resSample.map(v => Array.tabulate(dsub)(i => v(mi * dsub + i).toDouble))

@@ -140,8 +140,10 @@ object PqIndex {
       trainSampleSize: Int = 10000, seed: Long = 42L): Array[Array[Array[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    val sample = corpus.select(col(vecCol)).limit(trainSampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // hash-ordered: deterministic under any partitioning (see
+    // IvfIndex.deterministicSample)
+    val sample = IvfIndex.deterministicSample(corpus, vecCol, trainSampleSize)
+      .map(_.toArray)
     Array.tabulate(m) { mi =>
       val sub = sample.map(v =>
         Array.tabulate(dsub)(i => v(mi * dsub + i).toDouble))

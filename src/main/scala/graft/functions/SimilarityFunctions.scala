@@ -297,7 +297,8 @@ object SimilarityFunctions {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numBits: Int = 8, simThreshold: Double = 0.8,
-      maxCellSize: Int = 100000): DataFrame = {
+      maxCellSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // Eagerly materialized (same discipline as [[minhashNearDuplicates]]):
     // five downstream branches consume (id, vec, cell); without this the
     // signature UDF would re-project per branch.
@@ -328,8 +329,16 @@ object SimilarityFunctions {
         round(dot(col("vec"), col("cvec")) /
           (l2Norm(col("vec")) * l2Norm(col("cvec"))), 6).as("centroid_sim"))
       .localCheckpoint(true)
-    val cands = members.groupBy(col("cell"))
+    // Cells larger than maxCellSize are skipped ENTIRELY (all members
+    // kept, none compared) — a recall loss, so it is observable the same
+    // way the other bounded-bucket generators report theirs: singleton
+    // cells (size < 2) are NOT drops, they simply have nothing to compare.
+    val cells = members.groupBy(col("cell"))
       .agg(collect_list(col("id")).as("ids"))
+    val observedCells = dropObservation.fold(cells)(o => cells.observe(o,
+      sum(when(size(col("ids")) > maxCellSize, 1L).otherwise(0L)).as("dropped_buckets"),
+      coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")))
+    val cands = observedCells
       .where(size(col("ids")).between(2, maxCellSize))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

@@ -91,10 +91,12 @@ object AvroFiles {
       val p = new Path(files.head)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
+      // closing the DataFileStream closes `in` too, but if the
+      // constructor throws (corrupt header) only this finally releases it
       try {
         val s = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
         try s.getSchema.toString finally s.close()
-      } finally ()
+      } finally { try in.close() catch { case _: Throwable => () } }
     }
     val sparkType = graft.functions.AvroCodec
       .avroToSparkType(new Schema.Parser().parse(readerSchemaJson))
@@ -107,10 +109,16 @@ object AvroFiles {
         val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val stream = new DataFileStream(fs.open(p),
           new GenericDatumReader[GenericRecord](null, schema))
+        // Close at task completion, not only on iterator exhaustion: a
+        // limit/take or a failed task abandons the iterator mid-stream
+        // and would otherwise leak the HDFS input stream.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try stream.close() catch { case _: Throwable => () }))
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = stream.hasNext
-            if (!h) stream.close()
+            if (!h) stream.close() // eager release on the common full-drain path
             h
           }
           override def next(): Row =

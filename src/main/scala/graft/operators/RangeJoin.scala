@@ -23,17 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Attach an integral floor-division bucket id as `out`.
+    * `floor(key / radius)` would evaluate as DOUBLE division — beyond
+    * |key| ~ 2^53 the bucket id can be off by one, silently DROPPING
+    * qualifying pairs (the post-filter only removes false positives; it
+    * cannot recover a missed match). `(k - pmod(k, r)) div r` stays in
+    * long arithmetic throughout: pmod is in [0, r), the numerator is an
+    * exact multiple of r, and SQL `div` is integral division. Keys are
+    * cast to long (the contract is integral keys — timestamps in micros,
+    * ids, offsets). */
+  private def withBucket(df: DataFrame, key: Column, radius: Long, out: String): DataFrame =
+    df.withColumn("__band_k", key.cast("long"))
+      .withColumn(out,
+        expr(s"(__band_k - pmod(__band_k, ${radius}L)) div ${radius}L"))
+      .drop("__band_k")
+
   /** Pairs of (left, right) rows sharing `equiCols` with
-    * |leftKey − rightKey| <= radius. Column name collisions between the
-    * two sides are the caller's to resolve (as with any join). */
+    * |leftKey − rightKey| <= radius. Keys must be integral (long-valued);
+    * column name collisions between the two sides are the caller's to
+    * resolve (as with any join). */
   def bandJoin(
       left: DataFrame, leftKey: Column,
       right: DataFrame, rightKey: Column,
       equiCols: Seq[String], radius: Long): DataFrame = {
     require(radius > 0, "bandJoin radius must be positive")
-    val lb = left.withColumn("__band_bucket", floor(leftKey / radius))
-    val rb = right
-      .withColumn("__b0", floor(rightKey / radius))
+    val lb = withBucket(left, leftKey, radius, "__band_bucket")
+    val rb = withBucket(right, rightKey, radius, "__b0")
       .withColumn("__band_bucket",
         explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
       .drop("__b0")

@@ -7,23 +7,18 @@ import org.apache.spark.sql.functions._
   * `graft.tools.PlanAudit` for repeatable timing / plan evidence. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // BPE vocab-bound claim: train(16 merges) on sf0.1 docs vs a
-    // 50x REPEATED corpus (same text, offset ids -> identical vocab).
-    // If merge rounds run on the (word, count) table, the 50x corpus
-    // should cost ~the same per round — only the one-off word-count
-    // scan grows.
+    // BPE merge-count scaling: train() at merges = 16 / 256 / 2048 on the
+    // sf0.1 documents corpus. With the incremental in-memory trainer the
+    // wall for 256 merges must be FAR below 16x the 16-merge wall (the
+    // pre-round-11 distributed loop was ~linear in merges); the one-off
+    // corpus->vocab collapse dominates. Also times the forced-distributed
+    // fallback at 16 merges for the same corpus, for the ratio record.
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.exec.ExecEnv.getOrCreate("scratch", Some("local[32]"),
       Map("spark.sql.shuffle.partitions" -> "32", "spark.ui.enabled" -> "false"))
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
-    val repeated = (0 until 50).map { i =>
-      if (i == 0) docs
-      else docs.withColumn("doc_id", col("doc_id") + lit(i * (maxId + 1)))
-    }.reduce(_.unionByName(_)).repartition(32)
-      .write.mode("overwrite").parquet("/tmp/bpe-repeat-50x")
-    val big = spark.read.parquet("/tmp/bpe-repeat-50x")
+    docs.count() // warm the scan
 
     def time(label: String)(body: => Unit): Unit = {
       val ts = (1 to 2).map { _ =>
@@ -31,8 +26,11 @@ object Scratch {
       }
       println(f"[scratch] $label min=${ts.min}%.2f s runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-    time("bpe_train16_base")(graft.functions.Bpe.train(docs, "text", 16))
-    time("bpe_train16_repeat50x")(graft.functions.Bpe.train(big, "text", 16))
+    time("bpe_train_m16")(graft.functions.Bpe.train(docs, "text", 16))
+    time("bpe_train_m256")(graft.functions.Bpe.train(docs, "text", 256))
+    time("bpe_train_m2048")(graft.functions.Bpe.train(docs, "text", 2048))
+    time("bpe_train_m16_distributed")(
+      graft.functions.Bpe.train(docs, "text", 16, maxDriverVocab = 0))
     spark.stop()
   }
 }

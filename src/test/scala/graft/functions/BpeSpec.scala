@@ -120,6 +120,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("in-memory incremental trainer and distributed fallback produce identical merges") {
+    val docs = Seq(
+      (1L, "aa aa ab ba"), (2L, "abab aa b"), (3L, "b b a"), (4L, "  aa  "),
+      (5L, "low low lower newest newest widest banana bandana"))
+      .toDF("doc_id", "text")
+    val fast = Bpe.train(docs, "text", numMerges = 30) // in-memory path
+    val dist = Bpe.train(docs, "text", numMerges = 30, maxDriverVocab = 0) // forced distributed
+    assert(fast.map(m => (m.rank, m.left, m.right, m.count)) ==
+      dist.map(m => (m.rank, m.left, m.right, m.count)))
+  }
+
+  test("incremental trainer handles count DECREASES of previously-seen pairs") {
+    // Merging (a,a) on "aaa b"-style words lowers (a,b)'s count without
+    // touching other words — the lazy-deletion heap must surface the
+    // decreased value, not a stale one. Verified against the naive
+    // reference over a corpus engineered to decrement counts.
+    val counts = Map("aab" -> 10L, "aa" -> 9L, "ab" -> 8L, "ba" -> 7L, "bb" -> 3L)
+    val corpus = counts.toSeq.zipWithIndex.map { case ((w, c), i) =>
+      (i.toLong, (s"$w " * c.toInt).trim)
+    }.toDF("doc_id", "text")
+    val got = Bpe.train(corpus, "text", numMerges = 20)
+    assert(got.map(m => (m.left, m.right, m.count)) == naiveTrain(counts, 20))
+  }
+
   test("mergeOnce is the greedy non-overlapping scan") {
     assert(Bpe.mergeOnce(Vector("a", "a", "a", "a"), "a", "a") == Vector("aa", "aa"))
     assert(Bpe.mergeOnce(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))

@@ -78,6 +78,29 @@ class PqSpec extends SparkSpec {
       coarse.maxReconstructionError(df, "vec_id", "embedding"))
   }
 
+  test("codebooks are a pure function of the data: identical across partitionings") {
+    // The training sample is hash-ordered, not partition-ordered — so a
+    // 1-partition and a 16-partition layout of the SAME corpus (worst
+    // case: reversed insertion order) must train bit-identical codebooks.
+    // This is the cluster-reproducibility law: `limit` alone would take
+    // whichever partitions answered first.
+    val data = corpus(500)
+    val df1 = data.toDF("vec_id", "embedding").repartition(1)
+    val df16 = data.reverse.toDF("vec_id", "embedding").repartition(16)
+    val cb1 = PqIndex.trainCodebooks(df1, "embedding", dim, m, ksub = 8, trainSampleSize = 200)
+    val cb16 = PqIndex.trainCodebooks(df16, "embedding", dim, m, ksub = 8, trainSampleSize = 200)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq == cb16.map(_.map(_.toSeq).toSeq).toSeq)
+    // Same law for the IVFADC coarse+residual codebooks.
+    val i1 = IvfPq.build(df1, "vec_id", "embedding", dim, nLists = 4, m = m,
+      ksub = 8, trainSampleSize = 200)
+    val i16 = IvfPq.build(df16, "vec_id", "embedding", dim, nLists = 4, m = m,
+      ksub = 8, trainSampleSize = 200)
+    assert(i1.centroids.toSeq.sortBy(_._1).map { case (k, v) => (k, v.toSeq) } ==
+      i16.centroids.toSeq.sortBy(_._1).map { case (k, v) => (k, v.toSeq) })
+    assert(i1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      i16.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("encode is deterministic and ties break to the lower code") {
     val df = corpus(50).toDF("vec_id", "embedding")
     val cbs = PqIndex.trainCodebooks(df, "embedding", dim, m, ksub = 8,
