@@ -213,6 +213,13 @@ object DataLoader {
   * rewrites / no-ops; stats and SQL passthrough work as in the reference. */
 object Terminators {
 
+  /** Terminator names the engine dispatches — the plan-only conformance
+    * check ([[graft.spec.AconConformance]]) validates against this set
+    * without executing. Keep in lockstep with the match in [[run]]. */
+  val Known: Set[String] = Set(
+    "compute_table_statistics", "execute_sql", "optimize_dataset",
+    "vacuum", "terminate_spark", "notify", "expose_cdf")
+
   def run(spark: SparkSession, spec: TerminatorSpec): Unit = spec.function match {
     case "compute_table_statistics" =>
       spec.args.get("table").foreach(t =>
@@ -239,6 +246,8 @@ object Terminators {
       }
     case "terminate_spark" => spark.stop()
     case "notify" => Notifier.notify(spec)
+    case "expose_cdf" =>
+      graft.operators.ChangeCapture.exposeCdf(spark, spec.args)
     case other =>
       throw new IllegalArgumentException(s"unknown terminator: $other")
   }

@@ -55,6 +55,23 @@ object DQEngine {
   private def anySeq(m: Map[String, Any], k: String): Seq[Any] =
     m.get(k).collect { case s: Seq[_] => s.toSeq }.getOrElse(Seq.empty)
 
+  /** Name-dispatch check used by the plan-only ACON conformance pass:
+    * does this expectation name resolve to a row- or table-level
+    * implementation at all? Probes the real matchers with empty args so
+    * the check can never drift from them — argument errors count as
+    * KNOWN (the name matched; its args are a runtime concern); only a
+    * clean fall-through to None means unknown. The table probe runs
+    * against an empty local DataFrame, so nothing is read or written. */
+  def knownExpectation(spark: SparkSession, name: String): Boolean = {
+    val probe = DQFunctionSpec(name, Map.empty)
+    val row =
+      try rowPredicate(probe).isDefined catch { case _: Throwable => true }
+    row || {
+      try tableExpectation(spark, spark.emptyDataFrame, probe).isDefined
+      catch { case _: Throwable => true }
+    }
+  }
+
   /** Compile a row-level expectation to its predicate ("row passes"). */
   def rowPredicate(f: DQFunctionSpec): Option[Column] = {
     val a = f.args

@@ -543,4 +543,48 @@ object DedupFunctions {
         rebuild(col("lhe_text"), col("starts"), lit(k)).as("r"))
       .select(col("id"), col("r._1").as("clean_text"), col("r._2").as("n_removed"))
   }
+
+  /** VARIABLE-LENGTH repeated-span removal: a longest-first cascade of
+    * [[removeRepeatedSpans]] passes.
+    *
+    * Single-k removal is window-granular: a repeat of 50 tokens and a
+    * repeat of exactly k tokens are treated identically, and a long
+    * repeat is erased as k-sized bites. The Lee et al. transform targets
+    * MAXIMAL repeats above a length threshold; the scalable analogue is
+    * a cascade — remove at the largest k first (long repeats go in one
+    * coherent sweep, keeping their globally-first occurrence intact),
+    * then re-window the CLEANED text at smaller k to catch shorter
+    * repeats, including ones long-pass removal could not see. Each stage
+    * is the exact single-k transform, so every stage inherits its
+    * first-occurrence-keeps semantics and its oracle.
+    *
+    * Scale shape: `ks.length` sequential single-k passes (bounded, user
+    * chosen — 3–4 octaves in practice), each the q88 plan (one
+    * fingerprint shuffle + one narrow positions shuffle + one join);
+    * stages are materialized so stage j+1 re-windows a table, not a
+    * replayed lineage.
+    *
+    * @param ks window lengths; deduplicated and applied DESCENDING
+    * @return (id, clean_text, n_removed) — n_removed totals all stages
+    */
+  def removeRepeatedSpansCascade(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ks: Seq[Int] = Seq(32, 16, 8),
+      minRepeat: Int = 2): DataFrame = {
+    require(ks.nonEmpty, "cascade needs at least one window length")
+    val ordered = ks.distinct.sorted(Ordering[Int].reverse)
+    var cur = df.select(col(idCol).as("id"), col(textCol).as("clean_text"),
+      lit(0L).as("n_removed"))
+    ordered.foreach { k =>
+      val stage = removeRepeatedSpans(cur, "id", "clean_text", k, minRepeat)
+        .withColumnRenamed("n_removed", "stage_removed")
+      cur = stage.join(cur.select(col("id"), col("n_removed")), Seq("id"))
+        .select(col("id"), col("clean_text"),
+          (col("n_removed") + col("stage_removed")).as("n_removed"))
+        .localCheckpoint(true) // next stage re-windows a table, not lineage
+    }
+    cur
+  }
 }

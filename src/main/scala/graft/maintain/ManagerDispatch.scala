@@ -27,11 +27,11 @@ object ManagerDispatch {
     "truncate" -> Seq("table_or_view"),
     "vacuum" -> Seq.empty,
     "describe" -> Seq("table_or_view"),
-    "optimize" -> Seq("path"),
+    "optimize" -> Seq.empty, // path | table_or_view
     "show_tbl_properties" -> Seq("table_or_view"),
     "get_tbl_pk" -> Seq("table_or_view"),
     "repair_table" -> Seq("table_or_view"),
-    "delete_where" -> Seq("path", "where_clause"))
+    "delete_where" -> Seq("where_clause")) // + path | table_or_view
 
   private val fileOps: Map[String, Seq[String]] = Map(
     "delete_objects" -> Seq("bucket", "object_paths", "dry_run"),
@@ -76,10 +76,44 @@ object ManagerDispatch {
     operations.map(run(spark, _))
   }
 
+  /** Storage path of an op's target: explicit `path`, else the catalog
+    * location of `table_or_view` (the reference addresses optimize /
+    * delete_where by table name; the path-rewrite implementations here
+    * need the files). */
+  private def storagePath(spark: SparkSession, op: Map[String, Any]): String =
+    A.str(op, "path").getOrElse {
+      val t = A.str(op, "table_or_view").getOrElse(
+        sys.error("needs 'path' or 'table_or_view'"))
+      spark.sql(s"DESCRIBE FORMATTED $t").collect()
+        .find(r => String.valueOf(r.get(0)).trim.equalsIgnoreCase("Location"))
+        .map(r => String.valueOf(r.get(1)).trim)
+        .getOrElse(sys.error(s"no resolvable storage location for $t"))
+    }
+
+  /** Plan-only validation for the ACON conformance pass: the per-op
+    * errors, without executing anything (empty = the config plans). */
+  def validationErrors(operations: Seq[Map[String, Any]]): Seq[String] =
+    operations.zipWithIndex.flatMap { case (op, i) => validate(op, i) }
+
+  /** Reference manager ACONs are FLAT (`{"function": ..., args...}`) —
+    * the manager type is implied by the entrypoint
+    * (`execute_table_manager` vs `execute_file_manager`). Infer it from
+    * the function name for classification. */
+  def inferManager(function: String): Option[String] =
+    if (tableOps.contains(function)) Some("table")
+    else if (fileOps.contains(function)) Some("file")
+    else None
+
   /** Functions whose SQL text comes from `sql` OR a `path` DDL file —
     * at least one must be present (mandatory-args registry can't express
     * either/or). */
   private val sqlOrPathOps = Set("create_table", "create_view", "execute_sql")
+
+  /** Functions that address their target as a storage `path` OR a
+    * catalog `table_or_view` (the reference accepts both —
+    * `core/table_manager.py:164-185,277-280` reads `table_or_view`):
+    * at least one must be present. */
+  private val pathOrTableOps = Set("optimize", "delete_where")
 
   /** dry_run must be an actual boolean (or the strings "true"/"false"):
     * anything else failing silently to `false` would turn a "dry run"
@@ -120,6 +154,9 @@ object ManagerDispatch {
               Seq(s"op[$i]: $fn needs 'sql' or 'path'")
             else if (fn == "create_tables" && !op.contains("path"))
               Seq(s"op[$i]: create_tables needs 'path'")
+            else if (pathOrTableOps(fn) && manager.contains("table") &&
+                !op.contains("path") && !op.contains("table_or_view"))
+              Seq(s"op[$i]: $fn needs 'path' or 'table_or_view'")
             else Seq.empty
           val dryErr = dryRunValue(op).left.toSeq.map(e => s"op[$i]: $e")
           missingErr ++ sqlErr ++ dryErr
@@ -149,16 +186,19 @@ object ManagerDispatch {
           case "vacuum" => tm.vacuum(A.str(op, "path").orElse(A.str(op, "table_or_view")).getOrElse(""),
             A.num(op, "vacuum_hours").map(_.toInt).getOrElse(168))
           case "describe" => tm.describe(s("table_or_view")).collect()
-          case "optimize" => tm.optimize(s("path"),
+          case "optimize" => tm.optimize(storagePath(spark, op),
             A.num(op, "target_partitions").map(_.toInt).getOrElse(0),
             A.str(op, "optimize_zorder_col_list").toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-            A.str(op, "optimize_where"),
+            // reference accepts the generic `where_clause` key here too
+            // (`table_manager.py:164-167`)
+            A.str(op, "optimize_where").orElse(A.str(op, "where_clause")),
             A.str(op, "optimize_curve").getOrElse("zorder"))
           case "show_tbl_properties" => tm.showTblProperties(s("table_or_view")).collect()
           case "get_tbl_pk" => tm.getTablePk(s("table_or_view"))
           case "repair_table" => tm.repairTable(s("table_or_view"))
-          case "delete_where" => tm.deleteWhere(s("path"), s("where_clause"))
+          case "delete_where" =>
+            tm.deleteWhere(storagePath(spark, op), s("where_clause"))
         }
         s"table/$fn: ok"
       case "file" =>

@@ -22,6 +22,106 @@ import org.apache.spark.sql.functions._
   */
 object ChangeCapture {
 
+  /** The reference's `expose_cdf` terminator
+    * (`terminators/cdf_processor.py:29-144`): read the table's change
+    * feed, stamp `_commit_timestamp` as yyyyMMddHHmmss, APPEND it to
+    * `materialized_cdf_location` partitioned by the commit timestamp,
+    * then optionally delete materialized rows older than `days_to_keep`
+    * (`clean_cdf`, default true) and vacuum (`vacuum_cdf`, default
+    * false).
+    *
+    * Source semantics by runtime:
+    *  - Delta jars present: the transaction-log-native feed
+    *    ([[graft.io.DeltaSupport.changeFeed]]), from
+    *    `options.startingVersion` (default 0).
+    *  - Core runtime (no log): a snapshot-diff analogue — the current
+    *    table state vs the state at the LAST expose (kept as a parquet
+    *    snapshot beside the materialized location). `exceptAll` in both
+    *    directions needs no business key; an update shows up as
+    *    delete + insert, the keyless subset of the CDF vocabulary.
+    *    First expose emits the whole table as inserts (CDF-from-
+    *    version-0 semantics).
+    *
+    * Scale shape: the diff is two hash aggregations on full-row values
+    * (Spark plans exceptAll as a counted aggregate, one shuffle each);
+    * the append is partitioned by commit timestamp so `clean_cdf` is a
+    * partition drop, not a rewrite.
+    *
+    * @param args the terminator's args map (`db_table` OR `location`
+    *             required, plus `materialized_cdf_location`)
+    */
+  def exposeCdf(spark: org.apache.spark.sql.SparkSession, args: Map[String, Any]): Unit = {
+    def str(k: String): Option[String] =
+      args.get(k).map(String.valueOf(_)).filter(s => s != "null" && s.nonEmpty)
+    def boolArg(k: String, default: Boolean): Boolean = args.get(k) match {
+      case Some(b: Boolean) => b
+      case Some(s: String) => s.equalsIgnoreCase("true")
+      case _ => default
+    }
+    val matLoc = str("materialized_cdf_location").getOrElse(
+      sys.error("expose_cdf: materialized_cdf_location is required"))
+    val source = str("db_table").map(spark.table).orElse(
+      str("location").map(spark.read.parquet(_))).getOrElse(
+      sys.error("expose_cdf: db_table or location is required"))
+    val stamp = str("commit_timestamp").getOrElse( // test override hook
+      java.time.LocalDateTime.now().format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")))
+    val stateLoc = matLoc.stripSuffix("/") + "__cdf_state"
+
+    val srcLoc = str("location")
+    val feed: DataFrame =
+      if (graft.io.DeltaSupport.available && srcLoc.isDefined)
+        graft.io.DeltaSupport.changeFeed(spark, srcLoc.get,
+          str("starting_version").map(_.toLong).getOrElse(0L))
+          .withColumn("_commit_timestamp",
+            date_format(col("_commit_timestamp"), "yyyyMMddHHmmss"))
+      else {
+        val fs = new org.apache.hadoop.fs.Path(stateLoc)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (fs.exists(new org.apache.hadoop.fs.Path(stateLoc)))
+            Some(spark.read.parquet(stateLoc))
+          else None
+        val cur = source
+        val diff = prev match {
+          case None =>
+            cur.withColumn("_change_type", lit("insert"))
+          case Some(p) =>
+            cur.exceptAll(p).withColumn("_change_type", lit("insert"))
+              .unionByName(p.exceptAll(cur).withColumn("_change_type", lit("delete")))
+        }
+        diff.withColumn("_commit_timestamp", lit(stamp))
+      }
+
+    feed
+      .repartition(args.get("materialized_cdf_num_partitions")
+        .collect { case n: Number => n.intValue() }.getOrElse(1))
+      .write.mode("append").partitionBy("_commit_timestamp")
+      .parquet(matLoc)
+    // advance the state snapshot AFTER the feed lands (crash between the
+    // two re-emits the delta on the next run — at-least-once, never lost)
+    if (!graft.io.DeltaSupport.available || srcLoc.isEmpty) {
+      val stage = stateLoc + "__stage"
+      source.write.mode("overwrite").parquet(stage)
+      val fs = new org.apache.hadoop.fs.Path(stateLoc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stateLoc), true)
+      fs.rename(new org.apache.hadoop.fs.Path(stage),
+        new org.apache.hadoop.fs.Path(stateLoc))
+    }
+
+    if (boolArg("clean_cdf", default = true)) {
+      val days = args.get("days_to_keep").collect { case n: Number => n.intValue() }.getOrElse(30)
+      val limit = java.time.LocalDateTime.now().minusDays(days.toLong).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      new graft.maintain.TableManager(spark)
+        .deleteWhere(matLoc, s"_commit_timestamp < '$limit'")
+    }
+    if (boolArg("vacuum_cdf", default = false))
+      new graft.maintain.TableManager(spark).vacuum(matLoc,
+        args.get("vacuum_hours").collect { case n: Number => n.intValue() }.getOrElse(168))
+  }
+
   /** Diff `current` against `previous` on `keys`.
     * @return all changed rows with a `_change_type` column */
   def snapshotDiff(previous: DataFrame, current: DataFrame, keys: Seq[String]): DataFrame = {

@@ -3356,6 +3356,68 @@ object QueryCatalog {
        AND abs(a.us - b.us) <= 1200000000
       ORDER BY a.user_id, id_a, id_b"""))
 
+  /** Variable-length repeated-span removal: the longest-first multi-k
+    * cascade ([[graft.functions.DedupFunctions.removeRepeatedSpansCascade]])
+    * at ks = (8, 4) — stage 1 is exactly q88's transform, stage 2
+    * re-windows the CLEANED text at k=4. The oracle composes the q88 SQL
+    * twice, so the cascade's stage chaining (tokens, first-occurrence
+    * keeps, removal accounting) is hash-verified end-to-end. */
+  private val q112 = QueryDef(
+    "q112_span_cascade",
+    (s, dir) => DedupFunctions.removeRepeatedSpansCascade(
+        T(s, dir, "documents"), "doc_id", "text", ks = Seq(8, 4))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks1 AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      wins1 AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+          SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+            THEN list_transform(range(1, len(tk) - 6), i -> {'pos': i, 'w': array_to_string(tk[i:i+7], ' ')})
+            ELSE [{'pos': CAST(1 AS BIGINT), 'w': array_to_string(tk, ' ')}] END) AS u
+          FROM toks1)),
+      marked1 AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY w) AS c,
+               row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        FROM wins1),
+      drops1 AS (
+        SELECT doc_id, list_sort(list(pos)) AS ps FROM marked1
+        WHERE c >= 2 AND rn >= 2 GROUP BY doc_id),
+      fin1 AS (
+        SELECT t.doc_id, tk,
+          list_filter(tk, (tok, ti) -> len(list_filter(coalesce(ps, CAST([] AS BIGINT[])),
+            s -> ti >= s AND ti < s + least(8, len(tk)))) = 0) AS kept
+        FROM toks1 t LEFT JOIN drops1 d USING (doc_id)),
+      toks2 AS (
+        SELECT doc_id, kept AS tk, CAST(len(tk) - len(kept) AS BIGINT) AS removed1
+        FROM fin1),
+      wins2 AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+          SELECT doc_id, unnest(CASE WHEN len(tk) >= 4
+            THEN list_transform(range(1, len(tk) - 2), i -> {'pos': i, 'w': array_to_string(tk[i:i+3], ' ')})
+            ELSE [{'pos': CAST(1 AS BIGINT), 'w': array_to_string(tk, ' ')}] END) AS u
+          FROM toks2)),
+      marked2 AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY w) AS c,
+               row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        FROM wins2),
+      drops2 AS (
+        SELECT doc_id, list_sort(list(pos)) AS ps FROM marked2
+        WHERE c >= 2 AND rn >= 2 GROUP BY doc_id),
+      fin2 AS (
+        SELECT t.doc_id, removed1, tk,
+          list_filter(tk, (tok, ti) -> len(list_filter(coalesce(ps, CAST([] AS BIGINT[])),
+            s -> ti >= s AND ti < s + least(4, len(tk)))) = 0) AS kept
+        FROM toks2 t LEFT JOIN drops2 d USING (doc_id))
+      SELECT doc_id,
+             coalesce(array_to_string(kept, ' '), '') AS clean_text,
+             CAST(removed1 + len(tk) - len(kept) AS BIGINT) AS n_removed
+      FROM fin2 ORDER BY doc_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3368,5 +3430,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110, q111)
+    q106, q107, q108, q109, q110, q111, q112)
 }

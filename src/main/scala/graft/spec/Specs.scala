@@ -103,6 +103,11 @@ object Specs {
   def parseJsonMap(json: String): Map[String, Any] =
     mapper.readValue(json, classOf[Map[String, Any]])
 
+  /** Parse a JSON document of ANY root shape (object, array, scalar) to
+    * Scala collections — the conformance classifier's entry point. */
+  def parseJsonAny(json: String): Any =
+    mapper.readValue(json, classOf[Any])
+
   /** Re-serialize a parsed JSON sub-tree (e.g. a dict-form schema back
     * into `StructType.fromJson` input). */
   def renderJson(v: Any): String = mapper.writeValueAsString(v)

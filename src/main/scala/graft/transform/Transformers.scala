@@ -36,6 +36,19 @@ object Transformers {
       // semantics and must run inside foreachBatch
       "minhash_dedup", "perplexity_filter", "importance_filter")
 
+  /** Name-dispatch check used by the plan-only ACON conformance pass:
+    * does this transformer name resolve in the registry at all? Probes
+    * [[resolve]] with empty args so the check can never drift from the
+    * match — argument errors (missing keys, null ctx) count as KNOWN;
+    * only the registry's own unknown-name rejection is surfaced. */
+  def isKnown(name: String): Boolean =
+    try { resolve(name, Map.empty, TransformContext(null)); true }
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.startsWith("unknown transformer") => false
+      case _: Throwable => true
+    }
+
   /** Resolve a transformer name + args into a DataFrame function. */
   def resolve(name: String, args: Map[String, Any], ctx: TransformContext): DataFrame => DataFrame = name match {
 

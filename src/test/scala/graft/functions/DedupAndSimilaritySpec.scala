@@ -660,6 +660,46 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(again.filter(_._1 != 15L).forall(_._3 == 0L))
   }
 
+  test("removeRepeatedSpansCascade: longest-first, equals composed single-k passes, idempotent on aligned blocks") {
+    // A 6-token block repeated verbatim in two docs, plus a 3-token
+    // repeat only a k=3 pass can see after the long pass.
+    val block = "q w e r t y"
+    val corpus = Seq(
+      (1L, s"$block a b c"),
+      (2L, s"$block d e f"),   // the k=6 stage removes its copy of the block
+      (3L, "m n o p"),
+      (4L, "z z2 m n o p2"))   // "m n o" repeats at k=3 only
+      .toDF("doc_id", "text")
+
+    val cascade = DedupFunctions
+      .removeRepeatedSpansCascade(corpus, "doc_id", "text", ks = Seq(6, 3))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // law: the cascade IS the composition of the single-k transforms
+    val stage1 = DedupFunctions.removeRepeatedSpans(corpus, "doc_id", "text", k = 6)
+    val composed = DedupFunctions
+      .removeRepeatedSpans(stage1, "id", "clean_text", k = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    val stage1Removed = stage1.as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    cascade.foreach { case (id, (txt, _)) => assert(composed(id) == txt) }
+
+    // longest-first: doc 2 lost its 6-token block in ONE coherent sweep
+    assert(cascade(2L)._1 == "d e f" && stage1Removed(2L) == 6L)
+    assert(cascade(1L)._1 == s"$block a b c") // first occurrence intact
+    // the short repeat was caught by the k=3 stage on CLEANED text
+    assert(cascade(3L)._1 == "m n o p")
+    assert(cascade(4L)._1 == "z z2 p2" && cascade(4L)._2 == 3L)
+
+    // idempotence on block-aligned removals: a second full cascade over
+    // the cleaned corpus removes nothing further
+    val again = DedupFunctions.removeRepeatedSpansCascade(
+      cascade.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", ks = Seq(6, 3))
+      .as[(Long, String, Long)].collect()
+    assert(again.forall(_._3 == 0L),
+      s"second cascade removed tokens: ${again.filter(_._3 > 0).mkString(",")}")
+  }
+
   test("removeRepeatedSpans normalizes whitespace uniformly") {
     val corpus = Seq((1L, "  spaced   out  doc  "), (2L, "other words here"))
       .toDF("doc_id", "text")
