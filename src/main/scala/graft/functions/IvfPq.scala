@@ -106,16 +106,67 @@ final class IvfPqIndex private[functions] (
         .select(col("id"), col("cell").cast("long").as("cell"), col("codes")),
       centroids, codebooks)
   }
+
+  /** Incrementally ingest a batch into a persisted IVFADC store: assign
+    * each vector to the NEAREST EXISTING centroid (no retraining — the
+    * standard IVF ingest trade, same as [[IvfIndex.appendToPersisted]];
+    * nearest-centroid also covers assignments whose original cell
+    * function could name a cell this index has no centroid for), derive
+    * its residual, PQ-encode with the EXISTING codebooks, and append the
+    * m-byte codes to the cell-partitioned layout. Streamed vectors land
+    * exactly as built ones do: codes only, partition-pruned probes, raw
+    * vectors never stored. Returns an index over the extended store;
+    * `location` must be the path this index was persisted at. */
+  def appendToPersisted(
+      location: String, batch: DataFrame, idCol: String, vecCol: String): IvfPqIndex = {
+    val tagged = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"),
+      IvfPq.nearestCellUdf(centroids)(col(vecCol)).as("cell"))
+    val withRes = tagged.withColumn("res",
+      IvfPq.residualUdf(centroids)(col("vec"), col("cell")))
+    PqIndex.encode(withRes, "id", "res", codebooks)
+      .join(withRes.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id"), col("cell"), col("codes"))
+      .write.mode("append").partitionBy("cell").parquet(location)
+    new IvfPqIndex(
+      batch.sparkSession.read.parquet(location)
+        .select(col("id"), col("cell").cast("long").as("cell"), col("codes")),
+      centroids, codebooks)
+  }
 }
 
 object IvfPq {
 
   /** Residual columns: v − centroid(cell), via a bounded broadcast map. */
-  private def residualUdf(centroids: Map[Long, Array[Double]]) =
+  private[graft] def residualUdf(centroids: Map[Long, Array[Double]]) =
     udf { (v: Seq[Float], cell: Long) =>
       val ctr = centroids(cell)
       Array.tabulate(v.length)(i => (v(i).toDouble - ctr(i)).toFloat)
     }
+
+  /** Nearest-centroid cell assignment over a sparse (cell id → centroid)
+    * map — returns the cell KEY, not an array position, so it works for
+    * both dense KMeans cells and sparse LSH-derived ones. Ties break to
+    * the lowest cell id (iteration is in sorted-key order with strict
+    * less-than), matching the SQL mirror's (distance, cell) ordering. */
+  private[graft] def nearestCellUdf(centroids: Map[Long, Array[Double]]) = {
+    val arr = centroids.toArray.sortBy(_._1)
+    udf { (v: Seq[Float]) =>
+      var best = arr(0)._1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < arr.length) {
+        val ctr = arr(c)._2
+        var d = 0.0
+        var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val diff = v(i).toDouble - ctr(i); d += diff * diff; i += 1 }
+        if (d < bestD) { bestD = d; best = arr(c)._1 }
+        c += 1
+      }
+      best
+    }
+  }
 
   /** Build the real thing: KMeans coarse cells (driver-local Lloyd's on
     * a bounded sample, as [[IvfIndex.build]]), residuals, per-subspace

@@ -3418,6 +3418,119 @@ object QueryCatalog {
              CAST(removed1 + len(tk) - len(kept) AS BIGINT) AS n_removed
       FROM fin2 ORDER BY doc_id"""))
 
+  /** Streaming IVFADC ingest, batch face
+    * ([[graft.streaming.StreamingPqIngest.ingestBatch]]): one micro-batch
+    * screened against a deterministic IVFADC store (LSH cells + uniform
+    * grid codebooks, as q108) — store-identical (cell, codes) dropped,
+    * within-batch quantization-identical collapsed to the lowest id —
+    * and the survivors' PQ-coded landing rows returned. The oracle
+    * recomputes centroids, nearest-centroid assignment, residual codes
+    * and both dedup passes in SQL, so the whole ingest path (assignment
+    * tie-break, residual arithmetic, code argmin, screen semantics) is
+    * hash-verified. */
+  private val q113 = QueryDef(
+    "q113_pq_ingest_batch",
+    (s, dir) => {
+      import graft.functions.{IvfPq, PqIndex, SimilarityFunctions}
+      val emb = T(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 20)
+      val batch = emb.where(col("vec_id") < 20)
+      val tagged = corpus.select(col("vec_id"), col("embedding"),
+        SimilarityFunctions.lshSignature(col("embedding"), 64, 4).as("cell"))
+      val centroids: Map[Long, Array[Double]] = tagged
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("cv"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      val cbs = PqIndex.uniformCodebooks(-1.0, 1.0, dim = 64, m = 8, ksub = 16)
+      val idx = IvfPq.fromAssignments(tagged, "vec_id", "embedding", "cell",
+        centroids, cbs)
+      val (fresh, _) = graft.streaming.StreamingPqIngest.ingestBatch(
+        batch, "vec_id", "embedding", idx, indexLocation = "", sink = _ => (),
+        dedup = true, append = false)
+      val ftag = fresh.select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("vec"),
+          IvfPq.nearestCellUdf(centroids)(col("embedding")).as("cell"))
+        .withColumn("res", IvfPq.residualUdf(centroids)(col("vec"), col("cell")))
+      PqIndex.encode(ftag, "id", "res", cbs)
+        .join(ftag.select(col("id"), col("cell")), Seq("id"))
+        .select(col("id").as("vec_id"), col("cell"),
+          concat_ws(" ", col("codes")).as("codes_str"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH ${lshSigCtes(4, 64)},
+      memb AS (SELECT vec_id, embedding, sig AS cell FROM sigs WHERE vec_id >= 20),
+      cent AS (
+        SELECT cell, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+        FROM memb, range(1, 65) r(i) GROUP BY cell, i),
+      cvecs AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM cent GROUP BY cell),
+      cres AS (
+        SELECT m.vec_id, m.cell,
+               list_transform(range(64), i ->
+                 CAST(CAST(m.embedding[i + 1] AS DOUBLE) - c.cvec[i + 1] AS FLOAT)) AS res
+        FROM memb m JOIN cvecs c USING (cell)),
+      cd AS (
+        SELECT vec_id, cell,
+               list_transform(range(8), mi ->
+                 list_transform(range(16), j ->
+                   list_sum(list_transform(range(8), i ->
+                     (CAST(res[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))
+                     * (CAST(res[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))))))
+                 AS dd
+        FROM cres),
+      ccodes AS (
+        SELECT vec_id, cell,
+               list_transform(dd, ds -> list_position(ds, list_min(ds)) - 1) AS cs
+        FROM cd),
+      batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      bdist AS (
+        SELECT b.vec_id, c.cell,
+               list_sum(list_transform(range(64), i ->
+                 (CAST(b.embedding[i + 1] AS DOUBLE) - c.cvec[i + 1])
+                 * (CAST(b.embedding[i + 1] AS DOUBLE) - c.cvec[i + 1]))) AS d
+        FROM batch b, cvecs c),
+      bassign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          FROM bdist) WHERE rn = 1),
+      bres AS (
+        SELECT b.vec_id, a.cell,
+               list_transform(range(64), i ->
+                 CAST(CAST(b.embedding[i + 1] AS DOUBLE) - c.cvec[i + 1] AS FLOAT)) AS res
+        FROM batch b JOIN bassign a USING (vec_id) JOIN cvecs c ON c.cell = a.cell),
+      bd AS (
+        SELECT vec_id, cell,
+               list_transform(range(8), mi ->
+                 list_transform(range(16), j ->
+                   list_sum(list_transform(range(8), i ->
+                     (CAST(res[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))
+                     * (CAST(res[mi * 8 + i + 1] AS DOUBLE) - (-1.0 + (j + 0.5) * 0.125))))))
+                 AS dd
+        FROM bres),
+      bcodes AS (
+        SELECT vec_id, cell,
+               list_transform(dd, ds -> list_position(ds, list_min(ds)) - 1) AS cs
+        FROM bd),
+      fresh1 AS (
+        SELECT b.* FROM bcodes b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ccodes c WHERE c.cell = b.cell AND c.cs = b.cs)),
+      kept AS (
+        SELECT vec_id, cell, cs FROM (
+          SELECT vec_id, cell, cs,
+                 row_number() OVER (
+                   PARTITION BY cell, array_to_string(cs, ' ')
+                   ORDER BY vec_id) AS rn
+          FROM fresh1) WHERE rn = 1)
+      SELECT vec_id, cell, array_to_string(cs, ' ') AS codes_str
+      FROM kept ORDER BY vec_id"""))
+
   /** All catalog queries in declaration order. */
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3430,5 +3543,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112)
+    q106, q107, q108, q109, q110, q111, q112, q113)
 }

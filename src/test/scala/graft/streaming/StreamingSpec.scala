@@ -477,4 +477,96 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idxLoc).select("neighbor_id").distinct()
       .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 11L, 21L, 30L))
   }
+
+  test("streaming IVFADC ingest: ADC screen, PQ-coded cell append, restart, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def v(xs: Float*): Seq[Float] = xs.toSeq
+    // Deterministic instance: explicit centroids (cell 0 at the origin,
+    // cell 1 far away — everything assigns to 0, residual == vector) and
+    // uniform grid codebooks (rank-1: a subvector's code is its MEAN
+    // quantized to centers -0.875, -0.625, ..., 0.875). Every vector
+    // below has subspace means sitting EXACTLY on grid centers, so its
+    // codes — and every collision below — are computable by inspection.
+    val cents: Map[Long, Array[Double]] = Map(
+      0L -> Array(0.0, 0.0, 0.0, 0.0), 1L -> Array(10.0, 10.0, 10.0, 10.0))
+    val cbs = graft.functions.PqIndex.uniformCodebooks(-1.0, 1.0, dim = 4, m = 2, ksub = 8)
+    def buildIdx(corpus: org.apache.spark.sql.DataFrame) =
+      graft.functions.IvfPq.fromAssignments(
+        corpus.withColumn("cell", lit(0L)), "vec_id", "embedding", "cell",
+        cents, cbs)
+    val corpus = Seq(
+      (1L, v(0.75f, 0f, 0.25f, 0f)),      // codes (5, 4)
+      (2L, v(-0.75f, -1f, 0.75f, 1f)),    // codes (0, 7)
+      (3L, v(0.25f, 0f, -0.25f, 0f)),     // codes (4, 3)
+      (4L, v(-0.25f, 0f, 0.75f, 1f)))     // codes (3, 7)
+      .toDF("vec_id", "embedding")
+    val idxLoc = tmpDir("spq-idx") + "/index"
+    val sink = tmpDir("spq-sink") + "/clean"
+    val ckpt = tmpDir("spq-ckpt")
+    val idx0 = buildIdx(corpus).persisted(idxLoc)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    var cur = idx0
+    // Each drain starts a NEW query from the same checkpoint — batches 2
+    // and 3 are checkpoint RESTARTS, proving offset tracking and the
+    // reopened store compose.
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingPqIngest.start(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cur, idxLoc, sink, ckpt, dedup = true, nProbe = 2)
+      q.awaitTermination(60000)
+      cur = cur.appendToPersisted(idxLoc,
+        spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+        "vec_id", "embedding") // reopen the extended store for the next start()
+    }
+    // batch 1: 10 is an exact duplicate of corpus vector 1 — it
+    // quantizes to the SAME (cell, codes) entry, so the store-identity
+    // screen drops it regardless of codebook quality; 11 codes (6, 0),
+    // unseen — fresh
+    mem.addData((10L, v(0.75f, 0f, 0.25f, 0f)),
+      (11L, v(0.6f, 0.65f, -0.8f, -0.95f)))
+    drain()
+    assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      == Set(11L))
+    // batch 2 (restart): 20 duplicates the vector APPENDED in batch 1 —
+    // the screen sees streamed codes, not just built ones; 21 codes
+    // (7, 4), unseen — fresh
+    mem.addData((20L, v(0.6f, 0.65f, -0.8f, -0.95f)),
+      (21L, v(0.9f, 0.85f, 0.2f, 0.05f)))
+    drain()
+    assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      == Set(11L, 21L))
+    // batch 3 (restart): 30/31 quantization-identical within one batch —
+    // the within-batch pass keeps the lowest id
+    mem.addData((30L, v(-0.6f, -0.65f, -0.2f, -0.05f)),
+      (31L, v(-0.6f, -0.65f, -0.2f, -0.05f)))
+    drain()
+    assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      == Set(11L, 21L, 30L))
+    // streamed vectors landed PQ-CODED in the q108 store layout: the
+    // codes table holds (id, cell, codes) for corpus AND streamed rows,
+    // no raw vectors
+    val store = spark.read.parquet(idxLoc)
+    assert(store.columns.sorted.toSeq == Seq("cell", "codes", "id"))
+    assert(store.select("id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 4L, 11L, 21L, 30L))
+
+    // batch parity: streaming the same rows in two batches (no dedup)
+    // produces the identical store as ONE appendToPersisted of the union
+    val locA = tmpDir("spq-par") + "/a"
+    val locB = tmpDir("spq-par") + "/b"
+    val iA0 = graft.functions.IvfPq.build(corpus, "vec_id", "embedding",
+      dim = 4, nLists = 2, m = 2, ksub = 4, trainSampleSize = 100).persisted(locA)
+    val iB0 = graft.functions.IvfPq.build(corpus, "vec_id", "embedding",
+      dim = 4, nLists = 2, m = 2, ksub = 4, trainSampleSize = 100).persisted(locB)
+    val r1 = Seq((50L, v(0.9f, 0.1f, 0f, 0f)), (51L, v(0f, 0f, 0.2f, 0.9f)))
+    val r2 = Seq((52L, v(0.1f, 0.9f, 0.1f, 0f)))
+    val iA1 = iA0.appendToPersisted(locA, r1.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    iA1.appendToPersisted(locA, r2.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    iB0.appendToPersisted(locB, (r1 ++ r2).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assertSameRows(
+      spark.read.parquet(locA).select("id", "cell", "codes"),
+      spark.read.parquet(locB).select("id", "cell", "codes"))
+  }
 }
