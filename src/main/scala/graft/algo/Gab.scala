@@ -415,7 +415,11 @@ object Gab {
     * table is tiny by construction). */
   def useCasesFromConfig(config: DataFrame): Seq[ConfiguredUseCase] = {
     import scala.jdk.CollectionConverters._
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // single-quoted pseudo-JSON is the reference's own lkp_query_builder
+    // CSV style (`tests/resources/feature/gab/setup/data`): accept both
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES)
+      .build()
     def node(s: String) = mapper.readTree(s)
     config.where(col("is_active") === "Y").collect().toSeq.map { row =>
       def str(c: String) = row.getString(row.fieldIndex(c))
@@ -509,6 +513,145 @@ object Gab {
       } catch { case e: Throwable => log("complete", s"failed: ${e.getClass.getName}"); throw e }
     }
     cases
+  }
+
+  // ---------------------------------------------------------------------
+  // Intermediate stages (reference `lkp_query_builder.intermediate_stages`
+  // + `algorithms/gab.py:380-452,700-733`, `core/gab_sql_generator.py`):
+  // each use case may define an ordered chain of TEMPLATED SQL stages;
+  // every stage renders per cadence, executes, and registers its
+  // `table_alias` as a temp view the NEXT stage (and the final insights
+  // insert) can reference.
+  // ---------------------------------------------------------------------
+
+  /** One configured stage (reference stage dict fields). */
+  final case class IntermediateStage(
+      order: Int, filePath: String, tableAlias: String,
+      projectDateColumn: String, filterDateColumn: String,
+      storageLevel: Option[String],
+      repartitionNum: Option[Int], repartitionKeys: Seq[String])
+
+  /** Parse the `intermediate_stages` config cell. Reference rows carry
+    * single-quoted pseudo-JSON (`setup/data/lkp_query_builder.csv`);
+    * Jackson's ALLOW_SINGLE_QUOTES reads it as-is, including embedded
+    * double quotes inside values. */
+  def stagesFromJson(json: String): Seq[IntermediateStage] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES)
+      .build()
+    val node = mapper.readTree(json)
+    node.fieldNames.asScala.toSeq.sortBy(_.toInt).map { k =>
+      val s = node.get(k)
+      val projectCol = s.path("project_date_column").asText("")
+      val filterCol = s.path("filter_date_column").asText("")
+      IntermediateStage(
+        k.toInt,
+        s.path("file_path").asText(),
+        s.path("table_alias").asText(),
+        projectCol,
+        if (filterCol.nonEmpty) filterCol else projectCol,
+        Option(s.path("storage_level").asText("")).filter(_.nonEmpty),
+        Option(s.path("repartition").path("numPartitions").asInt(0)).filter(_ > 0),
+        s.path("repartition").path("keys").asScala.toSeq.map(_.asText()))
+    }
+  }
+
+  /** Projection (start, end) SQL for the snapshot-free cadence family —
+    * the reference COMBINED_CONFIGURATION entries with empty
+    * `join_select` (`core/definitions.py:1427-1690`): start truncates
+    * the date column to the cadence, end is the period's last day. The
+    * WEEK no-snapshot projection needs the calendar join and is not in
+    * this family. */
+  def cadenceProjection(cadence: String, dateColumn: String): (String, String) = {
+    val cad = cadence.toUpperCase(java.util.Locale.ROOT)
+    val start = s"date(date_trunc('$cad',$dateColumn))"
+    val end = cad match {
+      case "DAY" => start
+      case "MONTH" => s"date(date_trunc('MONTH',add_months($dateColumn, 1)))-1"
+      case "QUARTER" =>
+        s"date(date_trunc('QUARTER',add_months(date(date_trunc('QUARTER',$dateColumn)), 3)))-1"
+      case "YEAR" =>
+        s"date(date_trunc('YEAR',add_months(date(date_trunc('YEAR',$dateColumn)), 12)))-1"
+      case other => sys.error(s"no snapshot-free projection for cadence $other")
+    }
+    (start, end)
+  }
+
+  /** Render one templated stage file the way the reference's
+    * `_render_template_query` does (`algorithms/gab.py:700-733`):
+    * `{{ name }}` placeholders substitute from `vars` (unknown names
+    * render empty, Jinja's lenient default), and the single conditional
+    * the reference templates use —
+    * `{% if NAME == VALUE %}A{% else %}B{% endif %}` — takes A when
+    * `vars(NAME) == VALUE`, else B (an UNDEFINED name compares unequal,
+    * exactly as Jinja renders the reference's `replace_offset_value`
+    * guard, which is never passed and always falls to the else branch).
+    */
+  def renderStageTemplate(template: String, vars: Map[String, String]): String = {
+    val ifRe = ("""(?s)\{%\s*if\s+(\w+)\s*==\s*(\S+)\s*%\}(.*?)""" +
+      """(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""").r
+    val afterIfs = ifRe.replaceAllIn(template, m => {
+      val name = m.group(1)
+      val want = m.group(2).stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")
+      val branch =
+        if (vars.get(name).contains(want)) m.group(3)
+        else Option(m.group(4)).getOrElse("")
+      scala.util.matching.Regex.quoteReplacement(branch)
+    })
+    """\{\{\s*(\w+)\s*\}\}""".r.replaceAllIn(afterIfs, m =>
+      scala.util.matching.Regex.quoteReplacement(vars.getOrElse(m.group(1), "")))
+  }
+
+  /** Execute a use case's stage chain for one cadence: render each stage
+    * file (vars per the reference render — the cadence/query_id SELECT
+    * fragments, the cadence projection of the stage's date column, the
+    * filter window, the timezone offset), run it, repartition if
+    * configured, and register `table_alias`. Later stages see earlier
+    * aliases; returns the LAST alias (the use case's source view).
+    *
+    * Scale shape identical to the reference: stages are plain Spark SQL
+    * over registered views — Catalyst fuses the chain at the final
+    * consumer unless a stage asks for an explicit repartition/cache. */
+  def runIntermediateStages(
+      spark: SparkSession, stages: Seq[IntermediateStage], basePath: String,
+      cadence: String, database: String, queryId: String,
+      startDate: String, endDate: String, timezoneOffset: Int = 0,
+      targetTable: String = "gab_use_case_results"): String = {
+    require(stages.nonEmpty, "use case has no intermediate stages")
+    stages.sortBy(_.order).foreach { st =>
+      val (projStart, projEnd) =
+        if (st.projectDateColumn.nonEmpty)
+          cadenceProjection(cadence, st.projectDateColumn)
+        else ("", "")
+      val vars = Map(
+        "cadence" -> s"'${cadence.toUpperCase}' as cadence",
+        "cadence_run" -> cadence.toUpperCase,
+        "query_id" -> s"'$queryId' as query_id",
+        "project_date_column" -> projStart,
+        "to_date" -> projEnd,
+        "database" -> database,
+        "target_table" -> targetTable,
+        "start_date" -> startDate,
+        "end_date" -> endDate,
+        "filter_date_column" -> st.filterDateColumn,
+        "offset_value" -> timezoneOffset.toString,
+        "joins" -> "",
+        "partition_filter" -> "")
+      val sqlText = renderStageTemplate(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(basePath, st.filePath)), vars)
+      var df = spark.sql(sqlText)
+      st.repartitionNum.foreach { n =>
+        df = if (st.repartitionKeys.nonEmpty)
+          df.repartition(n, st.repartitionKeys.map(col): _*)
+        else df.repartition(n)
+      }
+      df.createOrReplaceTempView(st.tableAlias)
+      if (st.storageLevel.isDefined) spark.catalog.cacheTable(st.tableAlias)
+    }
+    stages.maxBy(_.order).tableAlias
   }
 
   /** Generate a calendar dimension (one row per day) for range joins. */

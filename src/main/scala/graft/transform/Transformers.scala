@@ -34,7 +34,10 @@ object Transformers {
       // corpus-statistics curation stages: their filters derive from a
       // full pass over the input, so they carry per-micro-batch
       // semantics and must run inside foreachBatch
-      "minhash_dedup", "perplexity_filter", "importance_filter")
+      "minhash_dedup", "perplexity_filter", "importance_filter",
+      // tokenizer/packing/export stages: corpus-wide training or
+      // zipWithIndex ranking — batch (or foreachBatch) only
+      "bpe_tokenize", "sequence_pack", "shard_export")
 
   /** Name-dispatch check used by the plan-only ACON conformance pass:
     * does this transformer name resolve in the registry at all? Probes
@@ -382,6 +385,32 @@ object Transformers {
       graft.operators.TrainingData.hashSample(df,
         col(str(args, "key_col").get), num(args, "fraction").get,
         num(args, "salt").map(_.toLong).getOrElse(0L))
+
+    // ---- tokenizer-to-shards export stages: an ACON file alone can run
+    // the full training-data export — BPE train+encode, pack planning,
+    // sharded export with manifest ---------------------------------------
+    case "bpe_tokenize" => df => {
+      val idc = str(args, "id_col").get
+      val merges = graft.functions.Bpe.train(df, str(args, "text_col").get,
+        num(args, "num_merges").get.toInt,
+        num(args, "max_word_len").map(_.toInt).getOrElse(64))
+      graft.functions.Bpe.encode(df, idc, str(args, "text_col").get, merges)
+        .withColumnRenamed("id", idc)
+    }
+    case "sequence_pack" => df =>
+      graft.operators.TrainingData.packSequences(df,
+        str(args, "id_col").get,
+        str(args, "text_col").getOrElse("subwords"),
+        num(args, "token_budget").get.toInt,
+        num(args, "n_shards").get.toInt)
+    case "shard_export" => df =>
+      // writes the hive-partitioned shards under `location` as a side
+      // effect and RETURNS the manifest — the natural ACON shape: the
+      // output spec persists the manifest next to the shards
+      graft.operators.TrainingData.writeShards(df,
+        str(args, "id_col").get, str(args, "location").get,
+        num(args, "rows_per_shard").get.toLong,
+        num(args, "sort_partitions").map(_.toInt).getOrElse(0))
 
     // ---- streaming (§2.8) ----------------------------------------------
     case "with_watermark" => df =>

@@ -695,4 +695,69 @@ class AlgorithmsSpec extends SparkSpec {
     }
     assert(coveredEntries == (1 to 18).toSet)
   }
+
+  test("gab intermediate_stages: reference dummy_sales_kpi two-stage chain matches the gab control golden") {
+    import org.apache.spark.sql.functions._
+    val gabRes = "/root/reference/tests/resources/feature/gab"
+    assume(new java.io.File(gabRes).isDirectory, "reference gab resources not present")
+
+    // setup: the use case's source table, exactly the reference fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS gab_tdb")
+    spark.read.option("header", "true").option("delimiter", "|")
+      .schema("order_date DATE, article_id STRING, amount INT")
+      .csv(s"$gabRes/setup/data/dummy_sales_kpi.csv")
+      .write.mode("overwrite").saveAsTable("gab_tdb.dummy_sales_kpi")
+
+    // the real lkp_query_builder row: stages + mappings parsed from the
+    // reference's own config CSV (single-quoted pseudo-JSON cells)
+    val lkp = spark.read.option("header", "true").option("delimiter", "|")
+      .csv(s"$gabRes/setup/data/lkp_query_builder.csv")
+      .where(col("query_label") === "dummy_sales_kpi")
+    val row = lkp.collect()(0)
+    def cell(c: String) = row.getString(row.fieldIndex(c))
+    val stages = Gab.stagesFromJson(cell("intermediate_stages"))
+    assert(stages.map(s => (s.order, s.tableAlias)) ==
+      Seq((1, "article_categories"), (2, "dummy_sales_kpi")))
+
+    // run the chain for the configured YEAR cadence (recon_window
+    // {'YEAR': {}} -> snapshot-free projection family)
+    val lastAlias = Gab.runIntermediateStages(
+      spark, stages, s"$gabRes/usecases", cadence = "YEAR",
+      database = "gab_tdb", queryId = cell("query_id"),
+      startDate = "2016-01-01", endDate = "2018-12-31",
+      timezoneOffset = cell("timezone_offset").toInt)
+    assert(lastAlias == "dummy_sales_kpi")
+
+    // consumption view over the staged source, mappings from the config
+    val configured = Gab.useCasesFromConfig(
+      lkp.withColumn("date_column", lit("order_date")))
+    assert(configured.size == 1)
+    val c = configured.head
+    val insights = spark.table(lastAlias).select(
+      lit("dummy_sales_kpi").as("use_case"), lit("YEAR").as("cadence"),
+      col("order_date").cast("date").as("from_date"),
+      col("to_date").cast("date").as("to_date"),
+      col("category_name"),
+      // the reference's unified results table stores metric columns as
+      // DOUBLE (control schema), so derived formulas run in double
+      // arithmetic — mirror that before the view computes them
+      col("qty_articles").cast("double"), col("total_amount").cast("double"))
+    val view = Gab.consumptionView(insights, c.uc, c.views.head)
+      .select(col("cadence"), col("from_date").as("order_date"), col("to_date"),
+        col("d1").as("category_name"),
+        col("qty_articles").cast("double"), col("total_amount").cast("double"),
+        col("total_amount_last_year").cast("double"),
+        col("avg_total_amount_last_2_years").cast("double"),
+        col("discounted_total_amount").cast("double"))
+
+    // golden: the reference's own control data for vw_dummy_sales_kpi
+    val golden = spark.read.option("header", "true").option("delimiter", "|")
+      .schema("""cadence STRING, order_date DATE, to_date DATE,
+                 category_name STRING, qty_articles DOUBLE,
+                 total_amount DOUBLE, total_amount_last_year DOUBLE,
+                 avg_total_amount_last_2_years DOUBLE,
+                 discounted_total_amount DOUBLE""")
+      .csv(s"$gabRes/control/data/vw_dummy_sales_kpi.csv")
+    assertSameRows(view, golden)
+  }
 }

@@ -623,6 +623,77 @@ class DataLoaderSpec extends SparkSpec {
       .count(_.getPath.getName.endsWith(".parquet")) > 1)
   }
 
+  test("tokenizer-to-shards: bpe_tokenize -> sequence_pack + shard_export through one ACON") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low lower newest newest widest"),
+      (2L, "newest widest low lower"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "low newest the fox"),
+      (5L, "widest widest lower lower newest"),
+      (6L, "dog fox quick the the"))
+      .toDF("doc_id", "text")
+    val base = tmpDir("tok-shards")
+    val shardsLoc = s"$base/shards"
+    val packOut = s"$base/packs"
+    val manifestOut = s"$base/manifest"
+    val acon =
+      s"""{
+         |  "input_specs": [{"spec_id": "docs", "data_format": "dataframe", "df_name": "docs"}],
+         |  "transform_specs": [
+         |    {"spec_id": "tokenized", "input_id": "docs", "transformers": [
+         |      {"function": "bpe_tokenize",
+         |       "args": {"id_col": "doc_id", "text_col": "text", "num_merges": 12}}]},
+         |    {"spec_id": "packed", "input_id": "tokenized", "transformers": [
+         |      {"function": "sequence_pack",
+         |       "args": {"id_col": "doc_id", "text_col": "subwords",
+         |                "token_budget": 16, "n_shards": 2}}]},
+         |    {"spec_id": "sharded", "input_id": "tokenized", "transformers": [
+         |      {"function": "shard_export",
+         |       "args": {"id_col": "doc_id", "location": "$shardsLoc",
+         |                "rows_per_shard": 2, "sort_partitions": 2}}]}
+         |  ],
+         |  "output_specs": [
+         |    {"spec_id": "pack_manifest", "input_id": "packed",
+         |     "write_type": "overwrite", "data_format": "parquet", "location": "$packOut"},
+         |    {"spec_id": "shard_manifest", "input_id": "sharded",
+         |     "write_type": "overwrite", "data_format": "parquet", "location": "$manifestOut"}
+         |  ]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon, dfs = Map("docs" -> docs))
+
+    // oracle: the same three stages composed directly
+    val merges = graft.functions.Bpe.train(docs, "text", 12)
+    val encoded = graft.functions.Bpe.encode(docs, "doc_id", "text", merges)
+      .withColumnRenamed("id", "doc_id")
+    assertSameRows(
+      spark.read.parquet(packOut),
+      graft.operators.TrainingData.packSequences(
+        encoded, "doc_id", "subwords", tokenBudget = 16, nShards = 2))
+
+    // the shards really landed, hive-partitioned, with the full corpus
+    val shardData = spark.read.parquet(s"$shardsLoc/data")
+    assert(shardData.count() == 6)
+    assert(shardData.columns.contains("shard"))
+    assert(shardData.select("shard").distinct().count() == 3) // 6 rows / 2 per shard
+    assertSameRows(
+      shardData.select("doc_id", "n_subwords", "subwords"),
+      encoded.select("doc_id", "n_subwords", "subwords"))
+    // manifest written by the output spec == manifest beside the shards
+    assertSameRows(
+      spark.read.parquet(manifestOut),
+      spark.read.parquet(s"$shardsLoc/manifest"))
+    // shards are contiguous id ranges (range-partitioned, rank-sharded)
+    val m = spark.read.parquet(manifestOut).orderBy("shard")
+      .select("shard", "n_rows", "min_id", "max_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(m.map(_._2).sum == 6)
+    m.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3)
+      case _ =>
+    }
+  }
+
   test("expose_cdf terminator: first expose all-inserts, diff on change, clean_cdf drops old commits") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
