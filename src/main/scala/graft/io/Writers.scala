@@ -38,6 +38,19 @@ object Writers {
 
   // ---- batch ------------------------------------------------------------
 
+  /** Register `table` as an EXTERNAL table over `loc` (used by the
+    * replaceWhere fallback, which writes files directly). Partitioned
+    * layouts need a repair so the catalog sees the hive dirs. */
+  private def registerExternal(
+      spark: SparkSession, table: String, loc: String, partitions: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet LOCATION '$loc'")
+    }
+    if (partitions.nonEmpty)
+      try spark.sql(s"MSCK REPAIR TABLE $table")
+      catch { case _: Exception => () } // path-based reads still work
+  }
+
   def writeBatch(spark: SparkSession, spec: OutputSpec, df: DataFrame): Unit = {
     val fmt = spec.dataFormat.getOrElse(if (spec.dbTable.isDefined) "parquet" else "parquet")
     spec.writeType match {
@@ -77,13 +90,43 @@ object Writers {
             // merge path's documented fallback (same data, different log)
             val effFmt =
               if (fmt == "delta" && !DeltaSupport.available) "parquet" else fmt
-            val w = df.write.format(effFmt).options(spec.options).mode(mode)
-            val withParts =
-              if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w
-            (spec.dbTable, spec.location) match {
-              case (Some(t), _) => withParts.saveAsTable(t)
-              case (_, Some(loc)) => withParts.save(loc)
-              case _ => sys.error(s"output spec ${spec.specId}: needs db_table or location")
+            val replaceWhere = spec.options.get("replaceWhere")
+              .filter(_ => mode == "overwrite" && effFmt == "parquet")
+            if (replaceWhere.isDefined) {
+              // Delta's replaceWhere on the parquet fallback: replace ONLY
+              // the rows matching the predicate, keep the rest (the
+              // partition-scoped daily-overwrite contract,
+              // `writers/writer.py` option passthrough + Delta semantics).
+              // deleteWhere prunes to matching hive partitions when the
+              // predicate is partition-only — O(touched) — then the new
+              // data appends. Crash between the two re-runs cleanly (the
+              // delete is idempotent, the append re-applies).
+              val loc = spec.location.getOrElse(
+                sys.error("replaceWhere fallback needs a location"))
+              val fsP = new Path(loc)
+              val fsx = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fsx.exists(fsP))
+                new graft.maintain.TableManager(spark)
+                  .deleteWhere(loc, replaceWhere.get)
+              val w = df.write.format(effFmt)
+                .options(spec.options - "replaceWhere").mode("append")
+              val wp =
+                if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w
+              wp.save(loc)
+              spec.dbTable.foreach(registerExternal(spark, _, loc, spec.partitions))
+            } else {
+              val w = df.write.format(effFmt).options(spec.options).mode(mode)
+              val withParts =
+                if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w
+              (spec.dbTable, spec.location) match {
+                // db_table + location = EXTERNAL table at the location
+                // (the reference's delta writers always address both)
+                case (Some(t), Some(loc)) =>
+                  withParts.option("path", loc).saveAsTable(t)
+                case (Some(t), None) => withParts.saveAsTable(t)
+                case (_, Some(loc)) => withParts.save(loc)
+                case _ => sys.error(s"output spec ${spec.specId}: needs db_table or location")
+              }
             }
         }
     }
@@ -326,11 +369,19 @@ object Writers {
         case Some("console") => base.format("console").start()
         case Some("kafka") => base.format("kafka").start()
         case _ =>
-          val fmt = spec.dataFormat.getOrElse("parquet")
+          // same fallback as the batch path: `delta` without the Delta
+          // jars stores as parquet (same data, different log)
+          val fmt = spec.dataFormat.getOrElse("parquet") match {
+            case "delta" if !DeltaSupport.available => "parquet"
+            case f => f
+          }
           val withParts =
             if (spec.partitions.nonEmpty) base.partitionBy(spec.partitions: _*) else base
           (spec.dbTable, spec.location) match {
-            case (Some(t), _) => withParts.format(fmt).toTable(t)
+            // db_table + location = EXTERNAL table at the location
+            case (Some(t), Some(loc)) =>
+              withParts.format(fmt).option("path", loc).toTable(t)
+            case (Some(t), None) => withParts.format(fmt).toTable(t)
             case (_, Some(loc)) => withParts.format(fmt).start(loc)
             case _ => sys.error(s"output spec ${spec.specId}: needs db_table or location")
           }

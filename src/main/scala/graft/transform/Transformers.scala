@@ -225,9 +225,18 @@ object Transformers {
     }
     case "column_dropper" => df => df.drop(strSeq(args, "cols"): _*)
     case "replace_nulls" => df => {
-      val subset = strSeq(args, "subset")
-      val numeric = num(args, "replace_on_nums_value").getOrElse(0.0)
-      val string = str(args, "replace_on_strings_value").getOrElse("")
+      // reference field spellings and defaults
+      // (`transformers/null_handlers.py:16-22`): default_num_value -999,
+      // default_string_value "UNKNOWN", subset_cols. The earlier local
+      // spellings stay accepted.
+      val subset = strSeq(args, "subset_cols") match {
+        case s if s.nonEmpty => s
+        case _ => strSeq(args, "subset")
+      }
+      val numeric = num(args, "default_num_value")
+        .orElse(num(args, "replace_on_nums_value")).getOrElse(-999.0)
+      val string = str(args, "default_string_value")
+        .orElse(str(args, "replace_on_strings_value")).getOrElse("UNKNOWN")
       val replaceNums = bool(args, "replace_on_nums", default = true)
       val replaceStrs = bool(args, "replace_on_strings", default = true)
       val d1 = if (replaceNums) {
@@ -314,7 +323,9 @@ object Transformers {
       if (bool(args, "deduplication", default = true)) all.distinct() else all
     }
     case "union_by_name" => df => {
-      val allowMissing = bool(args, "allow_missing_columns")
+      // reference default is TRUE (`transformers/unions.py:46`) — the
+      // diff-schema fixture relies on it with no explicit arg
+      val allowMissing = bool(args, "allow_missing_columns", default = true)
       val others = strSeq(args, "union_with").map(ctx.data)
       val all = others.foldLeft(df)((a, b) => a.unionByName(b, allowMissing))
       if (bool(args, "deduplication", default = true)) all.distinct() else all
