@@ -85,7 +85,11 @@ final class DataLoader(
       if (!df.isStreaming) {
         val result = DQEngine.run(spark, df, dq)
         dq.resultSink.foreach { sink =>
-          Writers.writeBatch(spark, sink, DQEngine.resultSinkFor(spark, df, dq, result))
+          val sdf =
+            if (dq.resultSinkExplode.contains(true))
+              DQEngine.resultSinkExploded(spark, dq, result)
+            else DQEngine.resultSinkFor(spark, df, dq, result)
+          Writers.writeBatch(spark, sink, sdf)
         }
         if (dq.tagSourceData)
           data(dq.inputId) = DQEngine.tagSource(df, dq, result)
@@ -171,7 +175,11 @@ final class DataLoader(
       streamingDqs.foldLeft(transformed) { (df, dq) =>
         val result = DQEngine.run(spark, df, dq)
         dq.resultSink.foreach { sink =>
-          Writers.writeBatch(spark, sink, DQEngine.resultSinkFor(spark, df, dq, result))
+          val sdf =
+            if (dq.resultSinkExplode.contains(true))
+              DQEngine.resultSinkExploded(spark, dq, result)
+            else DQEngine.resultSinkFor(spark, df, dq, result)
+          Writers.writeBatch(spark, sink, sdf)
         }
         if (dq.tagSourceData) DQEngine.tagSource(df, dq, result) else df
       }

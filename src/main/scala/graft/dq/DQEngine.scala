@@ -738,6 +738,70 @@ object DQEngine {
     if (spec.unexpectedRowsPk.nonEmpty) resultSinkDfChunked(spark, df, spec, result)
     else resultSinkDf(spark, result, spec.specId)
 
+  /** The reference's EXPLODED result-sink layout (`dq_factory.py`
+    * result-sink explode + `tests/.../data_validator_schema.json`): one
+    * ANALYSIS row per expectation outcome carrying run metadata, the
+    * run-level roll-up (evaluated / successful / unsuccessful /
+    * success_percent), the expectation's kwargs SPLATTED into columns
+    * (`column`, `min_value`, ... — whatever keys the run's expectations
+    * use), the observed value, the failing-key sample and the source
+    * primary key. Rows are assembled as JSON and read back, so kwarg
+    * value types (numbers, strings, lists) surface as real column types
+    * without a hand-maintained schema. Volatile fields (run_time,
+    * checkpoint ids) match the reference's shape; its own golden
+    * comparisons drop them. */
+  def resultSinkExploded(
+      spark: SparkSession, spec: DQSpec, result: DQRunResult): DataFrame = {
+    import spark.implicits._
+    val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+    val evaluated = result.outcomes.size
+    val successful = result.outcomes.count(_.success)
+    val objs = result.outcomes.map { o =>
+      val m = scala.collection.mutable.LinkedHashMap[String, Any](
+        "checkpoint_config" -> s"checkpoint_config_${spec.specId}",
+        "run_name" -> result.runName,
+        "run_time" -> now.toString,
+        "validation_results" -> s"validation_results_${spec.specId}",
+        "success" -> result.success,
+        "spec_id" -> spec.specId,
+        "input_id" -> spec.inputId,
+        "source" -> spec.source.getOrElse(spec.inputId),
+        "batch_id" -> s"batch_id_${spec.specId}")
+      o.args.foreach { case (k, v) => m(k) = v }
+      m("evaluated_expectations") = evaluated
+      m("success_percent") =
+        if (evaluated == 0) 100.0 else 100.0 * successful / evaluated
+      m("successful_expectations") = successful
+      m("unsuccessful_expectations") = evaluated - successful
+      if (o.unexpectedIndexList.nonEmpty)
+        m("unexpected_index_list") = o.unexpectedIndexList
+      m("expectation_type") = o.function
+      m("expectation_success") = o.success
+      m("exception_info") = s"exception_info_${spec.specId}"
+      o.observedValue.foreach { v =>
+        m("observed_value") = if (v == math.floor(v) && !v.isInfinite) v.toLong else v
+      }
+      m("run_time_year") = now.getYear
+      m("run_time_month") = now.getMonthValue
+      m("run_time_day") = now.getDayOfMonth
+      m("kwargs") = o.args.map { case (k, v) => s"$k=$v" }.mkString(", ")
+      if (spec.unexpectedRowsPk.nonEmpty)
+        m("source_primary_key") = spec.unexpectedRowsPk
+      graft.spec.Specs.renderJson(m.toMap)
+    }
+    val base = spark.read.json(spark.createDataset(objs))
+    // Stable sink schema across runs: columns that only appear on
+    // failures / certain expectation families are present (null-typed)
+    // even when this run never produced them.
+    Seq(
+      "unexpected_index_list" -> "array<string>",
+      "source_primary_key" -> "array<string>",
+      "observed_value" -> "double",
+      "column" -> "string").foldLeft(base) { case (df, (c, t)) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(t))
+    }
+  }
+
   /** Build the result-sink DataFrame (one row per expectation outcome with
     * run metadata + y/m/d partitions, as in `dq_factory.py:422-527`). */
   def resultSinkDf(spark: SparkSession, result: DQRunResult, specId: String): DataFrame = {

@@ -50,6 +50,13 @@ final case class DQSpec(
     tagSourceData: Boolean = false,
     unexpectedRowsPk: Seq[String] = Seq.empty,
     resultSink: Option[OutputSpec] = None,
+    /** reference `source` label stamped on every result-sink row */
+    source: Option[String] = None,
+    /** Some(true) = reference EXPLODED result-sink layout (one analysis
+      * row per expectation, kwargs splatted to columns); Some(false) =
+      * reference raw layout; None = the engine-local layout (nested
+      * `result_sink` output specs keep their historical shape) */
+    resultSinkExplode: Option[Boolean] = None,
     /** prisma variant: table name or parquet location holding rule rows */
     rulesTable: Option[String] = None,
     /** max failing-key entries per result-sink row (reference
@@ -180,7 +187,27 @@ object Specs {
     unexpectedRowsPk = strSeq(m, "unexpected_rows_pk"),
     resultSink = m.get("result_sink").collect { case mm: Map[_, _] =>
       outputSpec(mm.map { case (a, b) => a.toString -> b })
+    }.orElse {
+      // reference flat spellings (`core/definitions.py` DQSpec):
+      // result_sink_db_table / result_sink_location (+ format,
+      // partitions, options) compose the sink output spec; writes append
+      if (m.contains("result_sink_db_table") || m.contains("result_sink_location"))
+        Some(OutputSpec(
+          specId = "result_sink",
+          inputId = str(m, "spec_id").getOrElse("dq"),
+          writeType = "append",
+          dataFormat = Some(str(m, "result_sink_format").getOrElse("delta")),
+          dbTable = str(m, "result_sink_db_table"),
+          location = str(m, "result_sink_location"),
+          partitions = strSeq(m, "result_sink_partitions"),
+          options = strMap(m, "result_sink_options")))
+      else None
     },
+    source = str(m, "source"),
+    resultSinkExplode =
+      if (m.contains("result_sink_db_table") || m.contains("result_sink_location"))
+        Some(bool(m, "result_sink_explode", default = true))
+      else None,
     rulesTable = str(m, "rules_table"),
     resultSinkChunkSize =
       num(m, "result_sink_chunk_size").map(_.toInt).getOrElse(1000000))

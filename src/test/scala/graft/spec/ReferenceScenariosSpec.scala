@@ -3,7 +3,7 @@ package graft.spec
 import graft.SparkSpec
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 
 /** EXECUTION-level conformance on the reference's own feature scenarios:
   * run the reference's actual ACON JSON files — unmodified except for
@@ -182,6 +182,87 @@ class ReferenceScenariosSpec extends SparkSpec {
       graft.algo.DataLoader.loadData(spark,
         rebase(s"$res/batch_union_diff_schema.json", t3))
     }
+  }
+
+  test("reference data_quality/load_with_dq_validator/full_overwrite: exploded result sink matches the control") {
+    val res = s"$refRoot/data_quality/load_with_dq_validator/full_overwrite"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    ensureTestDb()
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_full_overwrite")
+    val tmp = tmpDir("ref-dq-fo")
+    val inDir = s"$tmp/in/feature/data_quality/load_with_dq_validator/full_overwrite/data"
+    // reference choreography (test_data_quality.py:115-145): part-01 ->
+    // init acon; clean; parts 02-04 -> new acon; the sink table
+    // accumulates BOTH runs' expectation rows
+    copyIn(s"$res/data/source/part-01.csv", inDir)
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/batch_init.json", tmp))
+    cleanDir(inDir)
+    // the glob part-0[2,3,4] matches whatever parts exist (here: part-02)
+    Files.list(Paths.get(s"$res/data/source")).forEach { p =>
+      val n = p.getFileName.toString
+      if (n != "part-01.csv") copyIn(p.toString, inDir)
+    }
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/batch_new.json", tmp))
+
+    val controlSchema = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(
+        Paths.get(s"$res/data/control/data_validator_schema.json")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val control = spark.read.schema(controlSchema)
+      .json(s"$res/data/control/data_validator.json")
+    // the reference's own compare drops run-varying columns
+    val volatileCols = Seq("checkpoint_config", "run_name", "run_time",
+      "run_results", "validation_results", "validation_result_identifier",
+      "exception_info", "batch_id", "run_time_year", "run_time_month",
+      "run_time_day", "kwargs", "processed_keys", "meta")
+    val compared = controlSchema.fieldNames.toSeq.filterNot(volatileCols.contains)
+    val result = spark.table("test_db.validator_full_overwrite")
+    compared.foreach(c => assert(result.columns.contains(c),
+      s"result sink missing reference column '$c' (has ${result.columns.sorted.mkString(",")})"))
+    def norm(df: DataFrame) = df.select(compared.map { c =>
+      col(c).cast(controlSchema(c).dataType).cast("string").as(c)
+    }: _*)
+    assertSameRows(norm(result), norm(control))
+  }
+
+  test("reference data_quality/load_with_dq_validator/delta_with_duplicates: streaming DQ sink across merge loads matches the control") {
+    val res = s"$refRoot/data_quality/load_with_dq_validator/delta_with_duplicates"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    ensureTestDb()
+    spark.sql("DROP TABLE IF EXISTS test_db.validator_delta_with_duplicates")
+    val tmp = tmpDir("ref-dq-dwd")
+    val inDir = s"$tmp/in/feature/data_quality/load_with_dq_validator/delta_with_duplicates/data"
+    // init: part-01 through the streaming CDC-condense + merge pipeline
+    copyIn(s"$res/data/source/part-01.csv", inDir)
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/streaming_init.json", tmp))
+    // new: parts 02-04 arrive together -> ONE micro-batch, one DQ run
+    Seq("part-02.csv", "part-03.csv", "part-04.csv").foreach(f =>
+      copyIn(s"$res/data/source/$f", inDir))
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/streaming_new.json", tmp))
+
+    val controlSchema = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(
+        Paths.get(s"$res/data/control/data_validator_schema.json")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val control = spark.read.schema(controlSchema)
+      .json(s"$res/data/control/data_validator.json")
+    val volatileCols = Seq("checkpoint_config", "run_name", "run_time",
+      "run_results", "validation_results", "validation_result_identifier",
+      "exception_info", "batch_id", "run_time_year", "run_time_month",
+      "run_time_day", "kwargs", "processed_keys", "meta")
+    val compared = controlSchema.fieldNames.toSeq.filterNot(volatileCols.contains)
+    val result = spark.table("test_db.validator_delta_with_duplicates")
+    compared.foreach(c => assert(result.columns.contains(c),
+      s"result sink missing reference column '$c'"))
+    // numeric-text normalization: the reference's GE layer stringifies
+    // kwargs through Python floats ("19.0"); round-trip BOTH sides
+    // through double so 19 == "19.0"
+    def norm(df: DataFrame) = df.select(compared.map { c =>
+      val cast = col(c).cast(controlSchema(c).dataType).cast("string")
+      (when(cast.rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+        cast.cast("double").cast("string")).otherwise(cast)).as(c)
+    }: _*)
+    assertSameRows(norm(result), norm(control))
   }
 
   test("reference append_load/failfast raises on the malformed file") {
