@@ -291,9 +291,12 @@ object Transformers {
       anyMap(args, "right_watermark").foreach { case (c, d) =>
         right = right.withWatermark(c, String.valueOf(d)) }
       val rightSide = if (bool(args, "broadcast_join")) broadcast(right) else right
+      // the reference renders `{join_type.upper()} JOIN` into SQL text
+      // (`transformers/joiners.py:86`), so spaced spellings like
+      // "left outer" are valid config — normalize for the DataFrame API
       val joined = left.join(rightSide,
         expr(str(args, "join_condition").get),
-        str(args, "join_type").getOrElse("inner"))
+        str(args, "join_type").getOrElse("inner").trim.replace(' ', '_'))
       strSeq(args, "select_cols") match {
         case Seq() => joined
         case cols => joined.selectExpr(cols: _*)

@@ -184,6 +184,78 @@ class ReferenceScenariosSpec extends SparkSpec {
     }
   }
 
+  test("reference transformations/joiners batch + streaming run verbatim and match their control data") {
+    val res = s"$refRoot/transformations/joiners"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    ensureTestDb()
+    spark.sql("DROP TABLE IF EXISTS test_db.batch_join")
+    spark.sql("DROP TABLE IF EXISTS test_db.streaming_join")
+    def prep(name: String): String = {
+      val tmp = tmpDir(s"ref-jn-$name")
+      val inRoot = s"$tmp/in/feature/transformations/joiners"
+      copyIn(s"$res/data/source/customer-part-01.csv", s"$inRoot/data/customers")
+      copyIn(s"$res/data/source/sales-part-01.csv", s"$inRoot/data/sales")
+      Files.list(Paths.get(res)).forEach { p =>
+        if (p.getFileName.toString.endsWith("schema.json")) copyIn(p.toString, inRoot)
+      }
+      tmp
+    }
+    def check(tmp: String, scenario: String): Unit = assertNoDiff(
+      spark.read.parquet(s"$tmp/out/feature/transformations/joiners/$scenario/data"),
+      readControl(s"$res/data/control/control_scenario_1_and_2.csv",
+        Some(s"$res/control_scenario_1_and_2_schema.json")))
+    // batch: one load over both sales parts
+    val tb = prep("batch")
+    copyIn(s"$res/data/source/sales-part-02.csv",
+      s"$tb/in/feature/transformations/joiners/data/sales")
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/batch.json", tb))
+    check(tb, "batch")
+    // streaming: drain after part-01, then part-02 arrives and drains
+    val ts = prep("streaming")
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/streaming.json", ts))
+    copyIn(s"$res/data/source/sales-part-02.csv",
+      s"$ts/in/feature/transformations/joiners/data/sales")
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/streaming.json", ts))
+    check(ts, "streaming")
+  }
+
+  test("reference transformations/multiple_transform: one input fans out to two transformed outputs") {
+    val res = s"$refRoot/transformations/multiple_transform"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    val tmp = tmpDir("ref-mt")
+    val inRoot = s"$tmp/in/feature/transformations/multiple_transform"
+    copyIn(s"$res/data/source/part-01.csv", s"$inRoot/data")
+    copyIn(s"$res/source_schema.json", inRoot)
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/batch.json", tmp))
+    val control = spark.read.option("multiLine", "true")
+      .json(s"$res/data/control/part-01.json")
+    assertNoDiff(
+      spark.read.parquet(
+        s"$tmp/out/feature/transformations/multiple_transform/batch/orders_customer_cols/data"),
+      control.select("date", "country", "customer_number"))
+    assertNoDiff(
+      spark.read.parquet(
+        s"$tmp/out/feature/transformations/multiple_transform/batch/orders_kpi_cols/data"),
+      control.select("date", "city", "amount"))
+  }
+
+  test("reference transformations/date_transformers streaming runs verbatim and matches its control data") {
+    val res = s"$refRoot/transformations/date_transformers"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    val tmp = tmpDir("ref-dt")
+    val inRoot = s"$tmp/in/feature/transformations/date_transformers"
+    copyIn(s"$res/data/source/part-01.csv", s"$inRoot/data")
+    copyIn(s"$res/source_schema.json", inRoot)
+    copyIn(s"$res/control_schema.json", inRoot)
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/streaming.json", tmp))
+    assertNoDiff(
+      spark.read
+        .parquet(s"$tmp/out/feature/transformations/date_transformers/streaming/data")
+        .drop("curr_date"),
+      readControl(s"$res/data/control/part-01.csv",
+        Some(s"$res/control_schema.json")).drop("curr_date"))
+  }
+
   test("reference data_quality/load_with_dq_validator/full_overwrite: exploded result sink matches the control") {
     val res = s"$refRoot/data_quality/load_with_dq_validator/full_overwrite"
     assume(new java.io.File(res).isDirectory, s"missing $res")
