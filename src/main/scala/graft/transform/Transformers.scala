@@ -95,10 +95,15 @@ object Transformers {
       strMapOrdered(args, "cols").foldLeft(df) { case (d, (c, n)) =>
         d.withColumnRenamed(c, n)
       }
-    case "with_expressions" => df =>
-      strMapOrdered(args, "cols").foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, expr(e))
+    case "with_expressions" => df => {
+      // reference key is `cols_and_exprs` (`column_creators.py`); the
+      // engine-local `cols` spelling stays accepted
+      val pairs = strMapOrdered(args, "cols_and_exprs") match {
+        case s if s.nonEmpty => s
+        case _ => strMapOrdered(args, "cols")
       }
+      pairs.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(e)) }
+    }
     case "with_literals" => df =>
       anyMap(args, "literals").toSeq.foldLeft(df) { case (d, (c, v)) =>
         d.withColumn(c, lit(v))
@@ -125,27 +130,41 @@ object Transformers {
         num(args, "max_depth").map(_.toInt).getOrElse(10),
         str(args, "separator").getOrElse("_"))
     case "explode_columns" => df => {
+      // reference order (`column_reshapers.py:147-155`): arrays FIRST,
+      // then maps — an array<map> column explodes to a map and can then
+      // be map-exploded in the same call; map detection must therefore
+      // run AFTER the array pass
       val arrayCols =
         if (bool(args, "explode_arrays"))
           df.schema.fields.filter(_.dataType.typeName == "array").map(_.name).toSeq
         else strSeq(args, "array_cols_to_explode")
+      val afterArrays = arrayCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, explode_outer(col(c))))
       val mapCols =
         if (bool(args, "explode_maps"))
-          df.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSeq
+          afterArrays.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSeq
         else strSeq(args, "map_cols_to_explode")
-      val afterMaps = mapCols.foldLeft(df)((d, c) =>
+      mapCols.foldLeft(afterArrays)((d, c) =>
         d.withColumn(c, explode_outer(map_entries(col(c)))))
-      arrayCols.foldLeft(afterMaps)((d, c) => d.withColumn(c, explode_outer(col(c))))
     }
     case "from_json" => df => {
       val in = str(args, "input_col").get
-      val out = str(args, "output_col").getOrElse(in)
-      val schema = str(args, "schema").map(SchemaTools.schemaFromAny).get
-      val opts = strMap(args, "options")
+      // reference contract (`column_reshapers.py:349-362`): the parsed
+      // struct lands in `<input_col>_json`, original columns kept;
+      // drop_all_cols keeps ONLY the new column. output_col remains an
+      // engine-local override.
+      val out = str(args, "output_col").getOrElse(in + "_json")
+      // schema: DDL string, StructType-JSON string, or the reference's
+      // DICT form (the parsed JSON object itself — re-render it)
+      val schema = args.get("schema").map {
+        case m: collection.Map[_, _] =>
+          SchemaTools.schemaFromJson(graft.spec.Specs.renderJson(m))
+        case s => SchemaTools.schemaFromAny(String.valueOf(s))
+      }.get
+      val opts = strMap(args, "options") ++ strMap(args, "json_options")
       val parsed = from_json(col(in).cast("string"), schema, opts)
-      if (bool(args, "keep_original", default = false) || out != in)
-        df.withColumn(out, parsed)
-      else df.withColumn(out, parsed)
+      val withCol = df.withColumn(out, parsed)
+      if (bool(args, "drop_all_cols")) withCol.select(col(out)) else withCol
     }
     case "to_json" => df => {
       val inCols = strSeq(args, "in_cols") match {
@@ -217,7 +236,9 @@ object Transformers {
       strSeq(args, "cols").foldLeft(df) { (d, c) =>
         val suffix = str(args, "suffix").getOrElse("_hash")
         val masked = approach.toUpperCase match {
-          case "MURMUR3" => hash(col(c)).cast("string")
+          // raw Murmur3 int, as upstream (`transformers/data_maskers.py:44`
+          // uses Spark's `hash` unchanged — its golden pins the int values)
+          case "MURMUR3" => hash(col(c))
           case _ => sha2(col(c).cast("string"), num(args, "num_bits").map(_.toInt).getOrElse(256))
         }
         d.withColumn(c + suffix, masked)

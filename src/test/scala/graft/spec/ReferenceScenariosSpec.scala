@@ -256,6 +256,63 @@ class ReferenceScenariosSpec extends SparkSpec {
         Some(s"$res/control_schema.json")).drop("curr_date"))
   }
 
+  test("reference transformations/column_reshapers batch scenarios run verbatim and match their control data") {
+    val fam = s"$refRoot/transformations/column_reshapers"
+    assume(new java.io.File(fam).isDirectory, s"missing $fam")
+    Seq("flatten_schema", "explode_arrays", "flatten_and_explode_arrays_and_maps")
+      .foreach { scenario =>
+        val res = s"$fam/$scenario"
+        val tmp = tmpDir(s"ref-cr-$scenario")
+        val inRoot = s"$tmp/in/feature/transformations/column_reshapers/$scenario"
+        Files.list(Paths.get(s"$res/data/source")).forEach(p =>
+          copyIn(p.toString, s"$inRoot/data"))
+        Files.list(Paths.get(res)).forEach { p =>
+          if (p.getFileName.toString.endsWith("schema.json")) copyIn(p.toString, inRoot)
+        }
+        graft.algo.DataLoader.loadData(spark, rebase(s"$res/batch.json", tmp))
+        assertNoDiff(
+          spark.read.parquet(
+            s"$tmp/out/feature/transformations/column_reshapers/$scenario/batch/data"),
+          readControl(s"$res/data/control/part-01.csv", None))
+      }
+  }
+
+  test("reference transformations/data_maskers scenarios run verbatim: SHA-256 + in-place MURMUR3 hashes match the golden") {
+    val res = s"$refRoot/transformations/data_maskers"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    Seq("drop_columns", "hash_masking").foreach { scenario =>
+      val tmp = tmpDir(s"ref-dm-$scenario")
+      val inRoot = s"$tmp/in/feature/transformations/data_maskers"
+      copyIn(s"$res/data/source/part-01.csv", s"$inRoot/data")
+      Files.list(Paths.get(res)).forEach { p =>
+        if (p.getFileName.toString.endsWith("schema.json")) copyIn(p.toString, inRoot)
+      }
+      graft.algo.DataLoader.loadData(spark, rebase(s"$res/$scenario.json", tmp))
+      assertNoDiff(
+        spark.read.parquet(
+          s"$tmp/out/feature/transformations/data_maskers/$scenario/data"),
+        readControl(s"$res/data/control/$scenario.csv",
+          Some(s"$res/${scenario}_control_schema.json")))
+    }
+  }
+
+  test("reference transformations/regex_transformers with_regex_value runs verbatim and matches its control data") {
+    val res = s"$refRoot/transformations/regex_transformers/with_regex_value"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    val tmp = tmpDir("ref-rx")
+    val inRoot = s"$tmp/in/feature/transformations/regex_transformers/with_regex_value"
+    Files.list(Paths.get(s"$res/data/source")).forEach(p =>
+      copyIn(p.toString, s"$inRoot/data"))
+    Files.list(Paths.get(res)).forEach { p =>
+      if (p.getFileName.toString.endsWith("schema.json")) copyIn(p.toString, inRoot)
+    }
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/batch.json", tmp))
+    assertNoDiff(
+      spark.read.parquet(
+        s"$tmp/out/feature/transformations/regex_transformers/with_regex_value/data"),
+      readControl(s"$res/data/control/part-01.csv", None))
+  }
+
   test("reference data_quality/load_with_dq_validator/full_overwrite: exploded result sink matches the control") {
     val res = s"$refRoot/data_quality/load_with_dq_validator/full_overwrite"
     assume(new java.io.File(res).isDirectory, s"missing $res")
