@@ -63,7 +63,8 @@ final class DataLoader(
       val input = data(t.inputId)
       val isStreaming = input.isStreaming
       val (streamSide, batchSide) =
-        if (!isStreaming || t.forceStreaming) (t.transformers, Seq.empty)
+        if (isStreaming && t.forceForeachBatch) (Seq.empty, t.transformers)
+        else if (!isStreaming || t.forceStreaming) (t.transformers, Seq.empty)
         else t.transformers.partition(tr => !Transformers.StreamingUnsupported(tr.function))
       if (batchSide.nonEmpty) {
         // Reference caveat (`data_loader.py:268-286`): unsupported

@@ -35,7 +35,12 @@ final case class TransformSpec(
     inputId: String,
     transformers: Seq[TransformerSpec] = Seq.empty,
     /** force all transformers to run stream-side even if flagged unsupported */
-    forceStreaming: Boolean = false)
+    forceStreaming: Boolean = false,
+    /** reference `force_streaming_foreach_batch_processing`
+      * (`core/definitions.py` TransformSpec): force the WHOLE chain into
+      * the output's foreachBatch plan — downstream specs then see the
+      * raw stream, not the chain's columns */
+    forceForeachBatch: Boolean = false)
 
 final case class DQFunctionSpec(function: String, args: Map[String, Any] = Map.empty)
 
@@ -171,7 +176,8 @@ object Specs {
     transformers = seqOfMaps(m, "transformers").map(t =>
       TransformerSpec(str(t, "function").getOrElse(sys.error("transformer needs function")),
         anyMap(t, "args"))),
-    forceStreaming = bool(m, "force_streaming"))
+    forceStreaming = bool(m, "force_streaming"),
+    forceForeachBatch = bool(m, "force_streaming_foreach_batch_processing"))
 
   def dqSpec(m: Map[String, Any]): DQSpec = DQSpec(
     specId = str(m, "spec_id").getOrElse(sys.error("dq_spec needs spec_id")),

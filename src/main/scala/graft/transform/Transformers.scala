@@ -89,7 +89,24 @@ object Transformers {
     }
     case "cast" => df =>
       strMapOrdered(args, "cols").foldLeft(df) { case (d, (c, t)) =>
-        d.withColumn(c, col(c).cast(t))
+        // the reference takes Spark TYPE CLASS names ("StringType",
+        // `column_reshapers.py:30-47` getattr(spark_types, t)()); DDL
+        // names stay accepted
+        val ddl = t match {
+          case "StringType" => "string"
+          case "IntegerType" => "int"
+          case "LongType" => "bigint"
+          case "ShortType" => "smallint"
+          case "ByteType" => "tinyint"
+          case "DoubleType" => "double"
+          case "FloatType" => "float"
+          case "BooleanType" => "boolean"
+          case "DateType" => "date"
+          case "TimestampType" => "timestamp"
+          case "BinaryType" => "binary"
+          case other => other
+        }
+        d.withColumn(c, col(c).cast(ddl))
       }
     case "rename" => df =>
       strMapOrdered(args, "cols").foldLeft(df) { case (d, (c, n)) =>
@@ -127,7 +144,10 @@ object Transformers {
     }
     case "flatten_schema" => df =>
       SchemaTools.flatten(df,
-        num(args, "max_depth").map(_.toInt).getOrElse(10),
+        // reference key is `max_level` (`column_reshapers.py:72-84`);
+        // the engine-local `max_depth` spelling stays accepted
+        num(args, "max_level").orElse(num(args, "max_depth"))
+          .map(_.toInt).getOrElse(10),
         str(args, "separator").getOrElse("_"))
     case "explode_columns" => df => {
       // reference order (`column_reshapers.py:147-155`): arrays FIRST,

@@ -313,6 +313,74 @@ class ReferenceScenariosSpec extends SparkSpec {
       readControl(s"$res/data/control/part-01.csv", None))
   }
 
+  test("reference transformations/chain_transformations scenarios run verbatim and match their control data") {
+    val res = s"$refRoot/transformations/chain_transformations"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    def prep(name: String): String = {
+      val tmp = tmpDir(s"ref-ch-$name")
+      val inRoot = s"$tmp/in/feature/transformations/chain_transformations"
+      Seq("sales_historical", "sales_new", "customers", "struct_data").foreach(k =>
+        copyIn(s"$res/source/$k.csv", s"$inRoot/source/$k"))
+      Files.list(Paths.get(s"$res/schema")).forEach(p =>
+        copyIn(p.toString, s"$inRoot/schema"))
+      tmp
+    }
+    def out(tmp: String, name: String) = spark.read
+      .parquet(s"$tmp/out/feature/transformations/chain_transformations/$name/data")
+    // batch / streaming / mixed chains against the CSV control. The
+    // reference's has_diff projects BOTH sides to the RESULT's columns
+    // (the shared control carries the superset); `lhe_row_id` is dropped
+    // — with_row_id is documented "sequential but NOT consecutive"
+    // (monotonically_increasing_id), so its VALUES are partition-layout
+    // dependent, not a portable contract.
+    Seq("batch", "streaming", "streaming_batch").foreach { name =>
+      val tmp = prep(name)
+      graft.algo.DataLoader.loadData(spark, rebase(s"$res/acons/$name.json", tmp))
+      val result = out(tmp, name).drop("lhe_row_id")
+      val control = readControl(s"$res/control/chain_control.csv", None)
+      def norm(df: DataFrame) = df.select(
+        result.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+      assertSameRows(norm(result), norm(control))
+    }
+    // micro-batch struct pipeline against the JSON control
+    val t4 = prep("wssd")
+    graft.algo.DataLoader.loadData(spark,
+      rebase(s"$res/acons/write_streaming_struct_data.json", t4))
+    assertNoDiff(out(t4, "write_streaming_struct_data"),
+      spark.read.option("multiLine", "true")
+        .json(s"$res/control/struct_data.json")
+        .select("salesorder", "item", "article", "sample_json_field1",
+          "sample_json_field4", "item_amount_json"))
+    // depending on a micro-batch-internal result from OUTSIDE must fail
+    val t5 = prep("wssd-fail")
+    intercept[Exception] {
+      graft.algo.DataLoader.loadData(spark,
+        rebase(s"$res/acons/write_streaming_struct_data_fail.json", t5))
+    }
+  }
+
+  test("reference transformations/drop_duplicate_rows scenarios run verbatim and match their control data") {
+    val res = s"$refRoot/transformations/drop_duplicate_rows"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    Seq("batch", "streaming").foreach { scenario =>
+      val tmp = tmpDir(s"ref-dd-$scenario")
+      val inRoot = s"$tmp/in/feature/transformations/drop_duplicate_rows"
+      Files.list(Paths.get(s"$res/data/source")).forEach(p =>
+        copyIn(p.toString, s"$inRoot/data"))
+      copyIn(s"$res/source_schema.json", inRoot)
+      graft.algo.DataLoader.loadData(spark, rebase(s"$res/$scenario.json", tmp))
+      // three outputs per acon: keyed dedup vs drop_duplicates control,
+      // no-args and empty-cols vs distinct control
+      def outAt(sub: String) = spark.read.parquet(
+        s"$tmp/out/feature/transformations/drop_duplicate_rows/$scenario/$sub/data")
+      def ctl(kind: String) = spark.read.option("multiLine", "true")
+        .json(s"$res/data/control/${scenario}_$kind.json")
+      assertNoDiff(outAt("columns"), ctl("drop_duplicates"))
+      assertNoDiff(outAt("orders_duplicate_no_args"), ctl("distinct"))
+      assertNoDiff(outAt("orders_duplicate_empty"), ctl("distinct"))
+    }
+  }
+
   test("reference data_quality/load_with_dq_validator/full_overwrite: exploded result sink matches the control") {
     val res = s"$refRoot/data_quality/load_with_dq_validator/full_overwrite"
     assume(new java.io.File(res).isDirectory, s"missing $res")
