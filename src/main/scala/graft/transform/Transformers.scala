@@ -80,10 +80,18 @@ object Transformers {
     }
     case "drop_duplicate_rows" => df => {
       val cols = strSeq(args, "cols")
-      val watermarked = str(args, "watermark_col") match {
-        case Some(wc) => df.withWatermark(wc, str(args, "watermark_delay").getOrElse("10 minutes"))
-        case None => df
-      }
+      // reference shape is a nested `watermarker: {col, watermarking_time}`
+      // (`transformers/filters.py:150-155`); the engine-local flat
+      // watermark_col/watermark_delay spellings stay accepted
+      val wmRef = anyMap(args, "watermarker")
+      val watermarked =
+        if (wmRef.nonEmpty)
+          df.withWatermark(String.valueOf(wmRef("col")),
+            String.valueOf(wmRef("watermarking_time")))
+        else str(args, "watermark_col") match {
+          case Some(wc) => df.withWatermark(wc, str(args, "watermark_delay").getOrElse("10 minutes"))
+          case None => df
+        }
       if (cols.isEmpty) watermarked.dropDuplicates()
       else watermarked.dropDuplicates(cols)
     }
@@ -325,13 +333,33 @@ object Transformers {
     // ---- joins (§2.4) ---------------------------------------------------
     case "join" => df => {
       val rightId = str(args, "join_with").get
-      var left = df.as("a")
-      var right = ctx.data(rightId).as("b")
+      val leftAlias = str(args, "left_df_alias").getOrElse("a")
+      val rightAlias = str(args, "right_df_alias").getOrElse("b")
+      var left = df.as(leftAlias)
+      var right = ctx.data(rightId).as(rightAlias)
       anyMap(args, "left_watermark").foreach { case (c, d) =>
         left = left.withWatermark(c, String.valueOf(d)) }
       anyMap(args, "right_watermark").foreach { case (c, d) =>
         right = right.withWatermark(c, String.valueOf(d)) }
-      val rightSide = if (bool(args, "broadcast_join")) broadcast(right) else right
+      // reference shape (`transformers/joiners.py:47,64-76`):
+      // watermarker keyed by df alias, each {col, watermarking_time}
+      def aliasWm(side: DataFrame, alias: String): DataFrame =
+        anyMap(args, "watermarker").get(alias) match {
+          case Some(m: collection.Map[_, _]) =>
+            val mm = m.map { case (k, v) => String.valueOf(k) -> v }
+            side.withWatermark(String.valueOf(mm("col")),
+              String.valueOf(mm("watermarking_time")))
+          case _ => side
+        }
+      left = aliasWm(left, leftAlias)
+      right = aliasWm(right, rightAlias)
+      // reference default is broadcast_join = TRUE (`joiners.py:26`); a
+      // streaming right side cannot be broadcast, so the hint is only
+      // applied to static sides
+      val rightSide =
+        if (bool(args, "broadcast_join", default = true) && !right.isStreaming)
+          broadcast(right)
+        else right
       // the reference renders `{join_type.upper()} JOIN` into SQL text
       // (`transformers/joiners.py:86`), so spaced spellings like
       // "left outer" are valid config — normalize for the DataFrame API

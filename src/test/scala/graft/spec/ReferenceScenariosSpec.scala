@@ -381,6 +381,52 @@ class ReferenceScenariosSpec extends SparkSpec {
     }
   }
 
+  test("reference transformations/watermarker scenarios run verbatim: watermarked dedup + stream-stream join") {
+    val fam = s"$refRoot/transformations/watermarker"
+    assume(new java.io.File(fam).isDirectory, s"missing $fam")
+    ensureTestDb()
+    spark.sql("DROP TABLE IF EXISTS test_db.streaming_drop_duplicates")
+    spark.sql("DROP TABLE IF EXISTS test_db.streaming_inner_join")
+    // streaming_drop_duplicates: two arrivals through the nested
+    // watermarker dedup config; late duplicates stay out of the target
+    locally {
+      val res = s"$fam/streaming_drop_duplicates"
+      val tmp = tmpDir("ref-wm-dd")
+      val inRoot = s"$tmp/in/feature/transformations/watermarker/streaming_drop_duplicates"
+      copyIn(s"$res/source_schema.json", inRoot)
+      Seq("part-01.csv", "part-02.csv").foreach { f =>
+        copyIn(s"$res/data/source/$f", s"$inRoot/data")
+        graft.algo.DataLoader.loadData(spark,
+          rebase(s"$res/streaming_drop_duplicates.json", tmp))
+      }
+      assertNoDiff(
+        spark.read.parquet(
+          s"$tmp/out/feature/transformations/watermarker/streaming_drop_duplicates/data"),
+        readControl(s"$res/data/control/streaming_drop_duplicates.csv",
+          Some(s"$res/source_schema.json")))
+    }
+    // streaming_inner_join: watermarked stream-stream join, two drains
+    locally {
+      val res = s"$fam/streaming_inner_join"
+      val tmp = tmpDir("ref-wm-ij")
+      val inRoot = s"$tmp/in/feature/transformations/watermarker/streaming_inner_join"
+      Files.list(Paths.get(res)).forEach { p =>
+        if (p.getFileName.toString.endsWith("schema.json")) copyIn(p.toString, inRoot)
+      }
+      copyIn(s"$res/data/source/customer-part-01.csv", s"$inRoot/data/customers")
+      Seq("part-01.csv", "part-02.csv").foreach { f =>
+        copyIn(s"$res/data/source/sales-$f", s"$inRoot/data/sales")
+        graft.algo.DataLoader.loadData(spark,
+          rebase(s"$res/streaming_inner_join.json", tmp))
+      }
+      assertNoDiff(
+        spark.read.parquet(
+          s"$tmp/out/feature/transformations/watermarker/streaming_inner_join/data"),
+        readControl(s"$res/data/control/streaming_inner_join.csv",
+          Some(s"$res/streaming_inner_join_control_schema.json")))
+    }
+  }
+
   test("reference data_quality/load_with_dq_validator/full_overwrite: exploded result sink matches the control") {
     val res = s"$refRoot/data_quality/load_with_dq_validator/full_overwrite"
     assume(new java.io.File(res).isDirectory, s"missing $res")
