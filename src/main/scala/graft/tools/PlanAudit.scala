@@ -263,6 +263,26 @@ object PlanAudit {
       |bounded collects (16 LSH cells × 64 dims of centroids, 5 query
       |vectors) are corpus-independent by construction.
       |
+      |### Round 11: span-removal cascade / streaming-PQ-ingest curves
+      |
+      |The round-11 operators joined the curve (documents family; 10× and
+      |50× points each from their own run, min-of-2, local[32]):
+      |
+      || operator | 1× | 10× | 50× | growth @50× |
+      ||---|---|---|---|---|
+      || q112 multi-k span-removal cascade | 1.62 | 2.28 | 5.51 | 3.4× |
+      || q113 streaming IVFADC ingest (batch face) | 1.22 | 1.29 | 1.77 | 1.45× |
+      |
+      |Both strongly sub-linear. q112 runs TWO full single-k removal
+      |passes (k=8 then k=4 over cleaned text) — 50× the corpus costs
+      |3.4× wall because each pass is the q88 shape (one 16-byte
+      |fingerprint shuffle + one narrow positions shuffle), and the
+      |inter-stage materialization amortizes. q113's batch side is FIXED
+      |(20 vectors); the corpus side grows 50× yet the wall moves 1.45×
+      |— the store-identity screen is an equi-join on (cell, codes)
+      |against m-int codes and the centroid aggregation is bounded by
+      |the 16 LSH cells, exactly the bounded-by-construction claim.
+      |
       |### Round 6: 500× spot-check (2.5 MILLION documents)
       |
       |One further point past the table above for the fastest-growing

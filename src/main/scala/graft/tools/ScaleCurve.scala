@@ -226,7 +226,13 @@ object ScaleCurve {
     // scan; q108's centroid collect is bounded by the 16 LSH cells at
     // any corpus size)
     "q105_importance_weights", "q106_bpe_pair_stats", "q107_pq_adc",
-    "q108_ivfpq_adc")
+    "q108_ivfpq_adc",
+    // round-11 additions: the multi-k span-removal cascade (two full
+    // single-k passes over progressively cleaned text) and the streaming
+    // IVFADC ingest batch face (fixed 20-vector batch screened + encoded
+    // against the corpus-derived store — the curve isolates the corpus
+    // side: centroids, store codes, and the store-identity screen join)
+    "q112_span_cascade", "q113_pq_ingest_batch")
 
   /** Measured LSH pair-recall on a ~500-vector sample of `dir`'s corpus:
     * brute-force the sample's true cos≥threshold pairs, run the banded
