@@ -508,6 +508,41 @@ class ReferenceScenariosSpec extends SparkSpec {
     assertSameRows(norm(result), norm(control))
   }
 
+  test("reference materialize_cdf: expose_cdf terminator materializes change rows and a second load appends its delta") {
+    val res = s"$refRoot/materialize_cdf"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    ensureTestDb()
+    spark.sql("DROP TABLE IF EXISTS test_db.streaming_with_cdf")
+    val tmp = tmpDir("ref-cdf")
+    val inDir = s"$tmp/in/feature/materialize_cdf/streaming_with_cdf/data"
+    val cdfLoc = s"$tmp/out/feature/materialize_cdf/streaming_with_cdf/cdf_data"
+    // (the reference's acon_create_table pre-creates a Delta table with
+    // CDF enabled — Delta-only setup; on the core runtime the load's
+    // writer creates the external table and expose_cdf uses the
+    // snapshot-diff analogue, which carries no _commit_version)
+    copyIn(s"$res/data/source/part-01.csv", inDir)
+    graft.algo.DataLoader.loadData(spark,
+      rebase(s"$res/streaming_without_clean_cdf.json", tmp))
+    val dataCols = Seq("salesorder", "item", "date", "customer", "article", "amount")
+    val result1 = spark.read.parquet(cdfLoc)
+      .select((dataCols :+ "_change_type").map(col): _*)
+    val control = readControl(s"$res/data/control/part-01_cdf.csv",
+        Some(s"$res/control_schema.json"))
+      .select((dataCols :+ "_change_type").map(col): _*)
+    def norm(df: DataFrame) = df.select(
+      df.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+    assertSameRows(norm(result1), norm(control))
+
+    // second load (clean_cdf + vacuum variant): only the NEW rows land
+    // as inserts; young commits survive days_to_keep
+    copyIn(s"$res/data/source/part-02.csv", inDir)
+    graft.algo.DataLoader.loadData(spark,
+      rebase(s"$res/streaming_with_clean_and_vacuum.json", tmp))
+    val after = spark.read.parquet(cdfLoc)
+    assert(after.count() == 13 + 6) // part-01 inserts + part-02 inserts
+    assert(after.where(col("_change_type") =!= "insert").count() == 0)
+  }
+
   test("reference append_load/failfast raises on the malformed file") {
     val res = s"$refRoot/append_load/failfast"
     assume(new java.io.File(res).isDirectory, s"missing $res")
