@@ -427,6 +427,27 @@ class ReferenceScenariosSpec extends SparkSpec {
     }
   }
 
+  test("reference transformations/column_creators batch + streaming run verbatim and match their control data") {
+    val res = s"$refRoot/transformations/column_creators"
+    assume(new java.io.File(res).isDirectory, s"missing $res")
+    Seq("batch", "streaming").foreach { scenario =>
+      val tmp = tmpDir(s"ref-cc-$scenario")
+      val inRoot = s"$tmp/in/feature/transformations/column_creators"
+      copyIn(s"$res/data/source/part-01.csv", s"$inRoot/data")
+      copyIn(s"$res/source_schema.json", inRoot)
+      graft.algo.DataLoader.loadData(spark, rebase(s"$res/$scenario.json", tmp))
+      val control = spark.read.option("multiLine", "true")
+        .json(s"$res/data/control/part-01.json")
+        .select("salesorder", "item", "date", "customer", "article", "amount",
+          "dummy_string", "dummy_int", "dummy_double", "dummy_boolean")
+      val result = spark.read
+        .parquet(s"$tmp/out/feature/transformations/column_creators/$scenario/data")
+      def norm(df: DataFrame) = df.select(
+        result.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+      assertSameRows(norm(result), norm(control))
+    }
+  }
+
   test("reference data_quality/load_with_dq_validator/full_overwrite: exploded result sink matches the control") {
     val res = s"$refRoot/data_quality/load_with_dq_validator/full_overwrite"
     assume(new java.io.File(res).isDirectory, s"missing $res")
