@@ -69,10 +69,30 @@ object ChangeCapture {
     val stateLoc = matLoc.stripSuffix("/") + "__cdf_state"
 
     val srcLoc = str("location")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    // Delta runtime: the reference reads the CDF as a CHECKPOINTED
+    // streaming input (cdf_processor.py:100-112), so repeated exposes are
+    // incremental. The batch analogue of that checkpoint is the last
+    // exposed version, kept in a sidecar: each run reads only versions
+    // (last_exposed, latest] and advances the sidecar after the append
+    // lands (crash between the two re-emits the delta — at-least-once,
+    // never lost, matching a streaming checkpoint's replay semantics).
+    val deltaPath = graft.io.DeltaSupport.available && srcLoc.isDefined
+    val deltaStart: Option[Long] =
+      if (!deltaPath) None
+      else Some(nextStartingVersion(str("starting_version").map(_.toLong),
+        readVersionSidecar(hadoopConf, stateLoc)))
+    val deltaLatest: Option[Long] =
+      if (!deltaPath) None
+      else Some(graft.io.DeltaSupport.latestVersion(spark, srcLoc.get))
+    // nothing committed since the last expose → skip the read+append
+    // entirely (a CDF read past the latest version would fail)
+    val nothingNew = deltaPath && deltaStart.get > deltaLatest.get
+
     val feed: DataFrame =
-      if (graft.io.DeltaSupport.available && srcLoc.isDefined)
-        graft.io.DeltaSupport.changeFeed(spark, srcLoc.get,
-          str("starting_version").map(_.toLong).getOrElse(0L))
+      if (nothingNew) null
+      else if (deltaPath)
+        graft.io.DeltaSupport.changeFeed(spark, srcLoc.get, deltaStart.get)
           .withColumn("_commit_timestamp",
             date_format(col("_commit_timestamp"), "yyyyMMddHHmmss"))
       else {
@@ -93,14 +113,24 @@ object ChangeCapture {
         diff.withColumn("_commit_timestamp", lit(stamp))
       }
 
-    feed
-      .repartition(args.get("materialized_cdf_num_partitions")
-        .collect { case n: Number => n.intValue() }.getOrElse(1))
-      .write.mode("append").partitionBy("_commit_timestamp")
-      .parquet(matLoc)
+    if (!nothingNew) {
+      val cdfOptions = args.get("materialized_cdf_options")
+        .collect { case m: Map[_, _] =>
+          m.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) } }
+        .getOrElse(Map.empty[String, String])
+      feed
+        .repartition(args.get("materialized_cdf_num_partitions")
+          .collect { case n: Number => n.intValue() }.getOrElse(1))
+        .write.mode("append").options(cdfOptions)
+        .partitionBy("_commit_timestamp")
+        .parquet(matLoc)
+    }
+    // advance the version sidecar AFTER the feed lands — the next run
+    // starts from latest+1 instead of re-emitting the whole history
+    deltaLatest.foreach(writeVersionSidecar(hadoopConf, stateLoc, _))
     // advance the state snapshot AFTER the feed lands (crash between the
     // two re-emits the delta on the next run — at-least-once, never lost)
-    if (!graft.io.DeltaSupport.available || srcLoc.isEmpty) {
+    if (!deltaPath) {
       val stage = stateLoc + "__stage"
       source.write.mode("overwrite").parquet(stage)
       val fs = new org.apache.hadoop.fs.Path(stateLoc)
@@ -120,6 +150,42 @@ object ChangeCapture {
     if (boolArg("vacuum_cdf", default = false))
       new graft.maintain.TableManager(spark).vacuum(matLoc,
         args.get("vacuum_hours").collect { case n: Number => n.intValue() }.getOrElse(168))
+  }
+
+  /** The CDF starting version for this expose: an explicit
+    * `starting_version` wins; otherwise one past the last exposed version
+    * from the sidecar; otherwise 0 (whole history, first expose). */
+  private[graft] def nextStartingVersion(
+      explicit: Option[Long], lastExposed: Option[Long]): Long =
+    explicit.orElse(lastExposed.map(_ + 1L)).getOrElse(0L)
+
+  /** Read the last exposed Delta version from the `stateLoc` sidecar. */
+  private[graft] def readVersionSidecar(
+      conf: org.apache.hadoop.conf.Configuration,
+      stateLoc: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateLoc + "__version")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Atomically record the last exposed Delta version (stage + rename). */
+  private[graft] def writeVersionSidecar(
+      conf: org.apache.hadoop.conf.Configuration,
+      stateLoc: String, v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateLoc + "__version")
+    val stage = new org.apache.hadoop.fs.Path(stateLoc + "__version.stage")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(stage, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    fs.rename(stage, p)
+    ()
   }
 
   /** Diff `current` against `previous` on `keys`.
