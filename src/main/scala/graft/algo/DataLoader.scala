@@ -90,7 +90,7 @@ final class DataLoader(
             if (dq.resultSinkExplode.contains(true))
               DQEngine.resultSinkExploded(spark, dq, result)
             else DQEngine.resultSinkFor(spark, df, dq, result)
-          Writers.writeBatch(spark, sink, sdf)
+          Writers.writeBatch(spark, DQEngine.resultSinkSpec(dq, sink), sdf)
         }
         if (dq.tagSourceData)
           data(dq.inputId) = DQEngine.tagSource(df, dq, result)
@@ -180,7 +180,7 @@ final class DataLoader(
             if (dq.resultSinkExplode.contains(true))
               DQEngine.resultSinkExploded(spark, dq, result)
             else DQEngine.resultSinkFor(spark, df, dq, result)
-          Writers.writeBatch(spark, sink, sdf)
+          Writers.writeBatch(spark, DQEngine.resultSinkSpec(dq, sink), sdf)
         }
         if (dq.tagSourceData) DQEngine.tagSource(df, dq, result) else df
       }

@@ -649,7 +649,13 @@ object Gab {
         else df.repartition(n)
       }
       df.createOrReplaceTempView(st.tableAlias)
-      if (st.storageLevel.isDefined) spark.catalog.cacheTable(st.tableAlias)
+      // Honor the requested level (reference runs `CACHE TABLE ... OPTIONS
+      // ('storageLevel' '<level>')`, `algorithms/gab.py:786-799`): a stage
+      // asking for DISK_ONLY must not silently get MEMORY_AND_DISK.
+      st.storageLevel.foreach { lvl =>
+        spark.catalog.cacheTable(st.tableAlias,
+          org.apache.spark.storage.StorageLevel.fromString(lvl.toUpperCase))
+      }
     }
     stages.maxBy(_.order).tableAlias
   }

@@ -732,6 +732,15 @@ object DQEngine {
   /** Result sink honoring the chunking config: full-coverage chunked
     * layout when failing PKs are tracked, the plain per-expectation
     * layout otherwise. */
+  /** Exploded result sinks splat expectation kwargs into columns, so the
+    * column set varies run to run; the reference therefore writes them with
+    * mergeSchema=true (`dq_processors/dq_factory.py:952`). Default it on
+    * the sink spec unless the ACON set the option itself. */
+  def resultSinkSpec(dq: DQSpec, sink: graft.spec.OutputSpec): graft.spec.OutputSpec =
+    if (dq.resultSinkExplode.contains(true) && !sink.options.contains("mergeSchema"))
+      sink.copy(options = sink.options + ("mergeSchema" -> "true"))
+    else sink
+
   def resultSinkFor(
       spark: SparkSession, df: DataFrame, spec: DQSpec,
       result: DQRunResult): DataFrame =
@@ -750,6 +759,17 @@ object DQEngine {
     * without a hand-maintained schema. Volatile fields (run_time,
     * checkpoint ids) match the reference's shape; its own golden
     * comparisons drop them. */
+  /** Numeric kwargs splatted into sink columns are normalized to JSON
+    * doubles: a run whose `min_value` is the integer 0 and a later run
+    * whose is 0.5 must not leave bigint-vs-double parquet footers that no
+    * mergeSchema can reconcile. The `kwargs` string column keeps the
+    * user's original rendering. */
+  private def stableJsonValue(v: Any): Any = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case s: Seq[_] => s.map(stableJsonValue)
+    case other => other
+  }
+
   def resultSinkExploded(
       spark: SparkSession, spec: DQSpec, result: DQRunResult): DataFrame = {
     import spark.implicits._
@@ -767,7 +787,7 @@ object DQEngine {
         "input_id" -> spec.inputId,
         "source" -> spec.source.getOrElse(spec.inputId),
         "batch_id" -> s"batch_id_${spec.specId}")
-      o.args.foreach { case (k, v) => m(k) = v }
+      o.args.foreach { case (k, v) => m(k) = stableJsonValue(v) }
       m("evaluated_expectations") = evaluated
       m("success_percent") =
         if (evaluated == 0) 100.0 else 100.0 * successful / evaluated
@@ -778,9 +798,10 @@ object DQEngine {
       m("expectation_type") = o.function
       m("expectation_success") = o.success
       m("exception_info") = s"exception_info_${spec.specId}"
-      o.observedValue.foreach { v =>
-        m("observed_value") = if (v == math.floor(v) && !v.isInfinite) v.toLong else v
-      }
+      // Always a JSON double: an integral-valued run must not flip the
+      // inferred sink column to bigint and break appended parquet/delta
+      // reads across runs (double vs long schemas cannot be merged).
+      o.observedValue.foreach { v => m("observed_value") = v }
       m("run_time_year") = now.getYear
       m("run_time_month") = now.getMonthValue
       m("run_time_day") = now.getDayOfMonth

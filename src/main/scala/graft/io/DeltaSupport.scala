@@ -92,11 +92,22 @@ object DeltaSupport {
     * reference's CDF terminator (`terminators/cdf_processor.py`). Only
     * with Delta jars; the no-Delta equivalent of the same `_change_type`
     * rows is [[graft.operators.ChangeCapture.snapshotDiff]]. */
+  /** Read the change feed for `(startingVersion, endingVersion)` both
+    * inclusive. Bounding the end matters for incremental exposes: commits
+    * landing between the caller's `latestVersion()` probe and this read
+    * must not be emitted, or the caller's recorded watermark would lag
+    * what was actually exposed and the next run would duplicate them.
+    * `extraOptions` carries the caller's reader options (the reference's
+    * `materialized_cdf_options` configure this read,
+    * `terminators/cdf_processor.py:100-112`). */
   def changeFeed(spark: SparkSession, location: String,
-      startingVersion: Long): DataFrame = {
+      startingVersion: Long, endingVersion: Option[Long] = None,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
     require(available, "Delta Lake is not on the classpath")
-    spark.read.format("delta").option("readChangeFeed", "true")
-      .option("startingVersion", startingVersion).load(location)
+    val r = spark.read.format("delta").options(extraOptions)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", startingVersion)
+    endingVersion.fold(r)(v => r.option("endingVersion", v)).load(location)
   }
 
   /** Latest committed version of the Delta table at `location`. */

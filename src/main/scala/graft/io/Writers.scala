@@ -103,6 +103,16 @@ object Writers {
               // delete is idempotent, the append re-applies).
               val loc = spec.location.getOrElse(
                 sys.error("replaceWhere fallback needs a location"))
+              // Delta rejects a replaceWhere write whose batch contains
+              // rows OUTSIDE the predicate; without this check the
+              // fallback silently accretes rows that later replaceWhere
+              // runs can never remove. One cheap isEmpty on the batch.
+              val violating = df.where(!expr(replaceWhere.get))
+              if (!violating.isEmpty)
+                sys.error(s"output spec ${spec.specId}: replaceWhere " +
+                  s"'${replaceWhere.get}' rejected — the batch contains rows " +
+                  "that do not match the predicate (Delta replaceWhere " +
+                  "constraint); sample: " + violating.take(3).mkString("; "))
               val fsP = new Path(loc)
               val fsx = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
               if (fsx.exists(fsP))

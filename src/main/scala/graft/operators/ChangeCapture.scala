@@ -89,10 +89,22 @@ object ChangeCapture {
     // entirely (a CDF read past the latest version would fail)
     val nothingNew = deltaPath && deltaStart.get > deltaLatest.get
 
+    // In the reference, materialized_cdf_options configure the CDF READ
+    // (checkpointLocation et al., cdf_processor.py:100-112), not the
+    // materialized write.
+    val cdfOptions = args.get("materialized_cdf_options")
+      .collect { case m: Map[_, _] =>
+        m.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) } }
+      .getOrElse(Map.empty[String, String])
+
     val feed: DataFrame =
       if (nothingNew) null
       else if (deltaPath)
-        graft.io.DeltaSupport.changeFeed(spark, srcLoc.get, deltaStart.get)
+        // endingVersion pins the read to the probed latest: commits
+        // landing after the probe wait for the next expose instead of
+        // being emitted now but recorded as unexposed (then duplicated).
+        graft.io.DeltaSupport.changeFeed(spark, srcLoc.get, deltaStart.get,
+            endingVersion = deltaLatest, extraOptions = cdfOptions)
           .withColumn("_commit_timestamp",
             date_format(col("_commit_timestamp"), "yyyyMMddHHmmss"))
       else {
@@ -114,14 +126,10 @@ object ChangeCapture {
       }
 
     if (!nothingNew) {
-      val cdfOptions = args.get("materialized_cdf_options")
-        .collect { case m: Map[_, _] =>
-          m.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) } }
-        .getOrElse(Map.empty[String, String])
       feed
         .repartition(args.get("materialized_cdf_num_partitions")
           .collect { case n: Number => n.intValue() }.getOrElse(1))
-        .write.mode("append").options(cdfOptions)
+        .write.mode("append")
         .partitionBy("_commit_timestamp")
         .parquet(matLoc)
     }
@@ -152,12 +160,16 @@ object ChangeCapture {
         args.get("vacuum_hours").collect { case n: Number => n.intValue() }.getOrElse(168))
   }
 
-  /** The CDF starting version for this expose: an explicit
-    * `starting_version` wins; otherwise one past the last exposed version
-    * from the sidecar; otherwise 0 (whole history, first expose). */
+  /** The CDF starting version for this expose. The sidecar (one past the
+    * last exposed version) wins whenever it exists; an explicit
+    * `starting_version` only seeds the FIRST expose. This matches the
+    * reference, where starting_version merely positions a checkpointed
+    * streaming read that thereafter advances from its own checkpoint
+    * (`cdf_processor.py:100-112`) — an ACON that keeps starting_version
+    * set must not re-emit the same range on every scheduled run. */
   private[graft] def nextStartingVersion(
       explicit: Option[Long], lastExposed: Option[Long]): Long =
-    explicit.orElse(lastExposed.map(_ + 1L)).getOrElse(0L)
+    lastExposed.map(_ + 1L).orElse(explicit).getOrElse(0L)
 
   /** Read the last exposed Delta version from the `stateLoc` sidecar. */
   private[graft] def readVersionSidecar(
@@ -174,7 +186,12 @@ object ChangeCapture {
     }
   }
 
-  /** Atomically record the last exposed Delta version (stage + rename). */
+  /** Atomically record the last exposed Delta version: stage, then a
+    * single OVERWRITE rename. A delete-then-rename pair would have a
+    * window where a crash leaves NO sidecar and the next expose re-emits
+    * the entire history from version 0; the overwriting rename has no
+    * such window, and a failed rename raises instead of being silently
+    * dropped. */
   private[graft] def writeVersionSidecar(
       conf: org.apache.hadoop.conf.Configuration,
       stateLoc: String, v: Long): Unit = {
@@ -183,9 +200,8 @@ object ChangeCapture {
     val fs = p.getFileSystem(conf)
     val out = fs.create(stage, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    fs.rename(stage, p)
-    ()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(stage, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Diff `current` against `previous` on `keys`.

@@ -696,6 +696,25 @@ class AlgorithmsSpec extends SparkSpec {
     assert(coveredEntries == (1 to 18).toSet)
   }
 
+  test("gab stage storage_level is honored, not silently defaulted") {
+    val dir = tmpDir("gab-lvl")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "stage.sql"),
+      "SELECT 1 AS a, 'x' AS b")
+    val st = Gab.IntermediateStage(1, "stage.sql", "gab_lvl_stage",
+      projectDateColumn = "", filterDateColumn = "",
+      storageLevel = Some("disk_only"), repartitionNum = None,
+      repartitionKeys = Seq.empty)
+    Gab.runIntermediateStages(spark, Seq(st), dir, cadence = "DAY",
+      database = "default", queryId = "1",
+      startDate = "2024-01-01", endDate = "2024-01-02")
+    try {
+      val lvl = spark.table("gab_lvl_stage").storageLevel
+      assert(lvl == org.apache.spark.storage.StorageLevel.DISK_ONLY,
+        s"requested DISK_ONLY, got $lvl")
+    } finally spark.catalog.uncacheTable("gab_lvl_stage")
+  }
+
   test("gab intermediate_stages: reference dummy_sales_kpi two-stage chain matches the gab control golden") {
     import org.apache.spark.sql.functions._
     val gabRes = "/root/reference/tests/resources/feature/gab"

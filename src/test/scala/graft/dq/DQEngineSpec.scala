@@ -513,4 +513,42 @@ class DQEngineSpec extends SparkSpec {
         Map("column" -> "x", "min_value" -> (skew + 1.0))))
     assert(!bad.outcomes.head.success)
   }
+
+  test("exploded result sink: stable double observed_value across appended runs") {
+    // Run 1: all-integral observed values (row counts). Run 2: fractional
+    // (a mean). Before the always-double fix, run 1 inferred bigint and
+    // run 2 double, and the appended parquet sink became unreadable.
+    val sinkDir = tmpDir("dq-sink")
+    val s1 = spec("expect_table_row_count_to_be_between" ->
+      Map("min_value" -> 0, "max_value" -> 100))
+    val r1 = DQEngine.run(spark, df, s1)
+    DQEngine.resultSinkExploded(spark, s1, r1)
+      .write.mode("append").parquet(sinkDir)
+    val s2 = spec("expect_column_mean_to_be_between" ->
+      Map("column" -> "amount", "min_value" -> 0.0, "max_value" -> 100.0))
+    val r2 = DQEngine.run(spark, df, s2)
+    DQEngine.resultSinkExploded(spark, s2, r2)
+      .write.mode("append").parquet(sinkDir)
+    val back = spark.read.option("mergeSchema", "true").parquet(sinkDir)
+    assert(back.schema("observed_value").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val vals = back.select("observed_value").collect().map(_.getDouble(0)).sorted
+    assert(vals.length == 2)
+    assert(vals.contains(4.0)) // row count, now a double
+    assert(vals.exists(v => math.abs(v - 14.75) < 1e-9)) // mean(10,20,30,-1)
+  }
+
+  test("resultSinkSpec defaults mergeSchema=true only on exploded sinks") {
+    import graft.spec.OutputSpec
+    val sink = OutputSpec("rs", "t", "append", Some("parquet"), location = Some("/x"))
+    val exploded = DQSpec("t", "t", resultSinkExplode = Some(true))
+    assert(DQEngine.resultSinkSpec(exploded, sink).options("mergeSchema") == "true")
+    // user's explicit choice wins
+    val pinned = sink.copy(options = Map("mergeSchema" -> "false"))
+    assert(DQEngine.resultSinkSpec(exploded, pinned).options("mergeSchema") == "false")
+    // non-exploded sinks keep their historical fixed schema: no default
+    val flat = DQSpec("t", "t", resultSinkExplode = Some(false))
+    assert(!DQEngine.resultSinkSpec(flat, sink).options.contains("mergeSchema"))
+    assert(!DQEngine.resultSinkSpec(DQSpec("t", "t"), sink).options.contains("mergeSchema"))
+  }
 }

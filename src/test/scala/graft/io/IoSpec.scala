@@ -698,6 +698,33 @@ class IoSpec extends SparkSpec {
     assert(new SharepointIo.LocalDriveTransport(root)
       .exists("drop/routed.json"))
   }
+
+  test("replaceWhere fallback: replaces only the predicate scope, rejects out-of-predicate rows") {
+    import graft.spec.OutputSpec
+    val loc = tmpDir("replace-where") + "/t"
+    def out(opts: Map[String, String] = Map.empty) = OutputSpec(
+      "rw", "in", "overwrite", Some("delta"), location = Some(loc),
+      partitions = Seq("day"), options = opts)
+    // seed: two partitions
+    Writers.writeBatch(spark, out(),
+      Seq((1, "a", 1), (2, "b", 2)).toDF("id", "v", "day"))
+    // partition-scoped overwrite: only day=2 replaced, day=1 kept
+    Writers.writeBatch(spark, out(Map("replaceWhere" -> "day = 2")),
+      Seq((3, "c", 2)).toDF("id", "v", "day"))
+    val back = spark.read.parquet(loc)
+    assert(back.count() == 2)
+    assert(back.where("day = 1").select("id").as[Int].collect().toSeq == Seq(1))
+    assert(back.where("day = 2").select("id").as[Int].collect().toSeq == Seq(3))
+    // Delta's constraint: a batch with rows OUTSIDE the predicate is
+    // rejected outright (nothing lands — would otherwise accrete rows no
+    // later replaceWhere could remove)
+    val ex = intercept[RuntimeException] {
+      Writers.writeBatch(spark, out(Map("replaceWhere" -> "day = 2")),
+        Seq((4, "d", 2), (5, "e", 3)).toDF("id", "v", "day"))
+    }
+    assert(ex.getMessage.contains("replaceWhere"))
+    assert(spark.read.parquet(loc).count() == 2) // unchanged
+  }
 }
 
 object IoSpec {
