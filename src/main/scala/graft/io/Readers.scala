@@ -71,7 +71,14 @@ object Readers {
             .getOrElse(r.schema(spark.read.format(fileFormat).options(spec.options).load(loc).schema))
           withSchema.load(loc)
         } else {
-          val r = spark.read.format(fileFormat).options(spec.options)
+          // delta fallback: the write path evolves schemas across files
+          // (deltaSchemaContract), so the table view is the FOOTER UNION
+          val r0 = spark.read.format(fileFormat).options(spec.options)
+          val r =
+            if (requested == "delta" && fileFormat == "parquet" &&
+                !spec.options.contains("mergeSchema"))
+              r0.option("mergeSchema", "true")
+            else r0
           declared.map(r.schema).getOrElse(r).load(loc)
         }
     }

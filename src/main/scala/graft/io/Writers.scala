@@ -125,7 +125,15 @@ object Writers {
               wp.save(loc)
               spec.dbTable.foreach(registerExternal(spark, _, loc, spec.partitions))
             } else {
-              val w = df.write.format(effFmt).options(spec.options).mode(mode)
+              // delta requested but stored as parquet: keep Delta's WRITE
+              // SCHEMA CONTRACT, which plain parquet would silently skip
+              // (see deltaSchemaContract).
+              val outDf =
+                if (fmt == "delta" && effFmt == "parquet")
+                  spec.location.map(deltaSchemaContract(spark, spec, df, mode, _))
+                    .getOrElse(df)
+                else df
+              val w = outDf.write.format(effFmt).options(spec.options).mode(mode)
               val withParts =
                 if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w
               (spec.dbTable, spec.location) match {
@@ -140,6 +148,81 @@ object Writers {
             }
         }
     }
+  }
+
+  /** Delta's write-time schema contract, applied to the parquet fallback
+    * (`delta` format requested, no Delta jars). Plain parquet happily
+    * appends mismatched files; Delta validates against the table schema
+    * (`tests/feature/test_schema_evolution.py` pins the matrix):
+    *
+    *   - APPEND: source columns missing from the table are only accepted
+    *     with schema auto-merge on (conf
+    *     `spark.databricks.delta.schema.autoMerge.enabled`, or a
+    *     `mergeSchema` write option) — they EVOLVE the table schema;
+    *     otherwise the write fails ("A schema mismatch detected").
+    *     Columns the source omits land NULL. Same-name columns whose type
+    *     cannot up-cast to the table's fail ("Failed to merge fields").
+    *   - OVERWRITE: `overwriteSchema=true` replaces the schema outright;
+    *     auto-merge unions it; otherwise the column sets must match
+    *     exactly ("Failed to merge the new schema").
+    *
+    * The batch is ALIGNED to the evolved schema (table column order and
+    * casing, missing columns null, up-castable types cast), so every
+    * parquet footer written carries the full evolved schema and a
+    * mergeSchema read of the location reconstructs the Delta table view.
+    * Name matching is case-insensitive, like Spark/Delta resolution. */
+  private def deltaSchemaContract(
+      spark: SparkSession, spec: OutputSpec, df: DataFrame,
+      mode: String, loc: String): DataFrame = {
+    val p = new Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return df // first write defines the schema
+    val tgt =
+      try spark.read.option("mergeSchema", "true").parquet(loc).schema
+      catch { case _: Exception => return df } // empty/partial location
+    val autoMerge =
+      spark.conf.getOption("spark.databricks.delta.schema.autoMerge.enabled")
+        .exists(_.equalsIgnoreCase("true")) ||
+      spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
+    val overwriteSchema =
+      spec.options.get("overwriteSchema").exists(_.equalsIgnoreCase("true"))
+    if (mode == "overwrite" && overwriteSchema) return df
+
+    val tgtByLower = tgt.fields.map(f => f.name.toLowerCase -> f).toMap
+    val srcByLower = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val extra = df.schema.fields.filterNot(f => tgtByLower.contains(f.name.toLowerCase))
+
+    // same-name type conflicts: Delta only accepts an up-cast
+    tgt.fields.foreach { tf =>
+      srcByLower.get(tf.name.toLowerCase).foreach { sf =>
+        if (sf.dataType != tf.dataType &&
+            !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(sf.dataType, tf.dataType))
+          sys.error(s"output spec ${spec.specId}: Failed to merge fields " +
+            s"'${tf.name}' and '${sf.name}' — incompatible types " +
+            s"${tf.dataType.sql} and ${sf.dataType.sql} (Delta schema contract)")
+      }
+    }
+    if (extra.nonEmpty && !autoMerge) {
+      if (mode == "overwrite")
+        sys.error(s"output spec ${spec.specId}: Failed to merge the new schema " +
+          s"into $loc — extra columns ${extra.map(_.name).mkString(", ")}; " +
+          "set overwriteSchema=true to replace the schema or enable " +
+          "spark.databricks.delta.schema.autoMerge.enabled (Delta schema contract)")
+      else
+        sys.error(s"output spec ${spec.specId}: A schema mismatch detected when " +
+          s"writing to the Delta table at $loc — source columns " +
+          s"${extra.map(_.name).mkString(", ")} are not in the table schema; " +
+          "enable spark.databricks.delta.schema.autoMerge.enabled or pass " +
+          "mergeSchema=true to evolve it (Delta schema contract)")
+    }
+    // evolved schema: table columns (table casing/type), then additions
+    val aligned =
+      tgt.fields.map { tf =>
+        srcByLower.get(tf.name.toLowerCase)
+          .map(sf => col(sf.name).cast(tf.dataType).as(tf.name))
+          .getOrElse(lit(null).cast(tf.dataType).as(tf.name))
+      } ++ extra.map(f => col(f.name))
+    df.select(aligned.toSeq: _*)
   }
 
   // ---- merge (native, no Delta in this build) ---------------------------
