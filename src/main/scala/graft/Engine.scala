@@ -39,8 +39,10 @@ object Engine {
     * breached policy (the reference's Delta-restore path). */
   def executeDqValidation(
       spark: SparkSession, input: InputSpec, dqSpec: DQSpec,
-      restorePrevVersion: Boolean = false): dq.DQRunResult =
-    algo.DQValidator.validate(spark, input, dqSpec, restorePrevVersion)
+      restorePrevVersion: Boolean = false,
+      dfs: io.Readers.DfSupplier =
+        name => sys.error(s"no DataFrame registered as '$name'")): dq.DQRunResult =
+    algo.DQValidator.validate(spark, input, dqSpec, restorePrevVersion, dfs)
 
   /** `execute_manager`: dispatch a list of file/table manager operations
     * in one call (reference `engine.py:140-167`). The ACON is

@@ -86,10 +86,7 @@ final class DataLoader(
       if (!df.isStreaming) {
         val result = DQEngine.run(spark, df, dq)
         dq.resultSink.foreach { sink =>
-          val sdf =
-            if (dq.resultSinkExplode.contains(true))
-              DQEngine.resultSinkExploded(spark, dq, result)
-            else DQEngine.resultSinkFor(spark, df, dq, result)
+          val sdf = DQEngine.resultSinkOutput(spark, df, dq, result)
           Writers.writeBatch(spark, DQEngine.resultSinkSpec(dq, sink), sdf)
         }
         if (dq.tagSourceData)
@@ -176,10 +173,7 @@ final class DataLoader(
       streamingDqs.foldLeft(transformed) { (df, dq) =>
         val result = DQEngine.run(spark, df, dq)
         dq.resultSink.foreach { sink =>
-          val sdf =
-            if (dq.resultSinkExplode.contains(true))
-              DQEngine.resultSinkExploded(spark, dq, result)
-            else DQEngine.resultSinkFor(spark, df, dq, result)
+          val sdf = DQEngine.resultSinkOutput(spark, df, dq, result)
           Writers.writeBatch(spark, DQEngine.resultSinkSpec(dq, sink), sdf)
         }
         if (dq.tagSourceData) DQEngine.tagSource(df, dq, result) else df

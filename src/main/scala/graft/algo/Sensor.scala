@@ -160,8 +160,10 @@ object DQValidator {
       spark: SparkSession,
       input: InputSpec,
       dqSpec: graft.spec.DQSpec,
-      restorePrevVersion: Boolean = false): graft.dq.DQRunResult = try {
-    val df = Readers.read(spark, input)
+      restorePrevVersion: Boolean = false,
+      dfs: Readers.DfSupplier =
+        name => sys.error(s"no DataFrame registered as '$name'")): graft.dq.DQRunResult = try {
+    val df = Readers.read(spark, input, dfs)
     val batchDf =
       if (!df.isStreaming) df
       else {
@@ -178,7 +180,8 @@ object DQValidator {
       }
     val result = graft.dq.DQEngine.run(spark, batchDf, dqSpec)
     dqSpec.resultSink.foreach(sink => graft.io.Writers.writeBatch(
-      spark, sink, graft.dq.DQEngine.resultSinkDf(spark, result, dqSpec.specId)))
+      spark, graft.dq.DQEngine.resultSinkSpec(dqSpec, sink),
+      graft.dq.DQEngine.resultSinkOutput(spark, batchDf, dqSpec, result)))
     result
   } catch {
     case e: graft.dq.DQValidationFailedException

@@ -119,8 +119,25 @@ object DQEngine {
         Some(if (orEqual) ca >= cb else ca > cb)
       // ---- the reference's 7 custom expectations (§2.9) ----------------
       case "expect_column_values_to_be_date_not_older_than" =>
-        val n = num(a, "timeframe").getOrElse(num(a, "days").getOrElse(1.0)).toInt
-        Some(c >= date_sub(current_date(), n))
+        // reference `expect_column_values_to_be_date_not_older_than.py`:
+        // `timeframe` is a relativedelta-style DICT (years/months/weeks/
+        // days/hours/minutes/seconds, with a month = 4 weeks and a year =
+        // 52 weeks); the check is `delta > now() - column`. A bare number
+        // is accepted as days for convenience.
+        val deltaSeconds: Long = a.get("timeframe") match {
+          case Some(m: Map[_, _]) =>
+            val t = m.map { case (k, v) => String.valueOf(k) ->
+              (v match { case n: Number => n.doubleValue(); case _ => 0.0 }) }
+            val weeks = t.getOrElse("weeks", 0.0) +
+              t.getOrElse("months", 0.0) * 4 + t.getOrElse("years", 0.0) * 52
+            (weeks * 7 * 86400 + t.getOrElse("days", 0.0) * 86400 +
+              t.getOrElse("hours", 0.0) * 3600 + t.getOrElse("minutes", 0.0) * 60 +
+              t.getOrElse("seconds", 0.0)).toLong
+          case _ =>
+            (num(a, "timeframe").getOrElse(num(a, "days").getOrElse(1.0)) * 86400).toLong
+        }
+        Some(c.cast("timestamp") >
+          current_timestamp() - expr(s"INTERVAL $deltaSeconds SECONDS"))
       case "expect_column_pair_a_to_be_smaller_or_equal_than_b" =>
         val margin = num(a, "margin").getOrElse(0.0)
         Some(col(str(a, "column_A").get) <= col(str(a, "column_B").get) + lit(margin))
@@ -129,9 +146,14 @@ object DQEngine {
       case "expect_column_pair_a_to_be_not_equal_to_b" =>
         Some(!(col(str(a, "column_A").get) <=> col(str(a, "column_B").get)))
       case "expect_multicolumn_column_a_must_equal_b_or_c" =>
-        val (ca, cb, cc) = (col(str(a, "column_A").get), col(str(a, "column_B").get),
-          col(str(a, "column_C").get))
-        Some(ca === cb || ca === cc)
+        // reference spelling: `column_list` [a, b, c] (a multicolumn-map
+        // expectation); column_A/B/C kept as a compat alias
+        val cols = a.get("column_list") match {
+          case Some(l: Seq[_]) if l.size >= 3 => l.map(x => col(String.valueOf(x)))
+          case _ => Seq(col(str(a, "column_A").get), col(str(a, "column_B").get),
+            col(str(a, "column_C").get))
+        }
+        Some(cols(0) === cols(1) || cols(0) === cols(2))
       case "expect_column_values_to_not_be_null_or_empty_string" =>
         Some(c.isNotNull && trim(c.cast("string")) =!= "")
       case "expect_column_values_to_match_strftime_format" =>
@@ -509,17 +531,43 @@ object DQEngine {
         Some(ExpectationOutcome(f.function, a, ok, modes.length.toLong,
           if (ok) 0 else 1, unexpectedIndexList = if (ok) Seq.empty else modes.toSeq))
       case "expect_queried_column_agg_value_to_be" =>
-        // templated SQL aggregate compared to bounds
-        // (reference `expect_queried_column_agg_value_to_be.py`)
-        val template = str(a, "template_dict_query").orElse(str(a, "query")).get
+        // reference `expect_queried_column_agg_value_to_be.py`: a
+        // `template_dict` (column, group_column_list, agg_type, condition
+        // between|greater|lesser, min_value/max_value) renders
+        //   SELECT {group_column_list}, {agg_type}({column})
+        //   FROM {batch} GROUP BY {group_column_list}
+        // and EVERY group's aggregate must satisfy the condition. A raw
+        // `template_dict_query`/`query` is kept as a compat alias.
         df.createOrReplaceTempView("batch")
-        val v = spark.sql(template.replace("{table}", "batch"))
-          .collect()(0).get(0) match {
-          case n: Number => n.doubleValue()
-          case other => sys.error(s"agg query returned non-numeric: $other")
+        val td = a.get("template_dict").collect { case m: Map[_, _] =>
+          m.map { case (k, v) => String.valueOf(k) -> v } }
+        val (sqlText, condition, minV, maxV) = td match {
+          case Some(t) =>
+            def ts(k: String) = t.get(k).map(String.valueOf(_))
+            def tn(k: String) = t.get(k).collect { case n: Number => n.doubleValue() }
+            val groupCols = ts("group_column_list").get
+            (s"SELECT $groupCols, ${ts("agg_type").get}(${ts("column").get}) " +
+              s"FROM batch GROUP BY $groupCols",
+              ts("condition").getOrElse("between"), tn("min_value"), tn("max_value"))
+          case None =>
+            (str(a, "template_dict_query").orElse(str(a, "query")).get
+              .replace("{table}", "batch"),
+              "between", num(a, "min_value"), num(a, "max_value"))
         }
-        val ok = num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
-        Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1, Some(v)))
+        val rows = spark.sql(sqlText).collect()
+        def aggValue(r: org.apache.spark.sql.Row): Double = r.get(r.length - 1) match {
+          case n: Number => n.doubleValue()
+          case other => String.valueOf(other).toDouble
+        }
+        val values = rows.map(aggValue)
+        def pass(v: Double): Boolean = condition match {
+          case "greater" => minV.forall(v > _)
+          case "lesser" => maxV.forall(v < _)
+          case _ => minV.forall(v >= _) && maxV.forall(v <= _)
+        }
+        val bad = values.count(v => !pass(v))
+        Some(ExpectationOutcome(f.function, a, bad == 0,
+          values.length.toLong, bad.toLong, values.find(v => !pass(v)).orElse(values.headOption)))
       case _ => None
     }
   }
@@ -740,6 +788,46 @@ object DQEngine {
     if (dq.resultSinkExplode.contains(true) && !sink.options.contains("mergeSchema"))
       sink.copy(options = sink.options + ("mergeSchema" -> "true"))
     else sink
+
+  /** The reference's RAW (non-exploded) result-sink layout
+    * (`dq_factory.py:796-817` `_process_chunk` else-branch): ONE row per
+    * DQ run carrying the run-level success, the spec/input ids, run
+    * metadata, and the per-expectation outcomes as a `validation_results`
+    * JSON array (each element has `success` and `expectation_config`,
+    * which the reference's own tests introspect). */
+  def resultSinkRaw(
+      spark: SparkSession, spec: DQSpec, result: DQRunResult): DataFrame = {
+    import spark.implicits._
+    val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).toString
+    val validations = graft.spec.Specs.renderJson(result.outcomes.map { o =>
+      Map(
+        "success" -> o.success,
+        "expectation_config" -> Map(
+          "type" -> o.function,
+          "kwargs" -> o.args),
+        "result" -> (Map(
+          "element_count" -> o.elementCount,
+          "unexpected_count" -> o.unexpectedCount) ++
+          o.observedValue.map("observed_value" -> _).toMap))
+    })
+    Seq((
+      s"checkpoint_config_${spec.specId}", s"run_id_${spec.specId}",
+      s"run_results_${spec.specId}", result.success, spec.specId, spec.inputId,
+      result.runName, now, validations, spec.unexpectedRowsPk))
+      .toDF("checkpoint_config", "run_id", "run_results", "success",
+        "spec_id", "input_id", "run_name", "run_time", "validation_results",
+        "source_primary_key")
+  }
+
+  /** Result-sink layout dispatch: Some(true) = reference EXPLODED,
+    * Some(false) = reference RAW, None = the engine-local flat layout. */
+  def resultSinkOutput(spark: SparkSession, df: DataFrame, spec: DQSpec,
+      result: DQRunResult): DataFrame =
+    spec.resultSinkExplode match {
+      case Some(true) => resultSinkExploded(spark, spec, result)
+      case Some(false) => resultSinkRaw(spark, spec, result)
+      case None => resultSinkFor(spark, df, spec, result)
+    }
 
   def resultSinkFor(
       spark: SparkSession, df: DataFrame, spec: DQSpec,
