@@ -84,11 +84,15 @@ final class DataLoader(
     acon.dqSpecs.map(resolvePrisma).foreach { dq =>
       val df = data(dq.inputId)
       if (!df.isStreaming) {
-        val result = DQEngine.run(spark, df, dq)
+        val (result, failure) = DQEngine.runOutcome(spark, df, dq)
         dq.resultSink.foreach { sink =>
           val sdf = DQEngine.resultSinkOutput(spark, df, dq, result)
           Writers.writeBatch(spark, DQEngine.resultSinkSpec(dq, sink), sdf)
         }
+        graft.dq.Prisma.writeProcessedKeys(spark, dq, df, result.runName)
+        // the failed run's results land in the sink BEFORE the policy
+        // raises (reference dq_factory.py _process_chunk order)
+        failure.foreach(throw _)
         if (dq.tagSourceData)
           data(dq.inputId) = DQEngine.tagSource(df, dq, result)
       }
@@ -101,16 +105,19 @@ final class DataLoader(
     this
   }
 
-  /** PRISMA: resolve dq functions from a rules table before running
-    * (reference `utils/dq_utils.py`, `dq_factory.py:359-371`). */
+  /** PRISMA resolution at the load execution point
+    * (`acon_utils.py:206-233` resolve_dq_functions with "in_motion"):
+    * the reference surface (dq_db_table + table filter + meta) goes
+    * through [[graft.dq.Prisma]]; the engine-local `rules_table`
+    * spelling keeps its historical path. */
   private def resolvePrisma(dq: DQSpec): DQSpec =
     if (dq.dqType != "prisma") dq
-    else {
-      val src = dq.rulesTable.getOrElse(sys.error("prisma dq_spec needs rules_table"))
+    else if (dq.rulesTable.isDefined) {
+      val src = dq.rulesTable.get
       val rulesDf =
         if (src.contains("/")) spark.read.parquet(src) else spark.table(src)
       dq.copy(dqFunctions = DQEngine.rulesFromTable(spark, rulesDf))
-    }
+    } else graft.dq.Prisma.resolve(spark, dq, "in_motion")
 
   def write(): this.type = {
     acon.outputSpecs.foreach { out =>
@@ -171,11 +178,13 @@ final class DataLoader(
         df.transform(Transformers.resolve(tr.function, tr.args, ctx))
       }
       streamingDqs.foldLeft(transformed) { (df, dq) =>
-        val result = DQEngine.run(spark, df, dq)
+        val (result, failure) = DQEngine.runOutcome(spark, df, dq)
         dq.resultSink.foreach { sink =>
           val sdf = DQEngine.resultSinkOutput(spark, df, dq, result)
           Writers.writeBatch(spark, DQEngine.resultSinkSpec(dq, sink), sdf)
         }
+        graft.dq.Prisma.writeProcessedKeys(spark, dq, df, result.runName)
+        failure.foreach(throw _)
         if (dq.tagSourceData) DQEngine.tagSource(df, dq, result) else df
       }
     })

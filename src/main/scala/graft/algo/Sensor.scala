@@ -178,31 +178,58 @@ object DQValidator {
           }.start().awaitTermination()
         spark.read.parquet(s"$tmp/data")
       }
-    val result = graft.dq.DQEngine.run(spark, batchDf, dqSpec)
-    dqSpec.resultSink.foreach(sink => graft.io.Writers.writeBatch(
-      spark, graft.dq.DQEngine.resultSinkSpec(dqSpec, sink),
-      graft.dq.DQEngine.resultSinkOutput(spark, batchDf, dqSpec, result)))
+    // PRISMA specs resolve at the stand-alone execution point
+    // (`engine.py:108` execute_dq_validation -> "at_rest")
+    val dq = graft.dq.Prisma.resolve(spark, dqSpec, "at_rest")
+    val (result, failure) = graft.dq.DQEngine.runOutcome(spark, batchDf, dq)
+    dq.resultSink.foreach(sink => graft.io.Writers.writeBatch(
+      spark, graft.dq.DQEngine.resultSinkSpec(dq, sink),
+      graft.dq.DQEngine.resultSinkOutput(spark, batchDf, dq, result)))
+    graft.dq.Prisma.writeProcessedKeys(spark, dq, batchDf, result.runName)
+    failure.foreach(throw _)
     result
   } catch {
     case e: graft.dq.DQValidationFailedException
-        if restorePrevVersion && input.location.isDefined =>
+        if restorePrevVersion && resolveLocation(spark, input).isDefined =>
+      val loc = resolveLocation(spark, input).get
       // The DQ failure is the primary error: a failed restore (e.g. no
       // archived versions at the location) must not mask it. A Delta
       // input with Delta on the classpath restores through the
       // transaction log (reference `dq_validator.py:154-169`); otherwise
       // through the Versioned parquet history.
+      val conf = spark.sparkContext.hadoopConfiguration
       scala.util.Try(
-        if (graft.io.DeltaSupport.routes(input.dataFormat))
-          graft.io.DeltaSupport.restorePrevious(spark, input.location.get).toInt
-        else graft.io.Versioned.restorePrevious(
-          spark.sparkContext.hadoopConfiguration, input.location.get)) match {
+        if (graft.io.DeltaSupport.routes(input.dataFormat) &&
+            graft.io.DeltaSupport.available)
+          graft.io.DeltaSupport.restorePrevious(spark, loc).toInt
+        else if (graft.io.Versioned.hasAppendManifests(conf, loc))
+          graft.io.Versioned.restoreAppendManifest(conf, loc)
+        else graft.io.Versioned.restorePrevious(conf, loc)) match {
         case scala.util.Success(restored) =>
           throw new graft.dq.DQValidationFailedException(
-            s"${e.getMessage}; input restored to previous version v$restored " +
-              s"(${input.location.get})", e)
+            "Data Quality Validations Failed! The delta table/files were " +
+              s"restored to the previous version! (v$restored at $loc; " +
+              s"${e.getMessage})", e)
         case scala.util.Failure(restoreErr) =>
           e.addSuppressed(restoreErr)
           throw e
       }
   }
+
+  /** The input's physical location: explicit, or looked up from the
+    * catalog for db_table inputs (the reference restores managed tables
+    * through the DeltaTable API; the fallback needs the path). */
+  private def resolveLocation(
+      spark: SparkSession, input: InputSpec): Option[String] =
+    input.location.orElse(input.dbTable.flatMap { t =>
+      scala.util.Try {
+        val parts = t.split("\\.")
+        val ident =
+          if (parts.length == 2)
+            org.apache.spark.sql.catalyst.TableIdentifier(parts(1), Some(parts(0)))
+          else org.apache.spark.sql.catalyst.TableIdentifier(t)
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .location.getPath
+      }.toOption
+    })
 }

@@ -139,8 +139,16 @@ object DQEngine {
         Some(c.cast("timestamp") >
           current_timestamp() - expr(s"INTERVAL $deltaSeconds SECONDS"))
       case "expect_column_pair_a_to_be_smaller_or_equal_than_b" =>
+        // reference: `column_A <= column_B + margin` under PRE-ANSI Spark
+        // arithmetic — string operands coerce to double, malformed values
+        // become null, and a null comparison never counts as unexpected
+        // (GX filters unexpected rows as `~condition`, which drops nulls)
         val margin = num(a, "margin").getOrElse(0.0)
-        Some(col(str(a, "column_A").get) <= col(str(a, "column_B").get) + lit(margin))
+        val ca = col(str(a, "column_A").get)
+          .try_cast(org.apache.spark.sql.types.DoubleType)
+        val cb = col(str(a, "column_B").get)
+          .try_cast(org.apache.spark.sql.types.DoubleType)
+        Some(coalesce(ca <= cb + lit(margin), lit(true)))
       case "expect_column_pair_date_a_to_be_greater_than_or_equal_to_date_b" =>
         Some(to_date(col(str(a, "column_A").get)) >= to_date(col(str(a, "column_B").get)))
       case "expect_column_pair_a_to_be_not_equal_to_b" =>
@@ -574,7 +582,8 @@ object DQEngine {
 
   /** Run a DQ spec: one scan for all row-level expectations + one action
     * per table-level expectation; apply the failure policy. */
-  def run(spark: SparkSession, df: DataFrame, spec: DQSpec): DQRunResult = {
+  def runOutcome(spark: SparkSession, df: DataFrame,
+      spec: DQSpec): (DQRunResult, Option[DQValidationFailedException]) = {
     // Each function instance carries its own critical flag — the same
     // function name may appear in both lists with different args, so
     // outcomes must never be classified by name.
@@ -663,11 +672,22 @@ object DQEngine {
         (spec.failOnError && failed.nonEmpty)
 
     val result = DQRunResult(s"dq_${spec.specId}", failed.isEmpty, outcomes)
-    if (policyBreached)
-      throw new DQValidationFailedException(
+    val failure =
+      if (!policyBreached) None
+      else Some(new DQValidationFailedException(
         s"DQ run ${result.runName} failed: " +
           failed.map(o => s"${o.function}(${o.unexpectedCount}/${o.elementCount})")
-            .mkString("; "))
+            .mkString("; ")))
+    (result, failure)
+  }
+
+  /** Run a DQ spec and apply the failure policy. Like the reference
+    * (`dq_factory.py` _process_chunk), callers that own a result sink
+    * should use [[runOutcome]] so the sink is written BEFORE the policy
+    * breach is raised — the failed run's results must land in the sink. */
+  def run(spark: SparkSession, df: DataFrame, spec: DQSpec): DQRunResult = {
+    val (result, failure) = runOutcome(spark, df, spec)
+    failure.foreach(throw _)
     result
   }
 
@@ -869,7 +889,17 @@ object DQEngine {
         "checkpoint_config" -> s"checkpoint_config_${spec.specId}",
         "run_name" -> result.runName,
         "run_time" -> now.toString,
-        "validation_results" -> s"validation_results_${spec.specId}",
+        // the reference serializes the row's own validation result here
+        // (`dq_factory.py:526` to_json(validation_results)); tests
+        // introspect it for `success` + `expectation_config`
+        "validation_results" -> graft.spec.Specs.renderJson(Map(
+          "success" -> o.success,
+          "expectation_config" -> Map(
+            "type" -> o.function, "kwargs" -> o.args),
+          "result" -> (Map(
+            "element_count" -> o.elementCount,
+            "unexpected_count" -> o.unexpectedCount) ++
+            o.observedValue.map("observed_value" -> _).toMap))),
         "success" -> result.success,
         "spec_id" -> spec.specId,
         "input_id" -> spec.inputId,

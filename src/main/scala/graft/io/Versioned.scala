@@ -105,4 +105,78 @@ object Versioned {
       s"restore: rename v$target -> $live failed")
     target
   }
+
+  // ---- append manifests: O(metadata) versioning for append-only writes --
+
+  private def manifestPath(location: String, n: Int): Path =
+    new Path(location.stripSuffix("/") + s"__m$n")
+
+  /** Existing append-manifest versions, ascending. */
+  def manifestVersions(conf: Configuration, location: String): Seq[Int] = {
+    val live = new Path(location.stripSuffix("/"))
+    val fs = live.getFileSystem(conf)
+    val parent = live.getParent
+    val prefix = live.getName + "__m"
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) &&
+          n.length > prefix.length && n.drop(prefix.length).forall(_.isDigit) =>
+        n.drop(prefix.length).toInt }
+      .sorted
+  }
+
+  private def listFilesRelative(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    val rootStr = root.toUri.getPath.stripSuffix("/")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath.toUri.getPath
+      out += f.stripPrefix(rootStr).stripPrefix("/")
+    }
+    out.toSeq
+  }
+
+  /** Record the file set present at `location` BEFORE an append lands —
+    * the Delta-transaction-log analogue for append-only writes. Restoring
+    * a version deletes the files the append added; no data is copied, so
+    * recording costs one directory listing regardless of table size
+    * (unlike [[commit]]'s whole-location archive, which suits rewrites).
+    * No-op when the location does not exist yet (version 0 is creation). */
+  def recordAppendManifest(conf: Configuration, location: String): Unit = {
+    val live = new Path(location.stripSuffix("/"))
+    val fs = live.getFileSystem(conf)
+    if (!fs.exists(live)) return
+    val n = manifestVersions(conf, location).lastOption.getOrElse(0) + 1
+    val files = listFilesRelative(fs, live)
+    val out = fs.create(manifestPath(location, n), true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Restore `location` to the newest append manifest: delete every data
+    * file the last append(s) added, then drop the manifest so another
+    * restore walks further back. Returns the restored manifest number. */
+  def restoreAppendManifest(conf: Configuration, location: String): Int = {
+    val live = new Path(location.stripSuffix("/"))
+    val fs = live.getFileSystem(conf)
+    val ms = manifestVersions(conf, location)
+    require(ms.nonEmpty, s"restore: no append manifests for $location")
+    val target = ms.last
+    val p = manifestPath(location, target)
+    val in = fs.open(p)
+    val keep =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").toSet.filter(_.nonEmpty)
+      finally in.close()
+    listFilesRelative(fs, live).filterNot(keep).foreach(rel =>
+      fs.delete(new Path(live, rel), false))
+    fs.delete(p, false)
+    target
+  }
+
+  /** True when `location` has append manifests (restore should use them
+    * rather than the whole-location archives). */
+  def hasAppendManifests(conf: Configuration, location: String): Boolean =
+    manifestVersions(conf, location).nonEmpty
 }

@@ -133,6 +133,12 @@ object Writers {
                   spec.location.map(deltaSchemaContract(spark, spec, df, mode, _))
                     .getOrElse(df)
                 else df
+              // delta versions every commit; the fallback records an
+              // append MANIFEST (file listing, no data copy) so RESTORE
+              // can drop exactly the files this append adds
+              if (fmt == "delta" && effFmt == "parquet" && mode == "append")
+                spec.location.foreach(l => Versioned.recordAppendManifest(
+                  spark.sparkContext.hadoopConfiguration, l))
               val w = outDf.write.format(effFmt).options(spec.options).mode(mode)
               val withParts =
                 if (spec.partitions.nonEmpty) w.partitionBy(spec.partitions: _*) else w
@@ -468,6 +474,14 @@ object Writers {
             case "delta" if !DeltaSupport.available => "parquet"
             case f => f
           }
+          // delta fallback: record the pre-run file set so RESTORE can
+          // drop exactly what this run appends (one manifest per run —
+          // the availableNow analogue of a Delta commit). Safe to list
+          // here: the previous run's query was awaited before this one.
+          if (fmt == "parquet" && spec.dataFormat.contains("delta") &&
+              spec.writeType != "complete")
+            spec.location.foreach(l => Versioned.recordAppendManifest(
+              spark.sparkContext.hadoopConfiguration, l))
           val withParts =
             if (spec.partitions.nonEmpty) base.partitionBy(spec.partitions: _*) else base
           (spec.dbTable, spec.location) match {

@@ -64,6 +64,19 @@ final case class DQSpec(
     resultSinkExplode: Option[Boolean] = None,
     /** prisma variant: table name or parquet location holding rule rows */
     rulesTable: Option[String] = None,
+    /** PRISMA rules table (reference `dq_db_table`, `utils/dq_utils.py`) */
+    dqDbTable: Option[String] = None,
+    /** PRISMA `table` filter on the rules table (mandatory with dqDbTable) */
+    dqTableTableFilter: Option[String] = None,
+    /** PRISMA extra SQL filter on the rules table */
+    dqTableExtraFilters: Option[String] = None,
+    /** PRISMA data product (drives the bucket-derived sink locations) */
+    dataProductName: Option[String] = None,
+    /** PRISMA: derive unexpected_rows_pk from this table's
+      * `lakehouse.primary_key` property */
+    tblToDerivePk: Option[String] = None,
+    /** PRISMA: where the processed source keys of each run are appended */
+    processedKeysLocation: Option[String] = None,
     /** max failing-key entries per result-sink row (reference
       * `dq_spec.result_sink_chunk_size`, default 1M) */
     resultSinkChunkSize: Int = 1000000)
@@ -187,7 +200,10 @@ object Specs {
       DQFunctionSpec(str(f, "function").get, anyMap(f, "args"))),
     criticalFunctions = seqOfMaps(m, "critical_functions").map(f =>
       DQFunctionSpec(str(f, "function").get, anyMap(f, "args"))),
-    failOnError = bool(m, "fail_on_error", default = true),
+    failOnError = bool(m, "fail_on_error",
+      // PRISMA defaults to NOT failing the run (`dq_utils.py`
+      // build_prisma_dq_spec: fail_on_error = spec.get(.., False))
+      default = !str(m, "dq_type").contains("prisma")),
     maxPercentageFailure = num(m, "max_percentage_failure"),
     tagSourceData = bool(m, "tag_source_data"),
     unexpectedRowsPk = strSeq(m, "unexpected_rows_pk"),
@@ -215,6 +231,12 @@ object Specs {
         Some(bool(m, "result_sink_explode", default = true))
       else None,
     rulesTable = str(m, "rules_table"),
+    dqDbTable = str(m, "dq_db_table"),
+    dqTableTableFilter = str(m, "dq_table_table_filter"),
+    dqTableExtraFilters = str(m, "dq_table_extra_filters"),
+    dataProductName = str(m, "data_product_name"),
+    tblToDerivePk = str(m, "tbl_to_derive_pk"),
+    processedKeysLocation = str(m, "processed_keys_location"),
     resultSinkChunkSize =
       num(m, "result_sink_chunk_size").map(_.toInt).getOrElse(1000000))
 

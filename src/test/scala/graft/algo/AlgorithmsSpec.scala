@@ -163,7 +163,7 @@ class AlgorithmsSpec extends SparkSpec {
     val e = intercept[graft.dq.DQValidationFailedException] {
       DQValidator.validate(spark, input, dq, restorePrevVersion = true)
     }
-    assert(e.getMessage.contains("restored to previous version v1"))
+    assert(e.getMessage.contains("restored to the previous version! (v1"))
     // the original DQ failure travels as the cause, not just flattened text
     assert(e.getCause.isInstanceOf[graft.dq.DQValidationFailedException])
     // live content is back to v1 and the bad generation stays in history
