@@ -27,6 +27,12 @@ object Engine {
 
   /** `execute_reconciliation`: truth-vs-current diff with thresholded
     * metrics; throws on a red breach. */
+  /** `execute_reconciliation` over a full reconciliation ACON
+    * (`algorithms/reconciliator.py`). Returns the recon results map. */
+  def executeReconciliation(
+      spark: SparkSession, aconJson: String): Map[String, Double] =
+    algo.Reconciliator.runAcon(spark, spec.Specs.parseJsonMap(aconJson))
+
   def executeReconciliation(
       truth: DataFrame, current: DataFrame, keys: Seq[String],
       metrics: Seq[(String, String)], agg: String = "max",

@@ -654,7 +654,7 @@ object Gab {
       // asking for DISK_ONLY must not silently get MEMORY_AND_DISK.
       st.storageLevel.foreach { lvl =>
         spark.catalog.cacheTable(st.tableAlias,
-          org.apache.spark.storage.StorageLevel.fromString(lvl.toUpperCase))
+          graft.exec.StorageLevels.parse(lvl))
       }
     }
     stages.maxBy(_.order).tableAlias

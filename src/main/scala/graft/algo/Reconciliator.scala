@@ -11,7 +11,131 @@ import org.apache.spark.sql.functions._
   * (null-safe via coalesce/try_divide), followed by a single aggregate and
   * driver-side yellow/red threshold evaluation.
   */
+/** The reference's ReconciliationFailedException
+  * (`algorithms/exceptions.py`). */
+final class ReconciliationFailedException(msg: String)
+    extends RuntimeException(msg)
+
 object Reconciliator {
+
+  /** The reference's ACON-driven entry (`execute_reconciliation`,
+    * `algorithms/reconciliator.py:43-312`): read truth/current through
+    * any input spec, optionally preprocess each with a SQL query over a
+    * `truth`/`current` temp view plus cache/persist transformer args,
+    * join on every non-metric column, compute per-metric
+    * absolute/percentage diffs with the reference's exact null algebra
+    * (null pct from a 0-truth divide counts 0 when the values null-safe
+    * match, else 1), aggregate each metric with its own aggregation, and
+    * evaluate yellow/red per metric. Raises ReconciliationFailedException
+    * with the reference's message on empty inputs or a non-green status.
+    *
+    * @return the recon results map (metric_type_diff_agg -> value) when
+    *         the process succeeds (green)
+    */
+  def runAcon(
+      spark: org.apache.spark.sql.SparkSession,
+      acon: Map[String, Any],
+      dfs: graft.io.Readers.DfSupplier =
+        name => sys.error(s"no DataFrame registered as '$name'")): Map[String, Double] = {
+    import graft.spec.Specs.A._
+    val metrics = seqOfMaps(acon, "metrics")
+    require(metrics.nonEmpty, "reconciliation needs metrics")
+    def readSide(specKey: String, queryKey: String, argsKey: String,
+        view: String): DataFrame = {
+      val in = graft.spec.Specs.inputSpec(anyMap(acon, specKey))
+      var df = graft.io.Readers.read(spark, in, dfs)
+      str(acon, queryKey).foreach { q =>
+        df.createOrReplaceTempView(view)
+        df = spark.sql(q)
+      }
+      // preprocess args: absent -> default cache; [] -> nothing;
+      // otherwise only cache/persist are available
+      // (ReconciliationTransformers.AVAILABLE_TRANSFORMERS)
+      acon.get(argsKey) match {
+        case None => df = df.cache()
+        case Some(args: Seq[_]) =>
+          seqOfMaps(acon, argsKey).foreach { t =>
+            str(t, "function").getOrElse("") match {
+              case "cache" => df = df.cache()
+              case "persist" =>
+                val lvl = str(anyMap(t, "args"), "storage_level")
+                  .getOrElse("MEMORY_AND_DISK")
+                df = df.persist(
+                  graft.exec.StorageLevels.parse(lvl))
+              case other => sys.error(
+                s"reconciliation preprocess transformer '$other' is not available")
+            }
+          }
+        case Some(_) => ()
+      }
+      df
+    }
+    val truth = readSide("truth_input_spec", "truth_preprocess_query",
+      "truth_preprocess_query_args", "truth")
+    val current = readSide("current_input_spec", "current_preprocess_query",
+      "current_preprocess_query_args", "current")
+
+    if (bool(acon, "ignore_empty_df") && truth.isEmpty && current.isEmpty)
+      return Map.empty // both empty: succeed without reconciling
+
+    if (truth.isEmpty || current.isEmpty)
+      throw new ReconciliationFailedException(
+        "The reconciliation has failed because either the truth dataset or " +
+          "the current results dataset was empty.")
+
+    val metricNames = metrics.flatMap(str(_, "metric")).toSet
+    val joinCond = current.columns.filterNot(metricNames)
+      .map(c => truth(c) === current(c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    var joined = truth.alias("truth").join(current.alias("current"), joinCond, "full")
+    metrics.foreach { m =>
+      val name = str(m, "metric").get
+      val diffCol = s"${name}_${str(m, "type").get}_diff"
+      val d = str(m, "type").get match {
+        case "percentage" =>
+          coalesce(
+            abs(try_divide(col(s"current.$name") - col(s"truth.$name"),
+              abs(col(s"truth.$name")))),
+            when(col(s"current.$name") <=> col(s"truth.$name"), lit(0))
+              .otherwise(lit(1)))
+        case "absolute" =>
+          abs(coalesce(col(s"current.$name"), lit(0)) -
+            coalesce(col(s"truth.$name"), lit(0)))
+        case other => sys.error(
+          s"The requested reconciliation type is not yet implemented: $other")
+      }
+      joined = joined.withColumn(diffCol, d.cast("float"))
+    }
+    val aggCols = metrics.map { m =>
+      val diffCol = s"${str(m, "metric").get}_${str(m, "type").get}_diff"
+      val fn = str(m, "aggregation").get
+      (fn match {
+        case "sum" => sum(col(diffCol))
+        case "avg" | "mean" => avg(col(diffCol))
+        case "max" => max(col(diffCol))
+        case "min" => min(col(diffCol))
+        case other => expr(s"$other(`$diffCol`)")
+      }).as(s"${diffCol}_$fn")
+    }
+    val row = joined.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val results = row.schema.fieldNames.map(f =>
+      f -> Option(row.getAs[Any](f)).map(_.toString.toDouble).getOrElse(0.0)).toMap
+
+    var status = "green"
+    metrics.foreach { m =>
+      val key = s"${str(m, "metric").get}_${str(m, "type").get}_diff_${str(m, "aggregation").get}"
+      val v = results(key)
+      val yellow = num(m, "yellow").get
+      val red = num(m, "red").get
+      if (red <= v) status = "red"
+      else if (yellow <= v && v < red && status == "green") status = "yellow"
+    }
+    if (status != "green")
+      throw new ReconciliationFailedException(
+        s"The Reconciliation process has failed with status: $status.")
+    results
+  }
+
 
   /** Outcome of one metric's threshold evaluation. */
   final case class MetricStatus(

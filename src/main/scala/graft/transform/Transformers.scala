@@ -429,7 +429,7 @@ object Transformers {
     case "plan_barrier" => df => graft.util.PlanBarrier.fence(df)
     case "cache" => df => df.cache()
     case "persist" => df =>
-      df.persist(StorageLevel.fromString(str(args, "storage_level").getOrElse("MEMORY_AND_DISK")))
+      df.persist(graft.exec.StorageLevels.parse(str(args, "storage_level").getOrElse("MEMORY_AND_DISK")))
     case "unpersist" => df => df.unpersist(bool(args, "blocking"))
 
     // ---- curation stages as declarative pipeline steps (engine
@@ -497,8 +497,13 @@ object Transformers {
 
     // ---- streaming (§2.8) ----------------------------------------------
     case "with_watermark" => df =>
-      df.withWatermark(str(args, "watermark_col").get,
-        str(args, "watermark_delay").getOrElse("10 minutes"))
+      // reference spellings (`transformers/watermarker.py:16`):
+      // watermarker_column / watermarker_time; engine-local short names
+      // kept as aliases
+      df.withWatermark(
+        str(args, "watermarker_column").orElse(str(args, "watermark_col")).get,
+        str(args, "watermarker_time").orElse(str(args, "watermark_delay"))
+          .getOrElse("10 minutes"))
 
     case other =>
       throw new IllegalArgumentException(s"unknown transformer: $other")
