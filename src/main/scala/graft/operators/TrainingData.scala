@@ -124,12 +124,34 @@ object TrainingData {
   def packSequences(
       df: DataFrame, idCol: String, textCol: String,
       tokenBudget: Int, nShards: Int): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // Two-level prefix sum. A single window partitioned by shard caps
+    // parallelism at nShards (typically single digits): every shard's
+    // full row set lands in ONE task that sorts and scans it — the
+    // measured q77 bottleneck at 500x corpus scale. Bucketing doc ids
+    // restores parallelism while keeping the EXACT same cumulative sums:
+    //   cum_before(row) = bucket_offset(shard, bucket) + within-bucket
+    //                     prefix sum ordered by id
+    // where bucket offsets come from a window over the per-bucket totals
+    // — a frame ~BucketWidth times smaller than the data. Both remaining
+    // data-sized shuffles carry only (id, n_tokens, shard, bucket).
+    val BucketWidth = 4096L
+    val narrow = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+      floor(col(idCol).cast("long") / BucketWidth).as("__bucket"))
+    val bucketTotals = narrow.groupBy(col("shard"), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+    val wb = Window.partitionBy(col("shard")).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        pmod(col(idCol), lit(nShards.toLong)).as("shard"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val offsets = bucketTotals.withColumn("__bucket_offset",
+      coalesce(sum(col("__bucket_tokens")).over(wb), lit(0L)))
+      .select(col("shard"), col("__bucket"), col("__bucket_offset"))
+    val wl = Window.partitionBy(col("shard"), col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    narrow
+      .withColumn("__local_before", coalesce(sum(col("n_tokens")).over(wl), lit(0L)))
+      .join(broadcast(offsets), Seq("shard", "__bucket"))
+      .withColumn("cum_before", col("__bucket_offset") + col("__local_before"))
       .withColumn("pack_id", floor(col("cum_before") / tokenBudget))
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
