@@ -104,10 +104,14 @@ object DQEngine {
         Some(size(array_distinct(array(cols: _*))) === cols.length)
       case "expect_multicolumn_sum_to_equal" =>
         // per-row: sum(column_list) == sum_total (GX multicolumn map
-        // expectation; heavily used in the reference's test suites)
-        val cols = anySeq(a, "column_list").map(n => col(String.valueOf(n)))
+        // expectation; heavily used in the reference's test suites).
+        // PRE-ANSI arithmetic like the reference engine: string operands
+        // coerce to double, malformed values null the sum, and a null
+        // comparison never counts as unexpected.
+        val cols = anySeq(a, "column_list").map(n =>
+          col(String.valueOf(n)).try_cast(org.apache.spark.sql.types.DoubleType))
         val total = num(a, "sum_total").get
-        Some(cols.reduce(_ + _) === lit(total))
+        Some(coalesce(cols.reduce(_ + _) === lit(total), lit(true)))
       case "expect_column_value_lengths_to_be_between" =>
         val l = length(c)
         val lo = num(a, "min_value").map(v => l >= v.toInt)
@@ -671,7 +675,14 @@ object DQEngine {
         spec.maxPercentageFailure.exists(pctFailed > _) ||
         (spec.failOnError && failed.nonEmpty)
 
-    val result = DQRunResult(s"dq_${spec.specId}", failed.isEmpty, outcomes)
+    // run name in the reference's GX shape
+    // (`{ts}-{spec_id}-{input_id}-{batch}-checkpoint`): its golden
+    // compares strip the digit segments, leaving the id structure
+    val ts = java.time.LocalDateTime.now().format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss"))
+    val result = DQRunResult(
+      s"$ts-${spec.specId}-${spec.inputId}-${System.currentTimeMillis()}-checkpoint",
+      failed.isEmpty, outcomes)
     val failure =
       if (!policyBreached) None
       else Some(new DQValidationFailedException(
@@ -731,11 +742,29 @@ object DQEngine {
   def tagSource(df: DataFrame, spec: DQSpec, runResult: DQRunResult): DataFrame = {
     val rowFns = (spec.dqFunctions ++ spec.criticalFunctions)
       .flatMap(f => rowPredicate(f).map(f -> _))
-    if (rowFns.isEmpty) return df
+    if (rowFns.isEmpty)
+      // no row-level expectations: every row still gets the complementary
+      // struct — run-level success only, run_row_success true, no details
+      // (reference `validator.py` _join_complementary_data; a TABLE-level
+      // failure flips run_success but never tags rows)
+      return df.withColumn("dq_validations",
+        struct(
+          lit(runResult.runName).as("run_name"),
+          lit(runResult.success).as("run_success"),
+          lit(false).as("raised_exceptions"),
+          lit(true).as("run_row_success"),
+          lit(null).cast("array<struct<expectation_type:string,kwargs:string>>")
+            .as("dq_failure_details")))
     val details = array(rowFns.map { case (f, pred) =>
       when(!coalesce(pred, lit(false)),
         struct(lit(f.function).as("expectation_type"),
-          lit(f.args.map { case (k, v) => s"$k=$v" }.mkString(", ")).as("kwargs")))
+          // kwargs ride as compact JSON with numerics as doubles and the
+          // keys ALPHABETICAL — the GX rendering the reference's tagged
+          // controls pin (`dq_processors/validator.py` collect_set)
+          lit(graft.spec.Specs.renderJson(
+            scala.collection.immutable.ListMap(
+              f.args.toSeq.sortBy(_._1).map { case (k, v) =>
+                k -> stableJsonValue(v) }: _*))).as("kwargs")))
         .otherwise(lit(null))
     }: _*)
     val failures = filter(details, x => x.isNotNull)
@@ -745,7 +774,9 @@ object DQEngine {
         lit(runResult.success).as("run_success"),
         lit(false).as("raised_exceptions"),
         (size(failures) === 0).as("run_row_success"),
-        failures.as("dq_failure_details")))
+        // rows without failures carry NULL details, like the reference's
+        // complementary join (not an empty array)
+        when(size(failures) > 0, failures).as("dq_failure_details")))
   }
 
   /** Chunked result sink with FULL unexpected-key coverage
@@ -830,13 +861,15 @@ object DQEngine {
           "unexpected_count" -> o.unexpectedCount) ++
           o.observedValue.map("observed_value" -> _).toMap))
     })
+    val unexpected = result.outcomes.flatMap(_.unexpectedIndexList)
     Seq((
       s"checkpoint_config_${spec.specId}", s"run_id_${spec.specId}",
       s"run_results_${spec.specId}", result.success, spec.specId, spec.inputId,
-      result.runName, now, validations, spec.unexpectedRowsPk))
+      result.runName, now, validations, spec.unexpectedRowsPk,
+      if (unexpected.isEmpty) null else unexpected))
       .toDF("checkpoint_config", "run_id", "run_results", "success",
         "spec_id", "input_id", "run_name", "run_time", "validation_results",
-        "source_primary_key")
+        "source_primary_key", "unexpected_index_list")
   }
 
   /** Result-sink layout dispatch: Some(true) = reference EXPLODED,
@@ -874,7 +907,10 @@ object DQEngine {
     * user's original rendering. */
   private def stableJsonValue(v: Any): Any = v match {
     case n: java.lang.Number => n.doubleValue()
-    case s: Seq[_] => s.map(stableJsonValue)
+    // array-typed kwargs (value_set et al.) keep the user's rendering:
+    // GX preserves them verbatim and the reference's controls pin the
+    // integer spelling; the bigint-vs-double footer instability the
+    // scalar rule guards against is a scalar-column phenomenon
     case other => other
   }
 

@@ -131,6 +131,8 @@ object Writers {
               val outDf =
                 if (fmt == "delta" && effFmt == "parquet")
                   spec.location.map(deltaSchemaContract(spark, spec, df, mode, _))
+                    .orElse(spec.dbTable.map(
+                      deltaTableSchemaContract(spark, spec, df, mode, _)))
                     .getOrElse(df)
                 else df
               // delta versions every commit; the fallback records an
@@ -229,6 +231,41 @@ object Writers {
           .getOrElse(lit(null).cast(tf.dataType).as(tf.name))
       } ++ extra.map(f => col(f.name))
     df.select(aligned.toSeq: _*)
+  }
+
+  /** [[deltaSchemaContract]] for catalog-table targets (`db_table`-only
+    * output specs, e.g. DQ result-sink tables): appends with schema
+    * auto-merge EVOLVE the table via ALTER TABLE ADD COLUMNS — the
+    * catalog analogue of a Delta metadata commit — and the batch is
+    * aligned to the evolved schema; without auto-merge, extra columns
+    * fail like Delta's append validation. */
+  private def deltaTableSchemaContract(
+      spark: SparkSession, spec: OutputSpec, df: DataFrame,
+      mode: String, table: String): DataFrame = {
+    if (mode != "append" || !spark.catalog.tableExists(table)) return df
+    val tgt = spark.table(table).schema
+    val autoMerge =
+      spark.conf.getOption("spark.databricks.delta.schema.autoMerge.enabled")
+        .exists(_.equalsIgnoreCase("true")) ||
+      spec.options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
+    val tgtByLower = tgt.fields.map(f => f.name.toLowerCase -> f).toMap
+    val srcByLower = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val extra = df.schema.fields.filterNot(f => tgtByLower.contains(f.name.toLowerCase))
+    if (extra.nonEmpty && !autoMerge)
+      sys.error(s"output spec ${spec.specId}: A schema mismatch detected when " +
+        s"writing to the Delta table $table — source columns " +
+        s"${extra.map(_.name).mkString(", ")} are not in the table schema; " +
+        "enable spark.databricks.delta.schema.autoMerge.enabled or pass " +
+        "mergeSchema=true to evolve it (Delta schema contract)")
+    if (extra.nonEmpty)
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS (" +
+        extra.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+    val evolved = spark.table(table).schema
+    df.select(evolved.fields.map { tf =>
+      srcByLower.get(tf.name.toLowerCase)
+        .map(sf => col(sf.name).cast(tf.dataType).as(tf.name))
+        .getOrElse(lit(null).cast(tf.dataType).as(tf.name))
+    }.toSeq: _*)
   }
 
   // ---- merge (native, no Delta in this build) ---------------------------

@@ -202,8 +202,11 @@ object Specs {
       DQFunctionSpec(str(f, "function").get, anyMap(f, "args"))),
     failOnError = bool(m, "fail_on_error",
       // PRISMA defaults to NOT failing the run (`dq_utils.py`
-      // build_prisma_dq_spec: fail_on_error = spec.get(.., False))
-      default = !str(m, "dq_type").contains("prisma")),
+      // build_prisma_dq_spec: fail_on_error = spec.get(.., False));
+      // tag_source_data=true NULLIFIES fail_on_error outright — tagging
+      // only works on a run that completes (`core/definitions.py:785`)
+      default = !str(m, "dq_type").contains("prisma")) &&
+      !bool(m, "tag_source_data"),
     maxPercentageFailure = num(m, "max_percentage_failure"),
     tagSourceData = bool(m, "tag_source_data"),
     unexpectedRowsPk = strSeq(m, "unexpected_rows_pk"),

@@ -1,0 +1,115 @@
+package graft.spec
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The remaining load_with_dq_validator scenarios executed VERBATIM
+  * (`tests/feature/test_data_quality.py` — full_overwrite and
+  * delta_with_duplicates already run in ReferenceScenariosSpec): the
+  * tagged variants compare the loaded data's `dq_validations` struct
+  * against the reference's controls with its own normalization (digits
+  * out of run_name, batch ids out of kwargs, details sorted), and
+  * no_transformers pins the RAW result-sink layout in a load context. */
+class ReferenceDqLoadSpec extends SparkSpec with ReferenceHarness {
+
+  private val dqRoot = s"$refRoot/data_quality/load_with_dq_validator"
+
+  private val volatileCols = Seq("checkpoint_config", "run_name", "run_time",
+    "run_results", "validation_results", "validation_result_identifier",
+    "exception_info", "batch_id", "run_time_year", "run_time_month",
+    "run_time_day", "kwargs", "processed_keys", "meta",
+    // GX-side run bookkeeping columns with no engine analogue
+    "run_id", "success_percent", "source_primary_key")
+
+  private def runScenario(name: String, readType: String): String = {
+    ensureTestDb()
+    spark.sql(s"DROP TABLE IF EXISTS test_db.validator_$name")
+    val res = s"$dqRoot/$name"
+    val tmp = tmpDir(s"ref-dql-$name")
+    val inDir = s"$tmp/in/feature/data_quality/load_with_dq_validator/$name/data"
+    copyIn(s"$res/data/source/part-01.csv", inDir)
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/${readType}_init.json", tmp))
+    if (name.startsWith("full_overwrite")) cleanDir(inDir)
+    Files.list(Paths.get(s"$res/data/source")).forEach { p =>
+      val n = p.getFileName.toString
+      if (n != "part-01.csv") copyIn(p.toString, inDir)
+    }
+    graft.algo.DataLoader.loadData(spark, rebase(s"$res/${readType}_new.json", tmp))
+    tmp
+  }
+
+  private def assertSinkMatchesControl(name: String): Unit = {
+    val res = s"$dqRoot/$name"
+    val controlSchema = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(
+        Paths.get(s"$res/data/control/data_validator_schema.json")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val control = spark.read.schema(controlSchema)
+      .json(s"$res/data/control/data_validator.json")
+    // the reference's has_diff projects the CONTROL onto the RESULT's
+    // columns (DataframeHelpers.has_diff selects df.columns from both),
+    // so extra control-schema columns other scenarios populate are
+    // ignored; every result column must exist in the control schema
+    val result = spark.table(s"test_db.validator_$name")
+    val compared = result.columns.toSeq.filterNot(volatileCols.contains)
+    compared.foreach(c => assert(controlSchema.fieldNames.contains(c),
+      s"result sink column '$c' not in the reference control schema"))
+    def norm(df: DataFrame) = df.select(compared.map {
+      // representation delta: GX renders failing keys as structs, the
+      // engine as JSON strings — same information; compare cardinality
+      case c @ "unexpected_index_list" => size(col(c)).cast("string").as(c)
+      case c =>
+      val cast = col(c).cast(controlSchema(c).dataType).cast("string")
+      (when(cast.rlike("^-?[0-9]+(\\.[0-9]+)?$"),
+        cast.cast("double").cast("string")).otherwise(cast)).as(c)
+    }: _*)
+    assertSameRows(norm(result), norm(control))
+  }
+
+  /** The reference's _prepare_validation_df: digits out of run_name,
+    * batch ids out of kwargs, failure details sorted. */
+  private def prepValidation(df: DataFrame): DataFrame =
+    df.withColumn("dq_validations",
+      col("dq_validations")
+        .withField("run_name",
+          regexp_replace(col("dq_validations.run_name"), "[0-9]", ""))
+        .withField("dq_failure_details",
+          array_sort(transform(col("dq_validations.dq_failure_details"),
+            x => x.withField("kwargs",
+              regexp_replace(x.getField("kwargs"), "\"batch_id\":.*?,", ""))))))
+
+  private def assertTaggedMatchesControl(name: String, tmp: String): Unit = {
+    val res = s"$dqRoot/$name"
+    val salesSchema = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(Paths.get(s"$res/data/control/sales_schema.json")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val control = prepValidation(spark.read.schema(salesSchema)
+      .json(s"$res/data/control/sales.json"))
+    val result = prepValidation(spark.read.option("mergeSchema", "true").parquet(
+      s"$tmp/out/feature/data_quality/load_with_dq_validator/$name/data"))
+    def norm(df: DataFrame) = df.select(control.columns.map(c =>
+      col(c).cast(salesSchema(c).dataType)).toSeq: _*)
+      .select(control.columns.map(c => col(c).cast("string").as(c)).toSeq: _*)
+    assertSameRows(norm(result), norm(control))
+  }
+
+  for ((name, readType) <- Seq(
+      "delta_with_duplicates_tag" -> "streaming",
+      "delta_with_dupl_tag_gen_fail" -> "streaming",
+      "full_overwrite_tag" -> "batch"))
+    test(s"reference data_quality/load_with_dq_validator/$name: tagged data + sink match the controls") {
+      assume(new java.io.File(s"$dqRoot/$name").isDirectory, s"missing $dqRoot/$name")
+      val tmp = runScenario(name, readType)
+      assertSinkMatchesControl(name)
+      assertTaggedMatchesControl(name, tmp)
+    }
+
+  test("reference data_quality/load_with_dq_validator/no_transformers: raw result sink matches the control") {
+    assume(new java.io.File(s"$dqRoot/no_transformers").isDirectory,
+      s"missing $dqRoot/no_transformers")
+    runScenario("no_transformers", "streaming")
+    assertSinkMatchesControl("no_transformers")
+  }
+}
