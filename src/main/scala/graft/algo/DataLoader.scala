@@ -170,8 +170,11 @@ final class DataLoader(
     val lineageDqs =
       if (chain.nonEmpty) chain.toSeq
       else acon.dqSpecs.filter(_.inputId == out.inputId)
+    // PRISMA specs on a streaming lineage resolve here, at plan time —
+    // rules are config-sized and the reference resolves them before the
+    // query starts (`acon_utils.py` resolve_dq_functions)
     val streamingDqs = lineageDqs.filter(dq =>
-      data.get(dq.inputId).exists(_.isStreaming))
+      data.get(dq.inputId).exists(_.isStreaming)).map(resolvePrisma)
     if (deferred.isEmpty && streamingDqs.isEmpty) None
     else Some(Writers.MicroBatchPlan { batch =>
       val transformed = deferred.foldLeft(batch) { case (df, (tr, _)) =>

@@ -763,8 +763,8 @@ object DQEngine {
           // controls pin (`dq_processors/validator.py` collect_set)
           lit(graft.spec.Specs.renderJson(
             scala.collection.immutable.ListMap(
-              f.args.toSeq.sortBy(_._1).map { case (k, v) =>
-                k -> stableJsonValue(v) }: _*))).as("kwargs")))
+              f.args.toSeq.filterNot(_._1 == "meta").sortBy(_._1)
+                .map { case (k, v) => k -> stableJsonValue(v) }: _*))).as("kwargs")))
         .otherwise(lit(null))
     }: _*)
     val failures = filter(details, x => x.isNotNull)

@@ -128,11 +128,16 @@ object Writers {
               // delta requested but stored as parquet: keep Delta's WRITE
               // SCHEMA CONTRACT, which plain parquet would silently skip
               // (see deltaSchemaContract).
+              // the CATALOG schema is authoritative when the table exists
+              // (Delta reads its log; file-discovered schemas can distort
+              // partition-column types under
+              // spark.sql.sources.partitionColumnTypeInference.enabled=false)
               val outDf =
                 if (fmt == "delta" && effFmt == "parquet")
-                  spec.location.map(deltaSchemaContract(spark, spec, df, mode, _))
-                    .orElse(spec.dbTable.map(
-                      deltaTableSchemaContract(spark, spec, df, mode, _)))
+                  spec.dbTable.filter(spark.catalog.tableExists)
+                    .map(deltaTableSchemaContract(spark, spec, df, mode, _))
+                    .orElse(spec.location.map(
+                      deltaSchemaContract(spark, spec, df, mode, _)))
                     .getOrElse(df)
                 else df
               // delta versions every commit; the fallback records an
@@ -200,11 +205,24 @@ object Writers {
     val srcByLower = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val extra = df.schema.fields.filterNot(f => tgtByLower.contains(f.name.toLowerCase))
 
-    // same-name type conflicts: Delta only accepts an up-cast
+    // same-name type conflicts: Delta accepts an up-cast, and — with
+    // auto-merge — widens STRUCT columns by unioning their fields (the
+    // kwargs-splat sink columns grow this way run over run)
+    def structMergeable(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+      case (sa: org.apache.spark.sql.types.StructType,
+            sb: org.apache.spark.sql.types.StructType) =>
+        val byName = sb.fields.map(f => f.name.toLowerCase -> f).toMap
+        sa.fields.forall(f => byName.get(f.name.toLowerCase)
+          .forall(o => o.dataType == f.dataType || structMergeable(f.dataType, o.dataType)))
+      case _ => false
+    }
     tgt.fields.foreach { tf =>
       srcByLower.get(tf.name.toLowerCase).foreach { sf =>
-        if (sf.dataType != tf.dataType &&
-            !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(sf.dataType, tf.dataType))
+        val ok = sf.dataType == tf.dataType ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(sf.dataType, tf.dataType) ||
+          (autoMerge && structMergeable(sf.dataType, tf.dataType))
+        if (!ok)
           sys.error(s"output spec ${spec.specId}: Failed to merge fields " +
             s"'${tf.name}' and '${sf.name}' — incompatible types " +
             s"${tf.dataType.sql} and ${sf.dataType.sql} (Delta schema contract)")
@@ -223,11 +241,27 @@ object Writers {
           "enable spark.databricks.delta.schema.autoMerge.enabled or pass " +
           "mergeSchema=true to evolve it (Delta schema contract)")
     }
-    // evolved schema: table columns (table casing/type), then additions
+    // evolved schema: table columns (table casing/type), then additions.
+    // Struct columns rebuild to the UNION of target + source fields
+    // (null-filled), the one-level analogue of Delta's struct evolution.
+    def alignColumn(src: org.apache.spark.sql.Column, srcType: org.apache.spark.sql.types.DataType,
+        tf: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = (srcType, tf.dataType) match {
+      case (ss: org.apache.spark.sql.types.StructType,
+            ts: org.apache.spark.sql.types.StructType) if ss != ts =>
+        val srcFields = ss.fields.map(f => f.name.toLowerCase -> f).toMap
+        val unioned = ts.fields ++
+          ss.fields.filterNot(f => ts.fields.exists(_.name.equalsIgnoreCase(f.name)))
+        struct(unioned.map { f =>
+          srcFields.get(f.name.toLowerCase)
+            .map(sf => src.getField(sf.name).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        }.toSeq: _*).as(tf.name)
+      case _ => src.cast(tf.dataType).as(tf.name)
+    }
     val aligned =
       tgt.fields.map { tf =>
         srcByLower.get(tf.name.toLowerCase)
-          .map(sf => col(sf.name).cast(tf.dataType).as(tf.name))
+          .map(sf => alignColumn(col(sf.name), sf.dataType, tf))
           .getOrElse(lit(null).cast(tf.dataType).as(tf.name))
       } ++ extra.map(f => col(f.name))
     df.select(aligned.toSeq: _*)

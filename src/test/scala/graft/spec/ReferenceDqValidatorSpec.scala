@@ -59,23 +59,8 @@ class ReferenceDqValidatorSpec extends SparkSpec with ReferenceHarness {
 
   /** `_create_dq_functions_source_table`: the rules CSV becomes the rules
     * table (saveAsTable overwrite, like the reference util). */
-  private val rulesTableCols = Seq(
-    "dq_rule_id", "dq_check_type", "dq_tech_function", "execution_point",
-    "schema", "table", "column", "filters", "arguments",
-    "expected_technical_expression", "dimension")
-
-  private def createRulesTable(testName: String, tableName: String): Unit = {
-    ensureTestDb()
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    // the reference pre-creates an 11-string-column table and the Delta
-    // overwrite keeps that schema, null-filling the columns the CSV lacks
-    val csv = spark.read.options(Map("header" -> "true", "delimiter" -> "|"))
-      .csv(s"$dvRoot/$testName/data/dq_functions/$tableName.csv")
-    csv.select(rulesTableCols.map(c =>
-        if (csv.columns.contains(c)) col(c).cast("string").as(c)
-        else org.apache.spark.sql.functions.lit(null).cast("string").as(c)): _*)
-      .write.mode("overwrite").saveAsTable(tableName)
-  }
+  private def createRulesTable(testName: String, tableName: String): Unit =
+    createPrismaRulesTable(s"$dvRoot/$testName/data/dq_functions/$tableName.csv", tableName)
 
   private def dqSalesSchema: String =
     java.nio.file.Files.readString(

@@ -73,6 +73,25 @@ trait ReferenceHarness { self: SparkSpec =>
       schema: Option[String] = None): Unit =
     assertNoDiffRef(spark.read.parquet(outLoc), readControlCsv(controlCsv, schema))
 
+  /** The reference's `_create_dq_functions_source_table`: an
+    * 11-string-column rules table whose data comes from a `|`-CSV; the
+    * pre-created schema survives the overwrite, null-filling the columns
+    * the CSV lacks (`tests/utils/dq_rules_table_utils.py`). */
+  def createPrismaRulesTable(csvPath: String, tableName: String): Unit = {
+    val cols = Seq(
+      "dq_rule_id", "dq_check_type", "dq_tech_function", "execution_point",
+      "schema", "table", "column", "filters", "arguments",
+      "expected_technical_expression", "dimension")
+    ensureTestDb()
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val csv = spark.read.options(Map("header" -> "true", "delimiter" -> "|"))
+      .csv(csvPath)
+    csv.select(cols.map(c =>
+        if (csv.columns.contains(c)) col(c).cast("string").as(c)
+        else org.apache.spark.sql.functions.lit(null).cast("string").as(c)): _*)
+      .write.mode("overwrite").saveAsTable(tableName)
+  }
+
   /** True when the two frames differ (the reference's has_diff). */
   def hasDiffRef(result: DataFrame, control: DataFrame): Boolean = {
     def norm(df: DataFrame) =
