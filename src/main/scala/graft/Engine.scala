@@ -71,6 +71,17 @@ object Engine {
   def manageTable(spark: SparkSession): maintain.TableManager =
     new maintain.TableManager(spark)
 
+  /** `manage_table` over a single-operation ACON (`engine.py` —
+    * `{"function": ..., ...}` with the table manager implied). */
+  def manageTable(spark: SparkSession, aconJson: String): Seq[String] =
+    maintain.ManagerDispatch.execute(spark,
+      Seq(spec.Specs.parseJsonMap(aconJson) + ("manager" -> "table")))
+
+  /** `manage_files` over a single-operation ACON. */
+  def manageFiles(spark: SparkSession, aconJson: String): Seq[String] =
+    maintain.ManagerDispatch.execute(spark,
+      Seq(spec.Specs.parseJsonMap(aconJson) + ("manager" -> "file")))
+
   /** `manage_files`: file-system operations. */
   def manageFiles(spark: SparkSession): maintain.FileManager =
     new maintain.FileManager(spark)

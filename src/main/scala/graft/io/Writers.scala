@@ -522,8 +522,14 @@ object Writers {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val transformed = plan.map(_.transform(batch)).getOrElse(batch)
           val withId = applyBatchId(transformed, spec, Some(batchId))
-          if (spec.dataFormat.contains("dataframe"))
-            withId.createOrReplaceGlobalTempView(s"lhe_stream_${spec.specId}")
+          if (spec.dataFormat.contains("dataframe")) {
+            // materialize the batch (all partitions) before registering:
+            // a lazy view never runs the plan, so stateful upstream
+            // operators (dedup/union distinct) would miss their state
+            // commits and fail Spark's batch commit validation
+            withId.localCheckpoint(true)
+              .createOrReplaceGlobalTempView(s"lhe_stream_${spec.specId}")
+          }
           else writeBatch(spark, spec, withId)
         }
         .start()

@@ -167,19 +167,23 @@ object ManagerDispatch {
   private def run(spark: SparkSession, op: Map[String, Any]): String = {
     val fn = A.str(op, "function").get
     def s(k: String) = A.str(op, k).get
+    // reference acons address SQL scripts as file:// URIs
+    def readSqlFile(p: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p.stripPrefix("file://")))
     def readSqlArg(): String =
-      A.str(op, "sql").getOrElse(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(s("path"))))
+      A.str(op, "sql").getOrElse(readSqlFile(s("path")))
     A.str(op, "manager").get match {
       case "table" =>
         val tm = new TableManager(spark)
         fn match {
           case "compute_table_statistics" => tm.computeTableStatistics(s("table_or_view"))
-          case "create_table" | "create_view" | "execute_sql" => tm.executeSql(readSqlArg())
+          case "create_table" | "create_view" | "execute_sql" =>
+            tm.executeSql(readSqlArg(), A.str(op, "delimiter").getOrElse(";"))
           case "create_tables" =>
             // comma-separated list of DDL file paths (reference create_many)
             s("path").split(",").map(_.trim).filter(_.nonEmpty).foreach(p =>
-              tm.executeSql(java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+              tm.executeSql(readSqlFile(p)))
           case "drop_table" => tm.dropTable(s("table_or_view"))
           case "drop_view" => tm.dropView(s("table_or_view"))
           case "truncate" => tm.truncate(s("table_or_view"))

@@ -18,8 +18,8 @@ final class TableManager(spark: SparkSession) {
 
   /** Execute every statement in a SQL script (quote/comment-aware split,
     * reference `utils/sql_parser_utils.py`). */
-  def executeSql(script: String): Seq[DataFrame] =
-    SqlSplitter.split(script).map(spark.sql)
+  def executeSql(script: String, delimiter: String = ";"): Seq[DataFrame] =
+    SqlSplitter.split(script, delimiter).map(spark.sql)
 
   def dropTable(table: String, ifExists: Boolean = true): Unit =
     spark.sql(s"DROP TABLE ${if (ifExists) "IF EXISTS " else ""}$table")
@@ -62,6 +62,9 @@ final class TableManager(spark: SparkSession) {
     import graft.io.PartitionedRewrite
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(location).getFileSystem(conf)
+    // a freshly created (never written) table has no data directory yet —
+    // deleting from nothing is a no-op, as on an empty Delta table
+    if (!fs.exists(new Path(location))) return
     val partCols = PartitionedRewrite.discoverLayout(fs, new Path(location))
     if (partCols.nonEmpty && scopedDelete(location, condition, partCols)) return
     val df = spark.read.parquet(location).where(s"NOT ($condition)")

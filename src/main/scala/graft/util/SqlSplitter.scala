@@ -4,12 +4,14 @@ package graft.util
   * strings, identifiers and comments.
   *
   * Capability parity with the reference's SQL-file splitter
-  * (`lakehouse_engine/utils/sql_parser_utils.py:9-191`): ';' only
+  * (`lakehouse_engine/utils/sql_parser_utils.py:9-191`): the delimiter
+  * (';' by default, configurable — the reference accepts e.g. '===') only
   * terminates a statement when outside single/double quotes, backticks,
   * line comments (`--`) and block comments. */
 object SqlSplitter {
 
-  def split(sql: String): Seq[String] = {
+  def split(sql: String, delimiter: String = ";"): Seq[String] = {
+    require(delimiter.nonEmpty, "sql delimiter must be non-empty")
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
@@ -24,13 +26,24 @@ object SqlSplitter {
           else if (c == '`') { state = '`'; cur += c }
           else if (c == '-' && next == '-') { state = 'l'; cur += c }
           else if (c == '/' && next == '*') { state = 'b'; cur += c }
-          else if (c == ';') { out += cur.toString; cur.clear() }
+          else if (c == delimiter.head &&
+              sql.regionMatches(i, delimiter, 0, delimiter.length)) {
+            out += cur.toString; cur.clear(); i += delimiter.length - 1
+          }
           else cur += c
+        // inside string literals, a backslash escapes the next character
+        // (Spark's default non-escapedStringLiterals mode) and doubled
+        // quotes escape themselves — neither may close the literal
         case '\'' =>
           cur += c
-          if (c == '\'' && next == '\'') { cur += next; i += 1 } // escaped ''
-          else if (c == '\'' && !(i > 0 && sql.charAt(i - 1) == '\\')) state = 'n'
-        case '"' => cur += c; if (c == '"') state = 'n'
+          if (c == '\\' && i + 1 < sql.length) { cur += next; i += 1 }
+          else if (c == '\'' && next == '\'') { cur += next; i += 1 }
+          else if (c == '\'') state = 'n'
+        case '"' =>
+          cur += c
+          if (c == '\\' && i + 1 < sql.length) { cur += next; i += 1 }
+          else if (c == '"' && next == '"') { cur += next; i += 1 }
+          else if (c == '"') state = 'n'
         case '`' => cur += c; if (c == '`') state = 'n'
         case 'l' => cur += c; if (c == '\n') state = 'n'
         case 'b' =>
