@@ -3428,6 +3428,62 @@ object QueryCatalog {
     * and both dedup passes in SQL, so the whole ingest path (assignment
     * tie-break, residual arithmetic, code argmin, screen semantics) is
     * hash-verified. */
+private val q114 = QueryDef(
+    "q114_prisma_rules",
+    (s, dir) => {
+      // PRISMA rules-from-table e2e (reference `utils/dq_utils.py:18-284`):
+      // rules govern as DATA — filtered by execution point AND target
+      // table, de-duplicated on (function, arguments), resolved with
+      // their meta, evaluated over `customer` through the prisma spec
+      // pipeline, and read back from the EXPLODED sink layout. rule_1b
+      // (same function+args as rule_1), rule_4 (in_motion) and rule_5
+      // (another table) must all drop out of the resolution.
+      import s.implicits._
+      Seq(
+        ("rule_1", "expect_column_values_to_not_be_null", "at_rest", "tpch",
+          "customer", "c_name", """{"column": "c_name"}""", "completeness"),
+        ("rule_1b", "expect_column_values_to_not_be_null", "at_rest", "tpch",
+          "customer", "c_name", """{"column": "c_name"}""", "completeness"),
+        ("rule_2", "expect_column_min_to_be_between", "at_rest", "tpch",
+          "customer", "c_acctbal",
+          """{"column": "c_acctbal", "min_value": -1000.0, "max_value": 0.0}""",
+          "validity"),
+        ("rule_3", "expect_table_row_count_to_be_between", "at_rest", "tpch",
+          "customer", null, """{"min_value": 1, "max_value": 1}""", "volume"),
+        ("rule_4", "expect_column_values_to_not_be_null", "in_motion", "tpch",
+          "customer", "c_name", """{"column": "c_name"}""", "completeness"),
+        ("rule_5", "expect_column_values_to_not_be_null", "at_rest", "tpch",
+          "orders", "o_clerk", """{"column": "o_clerk"}""", "completeness"))
+        .toDF("dq_rule_id", "dq_tech_function", "execution_point", "schema",
+          "table", "column", "arguments", "dimension")
+        .withColumn("filters", lit(null).cast("string"))
+        .createOrReplaceTempView("q114_rules")
+      val dq = graft.spec.DQSpec("dq_customer", "cust", dqType = "prisma",
+        dqDbTable = Some("q114_rules"), dqTableTableFilter = Some("customer"),
+        dataProductName = Some("q114"), unexpectedRowsPk = Seq("c_custkey"))
+      val resolved = graft.dq.Prisma.resolve(s, dq, "at_rest")
+      val (result, _) = graft.dq.DQEngine.runOutcome(s, T(s, dir, "customer"), resolved)
+      graft.dq.DQEngine.resultSinkExploded(s, resolved, result)
+        .select(col("meta.dq_rule_id").as("dq_rule_id"),
+          col("expectation_type"), col("expectation_success"))
+        .orderBy(col("dq_rule_id"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'rule_1' AS dq_rule_id,
+               'expect_column_values_to_not_be_null' AS expectation_type,
+               count(*) FILTER (WHERE c_name IS NULL) = 0 AS expectation_success
+        FROM customer
+        UNION ALL
+        SELECT 'rule_2', 'expect_column_min_to_be_between',
+               min(c_acctbal) BETWEEN -1000.0 AND 0.0
+        FROM customer
+        UNION ALL
+        SELECT 'rule_3', 'expect_table_row_count_to_be_between',
+               count(*) BETWEEN 1 AND 1
+        FROM customer)
+      ORDER BY dq_rule_id"""))
+
   private val q113 = QueryDef(
     "q113_pq_ingest_batch",
     (s, dir) => {
@@ -3543,5 +3599,5 @@ object QueryCatalog {
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112, q113)
+    q106, q107, q108, q109, q110, q111, q112, q113, q114)
 }
