@@ -26,7 +26,22 @@ final case class InputSpec(
     enforceSchemaFromTable: Option[String] = None,
     options: Map[String, String] = Map.empty,
     withFilepath: Boolean = false,
-    tempView: Option[String] = None)
+    tempView: Option[String] = None,
+    /** raw (untyped) options view — JDBC/SAP readers need non-scalar
+      * values the string view can't carry (e.g. a `predicates` list,
+      * reference `core/definitions.py` InputSpec.options) */
+    optionsRaw: Map[String, Any] = Map.empty,
+    /** spark.read.jdbc(**jdbc_args) passthrough
+      * (`io/readers/jdbc_reader.py:57-60`) */
+    jdbcArgs: Map[String, Any] = Map.empty,
+    /** derive upperBound from MAX(partitionColumn) before the parallel
+      * read (`utils/extraction/jdbc_extraction_utils.py:249-296`) */
+    calculateUpperBound: Boolean = false,
+    calcUpperBoundSchema: Option[String] = None,
+    /** one predicate per distinct partition-column value
+      * (`jdbc_extraction_utils.py:168-205`) */
+    generatePredicates: Boolean = false,
+    predicatesAddNull: Boolean = true)
 
 final case class TransformerSpec(function: String, args: Map[String, Any] = Map.empty)
 
@@ -147,7 +162,10 @@ object Specs {
       m.get(k).collect { case n: Number => n.doubleValue() }
     def strMap(m: Map[String, Any], k: String): Map[String, String] =
       m.get(k).collect { case mm: Map[_, _] =>
-        mm.map { case (a, b) => a.toString -> String.valueOf(b) }.toMap
+        // a null-valued option is "not set" (the reference builds option
+        // dicts with None placeholders and treats them as absent — e.g.
+        // sap_bw_reader.py resolves every option with dict.get fallbacks)
+        mm.collect { case (a, b) if b != null => a.toString -> String.valueOf(b) }.toMap
       }.getOrElse(Map.empty)
     def anyMap(m: Map[String, Any], k: String): Map[String, Any] =
       m.get(k).collect { case mm: Map[_, _] =>
@@ -181,7 +199,13 @@ object Specs {
     enforceSchemaFromTable = str(m, "enforce_schema_from_table"),
     options = strMap(m, "options"),
     withFilepath = bool(m, "with_filepath"),
-    tempView = str(m, "temp_view"))
+    tempView = str(m, "temp_view"),
+    optionsRaw = anyMap(m, "options").filter(_._2 != null),
+    jdbcArgs = anyMap(m, "jdbc_args"),
+    calculateUpperBound = bool(m, "calculate_upper_bound"),
+    calcUpperBoundSchema = str(m, "calc_upper_bound_schema"),
+    generatePredicates = bool(m, "generate_predicates"),
+    predicatesAddNull = bool(m, "predicates_add_null", default = true))
 
   def transformSpec(m: Map[String, Any]): TransformSpec = TransformSpec(
     specId = str(m, "spec_id").getOrElse(sys.error("transform_spec needs spec_id")),
