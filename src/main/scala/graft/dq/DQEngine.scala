@@ -567,11 +567,20 @@ object DQEngine {
               "between", num(a, "min_value"), num(a, "max_value"))
         }
         val rows = spark.sql(sqlText).collect()
-        def aggValue(r: org.apache.spark.sql.Row): Double = r.get(r.length - 1) match {
+        def aggValue(r: org.apache.spark.sql.Row, i: Int): Double = r.get(i) match {
           case n: Number => n.doubleValue()
-          case other => String.valueOf(other).toDouble
+          case other => throw new IllegalArgumentException(
+            "expect_queried_column_agg_value_to_be: the query must return " +
+              s"a numeric aggregate; got '$other'")
         }
-        val values = rows.map(aggValue)
+        // template path: the rendered SQL projects group cols first and
+        // the aggregate LAST; legacy raw template_dict_query/query keeps
+        // its historical first-row/first-column contract (the aggregate
+        // may be projected before other columns there).
+        val values = td match {
+          case Some(_) => rows.map(r => aggValue(r, r.length - 1))
+          case None => rows.headOption.map(r => aggValue(r, 0)).toArray
+        }
         def pass(v: Double): Boolean = condition match {
           case "greater" => minV.forall(v > _)
           case "lesser" => maxV.forall(v < _)

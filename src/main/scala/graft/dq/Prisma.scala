@@ -41,17 +41,15 @@ object Prisma {
 
   /** The DQ artifact bucket: `spark.graft.dqBucket` in prod
     * (`spark.graft.environment=prod`), `spark.graft.dqDevBucket`
-    * otherwise — mirroring the reference's engine-config
-    * dq_bucket/dq_dev_bucket selection (`utils/dq_utils.py:238-242`). */
+    * otherwise — strictly, with NO cross-environment fallback, mirroring
+    * the reference's selection (`utils/dq_utils.py:199-203`): a dev/test
+    * PRISMA run must never append artifacts into the prod bucket just
+    * because the dev bucket is unset. */
   def dqBucket(spark: SparkSession): Option[String] = {
     val conf = spark.conf
     val prod = conf.getOption("spark.graft.environment").contains("prod")
-    if (prod)
-      conf.getOption("spark.graft.dqBucket")
-        .orElse(conf.getOption("spark.graft.dqDevBucket"))
-    else
-      conf.getOption("spark.graft.dqDevBucket")
-        .orElse(conf.getOption("spark.graft.dqBucket"))
+    if (prod) conf.getOption("spark.graft.dqBucket")
+    else conf.getOption("spark.graft.dqDevBucket")
   }
 
   /** Resolve a PRISMA spec for one execution point. Non-prisma specs and
@@ -190,11 +188,13 @@ object Prisma {
 
   /** PRISMA processed-keys sink (`dq_factory.py:359-371`): after a run,
     * the source rows' PK tuples (cast to string) are appended with the
-    * run name so downstream can count the good records each run covered. */
+    * run name so downstream can count the good records each run covered.
+    * Only the PRISMA dq type writes processed keys (`dq_factory.py:362`) —
+    * a validator spec carrying the field gets no extra append. */
   def writeProcessedKeys(
       spark: SparkSession, dq: DQSpec,
       df: org.apache.spark.sql.DataFrame, runName: String): Unit =
-    dq.processedKeysLocation.foreach { loc =>
+    if (dq.dqType == "prisma") dq.processedKeysLocation.foreach { loc =>
       import org.apache.spark.sql.functions.{col, lit}
       if (dq.unexpectedRowsPk.nonEmpty) {
         val keys = df

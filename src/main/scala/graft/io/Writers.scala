@@ -107,7 +107,11 @@ object Writers {
               // rows OUTSIDE the predicate; without this check the
               // fallback silently accretes rows that later replaceWhere
               // runs can never remove. One cheap isEmpty on the batch.
-              val violating = df.where(!expr(replaceWhere.get))
+              // NULL-valued predicates count as violating too (real Delta
+              // rejects them): !pred alone lets NULL rows slip through and
+              // accrete rows no later replaceWhere can ever remove.
+              val violating =
+                df.where(!coalesce(expr(replaceWhere.get), lit(false)))
               if (!violating.isEmpty)
                 sys.error(s"output spec ${spec.specId}: replaceWhere " +
                   s"'${replaceWhere.get}' rejected — the batch contains rows " +
@@ -241,6 +245,17 @@ object Writers {
           "enable spark.databricks.delta.schema.autoMerge.enabled or pass " +
           "mergeSchema=true to evolve it (Delta schema contract)")
     }
+    // Overwrite with a source MISSING table columns: real Delta rejects
+    // this without overwriteSchema/autoMerge ("column sets must match
+    // exactly") — silently null-filling would drop the absent columns'
+    // data on every daily overwrite.
+    val missing = tgt.fields.filterNot(f => srcByLower.contains(f.name.toLowerCase))
+    if (missing.nonEmpty && mode == "overwrite" && !autoMerge)
+      sys.error(s"output spec ${spec.specId}: Failed to merge the new schema " +
+        s"into $loc — table columns ${missing.map(_.name).mkString(", ")} are " +
+        "missing from the source; set overwriteSchema=true to replace the " +
+        "schema or enable spark.databricks.delta.schema.autoMerge.enabled " +
+        "(Delta schema contract)")
     // evolved schema: table columns (table casing/type), then additions.
     // Struct columns rebuild to the UNION of target + source fields
     // (null-filled), the one-level analogue of Delta's struct evolution.
