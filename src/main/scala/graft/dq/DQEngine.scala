@@ -567,20 +567,30 @@ object DQEngine {
               "between", num(a, "min_value"), num(a, "max_value"))
         }
         val rows = spark.sql(sqlText).collect()
+        // The reference's `_generate_dict` coerces the LAST projected
+        // column with Python `int(...)` — its own scenario schemas declare
+        // every column (incl. the aggregated one) as string, so the value
+        // can arrive as e.g. '900'. Mirror that: numeric fast path, else
+        // string-to-double coercion, and only a genuinely non-numeric
+        // value is an error.
         def aggValue(r: org.apache.spark.sql.Row, i: Int): Double = r.get(i) match {
           case n: Number => n.doubleValue()
-          case other => throw new IllegalArgumentException(
-            "expect_queried_column_agg_value_to_be: the query must return " +
-              s"a numeric aggregate; got '$other'")
+          case other =>
+            try String.valueOf(other).trim.toDouble
+            catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                "expect_queried_column_agg_value_to_be: the query must return " +
+                  s"a numeric aggregate; got '$other'")
+            }
         }
-        // template path: the rendered SQL projects group cols first and
-        // the aggregate LAST; legacy raw template_dict_query/query keeps
-        // its historical first-row/first-column contract (the aggregate
-        // may be projected before other columns there).
-        val values = td match {
-          case Some(_) => rows.map(r => aggValue(r, r.length - 1))
-          case None => rows.headOption.map(r => aggValue(r, 0)).toArray
-        }
+        // Both paths follow the reference's `_generate_dict` row shape:
+        // group columns first, the aggregate LAST. Deliberate divergence:
+        // we require EVERY group's aggregate to pass, while the reference's
+        // `_validate_condition` overwrites `result` per iteration so only
+        // the LAST group decides success (a reference bug) — we keep the
+        // stricter all-groups semantics, which is the expectation's
+        // documented intent.
+        val values = rows.map(r => aggValue(r, r.length - 1))
         def pass(v: Double): Boolean = condition match {
           case "greater" => minV.forall(v > _)
           case "lesser" => maxV.forall(v < _)

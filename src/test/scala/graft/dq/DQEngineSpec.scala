@@ -55,6 +55,45 @@ class DQEngineSpec extends SparkSpec {
     assert(r.outcomes.forall(_.success))
   }
 
+  test("agg-value expectation coerces string-typed aggregates like the reference") {
+    // The reference's own scenario schemas declare every column as string
+    // (custom_expectations/expect_queried_column_agg_value_to_be/batch.json),
+    // so the raw-query aggregate can arrive as '900'; `_generate_dict`
+    // int()-coerces it. Pin: string passes, numeric passes, and only a
+    // genuinely non-numeric aggregate raises a clear error.
+    val stringTyped = Seq(("x", "900"), ("y", "900")).toDF("k", "amount")
+    val r = DQEngine.run(spark, stringTyped, spec(
+      "expect_queried_column_agg_value_to_be" ->
+        Map("query" -> "SELECT max(amount) FROM {table}",
+          "min_value" -> 800, "max_value" -> 1000)))
+    assert(r.outcomes.head.success)
+    assert(r.outcomes.head.observedValue.contains(900.0))
+    val numeric = DQEngine.run(spark, df, spec(
+      "expect_queried_column_agg_value_to_be" ->
+        Map("query" -> "SELECT sum(amount) FROM {table}", "min_value" -> 0)))
+    assert(numeric.outcomes.head.success)
+    val e = intercept[IllegalArgumentException] {
+      DQEngine.run(spark, stringTyped, spec(
+        "expect_queried_column_agg_value_to_be" ->
+          Map("query" -> "SELECT max(k) FROM {table}", "min_value" -> 0)))
+    }
+    assert(e.getMessage.contains("numeric aggregate"))
+  }
+
+  test("raw-query agg expectation validates every row's last column") {
+    // pre-r14 contract restored (per advisor): a raw GROUP BY query
+    // projects group cols first and the aggregate LAST, and EVERY group
+    // must pass — one out-of-range group fails the expectation.
+    val r = DQEngine.run(spark, df, spec(
+      "expect_queried_column_agg_value_to_be" ->
+        Map("query" -> "SELECT id, sum(amount) FROM {table} GROUP BY id",
+          "min_value" -> 0, "max_value" -> 100)))
+    val o = r.outcomes.head
+    assert(!o.success)            // id=4 sums to -1.0 < 0
+    assert(o.elementCount == 4L)  // all four groups validated
+    assert(o.unexpectedCount == 1L)
+  }
+
   test("distinct-set expectation stays bounded on a high-cardinality column") {
     // 5000 distinct values (> UnexpectedSampleLimit): the outcome must
     // carry full counts but only a bounded violation sample — the full

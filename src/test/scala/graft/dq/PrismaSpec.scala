@@ -10,16 +10,6 @@ class PrismaSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val keys = pairs.map(_._1)
-    val saved = keys.map(k => k -> spark.conf.getOption(k))
-    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("dqBucket is strict per environment: dev never falls back to the prod bucket") {
     // non-prod + only the prod bucket configured → None (the reference
     // selects strictly dq_dev_bucket outside prod, utils/dq_utils.py:199-203)
