@@ -725,6 +725,52 @@ class IoSpec extends SparkSpec {
     assert(ex.getMessage.contains("replaceWhere"))
     assert(spark.read.parquet(loc).count() == 2) // unchanged
   }
+
+  test("replaceWhere fallback: a NULL-predicate row is rejected as violating") {
+    import graft.spec.OutputSpec
+    val loc = tmpDir("replace-where-null") + "/t"
+    def out(opts: Map[String, String] = Map.empty) = OutputSpec(
+      "rwn", "in", "overwrite", Some("delta"), location = Some(loc),
+      options = opts)
+    Writers.writeBatch(spark, out(),
+      Seq((1, Some("a")), (2, Some("b"))).toDF("id", "v"))
+    // predicate `v = 'b'` evaluates to NULL for v IS NULL — real Delta
+    // rejects the batch (a NULL row would accrete and no later
+    // replaceWhere could ever remove it)
+    val ex = intercept[RuntimeException] {
+      Writers.writeBatch(spark, out(Map("replaceWhere" -> "v = 'b'")),
+        Seq((3, Some("b")), (4, Option.empty[String])).toDF("id", "v"))
+    }
+    assert(ex.getMessage.contains("replaceWhere"))
+    assert(spark.read.parquet(loc).count() == 2) // nothing landed
+    // matching-only batch still goes through
+    Writers.writeBatch(spark, out(Map("replaceWhere" -> "v = 'b'")),
+      Seq((5, Some("b"))).toDF("id", "v"))
+    assert(spark.read.parquet(loc).where("v = 'b'")
+      .select("id").as[Int].collect().toSeq == Seq(5))
+  }
+
+  test("delta overwrite missing a table column is rejected without overwriteSchema") {
+    import graft.spec.OutputSpec
+    val loc = tmpDir("overwrite-missing-col") + "/t"
+    def out(opts: Map[String, String] = Map.empty) = OutputSpec(
+      "omc", "in", "overwrite", Some("delta"), location = Some(loc),
+      options = opts)
+    Writers.writeBatch(spark, out(), Seq((1, "a", 10)).toDF("id", "v", "n"))
+    // source lacks `n`: real Delta requires column sets to match exactly on
+    // overwrite — silently null-filling would drop n's data every run
+    val ex = intercept[RuntimeException] {
+      Writers.writeBatch(spark, out(), Seq((2, "b")).toDF("id", "v"))
+    }
+    assert(ex.getMessage.contains("Failed to merge"), ex.getMessage)
+    assert(ex.getMessage.contains("n"), ex.getMessage)
+    // overwriteSchema=true replaces the schema instead
+    Writers.writeBatch(spark, out(Map("overwriteSchema" -> "true")),
+      Seq((3, "c")).toDF("id", "v"))
+    val back = spark.read.parquet(loc)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(back.select("id").as[Int].collect().toSeq == Seq(3))
+  }
 }
 
 object IoSpec {
