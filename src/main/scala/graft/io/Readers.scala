@@ -37,8 +37,39 @@ object Readers {
         else spark.read.options(spec.options).table(t)
       case "sql" => spark.sql(spec.query.getOrElse(sys.error("query reader needs query")))
       case "dataframe" => dfs(spec.dfName.getOrElse(sys.error("dataframe reader needs df_name")))
+      case "jdbc" if spec.jdbcArgs.nonEmpty =>
+        // `spark.read.jdbc(**jdbc_args)` passthrough
+        // (`io/readers/jdbc_reader.py:57-60`): url + table + properties
+        val url = String.valueOf(spec.jdbcArgs.getOrElse("url",
+          sys.error("jdbc_args needs url")))
+        val table = String.valueOf(spec.jdbcArgs.getOrElse("table",
+          sys.error("jdbc_args needs table")))
+        val props = new java.util.Properties()
+        spec.jdbcArgs.get("properties").collect { case m: Map[_, _] =>
+          m.foreach { case (k, v) =>
+            props.setProperty(String.valueOf(k), String.valueOf(v)) }
+        }
+        spark.read.jdbc(url, table, props)
       case "jdbc" =>
         JdbcExtraction.read(spark, spec.options)
+      case "delta" if spec.dbTable.isDefined =>
+        // DeltaFilesReader over a metastore table
+        // (`io/readers/deltafiles_reader.py`). Without Delta jars the
+        // table is the parquet fallback; `readChangeFeed` synthesizes
+        // append-only CDF columns (every fallback write is an append or
+        // a staged swap, so arriving rows are inserts by construction).
+        val t = spec.dbTable.get
+        val cdf = spec.options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+        val opts = spec.options - "readChangeFeed"
+        val base =
+          if (streaming) spark.readStream.options(opts).table(t)
+          else spark.read.options(opts).table(t)
+        if (cdf && !DeltaSupport.available) {
+          import org.apache.spark.sql.functions.lit
+          base.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(null).cast("long"))
+            .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
+        } else base
       case "kafka" =>
         if (streaming) spark.readStream.format("kafka").options(spec.options).load()
         else spark.read.format("kafka").options(spec.options).load()
