@@ -150,10 +150,16 @@ object Engine {
     s"WITH $engineTableName AS ($selectExp FROM $dbtable WHERE $filterExp)"
   }
 
-  /** `send_notification`: render + deliver through the pluggable
-    * transport. */
+  /** `send_notification` (engine.py): email specs go through the full
+    * EmailNotifier create+send choreography — the facade does NOT apply
+    * on_failure gating (that belongs to the terminator path) — anything
+    * else renders through the pluggable transport. */
   def sendNotification(spec: TerminatorSpec, failed: Boolean = false): Unit =
-    algo.Notifier.notify(spec, failed)
+    if (spec.args.get("type").map(String.valueOf).contains("email") &&
+        spec.args.contains("server"))
+      algo.EmailNotifier.sendNotification(
+        algo.EmailNotifier.createNotification(spec.args))
+    else algo.Notifier.notify(spec, failed)
 
   /** `execute_gab`: run every active config-table use case and register
     * its consumption views. */
