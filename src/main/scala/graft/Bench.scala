@@ -52,6 +52,18 @@ object Bench {
       confs = Map(
         "spark.sql.shuffle.partitions" -> cpus,
         "spark.ui.enabled" -> "false"))
+    // I/O calibration: one timed scan of the largest fixed input, taken
+    // before any warm-up touches the page cache. Pairs with cpu_cal so a
+    // bench delta can be attributed — "queries and io_cal elevated
+    // together" = storage/host; "io_cal flat, queries up" = real. Includes
+    // first-job scheduler startup by design: that cost is identical every
+    // round, so the round-over-round RATIO stays meaningful.
+    val ioCal = {
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
     // Warm up the JVM/codegen/parquet-footer paths so per-query timings
     // measure the queries, not session startup. A full catalog pass at the
     // SMALLEST scale factor (~6k rows) compiles and JITs every query shape
@@ -125,7 +137,7 @@ object Bench {
     //     precision, jvm diag), written where the driver/judge can read it.
     //  2. ONE compact stdout line — qNN short keys, 3 decimals — small
     //     enough to survive the tail capture and parse.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
@@ -135,7 +147,7 @@ object Bench {
       if (shortKeys.map(_._1).distinct.size == results.size)
         jmap(shortKeys.map { case (k, v) => k -> f"$v%.3f" })
       else qs // fall back to full names if short ids ever collide
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
