@@ -119,6 +119,14 @@ object AwsSig {
   /** One shared connection pool for every default-constructed client. */
   lazy val defaultHttpClient: HttpClient = HttpClient.newHttpClient()
 
+  private val KeyTag = "(?s)<Key>(.*?)</Key>".r
+  private val NextTokenTag = "(?s)<NextContinuationToken>(.*?)</NextContinuationToken>".r
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&amp;", "&")
+
   final class S3RestoreClient(
       endpoint: String,
       region: String,
@@ -162,6 +170,71 @@ object AwsSig {
         case other => sys.error(s"unsupported method $other")
       }).build()
       client.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+
+    /** PUT an object (test fixtures + small control files). Optional
+      * `x-amz-storage-class` (e.g. GLACIER) as in S3's PutObject. */
+    def putObject(bucket: String, key: String, body: Array[Byte],
+        storageClass: Option[String] = None): Unit = {
+      val res = send("PUT", bucket, key, Seq.empty, body,
+        storageClass.map("x-amz-storage-class" -> _).toMap)
+      require(res.statusCode() == 200,
+        s"put_object $bucket/$key returned ${res.statusCode()}")
+    }
+
+    /** One page of `ListObjectsV2` (GET /bucket?list-type=2): keys with
+      * `prefix`, at most `maxKeys` (S3's default page size is 1000), plus
+      * the continuation token when the listing is truncated — the same
+      * paginated contract the reference walks in
+      * `core/s3_file_manager.py:46-80` (`_list_objects`). */
+    def listObjectsV2(bucket: String, prefix: String,
+        continuationToken: Option[String] = None, maxKeys: Int = 1000)
+        : (Seq[String], Option[String]) = {
+      val query = Seq("list-type" -> "2", "prefix" -> prefix,
+        "max-keys" -> maxKeys.toString) ++
+        continuationToken.map("continuation-token" -> _)
+      val res = send("GET", bucket, "", query, Array.emptyByteArray)
+      require(res.statusCode() == 200,
+        s"list_objects_v2 $bucket prefix=$prefix returned ${res.statusCode()}")
+      val body = res.body()
+      val keys = KeyTag.findAllMatchIn(body).map(m => xmlUnescape(m.group(1))).toSeq
+      val token = NextTokenTag.findFirstMatchIn(body).map(m => xmlUnescape(m.group(1)))
+      (keys, token)
+    }
+
+    /** Batch `DeleteObjects` (POST /bucket?delete), up to 1000 keys per
+      * call as in S3. Carries Content-MD5 — the real service rejects the
+      * multi-object delete without it. */
+    def deleteObjects(bucket: String, keys: Seq[String]): Unit = {
+      require(keys.nonEmpty && keys.size <= 1000,
+        s"delete_objects takes 1..1000 keys, got ${keys.size}")
+      val xml = "<Delete>" + keys.map(k =>
+        s"<Object><Key>${xmlEscape(k)}</Key></Object>").mkString + "</Delete>"
+      val payload = xml.getBytes(UTF_8)
+      val md5 = java.util.Base64.getEncoder.encodeToString(
+        MessageDigest.getInstance("MD5").digest(payload))
+      val res = send("POST", bucket, "", Seq("delete" -> ""), payload,
+        Map("content-md5" -> md5))
+      require(res.statusCode() == 200,
+        s"delete_objects $bucket returned ${res.statusCode()}: ${res.body().take(300)}")
+    }
+
+    /** HEAD the object: `(storageClass, x-amz-restore header)` — the two
+      * facts the reference's archive choreography branches on
+      * (`s3_file_manager.py:657-680` `_get_archived_object`). None when
+      * the object does not exist. */
+    def headObject(bucket: String, key: String)
+        : Option[(String, Option[String])] = {
+      val res = send("HEAD", bucket, key, Seq.empty, Array.emptyByteArray)
+      res.statusCode() match {
+        case 200 =>
+          val sc = res.headers().firstValue("x-amz-storage-class")
+          val restore = res.headers().firstValue("x-amz-restore")
+          Some((if (sc.isPresent) sc.get() else "STANDARD",
+            if (restore.isPresent) Some(restore.get()) else None))
+        case 404 => None
+        case other => sys.error(s"head_object $bucket/$key returned $other")
+      }
     }
 
     /** Issue `RestoreObject` (S3 POST ?restore) and map the status to a

@@ -206,73 +206,155 @@ object ManagerDispatch {
         }
         s"table/$fn: ok"
       case "file" =>
-        val fm = new FileManager(spark)
+        // Reference `core/file_manager.py:54-78` FileManagerFactory:
+        // with S3 access configured, try the S3 manager and fall back to
+        // the DBFS manager on generic failure — but re-raise
+        // ValueError / NotImplementedError / RestoreTypeNotFound (our
+        // IllegalArgumentException / UnsupportedOperationException)
+        // untouched; `disable_dbfs_retry` pins S3 with no fallback.
         val dryRun = dryRunValue(op).fold(e => throw new RuntimeException(e), identity)
-        def obj(bucketKey: String, objKey: String) =
-          s(bucketKey).stripSuffix("/") + "/" + s(objKey).stripPrefix("/")
-        fn match {
-          case "delete_objects" =>
-            val deleted = A.strSeq(op, "object_paths")
-              .map(p => s("bucket").stripSuffix("/") + "/" + p.stripPrefix("/"))
-              .map(p => p -> fm.delete(p, dryRun))
-            s"file/delete_objects: ${deleted.count(_._2)}/${deleted.size}" +
-              (if (dryRun) " (dry_run)" else "")
-          case "copy_objects" =>
-            // Hadoop copy/rename signal failure by RETURN VALUE: a
-            // swallowed false would report "ok" for a copy that never
-            // happened (and a follow-up source delete would lose data).
-            if (!dryRun)
-              require(fm.copy(obj("bucket", "source_object"),
-                obj("destination_bucket", "destination_object")),
-                s"copy_objects failed: ${obj("bucket", "source_object")}")
-            s"file/copy_objects: ok" + (if (dryRun) " (dry_run)" else "")
-          case "move_objects" =>
-            if (!dryRun)
-              require(fm.move(obj("bucket", "source_object"),
-                obj("destination_bucket", "destination_object")),
-                s"move_objects failed: ${obj("bucket", "source_object")}")
-            s"file/move_objects: ok" + (if (dryRun) " (dry_run)" else "")
-          case "request_restore" | "check_restore_status" |
-               "request_restore_to_destination_and_wait" =>
-            // Archive restores are issued through the native SigV4
-            // client (graft.io.AwsSig — reference `core/s3_file_manager
-            // .py` does the same calls via boto3) when an endpoint and
-            // credentials resolve from the operation args or AWS_* env;
-            // dry_run still only validates.
-            if (dryRun) s"file/$fn: validated (dry_run)"
-            else s3ClientFor(op) match {
-              case None => throw new UnsupportedOperationException(
-                s"$fn needs S3 access: set endpoint/region/access_key/" +
-                  "secret_key on the operation or AWS_ENDPOINT_URL/" +
-                  "AWS_REGION/AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY")
-              case Some(client) =>
-                val days = A.num(op, "restore_expiration").map(_.toInt).getOrElse(1)
-                val tier = A.str(op, "retrieval_tier").getOrElse("Standard")
-                fn match {
-                  case "request_restore" =>
-                    val outcome = client.requestRestore(
-                      s("bucket"), s("source_object"), days, tier)
-                    s"file/request_restore: ${outcome.describe}"
-                  case "check_restore_status" =>
-                    val st = client.restoreStatus(s("bucket"), s("source_object")) match {
-                      case None => "not under restore"
-                      case Some(true) => "in progress"
-                      case Some(false) => "restored"
-                    }
-                    s"file/check_restore_status: $st"
-                  case _ =>
-                    client.restoreToDestinationAndWait(
-                      s("bucket"), s("source_object"),
-                      s("destination_bucket"), s("destination_object"),
-                      days, tier,
-                      pollMillis = A.num(op, "poll_interval_ms")
-                        .map(_.toLong).getOrElse(30000L),
-                      maxAttempts = A.num(op, "max_wait_attempts")
-                        .map(_.toInt).getOrElse(240))
-                    s"file/request_restore_to_destination_and_wait: copied"
-                }
+        val disableDbfsRetry = op.get("disable_dbfs_retry").contains(true)
+        s3ClientFor(op) match {
+          case Some(client) if disableDbfsRetry => runFileS3(op, fn, dryRun, client)
+          case Some(client) =>
+            try runFileS3(op, fn, dryRun, client)
+            catch {
+              case e: IllegalArgumentException => throw e
+              case e: UnsupportedOperationException => throw e
+              case _: Exception => runFileDbfs(spark, op, fn, dryRun)
             }
+          case None => runFileDbfs(spark, op, fn, dryRun)
         }
+    }
+  }
+
+  /** The reference S3 file manager surface (`s3_file_manager.py:129-148`
+    * `get_function`): delete/copy + the Glacier restore flows;
+    * `move_objects` is NOT in its function table and raises. */
+  private def runFileS3(op: Map[String, Any], fn: String, dryRun: Boolean,
+      client: graft.io.AwsSig.S3RestoreClient): String = {
+    def s(k: String) = A.str(op, k).get
+    import S3FileOps.pyDict
+    // wait cadence is the reference's 5min-then-30s unless the op tunes
+    // it (tests drive the protocol with millisecond waits)
+    val poll = A.num(op, "poll_interval_ms").map(_.toLong)
+    val ops = new S3FileOps(client,
+      firstWaitMillis = poll.getOrElse(300000L),
+      nextWaitMillis = poll.getOrElse(30000L),
+      maxWaitAttempts = A.num(op, "max_wait_attempts").map(_.toInt).getOrElse(240))
+    val days = A.num(op, "restore_expiration").map(_.toInt).getOrElse(1)
+    val tier = A.str(op, "retrieval_tier").getOrElse("Standard")
+    fn match {
+      case "delete_objects" =>
+        val paths = A.strSeq(op, "object_paths")
+        if (dryRun)
+          s"file/delete_objects (dry_run): Paths that would be deleted: " +
+            pyDict(ops.dryRun(s("bucket"), paths))
+        else {
+          ops.deleteObjects(s("bucket"), paths)
+          s"file/delete_objects: ok"
+        }
+      case "copy_objects" =>
+        if (dryRun)
+          s"file/copy_objects (dry_run): Paths that would be copied: " +
+            pyDict(ops.dryRun(s("bucket"), Seq(s("source_object"))))
+        else {
+          val written = ops.copyObjects(s("bucket"), s("source_object"),
+            s("destination_bucket"), s("destination_object"))
+          s"file/copy_objects: ok (${written.size} objects)"
+        }
+      case "request_restore" =>
+        if (dryRun)
+          s"file/request_restore (dry_run): Paths that would be restored: " +
+            pyDict(ops.requestRestore(s("bucket"), s("source_object"), days,
+              tier, dry = true))
+        else {
+          ops.requestRestore(s("bucket"), s("source_object"), days, tier,
+            dry = false)
+          s"file/request_restore: ok"
+        }
+      case "check_restore_status" =>
+        val st = ops.checkRestoreStatus(s("bucket"), s("source_object"))
+        (st.log :+
+          (s"Restore status: - Not Started: ${st.notStarted} " +
+            s"- Ongoing: ${st.ongoing} - Restored: ${st.restored} " +
+            s"Total objects in this restore process: ${st.total}")).mkString("\n")
+      case "request_restore_to_destination_and_wait" =>
+        // restore + wait, then the same copy choreography (+dry-run
+        // passthrough) as the reference
+        // (`s3_file_manager.py:268-305`).
+        ops.requestRestoreAndWait(s("bucket"), s("source_object"), days,
+          tier, dryRun)
+        if (dryRun)
+          s"file/request_restore_to_destination_and_wait (dry_run): " +
+            "Paths that would be copied: " +
+            pyDict(ops.dryRun(s("bucket"), Seq(s("source_object"))))
+        else {
+          val written = ops.copyObjects(s("bucket"), s("source_object"),
+            s("destination_bucket"), s("destination_object"))
+          s"file/request_restore_to_destination_and_wait: copied " +
+            s"(${written.size} objects)"
+        }
+      case other => throw new UnsupportedOperationException(
+        s"The requested function $other is not implemented.")
+    }
+  }
+
+  /** The reference DBFS file manager surface
+    * (`dbfs_file_manager.py:85-101` `get_function`): delete/copy/move
+    * through the filesystem API (Hadoop FileSystem here — local, HDFS
+    * and s3a uniformly); the restore family is S3-only and raises. */
+  private def runFileDbfs(spark: SparkSession, op: Map[String, Any],
+      fn: String, dryRun: Boolean): String = {
+    def s(k: String) = A.str(op, k).get
+    import S3FileOps.pyDict
+    val fm = new FileManager(spark)
+    // reference `_get_path` (`dbfs_file_manager.py:56-76`): non-empty
+    // bucket prefixes the path; empty bucket means the path is complete
+    def joined(bucket: String, path: String): String =
+      if (bucket.trim.isEmpty) path.trim
+      else bucket.stripSuffix("/") + "/" + path.stripPrefix("/")
+    def dict(paths: Seq[String]): String = pyDict(paths.map { p =>
+      val full = joined(A.str(op, "bucket").getOrElse(""), p)
+      val listed = fm.listFilesRecursively(full)
+      full -> (if (listed.nonEmpty) listed else Seq("No such key"))
+    })
+    fn match {
+      case "delete_objects" =>
+        val paths = A.strSeq(op, "object_paths")
+        if (dryRun)
+          s"file/delete_objects (dry_run): Paths that would be deleted: " +
+            dict(paths)
+        else {
+          paths.map(p => joined(s("bucket"), p)).foreach(p =>
+            require(fm.delete(p), s"Not able to delete: $p"))
+          s"file/delete_objects: ok"
+        }
+      case "copy_objects" =>
+        if (dryRun)
+          s"file/copy_objects (dry_run): Paths that would be copied: " +
+            dict(Seq(s("source_object")))
+        else {
+          // Hadoop copy/rename signal failure by RETURN VALUE: a
+          // swallowed false would report "ok" for a copy that never
+          // happened (and a follow-up source delete would lose data).
+          require(fm.copy(joined(s("bucket"), s("source_object")),
+            joined(s("destination_bucket"), s("destination_object"))),
+            s"copy_objects failed: ${joined(s("bucket"), s("source_object"))}")
+          s"file/copy_objects: ok"
+        }
+      case "move_objects" =>
+        if (dryRun)
+          s"file/move_objects (dry_run): Paths that would be moved: " +
+            dict(Seq(s("source_object")))
+        else {
+          require(fm.move(joined(s("bucket"), s("source_object")),
+            joined(s("destination_bucket"), s("destination_object"))),
+            s"move_objects failed: ${joined(s("bucket"), s("source_object"))}")
+          s"file/move_objects: ok"
+        }
+      case other => throw new UnsupportedOperationException(
+        s"The requested function $other is not implemented.")
     }
   }
 }

@@ -171,16 +171,55 @@ final class TableManager(spark: SparkSession) {
   * `core/dbfs_file_manager.py`) via the Hadoop FileSystem API — works for
   * local, HDFS and S3A uniformly. */
 final class FileManager(spark: SparkSession) {
-  import org.apache.hadoop.fs.Path
+  import org.apache.hadoop.fs.{FileSystem, Path}
 
-  private def fs(p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Per-manager FileSystem instances (NOT the JVM-wide cache) with
+    * checksum writing off: the cached LocalFileSystem is checksummed, so
+    * a directory copy through it would sprinkle hidden `.crc` sidecars
+    * over the destination — a file manager must reproduce the tree, not
+    * annotate it — and flipping the flag on the cached instance would
+    * leak into every other file:// user in the JVM. */
+  private val instances = scala.collection.mutable.Map.empty[String, FileSystem]
+
+  private def fs(p: String): FileSystem = {
+    val uri = new Path(p).toUri
+    val schemeKey = String.valueOf(uri.getScheme) + "://" +
+      String.valueOf(uri.getAuthority)
+    instances.getOrElseUpdate(schemeKey, {
+      val f = FileSystem.newInstance(new Path(p).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).getUri,
+        spark.sparkContext.hadoopConfiguration)
+      f.setWriteChecksum(false)
+      f.setVerifyChecksum(false)
+      f
+    })
+  }
 
   def list(path: String): Seq[String] = {
     val p = new Path(path)
     val f = fs(path)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath.toString).toSeq.sorted
+  }
+
+  /** Depth-first list of the FILES under a path (directories recursed
+    * into, not listed) — the traversal the reference's DBFS manager dry
+    * runs use (`dbfs_file_manager.py:34-53` `_list_objects`). A plain
+    * file lists as itself; scheme prefixes are stripped so the entries
+    * read as paths. */
+  def listFilesRecursively(path: String): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(path)
+    if (!f.exists(p)) Seq.empty
+    else {
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+        if (st.isDirectory)
+          st.getPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .listStatus(st.getPath).toSeq.sortBy(_.getPath.getName)
+            .flatMap(walk)
+        else Seq(st.getPath.toUri.getPath)
+      walk(f.getFileStatus(p))
+    }
   }
 
   def delete(path: String, dryRun: Boolean = false): Boolean =

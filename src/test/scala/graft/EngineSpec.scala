@@ -131,9 +131,9 @@ class EngineSpec extends SparkSpec {
          |   "destination_bucket": "$dir", "destination_object": "obj2.txt"},
          |  {"manager": "file", "function": "delete_objects", "dry_run": false,
          |   "bucket": "$dir", "object_paths": ["obj.txt"]},
-         |  {"manager": "file", "function": "request_restore", "dry_run": true,
-         |   "bucket": "b", "source_object": "o", "restore_expiration": 1,
-         |   "retrieval_tier": "Bulk"}
+         |  {"manager": "file", "function": "move_objects", "dry_run": true,
+         |   "bucket": "$dir", "source_object": "obj2.txt",
+         |   "destination_bucket": "$dir", "destination_object": "obj3.txt"}
          |]}""".stripMargin)
     assert(statuses.size == 5)
     assert(spark.table("mgr_v").collect().head.getInt(0) == 42)
