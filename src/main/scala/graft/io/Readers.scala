@@ -37,21 +37,49 @@ object Readers {
         else spark.read.options(spec.options).table(t)
       case "sql" => spark.sql(spec.query.getOrElse(sys.error("query reader needs query")))
       case "dataframe" => dfs(spec.dfName.getOrElse(sys.error("dataframe reader needs df_name")))
-      case "jdbc" if spec.jdbcArgs.nonEmpty =>
-        // `spark.read.jdbc(**jdbc_args)` passthrough
-        // (`io/readers/jdbc_reader.py:57-60`): url + table + properties
-        val url = String.valueOf(spec.jdbcArgs.getOrElse("url",
-          sys.error("jdbc_args needs url")))
-        val table = String.valueOf(spec.jdbcArgs.getOrElse("table",
-          sys.error("jdbc_args needs table")))
-        val props = new java.util.Properties()
-        spec.jdbcArgs.get("properties").collect { case m: Map[_, _] =>
-          m.foreach { case (k, v) =>
-            props.setProperty(String.valueOf(k), String.valueOf(v)) }
-        }
-        spark.read.jdbc(url, table, props)
       case "jdbc" =>
-        JdbcExtraction.read(spark, spec.options)
+        // `io/readers/jdbc_reader.py:26-68`: predicates belong to the
+        // jdbc() function signature, never to .format("jdbc") options —
+        // Spark would silently ignore them there, so the reference
+        // raises, and so do we.
+        if (spec.options.contains("predicates"))
+          throw new WrongArgumentsException(
+            "Predicates can only be used with jdbc_args.")
+        if (spec.jdbcArgs.nonEmpty) {
+          // `spark.read.options(**options).jdbc(**jdbc_args)` passthrough
+          // (`jdbc_reader.py:57-60`). The reference surfaces a TypeError
+          // for any key outside the jdbc() signature — mirror it before
+          // touching the source.
+          val allowed = Set("url", "table", "column", "lowerBound",
+            "upperBound", "numPartitions", "predicates", "properties")
+          spec.jdbcArgs.keys.find(!allowed(_)).foreach(k =>
+            throw new WrongArgumentsException(
+              s"jdbc() got an unexpected keyword argument '$k'"))
+          val url = String.valueOf(spec.jdbcArgs.getOrElse("url",
+            sys.error("jdbc_args needs url")))
+          val table = String.valueOf(spec.jdbcArgs.getOrElse("table",
+            sys.error("jdbc_args needs table")))
+          val props = new java.util.Properties()
+          spec.jdbcArgs.get("properties").collect { case m: Map[_, _] =>
+            m.foreach { case (k, v) =>
+              props.setProperty(String.valueOf(k), String.valueOf(v)) }
+          }
+          val reader = spark.read.options(spec.options)
+          (spec.jdbcArgs.get("column"), spec.jdbcArgs.get("predicates")) match {
+            case (Some(col), _) =>
+              reader.jdbc(url, table, String.valueOf(col),
+                String.valueOf(spec.jdbcArgs("lowerBound")).toLong,
+                String.valueOf(spec.jdbcArgs("upperBound")).toLong,
+                String.valueOf(spec.jdbcArgs.getOrElse("numPartitions", "1")).toInt,
+                props)
+            case (None, Some(preds: Seq[_])) =>
+              reader.jdbc(url, table,
+                preds.map(String.valueOf).toArray, props)
+            case _ => reader.jdbc(url, table, props)
+          }
+        } else JdbcExtraction.read(spark, spec.options)
+      case "sap_b4" => SapB4Extraction.read(spark, spec)
+      case "sap_bw" => SapBwExtraction.read(spark, spec)
       case "delta" if spec.dbTable.isDefined =>
         // DeltaFilesReader over a metastore table
         // (`io/readers/deltafiles_reader.py`). Without Delta jars the
@@ -139,6 +167,10 @@ object Readers {
       })
       .orElse(spec.schema.map(SchemaTools.schemaFromAny))
 }
+
+/** Misused-argument signal of the reader surface (reference
+  * `transformers/exceptions.py` WrongArgumentsException). */
+final class WrongArgumentsException(msg: String) extends RuntimeException(msg)
 
 /** JDBC parallel-extraction helpers.
   *

@@ -8,25 +8,40 @@ class IoSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("sap bw init/delta queries embed changelog + activation semantics") {
-    val cfg = SapExtraction.BwConfig(odsobject = "ZSALES")
-    val init = SapExtraction.bwInitQuery(cfg)
-    assert(init.contains("/BIC/AZSALES00"))
-    assert(init.contains("RSODSACTREQ"))
-    assert(init.contains("actrequest_timestamp"))
-    val delta = SapExtraction.bwDeltaQuery(cfg, "20240101000000")
-    assert(delta.contains("/BIC/AZSALES40"))
-    assert(delta.contains("> 20240101000000"))
-    assert(delta.startsWith("(SELECT") && delta.endsWith(") t"))
-  }
-
-  test("sap b4 queries use REQTSN watermark") {
-    val cfg = SapExtraction.B4Config(adsoName = "ZORDERS")
-    assert(SapExtraction.b4InitQuery(cfg).contains("/BIC/AZORDERS2"))
-    val delta = SapExtraction.b4DeltaQuery(cfg, "20240101000000000000000")
-    assert(delta.contains("/BIC/AZORDERS3"))
-    assert(delta.contains("RSPMREQUEST"))
-    assert(delta.contains("STATUS = 'GG'"))
+  test("sap extraction pure contracts: identifiers, data_target, filters") {
+    // identifier handling (dialect notes in SapExtraction's scaladoc)
+    assert(SapExtraction.quoteIdent("date") == "\"DATE\"")
+    assert(SapExtraction.quoteIdent("\"/bic/article\"") == "\"/bic/article\"")
+    assert(SapExtraction.aliased("(SELECT 1)") == "(SELECT 1) AS graft_subq")
+    assert(SapExtraction.aliased("SAPHANADB.T1") == "SAPHANADB.T1")
+    // data_target derivation (`sap_b4_extraction_utils.py:107-127`):
+    // strip quotes/backslashes, last '/' segment minus first+last char
+    assert(SapB4Extraction.dataTarget(Map("dbtable" -> "/BIC/abtable12")) ==
+      "btable1")
+    assert(SapB4Extraction.dataTarget(Map(
+      "dbtable" -> "x", "data_target" -> "dummy_table")) == "dummy_table")
+    // request-status filters per ADSO type
+    // (`sap_b4_extraction_utils.py:253-281`)
+    val aq = SapB4Extraction.requestStatusFilter("AQ", "dummy_table")
+    assert(aq.contains("STORAGE = 'AQ'") &&
+      aq.contains("REQUEST_STATUS IN ('GG', 'GR')") &&
+      aq.contains("UPPER(DATATARGET) = UPPER('dummy_table')"))
+    val cl = SapB4Extraction.requestStatusFilter("CL", "dummy_table")
+    assert(cl.contains("STORAGE = 'AT'") &&
+      cl.contains("REQUEST_STATUS IN ('GG')"))
+    intercept[UnsupportedOperationException] {
+      SapB4Extraction.requestStatusFilter("XX", "t")
+    }
+    // odsobject derivation + changelog fallback
+    // (`sap_bw_extraction_utils.py:101-195`)
+    assert(SapBwExtraction.odsobject(Map("dbtable" -> "db.sales")) == "sales")
+    assert(SapBwExtraction.odsobject(Map("dbtable" -> "sales")) == "sales")
+    assert(SapBwExtraction.deriveChangelogTable(spark, "url", "u", "p", "d",
+      odsobject = None, changelogTable = None, extractionType = "delta",
+      dbtable = "dummy_table") == "dummy_table_cl")
+    assert(SapBwExtraction.deriveChangelogTable(spark, "url", "u", "p", "d",
+      odsobject = Some("ods"), changelogTable = Some("given"),
+      extractionType = "delta") == "given")
   }
 
   test("rest api writer streams payloads through partitions") {
@@ -583,32 +598,24 @@ class IoSpec extends SparkSpec {
     })
     server.start()
     try {
+      // client-level protocol: the restore state machine (archived ->
+      // restoring -> restored) with Bulk, which the client accepts — the
+      // Expedited-only guard on restore-and-wait is the choreography
+      // layer's (S3FileOps), scenario-tested in ReferenceFileManagerSpec.
       val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
-      val common = Map("manager" -> "file", "bucket" -> "my-bucket",
-        "endpoint" -> endpoint, "region" -> "eu-west-1",
-        "access_key" -> "testak", "secret_key" -> "testsk",
-        "restore_expiration" -> 2, "retrieval_tier" -> "Bulk",
-        "dry_run" -> false)
-      // dry_run still only validates (no HTTP call)
-      val dry = graft.maintain.ManagerDispatch.execute(spark, Seq(common ++ Map(
-        "function" -> "request_restore", "source_object" -> "arch/data.parquet",
-        "dry_run" -> true)))
-      assert(dry.head.contains("(dry_run)"))
-      assert(state("arch/data.parquet") == "archived")
-      // end-to-end: request -> poll (in progress, then done) -> copy
-      val out = graft.maintain.ManagerDispatch.execute(spark, Seq(common ++ Map(
-        "function" -> "request_restore_to_destination_and_wait",
-        "source_object" -> "arch/data.parquet",
-        "destination_bucket" -> "my-bucket",
-        "destination_object" -> "hot/data.parquet",
-        "poll_interval_ms" -> 10, "max_wait_attempts" -> 5)))
-      assert(out.head.contains("copied"))
+      val client = new AwsSig.S3RestoreClient(endpoint, "eu-west-1",
+        AwsSig.Credentials("testak", "testsk"))
+      // request -> poll (in progress, then done) -> copy
+      client.restoreToDestinationAndWait("my-bucket", "arch/data.parquet",
+        "my-bucket", "hot/data.parquet", 2, "Bulk",
+        pollMillis = 10, maxAttempts = 5)
       assert(copies.toSeq == Seq(("/my-bucket/arch/data.parquet", "hot/data.parquet")))
-      val st = graft.maintain.ManagerDispatch.execute(spark, Seq(common ++ Map(
-        "function" -> "check_restore_status",
-        "source_object" -> "arch/data.parquet")))
-      assert(st.head.contains("restored"))
-      // no credentials and no env -> clear failure, never a silent no-op
+      assert(state("arch/data.parquet") == "restored")
+      assert(client.restoreStatus("my-bucket", "arch/data.parquet")
+        .contains(false)) // restored
+      // no credentials and no env -> the dispatch runs the filesystem
+      // manager, whose surface has no restore family -> clear failure,
+      // never a silent no-op (reference dbfs_file_manager.py:85-101)
       intercept[UnsupportedOperationException] {
         graft.maintain.ManagerDispatch.execute(spark, Seq(Map(
           "manager" -> "file", "function" -> "request_restore",
