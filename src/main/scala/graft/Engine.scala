@@ -190,9 +190,33 @@ object Engine {
     algo.Heartbeat.controlTableDataFeed(spark, controlLocation, feed)
 
   /** `update_heartbeat_sensor_status`: completion callback for a
-    * triggered job. */
+    * triggered job. Accepts the reference's `db.table` addressing (routed
+    * through [[algo.HeartbeatControl]]) or this build's storage-location
+    * addressing (routed through [[algo.Heartbeat]]). */
   def updateHeartbeatSensorStatus(
       spark: SparkSession, controlLocation: String,
       sensorControlLocation: String, jobId: String): Unit =
-    algo.Heartbeat.completeJob(spark, controlLocation, sensorControlLocation, jobId)
+    if (spark.catalog.tableExists(controlLocation))
+      algo.HeartbeatControl.updateCompletionStatus(
+        spark, controlLocation, sensorControlLocation, jobId)
+    else
+      algo.Heartbeat.completeJob(spark, controlLocation, sensorControlLocation, jobId)
+
+  /** `execute_sensor_heartbeat` over the reference's ACON shape
+    * (heartbeat + sensor control addressed as `db.table`). */
+  def executeSensorHeartbeat(spark: SparkSession, acon: Map[String, Any]): Unit =
+    algo.HeartbeatControl.execute(spark, algo.HeartbeatControl.specFromAcon(acon))
+
+  /** `trigger_heartbeat_sensor_jobs` over the reference's ACON shape. */
+  def triggerHeartbeatSensorJobs(spark: SparkSession, acon: Map[String, Any]): Seq[String] = {
+    val spec = algo.HeartbeatControl.specFromAcon(acon)
+    algo.HeartbeatControl.triggerJobs(spark, spec,
+      algo.HeartbeatControl.runJobHttp(spec))
+  }
+
+  /** `execute_heartbeat_sensor_data_feed`: CSV feed upsert into the
+    * heartbeat control table. */
+  def executeHeartbeatSensorDataFeed(
+      spark: SparkSession, dataFeedPath: String, controlTable: String): Unit =
+    algo.HeartbeatControl.controlTableDataFeed(spark, dataFeedPath, controlTable)
 }

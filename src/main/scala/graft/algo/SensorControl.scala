@@ -107,8 +107,10 @@ object SensorControl {
     * fields with Python `str(None)`, landing the literal `"None"` on
     * inserts — preserved. */
   def updateSensorStatus(spark: SparkSession, spec: Spec, status: String,
-      upstreamKey: Option[String] = None, upstreamValue: Option[String] = None): Unit = {
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
+      upstreamKey: Option[String] = None, upstreamValue: Option[String] = None,
+      statusChangeTimestamp: Option[java.sql.Timestamp] = None): Unit = {
+    val now = statusChangeTimestamp.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
     val table = spec.controlDbTableName
     val ctrl = spark.table(table)
     val tgtCols = ctrl.columns.toSeq
@@ -147,12 +149,20 @@ object SensorControl {
         ctrl.unionByName(insert)
       }
 
+    overwriteTable(spark, table, merged)
+  }
+
+  /** Full-table staged-swap rewrite of a (config-sized) control table —
+    * the MERGE materialization for catalogs without a transactional
+    * format. */
+  private[algo] def overwriteTable(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
     val location = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(
         table.split("\\.").last, table.split("\\.").dropRight(1).lastOption))
       .location.toString
     val stage = location.stripSuffix("/") + "__stage"
-    merged.coalesce(1).write.mode("overwrite").parquet(stage)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
     graft.io.StagedSwap.commit(spark.sparkContext.hadoopConfiguration, location, stage)
     spark.catalog.refreshTable(table)
   }
