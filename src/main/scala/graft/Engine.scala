@@ -67,20 +67,68 @@ object Engine {
       spark: SparkSession, operations: Seq[Map[String, Any]]): Seq[String] =
     maintain.ManagerDispatch.execute(spark, operations)
 
+  /** `validate_manager_list` (`utils/acon_utils.py:17-35`): validate an
+    * `{"operations": [...]}` ACON without executing anything — raises on
+    * an empty list or on any validation error (all errors collected into
+    * one message), returns the operations otherwise. */
+  def validateManagerList(aconJson: String): Seq[Map[String, Any]] =
+    validateManagerList(spec.Specs.parseJsonMap(aconJson))
+
+  def validateManagerList(acon: Map[String, Any]): Seq[Map[String, Any]] = {
+    val ops = spec.Specs.A.seqOfMaps(acon, "operations")
+    if (ops.isEmpty)
+      throw new RuntimeException("No operations found in the acon.")
+    val errors = maintain.ManagerDispatch.validationErrors(ops)
+    if (errors.nonEmpty)
+      throw new RuntimeException(
+        "Errors found during validation:\n" + errors.mkString("\n"))
+    ops
+  }
+
   /** `manage_table`: DDL/maintenance operations. */
   def manageTable(spark: SparkSession): maintain.TableManager =
     new maintain.TableManager(spark)
 
   /** `manage_table` over a single-operation ACON (`engine.py` —
     * `{"function": ..., ...}` with the table manager implied). */
-  def manageTable(spark: SparkSession, aconJson: String): Seq[String] =
+  def manageTable(spark: SparkSession, aconJson: String,
+      collectEngineUsage: String = exec.EngineUsage.ProdOnly): Seq[String] = {
+    exec.EngineUsage.record(spark, aconJson, "manage_table", collectEngineUsage)
+    // flat acons skip typed validation like the reference's (see
+    // ManagerDispatch.execute scaladoc)
     maintain.ManagerDispatch.execute(spark,
-      Seq(spec.Specs.parseJsonMap(aconJson) + ("manager" -> "table")))
+      Seq(spec.Specs.parseJsonMap(aconJson) + ("manager" -> "table")),
+      strictTypes = false)
+  }
+
+  /** `execute_dq_validation` over the reference's ACON shape
+    * (`{"input_spec": ..., "dq_spec": ..., ...}`). */
+  def executeDqValidation(spark: SparkSession, aconJson: String,
+      collectEngineUsage: String): dq.DQRunResult = {
+    exec.EngineUsage.record(spark, aconJson, "execute_dq_validation",
+      collectEngineUsage)
+    val m = spec.Specs.parseJsonMap(aconJson)
+    def sub(k: String): Map[String, Any] = m.get(k).collect {
+      case mm: Map[_, _] => mm.map { case (a, b) => String.valueOf(a) -> b }.toMap
+    }.getOrElse(sys.error(s"execute_dq_validation acon needs $k"))
+    // per-pipeline exec_env confs, tolerant like the data loader
+    m.get("exec_env").foreach {
+      case mm: Map[_, _] => mm.foreach { case (k, v) =>
+        try spark.conf.set(String.valueOf(k), String.valueOf(v))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      case _ => ()
+    }
+    executeDqValidation(spark, spec.Specs.inputSpec(sub("input_spec")),
+      spec.Specs.dqSpec(sub("dq_spec")),
+      restorePrevVersion = m.get("restore_prev_version").contains(true))
+  }
 
   /** `manage_files` over a single-operation ACON. */
   def manageFiles(spark: SparkSession, aconJson: String): Seq[String] =
     maintain.ManagerDispatch.execute(spark,
-      Seq(spec.Specs.parseJsonMap(aconJson) + ("manager" -> "file")))
+      Seq(spec.Specs.parseJsonMap(aconJson) + ("manager" -> "file")),
+      strictTypes = false)
 
   /** `manage_files`: file-system operations. */
   def manageFiles(spark: SparkSession): maintain.FileManager =

@@ -29,6 +29,7 @@ final class DataLoader(
 
   /** spec_id -> materialized (lazy) DataFrame for every stage output. */
   private val data = mutable.LinkedHashMap.empty[String, DataFrame]
+  private var dqRuleIdErrors: Seq[(String, String)] = Seq.empty
 
   private def ctx = TransformContext(spark, id => data(id), customFns)
 
@@ -81,6 +82,15 @@ final class DataLoader(
   }
 
   def processDq(): this.type = {
+    // `data_loader.py:130-177` _verify_dq_rule_id_uniqueness: duplicated
+    // PRISMA rule ids SKIP the entire DQ stage (every spec passes its
+    // input through untouched) but the load still writes — the raise
+    // happens after terminate, in execute().
+    dqRuleIdErrors = graft.dq.Prisma.ruleIdDuplication(spark, acon.dqSpecs)
+    if (dqRuleIdErrors.nonEmpty) {
+      acon.dqSpecs.foreach(dq => data(dq.specId) = data(dq.inputId))
+      return this
+    }
     acon.dqSpecs.map(resolvePrisma).foreach { dq =>
       val df = data(dq.inputId)
       if (!df.isStreaming) {
@@ -203,7 +213,24 @@ final class DataLoader(
     // fail fast on unsupported formats before any IO (reference
     // `utils/acon_utils.py:38-97` validate-then-run contract)
     graft.spec.AconValidation.validate(acon)
-    read().transform().processDq().write().terminate()
+    try read().transform().processDq().write().terminate()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // `data_loader.py:240-243`: a failed run dispatches the failure
+        // notifications declared in terminate_specs, then re-raises
+        NotifierFactory.generateFailureNotification(acon.terminateSpecs, e)
+        throw e
+    }
+    // the write/terminate stages COMPLETED — the duplicate-rule failure is
+    // reported last, mirroring `data_loader.py:245-253`
+    if (dqRuleIdErrors.nonEmpty)
+      throw new graft.dq.DQDuplicateRuleIdException(
+        "Data Written Successfully, but DQ Process Encountered an Issue.\n" +
+          "We detected a duplicate dq_rule_id in the dq_spec definition. " +
+          "As a result, none of the Data Quality (DQ) processes (dq_spec) " +
+          "were executed.\n" +
+          "Please review and verify the following dq_rules:\n" +
+          graft.dq.Prisma.errorDictRepr(dqRuleIdErrors))
     data.toMap
   }
 }

@@ -43,11 +43,13 @@ object HeartbeatControl {
       lakehouseEngineSensorDbTable: String,
       sensorSource: String,
       dataFormat: Option[String] = None,
-      options: Map[String, String] = Map.empty,
+      options: Option[Map[String, Any]] = None,
       schemaDict: Option[String] = None,
       baseCheckpointLocation: Option[String] = None,
       baseTriggerFileLocation: Option[String] = None,
       jdbcDbTable: Option[String] = None,
+      kafkaConfigs: Map[String, Map[String, Any]] = Map.empty,
+      kafkaSecretScope: Option[String] = None,
       token: Option[String] = None,
       domain: Option[String] = None)
 
@@ -62,8 +64,15 @@ object HeartbeatControl {
         .getOrElse(sys.error("heartbeat acon needs sensor_source")),
       dataFormat = A.str(m, "data_format"),
       options = m.get("options").collect { case mm: Map[_, _] =>
-        mm.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }.toMap
+        mm.map { case (k, v) => String.valueOf(k) -> v }.toMap[String, Any]
+      },
+      kafkaConfigs = m.get("kafka_configs").collect { case mm: Map[_, _] =>
+        mm.collect { case (k, v: Map[_, _]) =>
+          String.valueOf(k) -> v.map { case (a, b) =>
+            String.valueOf(a) -> b }.toMap[String, Any]
+        }.toMap
       }.getOrElse(Map.empty),
+      kafkaSecretScope = A.str(m, "kafka_secret_scope"),
       schemaDict = A.str(m, "schema_dict"),
       baseCheckpointLocation = A.str(m, "base_checkpoint_location"),
       baseTriggerFileLocation = A.str(m, "base_trigger_file_location"),
@@ -113,8 +122,9 @@ object HeartbeatControl {
 
   /** `_get_sensor_acon_from_heartbeat` (+
     * `_enhance_sensor_acon_extra_options`): the per-row sensor ACON. */
-  def sensorAconFromHeartbeat(spark: SparkSession, spec: Spec,
-      row: Row): Map[String, Any] = {
+  def sensorAconFromHeartbeat(spark: SparkSession, spec: Spec, row: Row,
+      secretProvider: (Option[String], String) => Option[String] =
+        (_, _) => None): Map[String, Any] = {
     def s(name: String): Option[String] = {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i)))
@@ -137,7 +147,7 @@ object HeartbeatControl {
         "read_type" -> s("sensor_read_type").getOrElse("batch"),
         "data_format" -> spec.dataFormat.orNull,
         "db_table" -> (if (spec.dataFormat.contains("delta")) sensorId else null),
-        "options" -> spec.options,
+        "options" -> spec.options.orNull,
         "location" -> spec.baseTriggerFileLocation
           .map(b => s"$b/$sensorId").orNull,
         "schema" -> spec.schemaDict.orNull): Map[String, Any]),
@@ -146,7 +156,7 @@ object HeartbeatControl {
       "fail_on_empty_result" -> false)
     source match {
       case "sap_b4" | "sap_bw" =>
-        val opts = spec.options ++ Map(
+        val opts = spec.options.getOrElse(Map.empty[String, Any]) ++ Map(
           "prepareQuery" -> SensorControl.generateSensorSapLogchainQuery(
             chainId = sensorId,
             dbtable = spec.jdbcDbTable.getOrElse("SAPPHA.RSPCLOGCHAIN")),
@@ -164,6 +174,30 @@ object HeartbeatControl {
           controlDbTableName = Some(spec.lakehouseEngineSensorDbTable),
           upstreamKey = s("upstream_key"),
           upstreamValue = Some(upstreamValue)))
+      case "kafka" =>
+        // `_get_all_kafka_options`: per-data-product connection config
+        // selected by the sensor id's `dp: topic` prefix, passwords via
+        // the pluggable secret provider (dbutils.secrets there)
+        val parts = sensorId.split(":")
+        val dpName = parts(0).trim
+        val topic = parts(1).trim
+        val cfg = spec.kafkaConfigs.getOrElse(dpName, sys.error(
+          s"heartbeat kafka_configs has no entry for '$dpName'"))
+        def secret(keyName: String): Any =
+          cfg.get(keyName).filter(_ != null).map(String.valueOf)
+            .flatMap(k => secretProvider(spec.kafkaSecretScope, k)).orNull
+        val kafkaOptions: Map[String, Any] = Map(
+          "kafka.bootstrap.servers" -> cfg("kafka_bootstrap_servers_list"),
+          "subscribe" -> topic,
+          "startingOffsets" -> "earliest",
+          "kafka.security.protocol" -> "SSL",
+          "kafka.ssl.truststore.location" -> cfg("kafka_ssl_truststore_location"),
+          "kafka.ssl.truststore.password" -> secret("truststore_pwd_secret_key"),
+          "kafka.ssl.keystore.location" -> cfg("kafka_ssl_keystore_location"),
+          "kafka.ssl.keystore.password" -> secret("keystore_pwd_secret_key"))
+        val in = base("input_spec").asInstanceOf[Map[String, Any]] +
+          ("options" -> kafkaOptions)
+        base + ("input_spec" -> in)
       case _ => base
     }
   }

@@ -48,32 +48,113 @@ object Notifier {
 
   /** Build + send the notification for a `notify` terminator spec.
     *
-    * @param failed whether the surrounding run failed (drives on_failure)
+    * Failure-notification gating follows the reference
+    * (`terminators/terminator_factory.py:44-47` + `notifier.py:70-98`):
+    * a notify spec is a FAILURE notification by DEFAULT (`on_failure`
+    * defaults to true, template-backed or free-form), so terminate-time
+    * dispatch (failed = false) skips it; only `on_failure: false` specs
+    * fire on success.
+    *
+    * @param failed whether the surrounding run failed
     */
   def notify(spec: TerminatorSpec, failed: Boolean = false): Unit = {
+    if (NotifierFactory.checkIfNotificationIsFailureNotification(spec) && !failed)
+      return
     val args = spec.args
-    val (subjectT, messageT, onFailureOnly) =
+    val (subjectT, messageT) =
       args.get("template").map(String.valueOf) match {
         case Some(name) =>
-          Templates.getOrElse(name,
+          val (s, m, _) = Templates.getOrElse(name,
             throw new IllegalArgumentException(s"unknown notification template: $name"))
+          (s, m)
         case None =>
           (args.get("subject").map(String.valueOf).getOrElse(""),
             args.get("message").map(String.valueOf).getOrElse(
               throw new IllegalArgumentException(
-                "notify terminator needs a template or a message")),
-            false)
+                "notify terminator needs a template or a message")))
       }
-    if (!onFailureOnly || failed) {
-      val recipients = args.get("to") match {
-        case Some(s: Seq[_]) => s.map(String.valueOf)
-        case Some(other) => Seq(String.valueOf(other))
-        case None => Seq.empty
-      }
-      transport(Notification(recipients,
-        render(subjectT, args), render(messageT, args)))
+    val recipients = args.get("to") match {
+      case Some(s: Seq[_]) => s.map(String.valueOf)
+      case Some(other) => Seq(String.valueOf(other))
+      case None => Seq.empty
+    }
+    transport(Notification(recipients,
+      render(subjectT, args), render(messageT, args)))
+  }
+}
+
+/** `NotifierFactory` (`terminators/notifier_factory.py:12-70`) +
+  * `Notifier.check_if_notification_is_failure_notification`
+  * (`terminators/notifier.py:70-98`): notifier-type dispatch with the
+  * reference's exact error message, failure-notification classification
+  * (on_failure defaults TRUE — free-form and template specs alike), and
+  * failure-notification generation from terminate specs on a failed run.
+  * Pinned verbatim by ReferenceNotifierFactorySpec against
+  * `tests/unit/test_notification_factory.py` /
+  * `test_failure_notification_creation.py`. */
+object NotifierFactory {
+
+  final case class NotifierNotFoundException(msg: String) extends RuntimeException(msg)
+
+  /** A constructed notifier: `create_notification` then
+    * `send_notification` (the reference's two-step protocol). */
+  final class Handle(val tpe: String, initialArgs: Map[String, Any]) {
+    private var built: Map[String, Any] = initialArgs
+    def createNotification(): Map[String, Any] = {
+      built = EmailNotifier.createNotification(initialArgs); built
+    }
+    def notification: Map[String, Any] = built
+    def sendNotification(): Unit = EmailNotifier.sendNotification(built)
+  }
+
+  private val NotifierTypes = Set("email")
+
+  /** `get_notifier`: type dispatch, message verbatim. */
+  def getNotifier(spec: TerminatorSpec): Handle = {
+    val name = spec.args.get("type").map(String.valueOf).orNull
+    if (name != null && NotifierTypes.contains(name)) new Handle(name, spec.args)
+    else throw NotifierNotFoundException(
+      s"The requested notification format $name is not supported.")
+  }
+
+  /** `check_if_notification_is_failure_notification`: template-backed
+    * specs consult the template registry (unknown template raises the
+    * reference's ValueError text); either way `on_failure` DEFAULTS to
+    * true. */
+  def checkIfNotificationIsFailureNotification(spec: TerminatorSpec): Boolean = {
+    val args = spec.args
+    def onFailure = args.get("on_failure") match {
+      case Some(b: Boolean) => b
+      case Some(other) => String.valueOf(other).equalsIgnoreCase("true")
+      case None => true
+    }
+    args.get("template").map(String.valueOf) match {
+      case Some(name) =>
+        if (EmailNotifier.Templates.contains(name)) onFailure
+        else throw new IllegalArgumentException(s"Template $name not found.")
+      case None => onFailure
     }
   }
+
+  /** `generate_failure_notification`: on a failed run, every notify
+    * terminate spec that opted in (generate_failure_notification) or
+    * classifies as a failure notification is built with the exception
+    * text and sent. */
+  def generateFailureNotification(
+      specs: Seq[TerminatorSpec], exception: Throwable): Unit =
+    specs.filter(_.function == "notify").foreach { t =>
+      val generate = t.args.get("generate_failure_notification").contains(true)
+      if (generate || checkIfNotificationIsFailureNotification(t)) {
+        var args = t.args + ("exception" ->
+          Option(exception.getMessage).getOrElse(exception.toString))
+        if (generate)
+          args += ("template" ->
+            s"failure_notification_${args.get("type").map(String.valueOf).getOrElse("")}")
+        val notifier = getNotifier(TerminatorSpec("notification", args))
+        notifier.createNotification()
+        notifier.sendNotification()
+      }
+    }
 }
 
 /** Verbatim email notifier (reference `terminators/notifiers/
@@ -243,6 +324,53 @@ object EmailNotifier {
     }
     sb.append(s"--$boundary--").append('\n')
     sb.toString
+  }
+
+  // ------------------------------------------------------------------
+  // Graph-API (office365) email body (`email_notifier.py:229-313`
+  // `_create_graph_api_email_body` / `_set_graph_api_recipients`): the
+  // structured sendMail request the msgraph SDK would serialize —
+  // recipients, typed body, raw-byte file attachments (base64 happens
+  // only at the wire). Pinned by ReferenceNotifierFactorySpec against
+  // `tests/unit/test_notification_creation.py`
+  // test_office365_notification_creation.
+  // ------------------------------------------------------------------
+
+  final case class GraphRecipient(address: String)
+  final case class GraphAttachment(name: String, size: Int, contentBytes: Array[Byte])
+  final case class GraphItemBody(contentType: String, content: String)
+  final case class GraphMessage(
+      subject: String,
+      body: GraphItemBody,
+      toRecipients: Seq[GraphRecipient],
+      ccRecipients: Seq[GraphRecipient],
+      bccRecipients: Seq[GraphRecipient],
+      attachments: Seq[GraphAttachment],
+      importance: String)
+  final case class GraphEmailBody(message: GraphMessage, saveToSentItems: Boolean)
+
+  def createGraphApiEmailBody(n: Map[String, Any]): GraphEmailBody = {
+    def recipients(k: String): Seq[GraphRecipient] =
+      strSeq(n, k).map(GraphRecipient)
+    val contentType = String.valueOf(n.getOrElse("mimetype", "plain")) match {
+      case "html" | "text/html" => "html"
+      case _ => "text"
+    }
+    val attachments = strSeq(n, "attachments").map { f =>
+      val name = f.split("/").last
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      GraphAttachment(name, bytes.length, bytes)
+    }
+    GraphEmailBody(
+      GraphMessage(
+        subject = String.valueOf(n.getOrElse("subject", "")),
+        body = GraphItemBody(contentType, String.valueOf(n.getOrElse("message", ""))),
+        toRecipients = recipients("to"),
+        ccRecipients = recipients("cc"),
+        bccRecipients = recipients("bcc"),
+        attachments = attachments,
+        importance = String.valueOf(n.getOrElse("importance", "normal"))),
+      saveToSentItems = false)
   }
 
   /** `_authenticate_and_send_simple_smtp`: plain-socket SMTP with the

@@ -164,6 +164,9 @@ object DQValidator {
       dfs: Readers.DfSupplier =
         name => sys.error(s"no DataFrame registered as '$name'")): graft.dq.DQRunResult = try {
     val df = Readers.read(spark, input, dfs)
+    // duplicated PRISMA rule ids fail the validator before any DQ runs
+    // (`dq_validator.py:95-103`)
+    graft.dq.Prisma.raiseOnDuplicates(spark, Seq(dqSpec))
     val batchDf =
       if (!df.isStreaming) df
       else {

@@ -85,6 +85,25 @@ object SensorControl {
   // ------------------------------------------------------------------
 
   /** `read_sensor_table_data`: by sensor_id, or by exact asset array. */
+  /** `_get_sensor_update_set` (sensor_manager.py:169-187): the MERGE
+    * update-set mapping — the base columns always, plus each optional
+    * field whose value is Python-truthy (non-empty list / non-empty
+    * string). Pinned verbatim by ReferenceSensorUnitSpec against
+    * `tests/unit/test_sensor_manager.py`. */
+  def sensorUpdateSet(
+      assets: Seq[String] = Seq.empty,
+      checkpointLocation: Option[String] = None,
+      upstreamKey: Option[String] = None,
+      upstreamValue: Option[String] = None): Map[String, String] = {
+    val extras = Seq(
+      "assets" -> assets.nonEmpty,
+      "checkpoint_location" -> checkpointLocation.exists(_.nonEmpty),
+      "upstream_key" -> upstreamKey.exists(_.nonEmpty),
+      "upstream_value" -> upstreamValue.exists(_.nonEmpty))
+    (BaseUpdateSet.map(c => s"sensors.$c" -> s"updates.$c") ++
+      extras.collect { case (c, true) => s"sensors.$c" -> s"updates.$c" }).toMap
+  }
+
   def readSensorTableData(spark: SparkSession, controlDbTableName: String,
       sensorId: Option[String] = None, assets: Seq[String] = Seq.empty): Option[Row] = {
     var df = spark.table(controlDbTableName)
@@ -125,13 +144,9 @@ object SensorControl {
       "upstream_key" -> lit(upstreamKey.getOrElse("None")),
       "upstream_value" -> lit(upstreamValue.getOrElse("None")))
 
-    // conditional update-set membership mirrors `_get_sensor_update_set`
-    // Python truthiness: empty list / None / empty string stay out
-    val updateSet: Set[String] = BaseUpdateSet.toSet ++
-      (if (spec.assets.nonEmpty) Seq("assets") else Nil) ++
-      (if (spec.checkpointLocation.exists(_.nonEmpty)) Seq("checkpoint_location") else Nil) ++
-      (if (upstreamKey.exists(_.nonEmpty)) Seq("upstream_key") else Nil) ++
-      (if (upstreamValue.exists(_.nonEmpty)) Seq("upstream_value") else Nil)
+    val updateSet: Set[String] = sensorUpdateSet(spec.assets,
+      spec.checkpointLocation, upstreamKey, upstreamValue)
+      .keySet.map(_.stripPrefix("sensors."))
 
     val matchedExists = ctrl.where(col("sensor_id") === spec.sensorId).take(1).nonEmpty
     val merged =
@@ -274,7 +289,7 @@ object SensorControl {
 
   /** `_check_if_sensor_already_exists`: same id with different assets, or
     * same assets under a different id. */
-  private def sensorAlreadyExists(spark: SparkSession, spec: Spec): Boolean = {
+  private[algo] def sensorAlreadyExists(spark: SparkSession, spec: Spec): Boolean = {
     val byId = readSensorTableData(spark, spec.controlDbTableName, Some(spec.sensorId))
     byId match {
       case Some(row) if Option(row.getSeq[String](row.fieldIndex("assets")))
@@ -300,16 +315,23 @@ object SensorControl {
     }
   }
 
-  /** `_validate_sensor_spec`: read-type/data-format allowlist. */
-  private def validateSpec(spec: Spec): Unit = {
+  /** `_validate_sensor_spec` (sensor.py:147-164): read-type/data-format
+    * allowlist; messages verbatim incl. the Python dict repr of
+    * SENSOR_ALLOWED_DATA_FORMATS. */
+  private[algo] def validateSpec(spec: Spec): Unit = {
     val input = spec.inputSpec.getOrElse(return)
     val fmt = input.dataFormat.getOrElse(return)
     if (KnownFormats.contains(fmt)) {
-      if (!AllowedFormats.getOrElse(input.readType, Seq.empty).contains(fmt))
+      if (!AllowedFormats.getOrElse(input.readType, Seq.empty).contains(fmt)) {
+        val allowedRepr = Seq("streaming", "batch").map { rt =>
+          s"'$rt': " + AllowedFormats(rt).map(f => s"'$f'")
+            .mkString("[", ", ", "]")
+        }.mkString("{", ", ", "}")
         throw new NotImplementedError(
           s"A sensor has not been implemented yet for this data format or, " +
             s"this data format is not available for the read_type ${input.readType}. " +
-            s"Check the allowed combinations of read_type and data_formats: $AllowedFormats")
+            s"Check the allowed combinations of read_type and data_formats: $allowedRepr")
+      }
     } else {
       throw new NotImplementedError(s"Data format $fmt isn't implemented yet.")
     }

@@ -58,11 +58,9 @@ object Prisma {
   def resolve(spark: SparkSession, dq: DQSpec, executionPoint: String): DQSpec = {
     if (dq.dqType != "prisma" || dq.rulesTable.isDefined) return dq
 
-    validateRuleIdUniqueness(spark, dq)
-
     val fns =
       if (dq.dqDbTable.isDefined) loadRules(spark, dq, executionPoint)
-      else if (dq.dqFunctions.nonEmpty) { validateMeta(dq); dq.dqFunctions }
+      else if (dq.dqFunctions.nonEmpty) { validateMeta(dq, executionPoint); dq.dqFunctions }
       else throw new DQSpecMalformedException(
         "When using PRISMA either dq_db_table or dq_functions needs to be defined.")
 
@@ -98,30 +96,54 @@ object Prisma {
       processedKeysLocation = keysLoc)
   }
 
-  /** `PrismaUtils.validate_rule_id_duplication` + the raise in
-    * `dq_validator.py:97` / `data_loader.py:246`: a rules table (or an
-    * inline rule list) whose `dq_rule_id`s are not unique fails the run
-    * before any data is read. */
-  def validateRuleIdUniqueness(spark: SparkSession, dq: DQSpec): Unit = {
-    val dup: Seq[String] = dq.dqDbTable match {
-      case Some(t) =>
-        spark.sql(
-          s"SELECT dq_rule_id, COUNT(*) AS count FROM $t " +
-            "GROUP BY dq_rule_id HAVING COUNT(*) > 1")
-          .collect().map(r => s"${r.getString(0)} (x${r.getLong(1)})").toSeq
-      case None =>
-        val ids = dq.dqFunctions.flatMap(f =>
-          f.args.get("meta").collect { case m: Map[_, _] =>
-            m.collectFirst { case (k, v) if String.valueOf(k) == "dq_rule_id" =>
-              String.valueOf(v) } }.flatten)
-        ids.groupBy(identity).collect { case (id, g) if g.length > 1 => id }.toSeq
+  /** `PrismaUtils.validate_rule_id_duplication` (`utils/dq_utils.py:239-285`):
+    * per PRISMA spec, report non-unique `dq_rule_id`s. The returned pairs
+    * mirror the reference's error dict exactly — keyed
+    * `"dq_spec_id: <spec_id>"`, valued with the duplicate GROUP BY rows
+    * (table case, Python `str(Row)` rendering) or with EVERY inline rule
+    * id joined by `"; "` (the reference reports the whole list, not just
+    * the duplicates — pinned by `tests/unit/test_prisma_dq_rule_id.py`). */
+  def ruleIdDuplication(spark: SparkSession, specs: Seq[DQSpec]): Seq[(String, String)] =
+    specs.flatMap { dq =>
+      if (dq.dqType != "prisma") None
+      else dq.dqDbTable match {
+        case Some(t) =>
+          val rows = spark.sql(
+            s"SELECT dq_rule_id, COUNT(*) AS count FROM $t " +
+              "GROUP BY dq_rule_id HAVING COUNT(*) > 1")
+            .collect().map(r => s"Row(dq_rule_id='${r.getString(0)}', count=${r.getLong(1)})")
+          if (rows.isEmpty) None
+          else Some(s"dq_spec_id: ${dq.specId}" -> rows.mkString("; "))
+        case None if dq.dqFunctions.nonEmpty =>
+          val ids = dq.dqFunctions.flatMap(f =>
+            f.args.get("meta").collect { case m: Map[_, _] =>
+              m.collectFirst { case (k, v) if String.valueOf(k) == "dq_rule_id" =>
+                String.valueOf(v) } }.flatten)
+          if (ids.distinct.length != ids.length)
+            Some(s"dq_spec_id: ${dq.specId}" -> ids.mkString("; "))
+          else None
+        case None => None
+      }
     }
-    if (dup.nonEmpty)
+
+  /** Python-dict repr of the error pairs — the reference interpolates the
+    * raw dict into both raise messages. */
+  def errorDictRepr(errs: Seq[(String, String)]): String =
+    errs.map { case (k, v) => s"'$k': '$v'" }.mkString("{", ", ", "}")
+
+  /** The stand-alone validator's raise (`algorithms/dq_validator.py:95-103`):
+    * duplicated rule ids fail the run before any DQ executes. The data
+    * loader's contract differs — see [[graft.algo.DataLoader]]: it skips
+    * the DQ stage, still writes, and raises AFTER terminate
+    * (`data_loader.py:245-253`). */
+  def raiseOnDuplicates(spark: SparkSession, specs: Seq[DQSpec]): Unit = {
+    val errs = ruleIdDuplication(spark, specs)
+    if (errs.nonEmpty)
       throw new DQDuplicateRuleIdException(
         "Duplicate dq_rule_id detected in dq_spec definition.\n" +
           "We have identified one or more duplicate dq_rule_id entries in " +
           "the dq_spec definition. Please review and verify the following " +
-          s"dq_rules:\ndq_spec_id: ${dq.specId} -> ${dup.mkString("; ")}")
+          s"dq_rules:\n${errorDictRepr(errs)}")
   }
 
   /** `DQUtils.import_dq_rules_from_table`: filter by execution point and
@@ -154,22 +176,40 @@ object Prisma {
     seen.values.toSeq
   }
 
-  /** `DQUtils.validate_dq_functions`: inline PRISMA rules must each carry
-    * a meta argument holding every configured meta field. */
-  private def validateMeta(dq: DQSpec): Unit =
+  private def pyList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** `DQUtils.validate_dq_functions` (`utils/dq_utils.py:118-164`): inline
+    * PRISMA rules must each carry a meta argument holding every configured
+    * meta field, with the meta's own execution point matching the run's.
+    * Messages render Python list reprs verbatim (found keys in JSON
+    * insertion order, the diff sorted) — pinned by
+    * `tests/unit/test_prisma_function_definition.py`. */
+  private[graft] def validateMeta(dq: DQSpec, executionPoint: String = ""): Unit =
     dq.dqFunctions.foreach { f =>
+      // toSeq keeps the meta's own key order (ListMap / ordered parse)
+      // for the reference's "Found fields" rendering
       val meta = f.args.get("meta").collect { case m: Map[_, _] =>
-        m.map { case (k, _) => String.valueOf(k) }.toSet }
+        m.toSeq.map { case (k, v) => String.valueOf(k) -> v } }
       meta match {
         case None => throw new DQSpecMalformedException(
-          "The dq function must have a meta field containing all the fields " +
-            s"defined: $MetaColumns.")
-        case Some(keys) =>
-          val missing = MetaColumns.filterNot(keys)
+          "The dq function must have a meta field containing all the " +
+            s"fields defined: ${pyList(MetaColumns)}.")
+        case Some(kv) =>
+          val keys = kv.map(_._1)
+          val missing = (MetaColumns.toSet -- keys.toSet).toSeq.sorted
           if (missing.nonEmpty)
             throw new DQSpecMalformedException(
-              "The dq function meta field must contain all the fields " +
-                s"defined: $MetaColumns. Diff: $missing")
+              "The dq function meta field must contain all the " +
+                s"fields defined: ${pyList(MetaColumns)}.\n" +
+                s"Found fields: ${pyList(keys)}.\n" +
+                s"Diff: ${pyList(missing)}")
+          if (executionPoint.nonEmpty && kv.collectFirst {
+                case ("execution_point", v) => String.valueOf(v)
+              }.exists(_ != executionPoint))
+            throw new DQSpecMalformedException(
+              "The dq function execution point must be the same as " +
+                "the execution point of the dq spec.")
       }
     }
 

@@ -70,6 +70,11 @@ object EngineUsage {
         catch { case _: Throwable => Map("raw" -> aconJson) }
       val conf = spark.conf
       val environment = conf.getOption("spark.graft.environment").getOrElse("dev")
+      // Databricks cluster-usage tags when deployed there, empty locally
+      // (reference DEF_SPARK_CONFS, `core/definitions.py:90-97`)
+      def tag(graftKey: String, dbxKey: String): String =
+        conf.getOption(graftKey)
+          .orElse(conf.getOption(dbxKey)).getOrElse("")
       val path: Option[String] =
         if (environment == "prod") conf.getOption("spark.graft.engineUsagePath")
         else if (collect != ProdOnly) conf.getOption("spark.graft.engineDevUsagePath")
@@ -87,11 +92,25 @@ object EngineUsage {
         "acon" -> scrub(acon),
         "function" -> funcName,
         "engine_version" -> EngineVersion,
-        "start_timestamp" -> now.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME),
+        // the reference stamps Python str(datetime): space-separated with
+        // microseconds ("2023-12-29 22:43:27.654809")
+        "start_timestamp" -> now.format(
+          DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")),
         "year" -> now.getYear,
         "month" -> now.getMonthValue,
         "dp_name" -> dpName,
-        "environment" -> environment)
+        // record what the deployment tags say, "" outside one — the
+        // record mirrors the reference's locally-empty fields even
+        // though the PATH selection above keeps its dev default
+        "environment" -> conf.getOption("spark.graft.environment").getOrElse(""),
+        "workspace_id" -> tag("spark.graft.workspaceId",
+          "spark.databricks.clusterUsageTags.orgId"),
+        "job_id" -> tag("spark.graft.jobId",
+          "spark.databricks.clusterUsageTags.jobId"),
+        "job_name" -> tag("spark.graft.jobName",
+          "spark.databricks.clusterUsageTags.runName"),
+        "run_id" -> tag("spark.graft.runId",
+          "spark.databricks.clusterUsageTags.clusterName"))
       val file = new Path(
         s"${path.get.stripSuffix("/")}/$dpName/${now.getYear}/${now.getMonthValue}/" +
           s"eng_usage_${funcName}_${now.format(DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))}.json")

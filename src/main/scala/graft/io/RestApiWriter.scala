@@ -16,20 +16,116 @@ object RestApiWriter {
   /** Serializable transport: returns an HTTP-ish status code. */
   trait Sender extends Serializable {
     def send(payload: String): Int
+    /** Send with an explicit content type (multipart file payloads);
+      * transports that don't care delegate to [[send]]. */
+    def send(payload: String, contentType: String): Int = send(payload)
     def close(): Unit = ()
   }
 
   /** java.net.http-based transport (used when a live endpoint exists). */
   final class HttpSender(url: String, method: String = "POST",
-      contentType: String = "application/json") extends Sender {
+      contentType: String = "application/json",
+      headers: Map[String, String] = Map.empty) extends Sender {
     @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-    override def send(payload: String): Int = {
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .header("Content-Type", contentType)
+    override def send(payload: String): Int = send(payload, contentType)
+    override def send(payload: String, ct: String): Int = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("Content-Type", ct)
         .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(payload))
-        .build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Payload construction (reference `rest_api_writer.py:45-139`
+  // `_get_func_to_send_payload_to_rest_api`): the row's `payload` JSON
+  // string becomes either the parsed JSON body, or — for file payloads —
+  // a `{file_payload_name: raw_string}` form dict; either way
+  // `rest_api_extra_json_payload` merges on top (dict.update semantics:
+  // overwrite in place, append new keys at the end). Pinned verbatim by
+  // ReferenceRestApiSpec against `tests/unit/test_rest_api_functions.py`.
+  // ------------------------------------------------------------------
+
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fromJava(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.toVector.map { case (k, x) => String.valueOf(k) -> fromJava(x) }
+    case l: java.util.List[_] =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toVector.map(fromJava)
+    case other => other
+  }
+
+  /** Parse a JSON object preserving key order (Python dicts are ordered;
+    * the final-payload rendering depends on it). */
+  def parseJsonOrdered(json: String): Vector[(String, Any)] =
+    fromJava(mapper.readValue(json, classOf[java.util.LinkedHashMap[String, Object]]))
+      .asInstanceOf[Vector[(String, Any)]]
+
+  /** The final payload as ordered pairs. */
+  def buildFinalPayload(strPayload: String, isFilePayload: Boolean,
+      filePayloadName: String, extraJsonPayload: Seq[(String, Any)]): Vector[(String, Any)] = {
+    val base: Vector[(String, Any)] =
+      if (isFilePayload) Vector(filePayloadName -> strPayload)
+      else parseJsonOrdered(strPayload)
+    extraJsonPayload.foldLeft(base) { case (acc, (k, v)) =>
+      if (acc.exists(_._1 == k)) acc.map { case (a, b) => a -> (if (a == k) v else b) }
+      else acc :+ (k -> v)
+    }
+  }
+
+  /** Python-repr rendering of the final payload, as the reference's
+    * "Final payload: ..." debug line shows it. */
+  def pyDict(pairs: Seq[(String, Any)]): String =
+    pairs.map { case (k, v) => s"${pyRepr(k)}: ${pyRepr(v)}" }
+      .mkString("{", ", ", "}")
+
+  private def pyRepr(v: Any): String = v match {
+    case null => "None"
+    case true => "True"
+    case false => "False"
+    case s: String =>
+      if (s.contains("'") && !s.contains("\"")) "\"" + s + "\""
+      else "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case pairs: Vector[_] if pairs.forall(_.isInstanceOf[(_, _)]) && pairs.nonEmpty =>
+      pyDict(pairs.asInstanceOf[Vector[(String, Any)]])
+    case seq: Seq[_] => seq.map(pyRepr).mkString("[", ", ", "]")
+    case other => String.valueOf(other)
+  }
+
+  /** Render the final payload for the wire: JSON body for object
+    * payloads, multipart/form-data for file payloads (one part per
+    * entry, like requests' `files=` dict). Returns (body, contentType). */
+  def renderBody(pairs: Seq[(String, Any)], isFilePayload: Boolean,
+      boundary: String): (String, String) =
+    if (!isFilePayload) {
+      val node = mapper.createObjectNode()
+      pairs.foreach { case (k, v) => node.putPOJO(k, toJava(v)) }
+      mapper.writeValueAsString(node) -> "application/json"
+    } else {
+      val body = pairs.map { case (k, v) =>
+        s"--$boundary\r\n" +
+          s"""Content-Disposition: form-data; name="$k"; filename="$k"\r\n""" +
+          "Content-Type: application/octet-stream\r\n\r\n" +
+          String.valueOf(v) + "\r\n"
+      }.mkString + s"--$boundary--\r\n"
+      body -> s"multipart/form-data; boundary=$boundary"
+    }
+
+  private def toJava(v: Any): Object = v match {
+    case pairs: Vector[_] if pairs.nonEmpty && pairs.forall(_.isInstanceOf[(_, _)]) =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      pairs.asInstanceOf[Vector[(String, Any)]].foreach { case (k, x) => m.put(k, toJava(x)) }
+      m
+    case seq: Seq[_] =>
+      val l = new java.util.ArrayList[Object]()
+      seq.foreach(x => l.add(toJava(x)))
+      l
+    case other => other.asInstanceOf[Object]
   }
 
   /** Send `payloadCol` of every row; returns the number of failed sends
@@ -62,7 +158,8 @@ object RestApiWriter {
     * the endpoint; any send outside `rest_api_success_status_codes`
     * (default 200,201,202) raises after the pass completes, so a failed
     * batch surfaces instead of silently dropping rows. */
-  def writeSpec(df: DataFrame, options: Map[String, String]): Long = {
+  def writeSpec(df: DataFrame, options: Map[String, String],
+      optionsRaw: Map[String, Any] = Map.empty): Long = {
     require(df.columns.contains("payload"),
       "Input DataFrame must contain 'payload' column.")
     val url = options.getOrElse("rest_api_url",
@@ -70,10 +167,35 @@ object RestApiWriter {
     val method = options.getOrElse("rest_api_method", "POST")
     val ok = options.get("rest_api_success_status_codes")
       .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set(200, 201, 202))
-    val failures = failingSends(df, "payload", senderFactory(url, method), ok)
-    if (failures > 0)
-      sys.error(s"rest_api sink: $failures sends outside success codes $ok")
-    failures
+    val isFilePayload = options.get("rest_api_is_file_payload").exists(_.toBoolean)
+    val filePayloadName = options.getOrElse("rest_api_file_payload_name", "file")
+    val extra: Seq[(String, Any)] =
+      optionsRaw.get("rest_api_extra_json_payload").toSeq.flatMap {
+        case m: Map[_, _] => m.toSeq.map { case (k, v) => String.valueOf(k) -> v }
+        case _ => Seq.empty
+      }
+    val sender = senderFactory(url, method)
+    val needsBuild = isFilePayload || extra.nonEmpty
+    val failures = df.sparkSession.sparkContext.longAccumulator("rest_failures")
+    df.select(col("payload").cast("string")).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val boundary = "graft" + java.util.UUID.randomUUID().toString.replace("-", "")
+        try rows.foreach { r =>
+          val strPayload = r.getString(0)
+          val status =
+            if (!needsBuild) sender.send(strPayload)
+            else {
+              val (body, ct) = renderBody(
+                buildFinalPayload(strPayload, isFilePayload, filePayloadName, extra),
+                isFilePayload, boundary)
+              sender.send(body, ct)
+            }
+          if (!ok.contains(status)) failures.add(1)
+        } finally sender.close()
+    }
+    if (failures.value > 0)
+      sys.error(s"rest_api sink: ${failures.value} sends outside success codes $ok")
+    failures.value
   }
 
   /** [[write]] with an explicit success-code set. */

@@ -118,7 +118,98 @@ object SharepointIo {
     options -- Seq("transport", "folder_relative_path", "file_name",
       "file_pattern", "file_type", "file_metadata", "archive",
       "archive_success_subfolder", "archive_error_subfolder",
-      "conflict_behaviour")
+      "conflict_behaviour", "expected_columns")
+
+  // ------------------------------------------------------------------
+  // CSV delimiter resolution (`sharepoint_reader.py:470-598`
+  // `SharepointCsvReader.detect_delimiter` / `resolve_spark_csv_options`):
+  // an explicit `sep`/`delimiter` wins (sep over delimiter); otherwise
+  // the delimiter is sniffed from the file's first line over the
+  // reference's candidate set ";,|\t" (comma fallback on undecodable or
+  // delimiter-free content), with the reference's expected-columns
+  // warnings. Pinned verbatim by ReferenceSharepointCsvSpec against
+  // `tests/unit/test_sharepoint_csv_reader.py`.
+  // ------------------------------------------------------------------
+
+  private val SniffCandidates = Seq(';', ',', '|', '\t')
+
+  /** Strict UTF-8 decode (like Python `bytes.decode` — malformed input
+    * raises instead of replacing). */
+  private def decodeUtf8(bytes: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  /** `detect_delimiter`: explicit delimiter wins; else sniff the first
+    * line (most frequent candidate), warning on suspicious column counts;
+    * comma fallback when sniffing fails. */
+  def detectDelimiter(fileContent: Array[Byte],
+      providedDelimiter: Option[String] = None,
+      expectedColumns: Option[Seq[String]] = None,
+      warn: String => Unit = _ => ()): String =
+    providedDelimiter.filter(_.nonEmpty).getOrElse {
+      try {
+        val text = decodeUtf8(fileContent)
+        val firstLine = text.linesIterator.toSeq.headOption.getOrElse("").trim
+        val counts = SniffCandidates.map(c => c -> firstLine.count(_ == c))
+        val (detected, n) = counts.maxBy(_._2)
+        if (n == 0) throw new IllegalArgumentException("Could not determine delimiter")
+        val actualColumnCount = firstLine.split(
+          java.util.regex.Pattern.quote(detected.toString), -1).length
+        expectedColumns match {
+          case Some(exp) if actualColumnCount != exp.length =>
+            warn(s"Detected delimiter '$detected' resulted in $actualColumnCount " +
+              s"columns, but ${exp.length} were expected. Consider specifying " +
+              "the delimiter explicitly.")
+          case None if actualColumnCount <= 1 =>
+            warn(s"Detected delimiter '$detected' resulted in only " +
+              s"$actualColumnCount column. Consider specifying the delimiter " +
+              "explicitly in 'sharepoint_opts.local_options'.")
+          case _ => ()
+        }
+        detected.toString
+      } catch {
+        case NonFatal(e) =>
+          warn(s"Failed to auto-detect delimiter. Defaulting to comma. Reason: $e")
+          ","
+      }
+    }
+
+  /** `resolve_spark_csv_options`: sep > delimiter > sniffed; `delimiter`
+    * is dropped from the returned options (Spark uses `sep`); expected
+    * columns validated against the header with the reference's warning
+    * texts. */
+  def resolveSparkCsvOptions(localOptions: Map[String, String],
+      fileContent: Array[Byte],
+      warn: String => Unit = _ => ()): Map[String, String] = {
+    val userDelimiter = localOptions.get("sep")
+      .orElse(localOptions.get("delimiter"))
+    val expectedColumns = localOptions.get("expected_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val finalDelimiter0 =
+      detectDelimiter(fileContent, userDelimiter, expectedColumns, warn)
+    expectedColumns.foreach { exp =>
+      try {
+        val headerLine = decodeUtf8(fileContent).linesIterator.toSeq
+          .headOption.getOrElse("").trim
+        val actual = headerLine.split(
+          java.util.regex.Pattern.quote(finalDelimiter0), -1).map(_.trim).toSeq
+        if (actual.map(_.toLowerCase) != exp.map(_.trim.toLowerCase))
+          warn(s"Expected columns don't match CSV header using delimiter " +
+            s"'$finalDelimiter0'. Expected: $exp vs. Actual: $actual. The read " +
+            "will proceed; consider specifying the correct delimiter or " +
+            "updating expected_columns.")
+      } catch {
+        case NonFatal(e) =>
+          warn("Failed to validate expected_columns against CSV header. " +
+            s"The read will proceed. Reason: $e")
+      }
+    }
+    val finalDelimiter = if (finalDelimiter0.isEmpty) "," else finalDelimiter0
+    (localOptions - "delimiter" - "expected_columns") + ("sep" -> finalDelimiter)
+  }
 
   /** Resolve the reference's folder/file path rules
     * (`sharepoint_reader.py:39-61`): folder+file_name, a full path with an
@@ -194,11 +285,29 @@ object SharepointIo {
           s"File '$folder/$name' is empty or could not be downloaded.")
         (name, local)
       }
+      // csv reads resolve their delimiter from the first file's head
+      // bytes (explicit sep/delimiter wins; sniffed otherwise)
+      val readOpts =
+        if (fmt != "csv") sparkOpts(options)
+        else {
+          val head = new Array[Byte](8192)
+          val in = Files.newInputStream(staged.head._2)
+          val n = try in.read(head) finally in.close()
+          // a full buffer may end mid-multibyte-char: cut at the last
+          // newline so strict UTF-8 decoding can't fail on a torn tail
+          val end =
+            if (n < head.length) math.max(n, 0)
+            else { val nl = head.lastIndexOf('\n'.toByte); if (nl > 0) nl else n }
+          resolveSparkCsvOptions(
+            sparkOpts(options) ++ options.get("expected_columns").map("expected_columns" -> _),
+            java.util.Arrays.copyOf(head, end),
+            w => Console.err.println(s"[graft] sharepoint csv: $w"))
+        }
       val df =
         if (!withMeta)
-          spark.read.format(fmt).options(sparkOpts(options)).load(spool.toString)
+          spark.read.format(fmt).options(readOpts).load(spool.toString)
         else staged.map { case (name, local) =>
-          spark.read.format(fmt).options(sparkOpts(options)).load(local.toString)
+          spark.read.format(fmt).options(readOpts).load(local.toString)
             .withColumn("filename", lit(s"$folder/$name"))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       if (archive) {

@@ -73,7 +73,7 @@ object Writers {
               truncate = spec.options.get("truncate").forall(_.toBoolean))
           case "dataframe" => // terminal no-op: caller keeps the DataFrame
           case "sharepoint" => SharepointIo.write(df, spec.options)
-          case "rest_api" => RestApiWriter.writeSpec(df, spec.options)
+          case "rest_api" => RestApiWriter.writeSpec(df, spec.options, spec.optionsRaw)
           case "noop" =>
             // evaluate-and-discard sink (Spark's noop source): the plan
             // runs fully — the benchmarking/drain semantics — with no

@@ -13,38 +13,90 @@ import org.apache.spark.sql.SparkSession
   */
 object ManagerDispatch {
 
-  /** Mandatory-argument registry per manager function (reference
-    * `core/definitions.py` TABLE_MANAGER_OPERATIONS /
-    * FILE_MANAGER_OPERATIONS, narrowed to the args this build consumes). */
-  private val tableOps: Map[String, Seq[String]] = Map(
-    "compute_table_statistics" -> Seq("table_or_view"),
-    "create_table" -> Seq.empty, // sql | path
-    "create_tables" -> Seq.empty,
-    "create_view" -> Seq.empty,
-    "drop_table" -> Seq("table_or_view"),
-    "drop_view" -> Seq("table_or_view"),
-    "execute_sql" -> Seq("sql"),
-    "truncate" -> Seq("table_or_view"),
-    "vacuum" -> Seq.empty,
-    "describe" -> Seq("table_or_view"),
-    "optimize" -> Seq.empty, // path | table_or_view
-    "show_tbl_properties" -> Seq("table_or_view"),
-    "get_tbl_pk" -> Seq("table_or_view"),
-    "repair_table" -> Seq("table_or_view"),
-    "delete_where" -> Seq("where_clause")) // + path | table_or_view
+  /** Per-function parameter registry: ordered (name, (type, mandatory))
+    * rows, the exact contents and insertion order of the reference's
+    * TABLE_MANAGER_OPERATIONS / FILE_MANAGER_OPERATIONS
+    * (`core/definitions.py:1876-1970`) — order matters because the
+    * validation messages render Python list reprs of them. */
+  private type Params = Seq[(String, (String, Boolean))]
 
-  private val fileOps: Map[String, Seq[String]] = Map(
-    "delete_objects" -> Seq("bucket", "object_paths", "dry_run"),
-    "copy_objects" -> Seq("bucket", "source_object", "destination_bucket",
-      "destination_object", "dry_run"),
-    "move_objects" -> Seq("bucket", "source_object", "destination_bucket",
-      "destination_object", "dry_run"),
-    "request_restore" -> Seq("bucket", "source_object", "restore_expiration",
-      "retrieval_tier", "dry_run"),
-    "check_restore_status" -> Seq("bucket", "source_object"),
-    "request_restore_to_destination_and_wait" -> Seq("bucket", "source_object",
-      "destination_bucket", "destination_object", "restore_expiration",
-      "retrieval_tier", "dry_run"))
+  private val tableOps: Map[String, Params] = Map(
+    "compute_table_statistics" -> Seq("table_or_view" -> ("str", true)),
+    "create_table" -> Seq(
+      "path" -> ("str", true),
+      "disable_dbfs_retry" -> ("bool", false),
+      "delimiter" -> ("str", false),
+      "advanced_parser" -> ("bool", false)),
+    "create_tables" -> Seq(
+      "path" -> ("str", true),
+      "disable_dbfs_retry" -> ("bool", false),
+      "delimiter" -> ("str", false),
+      "advanced_parser" -> ("bool", false)),
+    "create_view" -> Seq(
+      "path" -> ("str", true),
+      "disable_dbfs_retry" -> ("bool", false),
+      "delimiter" -> ("str", false),
+      "advanced_parser" -> ("bool", false)),
+    "drop_table" -> Seq("table_or_view" -> ("str", true)),
+    "drop_view" -> Seq("table_or_view" -> ("str", true)),
+    "execute_sql" -> Seq(
+      "sql" -> ("str", true),
+      "delimiter" -> ("str", false),
+      "advanced_parser" -> ("bool", false)),
+    "truncate" -> Seq("table_or_view" -> ("str", true)),
+    "vacuum" -> Seq(
+      "table_or_view" -> ("str", false),
+      "path" -> ("str", false),
+      "vacuum_hours" -> ("int", false)),
+    "describe" -> Seq("table_or_view" -> ("str", true)),
+    "optimize" -> Seq(
+      "table_or_view" -> ("str", false),
+      "path" -> ("str", false),
+      "where_clause" -> ("str", false),
+      "optimize_zorder_col_list" -> ("str", false)),
+    "show_tbl_properties" -> Seq("table_or_view" -> ("str", true)),
+    "get_tbl_pk" -> Seq("table_or_view" -> ("str", true)),
+    "repair_table" -> Seq(
+      "table_or_view" -> ("str", true),
+      "sync_metadata" -> ("bool", true)),
+    "delete_where" -> Seq(
+      "table_or_view" -> ("str", true),
+      "where_clause" -> ("str", true)))
+
+  private val fileOps: Map[String, Params] = Map(
+    "delete_objects" -> Seq(
+      "bucket" -> ("str", true),
+      "object_paths" -> ("list", true),
+      "dry_run" -> ("bool", true)),
+    "copy_objects" -> Seq(
+      "bucket" -> ("str", true),
+      "source_object" -> ("str", true),
+      "destination_bucket" -> ("str", true),
+      "destination_object" -> ("str", true),
+      "dry_run" -> ("bool", true)),
+    "move_objects" -> Seq(
+      "bucket" -> ("str", true),
+      "source_object" -> ("str", true),
+      "destination_bucket" -> ("str", true),
+      "destination_object" -> ("str", true),
+      "dry_run" -> ("bool", true)),
+    "request_restore" -> Seq(
+      "bucket" -> ("str", true),
+      "source_object" -> ("str", true),
+      "restore_expiration" -> ("int", true),
+      "retrieval_tier" -> ("str", true),
+      "dry_run" -> ("bool", true)),
+    "check_restore_status" -> Seq(
+      "bucket" -> ("str", true),
+      "source_object" -> ("str", true)),
+    "request_restore_to_destination_and_wait" -> Seq(
+      "bucket" -> ("str", true),
+      "source_object" -> ("str", true),
+      "destination_bucket" -> ("str", true),
+      "destination_object" -> ("str", true),
+      "restore_expiration" -> ("int", true),
+      "retrieval_tier" -> ("str", true),
+      "dry_run" -> ("bool", true)))
 
   /** Resolve an S3 client for archive-restore ops: operation args first
     * (`endpoint`, `region`, `access_key`, `secret_key`, `session_token`),
@@ -66,10 +118,19 @@ object ManagerDispatch {
   def execute(spark: SparkSession, aconJson: String): Seq[String] =
     execute(spark, A.seqOfMaps(Specs.parseJsonMap(aconJson), "operations"))
 
-  def execute(spark: SparkSession, operations: Seq[Map[String, Any]]): Seq[String] = {
+  /** @param strictTypes list-form `execute_manager` ACONs get the
+    *   reference's full typed validation (`validate_manager_list`); FLAT
+    *   `manage_table`/`manage_files` ACONs are never type-validated in
+    *   the reference (`validate_managers` returns on a missing `manager`
+    *   key — its own `table_manager` fixtures carry `"advanced_parser":
+    *   "True"` as a STRING), so the injected-manager path passes
+    *   strictTypes = false and keeps membership + mandatory checks only. */
+  def execute(spark: SparkSession, operations: Seq[Map[String, Any]],
+      strictTypes: Boolean = true): Seq[String] = {
     if (operations.isEmpty)
       throw new RuntimeException("No operations found in the acon.")
-    val errors = operations.zipWithIndex.flatMap { case (op, i) => validate(op, i) }
+    val errors = operations.zipWithIndex.flatMap { case (op, i) =>
+      validate(op, i, strictTypes) }
     if (errors.nonEmpty)
       throw new RuntimeException(
         "Errors found during validation:\n" + errors.mkString("\n"))
@@ -92,8 +153,9 @@ object ManagerDispatch {
 
   /** Plan-only validation for the ACON conformance pass: the per-op
     * errors, without executing anything (empty = the config plans). */
-  def validationErrors(operations: Seq[Map[String, Any]]): Seq[String] =
-    operations.zipWithIndex.flatMap { case (op, i) => validate(op, i) }
+  def validationErrors(operations: Seq[Map[String, Any]],
+      strictTypes: Boolean = true): Seq[String] =
+    operations.zipWithIndex.flatMap { case (op, i) => validate(op, i, strictTypes) }
 
   /** Reference manager ACONs are FLAT (`{"function": ..., args...}`) —
     * the manager type is implied by the entrypoint
@@ -104,64 +166,74 @@ object ManagerDispatch {
     else if (fileOps.contains(function)) Some("file")
     else None
 
-  /** Functions whose SQL text comes from `sql` OR a `path` DDL file —
-    * at least one must be present (mandatory-args registry can't express
-    * either/or). */
-  private val sqlOrPathOps = Set("create_table", "create_view", "execute_sql")
+  /** Python type name of a parsed JSON value, for the reference's
+    * "expected X, got Y" renderings. */
+  private def pyTypeName(v: Any): String = v match {
+    case null => "NoneType"
+    case _: Boolean => "bool"
+    case _: String => "str"
+    case _: Int | _: Long | _: java.math.BigInteger => "int"
+    case _: Double | _: Float | _: java.math.BigDecimal => "float"
+    case _: Seq[_] => "list"
+    case _: Map[_, _] => "dict"
+    case other => other.getClass.getSimpleName
+  }
 
-  /** Functions that address their target as a storage `path` OR a
-    * catalog `table_or_view` (the reference accepts both —
-    * `core/table_manager.py:164-185,277-280` reads `table_or_view`):
-    * at least one must be present. */
-  private val pathOrTableOps = Set("optimize", "delete_where")
-
-  /** dry_run must be an actual boolean (or the strings "true"/"false"):
-    * anything else failing silently to `false` would turn a "dry run"
-    * into a destructive one. */
-  private def dryRunValue(op: Map[String, Any]): Either[String, Boolean] =
-    op.get("dry_run") match {
-      case None => Right(false)
-      case Some(b: Boolean) => Right(b)
-      case Some(s: String) if s.equalsIgnoreCase("true") => Right(true)
-      case Some(s: String) if s.equalsIgnoreCase("false") => Right(false)
-      case Some(other) => Left(s"dry_run must be boolean, got '$other'")
-    }
-
-  private def validate(op: Map[String, Any], i: Int): Seq[String] = {
+  /** `validate_managers` (`utils/acon_utils.py:99-152`): per-operation
+    * errors with the reference's exact messages — missing function,
+    * unsupported manager/function, missing mandatory parameters (Python
+    * list repr, registry order) and per-parameter type validation
+    * (str/bool/int/list, Python type names, double-quoted list repr).
+    * Pinned verbatim by ReferenceAconValidationSpec against
+    * `tests/unit/test_acon_validation.py`. */
+  private def validate(op: Map[String, Any], i: Int,
+      strictTypes: Boolean = true): Seq[String] = {
     val manager = A.str(op, "manager")
     val function = A.str(op, "function")
-    val registry = manager match {
-      case Some("table") => Right(tableOps)
-      case Some("file") => Right(fileOps)
-      case Some(other) => Left(s"op[$i]: Manager type not supported: $other")
-      case None => Left(s"op[$i]: missing 'manager'")
+    val errs = Seq.newBuilder[String]
+    if (function.isEmpty)
+      errs += "Missing 'function' parameter for manager"
+    val registry: Option[(String, Map[String, Params])] = manager match {
+      case Some("table") => Some("table" -> tableOps)
+      case Some("file") => Some("file" -> fileOps)
+      case Some(other) =>
+        errs += s"Manager type not supported: $other"; None
+      case None =>
+        // repo addition: the reference silently skips manager-less ops
+        // (`acon_utils.py:108-109`), deferring the failure to dispatch —
+        // surfacing it at validation is strictly earlier, same outcome
+        errs += s"Missing 'manager' parameter for operation"; None
     }
-    registry match {
-      case Left(err) => Seq(err)
-      case Right(ops) => function match {
-        case None => Seq(s"op[$i]: Missing 'function' parameter for manager")
-        case Some(fn) if !ops.contains(fn) =>
-          Seq(s"op[$i]: Function '$fn' not supported for ${manager.get} manager")
-        case Some(fn) =>
-          val missing = ops(fn).filterNot(op.contains)
-          val missingErr =
-            if (missing.nonEmpty)
-              Seq(s"op[$i]: Missing mandatory parameters for ${manager.get} " +
-                s"manager function $fn: ${missing.mkString(", ")}")
-            else Seq.empty
-          val sqlErr =
-            if (sqlOrPathOps(fn) && !op.contains("sql") && !op.contains("path"))
-              Seq(s"op[$i]: $fn needs 'sql' or 'path'")
-            else if (fn == "create_tables" && !op.contains("path"))
-              Seq(s"op[$i]: create_tables needs 'path'")
-            else if (pathOrTableOps(fn) && manager.contains("table") &&
-                !op.contains("path") && !op.contains("table_or_view"))
-              Seq(s"op[$i]: $fn needs 'path' or 'table_or_view'")
-            else Seq.empty
-          val dryErr = dryRunValue(op).left.toSeq.map(e => s"op[$i]: $e")
-          missingErr ++ sqlErr ++ dryErr
+    registry.foreach { case (mgr, ops) =>
+      val fn = function.getOrElse("None")
+      ops.get(fn) match {
+        case None =>
+          errs += s"Function '$fn' not supported for $mgr manager"
+        case Some(params) =>
+          val missing = params.collect { case (n, (_, true)) if !op.contains(n) => n }
+          if (missing.nonEmpty)
+            errs += s"Missing mandatory parameters for $mgr manager function $fn: " +
+              missing.map(x => s"'$x'").mkString("[", ", ", "]")
+          val typeErrs = params.flatMap { case (n, (tpe, _)) =>
+            op.get(n).flatMap { v =>
+              val ok = tpe match {
+                case "str" => v.isInstanceOf[String]
+                case "bool" => v.isInstanceOf[Boolean]
+                case "int" => v.isInstanceOf[Int] || v.isInstanceOf[Long] ||
+                  v.isInstanceOf[java.math.BigInteger]
+                case "list" => v.isInstanceOf[Seq[_]]
+                case _ => true
+              }
+              if (ok) None
+              else Some(s"Parameter '$n' expected $tpe, got ${pyTypeName(v)}")
+            }
+          }
+          if (strictTypes && typeErrs.nonEmpty)
+            errs += s"Type validation errors for $mgr manager function $fn: " +
+              typeErrs.map(e => "\"" + e + "\"").mkString("[", ", ", "]")
       }
     }
+    errs.result()
   }
 
   private def run(spark: SparkSession, op: Map[String, Any]): String = {
@@ -212,7 +284,16 @@ object ManagerDispatch {
         // ValueError / NotImplementedError / RestoreTypeNotFound (our
         // IllegalArgumentException / UnsupportedOperationException)
         // untouched; `disable_dbfs_retry` pins S3 with no fallback.
-        val dryRun = dryRunValue(op).fold(e => throw new RuntimeException(e), identity)
+        // validation already enforced bool (reference type contract); the
+        // string fallback keeps direct (unvalidated) callers failing safe
+        val dryRun = op.get("dry_run") match {
+          case None => false
+          case Some(b: Boolean) => b
+          case Some(s: String) if s.equalsIgnoreCase("true") => true
+          case Some(s: String) if s.equalsIgnoreCase("false") => false
+          case Some(other) =>
+            throw new RuntimeException(s"dry_run must be boolean, got '$other'")
+        }
         val disableDbfsRetry = op.get("disable_dbfs_retry").contains(true)
         s3ClientFor(op) match {
           case Some(client) if disableDbfsRetry => runFileS3(op, fn, dryRun, client)

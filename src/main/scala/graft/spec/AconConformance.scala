@@ -139,7 +139,13 @@ object AconConformance {
     val fn = Specs.A.str(m, "function").get
     graft.maintain.ManagerDispatch.inferManager(fn) match {
       case None => Rejected("manager", s"Function '$fn' not supported for any manager")
-      case Some(mgr) => planManager(Seq(m + ("manager" -> mgr)))
+      case Some(mgr) =>
+        // flat acons are never TYPE-validated in the reference (see
+        // ManagerDispatch.execute scaladoc) — membership + mandatory only
+        val errors = graft.maintain.ManagerDispatch.validationErrors(
+          Seq(m + ("manager" -> mgr)), strictTypes = false)
+        if (errors.isEmpty) Planned("manager")
+        else Rejected("manager", errors.mkString("; "))
     }
   }
 

@@ -114,6 +114,10 @@ final case class OutputSpec(
     location: Option[String] = None,
     partitions: Seq[String] = Seq.empty,
     options: Map[String, String] = Map.empty,
+    /** raw (untyped) options view — the REST sink's dict-valued options
+      * (`rest_api_extra_json_payload`, `rest_api_header`) need non-scalar
+      * values, like InputSpec.optionsRaw */
+    optionsRaw: Map[String, Any] = Map.empty,
     mergeOpts: Option[MergeOptions] = None,
     streamingTrigger: Option[String] = None, // availableNow|once|processingTime=<t>|continuous=<t>
     withBatchId: Boolean = false,
@@ -285,6 +289,7 @@ object Specs {
     location = str(m, "location"),
     partitions = strSeq(m, "partitions"),
     options = strMap(m, "options"),
+    optionsRaw = anyMap(m, "options").filter(_._2 != null),
     mergeOpts = m.get("merge_opts").collect { case mm: Map[_, _] =>
       mergeOptions(mm.map { case (a, b) => a.toString -> b })
     },

@@ -326,8 +326,12 @@ object Transformers {
       df.createOrReplaceTempView(str(args, "name").get); df
     }
     case "custom_transformation" =>
-      ctx.customFns(str(args, "function_name").getOrElse(
-        sys.error("custom_transformation needs function_name")))
+      // the reference's ACON key is `custom_transformer` (a function
+      // object there; a registered-function name here) — accepted next to
+      // this build's original `function_name`
+      ctx.customFns(str(args, "function_name")
+        .orElse(str(args, "custom_transformer")).getOrElse(
+          sys.error("custom_transformation needs function_name")))
     case "sql_transformation" => _ => ctx.spark.sql(str(args, "sql").get)
 
     // ---- joins (§2.4) ---------------------------------------------------

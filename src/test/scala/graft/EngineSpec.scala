@@ -209,19 +209,23 @@ class EngineSpec extends SparkSpec {
     assert(spark.read.parquet(loc).count() == 100L)
   }
 
-  test("executeManager: dry_run strings honored, bad types and argless creates rejected") {
+  test("executeManager: typed dry_run contract, bad types and argless creates rejected") {
     val dir = tmpDir("mgr2")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/keep.txt"), "payload")
-    // a STRING "true" must behave as a dry run, never silently as false
-    val st = Engine.executeManager(spark,
-      s"""{"operations": [
-         |  {"manager": "file", "function": "delete_objects", "dry_run": "true",
-         |   "bucket": "$dir", "object_paths": ["keep.txt"]}
-         |]}""".stripMargin)
-    assert(st.head.contains("dry_run"))
+    // the reference's typed validation rejects a STRING dry_run outright
+    // (`expected bool, got str`) — it can never silently run destructively
+    val strErr = intercept[RuntimeException] {
+      Engine.executeManager(spark,
+        s"""{"operations": [
+           |  {"manager": "file", "function": "delete_objects", "dry_run": "true",
+           |   "bucket": "$dir", "object_paths": ["keep.txt"]}
+           |]}""".stripMargin)
+    }
+    assert(strErr.getMessage.contains(
+      "Parameter 'dry_run' expected bool, got str"))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/keep.txt")))
-    // non-boolean dry_run and create_table with neither sql nor path are
+    // non-boolean dry_run and create_table without its mandatory path are
     // both caught at validation, before anything runs
     val err = intercept[RuntimeException] {
       Engine.executeManager(spark,
@@ -231,8 +235,9 @@ class EngineSpec extends SparkSpec {
            |  {"manager": "table", "function": "create_table"}
            |]}""".stripMargin)
     }
-    assert(err.getMessage.contains("dry_run must be boolean"))
-    assert(err.getMessage.contains("needs 'sql' or 'path'"))
+    assert(err.getMessage.contains("Parameter 'dry_run' expected bool, got int"))
+    assert(err.getMessage.contains(
+      "Missing mandatory parameters for table manager function create_table: ['path']"))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/keep.txt")))
     // a failed move must surface loudly, never as "ok" — local FS throws
     // FileNotFoundException; object stores return false, which the

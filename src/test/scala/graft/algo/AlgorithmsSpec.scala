@@ -536,12 +536,14 @@ class AlgorithmsSpec extends SparkSpec {
     val sent = scala.collection.mutable.ArrayBuffer.empty[Notifier.Notification]
     val prev = Notifier.setTransport(sent += _)
     try {
-      // free-form message with {{ var }} rendering
+      // free-form message with {{ var }} rendering; on_failure DEFAULTS
+      // true (reference notifier.py:95-96) so success-path sends must
+      // opt out explicitly
       Notifier.notify(TerminatorSpec("notify", Map(
         "to" -> Seq("ops@example.com"),
         "subject" -> "load {{ status }}",
         "message" -> "rows={{ rows }} unknown={{ nope }}",
-        "status" -> "done", "rows" -> 42)))
+        "status" -> "done", "rows" -> 42, "on_failure" -> false)))
       assert(sent.last.subject == "load done")
       assert(sent.last.message == "rows=42 unknown=")
       assert(sent.last.recipients == Seq("ops@example.com"))
@@ -556,8 +558,12 @@ class AlgorithmsSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Notifier.notify(TerminatorSpec("notify", Map("template" -> "nope")))
       }
+      // a template-less, message-less spec classifies as a failure
+      // notification (on_failure default) — silently skipped on success,
+      // loudly malformed on failure
+      Notifier.notify(TerminatorSpec("notify", Map.empty))
       intercept[IllegalArgumentException] {
-        Notifier.notify(TerminatorSpec("notify", Map.empty))
+        Notifier.notify(TerminatorSpec("notify", Map.empty), failed = true)
       }
     } finally Notifier.setTransport(prev)
   }

@@ -585,7 +585,7 @@ class DataLoaderSpec extends SparkSpec {
            |  "terminate_specs": [{
            |    "function": "notify",
            |    "args": {"to": "ops", "subject": "load {{ state }}",
-           |             "message": "done", "state": "ok"}
+           |             "message": "done", "state": "ok", "on_failure": false}
            |  }]
            |}""".stripMargin
       DataLoader.loadData(spark, acon, dfs = Map("d" -> init))
