@@ -103,9 +103,25 @@ object Readers {
         else spark.read.format("kafka").options(spec.options).load()
       case "sftp" =>
         if (streaming) sys.error("sftp reader supports only batch mode")
-        else SftpReader.read(spark,
-          spec.location.getOrElse(sys.error("sftp reader needs location")),
-          spec.options)
+        else {
+          // the reference nests pandas read args under options.args
+          // (`sftp_reader.py:112-150`) — map the Spark-relevant ones:
+          // sep passes through; `names` is the fwf column list; the
+          // pandas-only knobs (index_col, orient, lines) have Spark
+          // defaults that already match the reference's usage
+          val pdArgs = spec.optionsRaw.get("args").collect {
+            case mm: Map[_, _] => mm.map { case (k, v) =>
+              String.valueOf(k) -> v }.toMap[String, Any]
+          }.getOrElse(Map.empty)
+          val mapped: Map[String, String] =
+            pdArgs.get("sep").map(v => "sep" -> String.valueOf(v)).toMap ++
+              pdArgs.get("names").collect { case s: Seq[_] =>
+                "fwf_columns" -> s.map(String.valueOf(_)).mkString(",")
+              }.toMap
+          SftpReader.read(spark,
+            spec.location.getOrElse(sys.error("sftp reader needs location")),
+            (spec.options - "args") ++ mapped)
+        }
       case "sharepoint" =>
         if (streaming) sys.error("Sharepoint reader doesn't support streaming input.")
         else SharepointIo.read(spark, spec.options)

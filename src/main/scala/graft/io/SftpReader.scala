@@ -181,17 +181,93 @@ object SftpReader {
     * c0..cn), values are trimmed. A pure substring projection —
     * codegen-friendly, no per-row interpretation. */
   private def fwfParse(raw: DataFrame, options: Map[String, String]): DataFrame = {
-    val widths = options.getOrElse("fwf_widths",
-      sys.error("sftp fwf format needs fwf_widths (comma-separated)"))
-      .split(",").map(_.trim.toInt)
-    val names = options.get("fwf_columns")
-      .map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(widths.indices.map(i => s"c$i"))
-    require(names.length == widths.length,
-      s"fwf_columns has ${names.length} names for ${widths.length} widths")
-    val starts = widths.scanLeft(1)(_ + _)
-    raw.select(widths.indices.map(i =>
-      trim(substring(col("value"), starts(i), widths(i))).as(names(i))): _*)
+    options.get("fwf_widths") match {
+      case None =>
+        // pandas `read_fwf(names=[...])` without widths infers colspecs;
+        // for a single name the inferred spec is the whole line (the
+        // reference's sftp_fwf scenario) — a multi-column inference needs
+        // explicit widths here
+        val names = options.get("fwf_columns")
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(sys.error(
+            "sftp fwf format needs fwf_widths (comma-separated) or fwf_columns"))
+        require(names.length == 1,
+          "fwf without fwf_widths supports exactly one inferred column; " +
+            "pass fwf_widths for multi-column layouts")
+        raw.select(trim(col("value")).as(names.head))
+      case Some(w) =>
+        val widths = w.split(",").map(_.trim.toInt)
+        val names = options.get("fwf_columns")
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(widths.indices.map(i => s"c$i"))
+        require(names.length == widths.length,
+          s"fwf_columns has ${names.length} names for ${widths.length} widths")
+        val starts = widths.scanLeft(1)(_ + _)
+        raw.select(widths.indices.map(i =>
+          trim(substring(col("value"), starts(i), widths(i))).as(names(i))): _*)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // File-list filtering (`utils/extraction/sftp_extraction_utils.py:44-419`):
+  // date-interval filtering on mtime (strict between, inclusive when the
+  // bounds are EQUAL — the reference's quirk), per-folder earliest/latest
+  // selection, and one-level sub_dir recursion. Pinned verbatim by
+  // ReferenceSftpReaderSpec against `tests/feature/test_sftp_reader.py`.
+  // ------------------------------------------------------------------
+
+  /** "YYYY-MM-DD" or "YYYY-MM-DD HH:MM:SS" (`_validate_date`). */
+  private def parseFilterDate(s: String): java.time.LocalDateTime =
+    if (s.contains(" "))
+      java.time.LocalDateTime.parse(s.replace(" ", "T"))
+    else java.time.LocalDate.parse(s).atStartOfDay()
+
+  /** `_file_in_date_interval`. */
+  private[io] def inDateInterval(mtimeSec: Long, options: Map[String, String]): Boolean =
+    if (!options.contains("date_time_gt") && !options.contains("date_time_lt")) true
+    else {
+      val lt = parseFilterDate(options.getOrElse("date_time_lt", "9999-12-31"))
+      val gt = parseFilterDate(options.getOrElse("date_time_gt", "1900-01-01"))
+      val fd = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(mtimeSec),
+        java.time.ZoneId.systemDefault())
+      (gt == lt && !fd.isBefore(gt) && !fd.isAfter(lt)) ||
+        (fd.isAfter(gt) && fd.isBefore(lt))
+    }
+
+  /** Relative depth of `path` under `location` (1 = direct child). */
+  private def depthUnder(location: String, path: String): Int = {
+    val rel = path.stripPrefix(location.stripSuffix("/")).stripPrefix("/")
+    rel.count(_ == '/') + 1
+  }
+
+  /** `_get_earliest_latest_file`: one file per containing folder. */
+  private def earliestLatest(files: Seq[(String, Long)],
+      earliest: Boolean): Seq[(String, Long)] =
+    files.groupBy { case (p, _) => p.substring(0, p.lastIndexOf('/').max(0)) }
+      .values.map(g => if (earliest) g.minBy(_._2) else g.maxBy(_._2))
+      .toSeq
+
+  /** Extract every entry of a staged .zip into the spool (the reference
+    * reads zip members through `ZipFile`; entries then parse like any
+    * other staged file). Returns the extracted paths. */
+  private def extractZip(zipPath: Path, spool: Path, prefix: String): Seq[Path] = {
+    val zf = new java.util.zip.ZipFile(zipPath.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      zf.entries().asScala.filterNot(_.isDirectory)
+        // archive metadata (macOS resource forks) isn't data
+        .filterNot(e => e.getName.startsWith("__MACOSX/") ||
+          Paths.get(e.getName).getFileName.toString.startsWith("._"))
+        .map { e =>
+        val target = spool.resolve(prefix + Paths.get(e.getName).getFileName.toString)
+        target.toFile.deleteOnExit()
+        val in = zf.getInputStream(e)
+        try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        target
+      }.toList
+    } finally zf.close()
   }
 
   /** Read all files under `location` through the named transport.
@@ -220,22 +296,51 @@ object SftpReader {
     }
     val nameFilter = options.get("file_name_contains")
     val withMeta = options.get("file_metadata").contains("true")
+    val subDir = options.get("sub_dir").exists(_.equalsIgnoreCase("true"))
     val sparkOpts = options -- Seq(
       "sftp_files_format", "transport", "file_name_contains", "file_metadata",
-      "port", "fwf_widths", "fwf_columns")
+      "port", "fwf_widths", "fwf_columns", "date_time_gt", "date_time_lt",
+      "earliest_file", "latest_file", "sub_dir", "hostname", "username",
+      "password", "key_type", "pkey", "key_filename", "add_auto_policy")
     // fwf spools as raw text and parses positionally afterwards
     val readFmt = if (fmt == "fwf") "text" else fmt
+    // pandas parity for the spooled parse: read_csv takes the first row
+    // as the header and infers types (Spark's csv defaults to neither);
+    // read_xml auto-detects the repeating row element where Spark xml
+    // needs rowTag — default to the conventional "row" when unset
+    val readOpts = fmt match {
+      case "csv" =>
+        Map("header" -> "true", "inferSchema" -> "true") ++ sparkOpts
+      case "xml" if !sparkOpts.contains("rowTag") =>
+        sparkOpts + ("rowTag" -> "row")
+      case _ => sparkOpts
+    }
     def parse(df: DataFrame): DataFrame =
       if (fmt == "fwf") fwfParse(df, options) else df
 
-    val files = transport.list(location)
-      .filter(p => nameFilter.forall(p.contains))
+    // reference listing depth: direct children always, one sub-level
+    // only with sub_dir (`_get_folder_items`)
+    val candidates = transport.list(location)
+      .filter(p => depthUnder(location, p) match {
+        case 1 => true
+        case 2 => subDir
+        case _ => false
+      })
+      .filter(p => nameFilter.forall(Paths.get(p).getFileName.toString.contains))
+      .map(p => p -> transport.mtime(p))
+      .filter { case (_, m) => inDateInterval(m, options) }
+    val files: Seq[String] =
+      (if (options.get("earliest_file").exists(_.equalsIgnoreCase("true")))
+        earliestLatest(candidates, earliest = true)
+      else if (options.get("latest_file").exists(_.equalsIgnoreCase("true")))
+        earliestLatest(candidates, earliest = false)
+      else candidates).map(_._1)
     require(files.nonEmpty,
       "No files were found with the specified parameters.")
 
     val spool = Files.createTempDirectory("graft-sftp-")
     spool.toFile.deleteOnExit()
-    val staged: Seq[(String, Path, Long)] = files.zipWithIndex.map { case (remote, i) =>
+    val staged: Seq[(String, Path, Long)] = files.zipWithIndex.flatMap { case (remote, i) =>
       // Keep the remote basename (Spark picks the parser by extension for
       // .gz) but prefix an index so same-named files in different remote
       // dirs don't collide in the flat spool.
@@ -247,17 +352,24 @@ object SftpReader {
       val in = transport.open(remote)
       try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
-      (remote, local, transport.mtime(remote))
+      val mtime = transport.mtime(remote)
+      // zip archives stage as their extracted members (reference reads
+      // zip content through ZipFile before handing it to the parser)
+      if (remote.endsWith(".zip")) {
+        val extracted = extractZip(local, spool, f"$i%05d-")
+        Files.deleteIfExists(local)
+        extracted.map(p => (remote, p, mtime))
+      } else Seq((remote, local, mtime))
     }
 
     // One spark.read per remote file ONLY when per-file metadata is asked
     // for (the lit() columns must vary per file); otherwise a single read
     // over the whole spool dir.
     if (!withMeta)
-      parse(spark.read.format(readFmt).options(sparkOpts).load(spool.toString))
+      parse(spark.read.format(readFmt).options(readOpts).load(spool.toString))
     else
       staged.map { case (remote, local, mtime) =>
-        parse(spark.read.format(readFmt).options(sparkOpts).load(local.toString))
+        parse(spark.read.format(readFmt).options(readOpts).load(local.toString))
           .withColumn("filename", lit(remote))
           .withColumn("modification_time",
             lit(new java.sql.Timestamp(mtime * 1000L)))

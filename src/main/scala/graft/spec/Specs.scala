@@ -201,7 +201,11 @@ object Specs {
     }.orElse(str(m, "schema_ddl")),
     schemaPath = str(m, "schema_path"),
     enforceSchemaFromTable = str(m, "enforce_schema_from_table"),
-    options = strMap(m, "options"),
+    // the reference's sftp input spec carries `sftp_files_format` as a
+    // TOP-LEVEL field (`core/definitions.py` InputSpec) — fold it into
+    // options where the sftp reader looks for it
+    options = strMap(m, "options") ++
+      str(m, "sftp_files_format").map("sftp_files_format" -> _),
     withFilepath = bool(m, "with_filepath"),
     tempView = str(m, "temp_view"),
     optionsRaw = anyMap(m, "options").filter(_._2 != null),

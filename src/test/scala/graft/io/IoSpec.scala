@@ -274,17 +274,26 @@ class IoSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/sub/b.csv"), "id,v\n3,z\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/skip.json"), """{"id": 9}""")
-    // plain read: both csv files, recursive, json ignored by the filter
+    // plain read: both csv files (sub_dir opts into the reference's
+    // one-level recursion), json ignored by the filter
     val df = Readers.read(spark, InputSpec(
       specId = "s", dataFormat = Some("sftp"), location = Some(dir),
       options = Map("sftp_files_format" -> "csv", "header" -> "true",
-        "inferSchema" -> "true", "file_name_contains" -> ".csv")))
+        "inferSchema" -> "true", "file_name_contains" -> ".csv",
+        "sub_dir" -> "true")))
     assert(df.count() == 3)
     assert(df.columns.toSeq == Seq("id", "v"))
+    // without sub_dir, only the top-level file is listed (reference
+    // `_get_folder_items` semantics)
+    assert(Readers.read(spark, InputSpec(
+      specId = "s", dataFormat = Some("sftp"), location = Some(dir),
+      options = Map("sftp_files_format" -> "csv", "header" -> "true",
+        "file_name_contains" -> ".csv"))).count() == 2)
     // file_metadata adds the ORIGINAL remote path + modification time
     val meta = SftpReader.read(spark, dir,
       Map("sftp_files_format" -> "csv", "header" -> "true",
-        "file_name_contains" -> ".csv", "file_metadata" -> "true"))
+        "file_name_contains" -> ".csv", "file_metadata" -> "true",
+        "sub_dir" -> "true"))
     assert(meta.count() == 3)
     val names = meta.select("filename").distinct()
       .collect().map(_.getString(0)).sorted
@@ -348,7 +357,8 @@ class IoSpec extends SparkSpec {
     SftpReader.register("ssh-test", t)
     val df = SftpReader.read(spark, s"$remote/feed",
       Map("sftp_files_format" -> "csv", "header" -> "true",
-        "inferSchema" -> "true", "transport" -> "ssh-test"))
+        "inferSchema" -> "true", "transport" -> "ssh-test",
+        "sub_dir" -> "true"))
     assert(df.count() == 2)
     // a path that never came from list() fails loudly
     intercept[RuntimeException] { t.open(s"$remote/feed/ghost.csv") }
