@@ -117,8 +117,10 @@ object SharepointIo {
   private def sparkOpts(options: Map[String, String]): Map[String, String] =
     options -- Seq("transport", "folder_relative_path", "file_name",
       "file_pattern", "file_type", "file_metadata", "archive",
-      "archive_success_subfolder", "archive_error_subfolder",
-      "conflict_behaviour", "expected_columns")
+      "archive_enabled", "archive_success_subfolder", "archive_error_subfolder",
+      "conflict_behaviour", "expected_columns", "allowed_extensions",
+      "site_name", "drive_name", "client_id", "tenant_id", "secret",
+      "local_path", "api_version", "chunk_size")
 
   // ------------------------------------------------------------------
   // CSV delimiter resolution (`sharepoint_reader.py:470-598`
@@ -211,31 +213,111 @@ object SharepointIo {
     (localOptions - "delimiter" - "expected_columns") + ("sep" -> finalDelimiter)
   }
 
+  // ------------------------------------------------------------------
+  // Option validation (`core/definitions.py:203-420` SharepointOptions
+  // __post_init__ + validate_for_reader): the reference's exact rules and
+  // messages, in its exact order. Pinned verbatim by
+  // ReferenceSharepointReaderSpec against
+  // `tests/feature/test_sharepoint_reader.py`. This build's `.json`
+  // support opts in through the reference's own `allowed_extensions`
+  // mechanism (the default is its SHAREPOINT_SUPPORTED_EXTENSIONS).
+  // ------------------------------------------------------------------
+
+  private val DefaultAllowedExtensions = Set(".csv", ".xlsx")
+
+  private def pySorted(xs: Iterable[String]): String =
+    xs.toSeq.sorted.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def endsWithSupported(path: String, allowed: Set[String]): Boolean = {
+    val lowered = path.toLowerCase
+    allowed.exists(lowered.endsWith)
+  }
+
+  /** Validate + normalize the reader options; returns the options with
+    * `folder_relative_path` stripped of surrounding slashes. */
+  private[io] def validateReaderOptions(options: Map[String, String]): Map[String, String] = {
+    val allowed = options.get("allowed_extensions")
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(DefaultAllowedExtensions)
+    val allowedTypes = allowed.map(_.stripPrefix("."))
+    // _validate_file_type
+    options.get("file_type").filter(_.nonEmpty).foreach { ft =>
+      if (!allowedTypes.contains(ft.toLowerCase))
+        throw new IllegalArgumentException(
+          s"`file_type` must be one of ${pySorted(allowedTypes)}. Got: '$ft'")
+    }
+    // _normalize_folder_relative_path
+    val normalized = options.get("folder_relative_path")
+      .map(_.stripPrefix("/").stripSuffix("/"))
+    // _validate_folder_relative_path_extension_if_looks_like_file
+    normalized.foreach { folder =>
+      val last = folder.split("/").last
+      if (last.contains(".") && !endsWithSupported(last, allowed))
+        throw new IllegalArgumentException(
+          s"`folder_relative_path` appears to be a file path but does not end " +
+            s"with one of ${pySorted(allowed)}: $folder")
+    }
+    // _validate_single_file_mode_constraints_if_folder_is_file_path
+    normalized.filter(endsWithSupported(_, allowed)).foreach { _ =>
+      if (options.get("file_name").exists(_.nonEmpty))
+        throw new IllegalArgumentException(
+          "When `folder_relative_path` points to a file, `file_name` must be None.")
+      if (options.get("file_pattern").exists(_.nonEmpty))
+        throw new IllegalArgumentException(
+          "When `folder_relative_path` points to a file, `file_pattern` must be None.")
+      if (options.get("file_type").exists(_.nonEmpty))
+        throw new IllegalArgumentException(
+          "When `folder_relative_path` points to a file, `file_type` must " +
+            "be None (it's derived from file_path extension)")
+    }
+    // _validate_file_name_and_file_pattern_are_not_both_set
+    if (options.get("file_name").exists(_.nonEmpty) &&
+        options.get("file_pattern").exists(_.nonEmpty))
+      throw new IllegalArgumentException(
+        "Conflicting options: provide either `file_name` or `file_pattern`, not both.")
+    // validate_for_reader: file_name extension (the reference renders the
+    // placeholder literally — a missing f-prefix in its source — so only
+    // the leading text is contract)
+    options.get("file_name").filter(_.nonEmpty).foreach { name =>
+      if (!endsWithSupported(name, allowed))
+        throw new IllegalArgumentException(
+          s"`file_name` must end with one of ${pySorted(allowed)}, " +
+            s"got: $name")
+    }
+    normalized.fold(options)(f => options + ("folder_relative_path" -> f))
+  }
+
   /** Resolve the reference's folder/file path rules
-    * (`sharepoint_reader.py:39-61`): folder+file_name, a full path with an
-    * extension, or a folder (optionally pattern-filtered). Returns
-    * (folder, Seq(fileName)). */
+    * (`sharepoint_reader.py:39-61,141-180`): folder+file_name, a full
+    * path with an extension, or a folder (optionally pattern-filtered,
+    * extension-filtered by the effective file type, name-sorted).
+    * Returns (folder, files, singleFileMode). */
   private def resolveTargets(t: SharepointTransport,
-      options: Map[String, String]): (String, Seq[String]) = {
-    val folderOpt = options.get("folder_relative_path").map(_.stripSuffix("/"))
-    val fileName = options.get("file_name")
+      options: Map[String, String]): (String, Seq[String], Boolean) = {
+    val folderOpt = options.get("folder_relative_path")
+    val fileName = options.get("file_name").filter(_.nonEmpty)
     (folderOpt, fileName) match {
       case (Some(folder), Some(name)) =>
-        val folderBase = folder.split('/').last
-        require(!folderBase.contains("."),
-          s"Invalid path setup: `folder_relative_path` ('$folder') appears to " +
-            s"include a file, but `file_name` ('$name') was also provided. " +
-            "Provide either a folder+file_name, or a full file path, not both.")
-        (folder, Seq(name))
+        (folder, Seq(name), true)
       case (Some(path), None) if path.split('/').last.contains(".") =>
         val parts = path.split('/')
-        (parts.dropRight(1).mkString("/"), Seq(parts.last))
+        (parts.dropRight(1).mkString("/"), Seq(parts.last), true)
       case (Some(folder), None) =>
-        require(t.exists(folder), s"Folder '$folder' does not exist in Sharepoint.")
-        val pattern = options.get("file_pattern")
-        val files = t.list(folder).filter(n => pattern.forall(fnmatch(_, n)))
-        require(files.nonEmpty, "No files were found with the specified parameters.")
-        (folder, files)
+        if (!t.exists(folder))
+          throw new IllegalArgumentException(
+            s"Folder '$folder' does not exist in Sharepoint.")
+        val pattern = options.get("file_pattern").filter(_.nonEmpty)
+        // `_get_csv_files_in_folder`: folder mode lists one file type —
+        // csv in the reference, csv|json here via file_type
+        val effType = options.get("file_type").map(_.toLowerCase).getOrElse("csv")
+        val files = t.list(folder)
+          .filter(_.toLowerCase.split('.').drop(1).contains(effType))
+          .filter(n => pattern.forall(fnmatch(_, n)))
+          .sorted
+        if (files.isEmpty)
+          throw new IllegalArgumentException(
+            s"No ${effType.toUpperCase} files found in folder: $folder")
+        (folder, files, false)
       case (None, _) =>
         sys.error("sharepoint reader needs folder_relative_path (and/or file_name)")
     }
@@ -252,96 +334,128 @@ object SharepointIo {
     *     `archive_error_subfolder` (default "error")
     *   - remaining options pass through to the Spark file reader.
     */
-  def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+  def read(spark: SparkSession, rawOptions: Map[String, String]): DataFrame = {
+    val options = validateReaderOptions(rawOptions)
     val t = transportFor(options)
-    val (folder, names) = resolveTargets(t, options)
-    // One format per read: a folder pattern that matches mixed
-    // .csv/.json files must not be silently parsed with the first
-    // file's format (wrong rows, no error). With explicit `file_type`
-    // fmtOf ignores extensions, so this collapses to one element.
-    val fmts = names.map(fmtOf(options, _)).distinct
-    require(fmts.size == 1,
-      s"sharepoint folder read matched files with mixed formats $fmts " +
-        s"(${names.mkString(", ")}); pass file_type explicitly or narrow file_pattern")
-    val fmt = fmts.head
+    val (folder, names, singleFile) = resolveTargets(t, options)
     val withMeta = options.get("file_metadata").contains("true")
-    val archive = options.get("archive").contains("true")
+    // archive_enabled DEFAULTS TRUE (`core/definitions.py:268`); the
+    // build's original `archive` spelling is accepted alongside
+    val archive = options.get("archive_enabled").orElse(options.get("archive"))
+      .forall(_.equalsIgnoreCase("true"))
     val doneDir = s"$folder/${options.getOrElse("archive_success_subfolder", "done")}"
     val errDir = s"$folder/${options.getOrElse("archive_error_subfolder", "error")}"
 
+    def archiveTo(name: String, dir: String, what: String): Unit =
+      if (archive)
+        try t.move(s"$folder/$name", dir) catch {
+          case NonFatal(e) => Console.err.println(
+            s"[graft] sharepoint $what move '$folder/$name' -> '$dir' failed: $e")
+        }
+
     val spool = Files.createTempDirectory("graft-sharepoint-")
     spool.toFile.deleteOnExit()
-    try {
-      val staged = names.zipWithIndex.map { case (name, i) =>
-        val local = spool.resolve(f"$i%05d-$name")
-        // deleteOnExit per FILE: a dir-only registration is a no-op on a
-        // non-empty dir, leaking the staged bytes of every read for the
-        // lifetime of a long-running driver.
-        local.toFile.deleteOnExit()
-        val in = t.download(s"$folder/$name")
-        try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
-        require(Files.size(local) > 0,
+
+    /** Stage one remote file; empty-content check uses the reference's
+      * message (`sharepoint_reader.py:222-226`). */
+    def stage(name: String, i: Int): Path = {
+      val local = spool.resolve(f"$i%05d-$name")
+      // deleteOnExit per FILE: a dir-only registration is a no-op on a
+      // non-empty dir, leaking the staged bytes of every read for the
+      // lifetime of a long-running driver.
+      local.toFile.deleteOnExit()
+      val in = t.download(s"$folder/$name")
+      try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      if (Files.size(local) == 0)
+        throw new IllegalArgumentException(
           s"File '$folder/$name' is empty or could not be downloaded.")
-        (name, local)
+      local
+    }
+
+    def fmtFor(name: String): String = fmtOf(options, name)
+
+    /** Per-file csv option resolution from the file's head bytes
+      * (explicit sep/delimiter wins; sniffed otherwise). */
+    def readOptsFor(fmt: String, local: Path): Map[String, String] =
+      if (fmt != "csv") sparkOpts(options)
+      else {
+        val head = new Array[Byte](8192)
+        val in = Files.newInputStream(local)
+        val n = try in.read(head) finally in.close()
+        // a full buffer may end mid-multibyte-char: cut at the last
+        // newline so strict UTF-8 decoding can't fail on a torn tail
+        val end =
+          if (n < head.length) math.max(n, 0)
+          else { val nl = head.lastIndexOf('\n'.toByte); if (nl > 0) nl else n }
+        resolveSparkCsvOptions(
+          sparkOpts(options) ++ options.get("expected_columns").map("expected_columns" -> _),
+          java.util.Arrays.copyOf(head, end),
+          w => Console.err.println(s"[graft] sharepoint csv: $w"))
       }
-      // csv reads resolve their delimiter from the first file's head
-      // bytes (explicit sep/delimiter wins; sniffed otherwise)
-      val readOpts =
-        if (fmt != "csv") sparkOpts(options)
-        else {
-          val head = new Array[Byte](8192)
-          val in = Files.newInputStream(staged.head._2)
-          val n = try in.read(head) finally in.close()
-          // a full buffer may end mid-multibyte-char: cut at the last
-          // newline so strict UTF-8 decoding can't fail on a torn tail
-          val end =
-            if (n < head.length) math.max(n, 0)
-            else { val nl = head.lastIndexOf('\n'.toByte); if (nl > 0) nl else n }
-          resolveSparkCsvOptions(
-            sparkOpts(options) ++ options.get("expected_columns").map("expected_columns" -> _),
-            java.util.Arrays.copyOf(head, end),
-            w => Console.err.println(s"[graft] sharepoint csv: $w"))
-        }
+
+    /** Stage-local read, MATERIALIZED inside the wrap (the reference
+      * forces `count()` inside its try — `sharepoint_reader.py:313-338` —
+      * so parse failures surface as its read error, not later). The
+      * lineage cut also frees the spool copy immediately. */
+    def loadOne(name: String, local: Path): DataFrame = {
+      val fmt = fmtFor(name)
       val df =
-        if (!withMeta)
-          spark.read.format(fmt).options(readOpts).load(spool.toString)
-        else staged.map { case (name, local) =>
-          spark.read.format(fmt).options(readOpts).load(local.toString)
-            .withColumn("filename", lit(s"$folder/$name"))
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
-      if (archive) {
-        // Materialize with a LINEAGE CUT before moving the remote files
-        // and deleting the spool copies: a plain cache().count() leaves
-        // the file scan in the lineage, so an evicted/unpersisted cache
-        // would recompute from files that no longer exist. After
-        // localCheckpoint the returned plan holds the rows themselves.
-        // Each done-move is BEST-EFFORT: one failed move must not fail
-        // the whole read — a file that stays in the folder is re-read
-        // next run (duplicate, recoverable), whereas failing here would
-        // strand the already-done files as ingested-but-never-consumed
-        // (silent loss).
-        val materialized = df.localCheckpoint()
-        names.foreach { n =>
-          try t.move(s"$folder/$n", doneDir) catch {
-            case NonFatal(e) => Console.err.println(
-              s"[graft] sharepoint archive move '$folder/$n' -> '$doneDir' failed " +
-                s"(file will be re-read next run): $e")
-          }
+        try {
+          val raw = spark.read.format(fmt)
+            .options(readOptsFor(fmt, local)).load(local.toString)
+          (if (withMeta) raw.withColumn("filename", lit(s"$folder/$name"))
+          else raw).localCheckpoint()
+        } catch {
+          case NonFatal(e) => throw new IllegalArgumentException(
+            s"Failed to read Sharepoint file: '$folder/$name'.", e)
         }
-        // the checkpointed df no longer needs the spool copies
-        staged.foreach { case (_, local) => Files.deleteIfExists(local) }
+      Files.deleteIfExists(local)
+      df
+    }
+
+    if (singleFile) {
+      // `_load_and_archive_file`: stage + read; archive to done only
+      // after the full materialization, to error on ANY failure
+      val name = names.head
+      try {
+        val materialized = loadOne(name, stage(name, 0))
+        archiveTo(name, doneDir, "archive")
         materialized
-      } else df
-    } catch {
-      case NonFatal(e) =>
-        if (archive) names.foreach { n =>
-          try t.move(s"$folder/$n", errDir) catch {
-            case NonFatal(e2) => Console.err.println(
-              s"[graft] sharepoint error-archive move '$folder/$n' -> '$errDir' failed: $e2")
+      } catch {
+        case NonFatal(e) => archiveTo(name, errDir, "error-archive"); throw e
+      }
+    } else {
+      // `read_csv_folder`: per-file read; the FIRST file's schema is the
+      // contract — a later mismatch archives that file to error and
+      // fails the read; done-archiving happens only after the union
+      // materializes
+      var baseSchema: Option[org.apache.spark.sql.types.StructType] = None
+      val frames = names.zipWithIndex.map { case (name, i) =>
+        val df =
+          try loadOne(name, stage(name, i))
+          catch {
+            case NonFatal(e) => archiveTo(name, errDir, "error-archive"); throw e
           }
+        val schema = org.apache.spark.sql.types.StructType(
+          df.schema.filterNot(_.name == "filename"))
+        baseSchema match {
+          case Some(base) if schema != base =>
+            archiveTo(name, errDir, "error-archive")
+            throw new IllegalArgumentException(s"Schema mismatch in '$name'")
+          case None => baseSchema = Some(schema)
+          case _ => ()
         }
-        throw e
+        df
+      }
+      // Each frame is already checkpointed (lineage cut: the union holds
+      // rows, not spool-file scans, so an unpersist can't recompute from
+      // files the archive step moved). Each done-move is BEST-EFFORT: a
+      // file that stays in the folder is re-read next run (duplicate,
+      // recoverable) rather than stranded as ingested-but-never-consumed.
+      val combined = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      names.foreach(archiveTo(_, doneDir, "archive"))
+      combined
     }
   }
 
@@ -351,21 +465,43 @@ object SharepointIo {
     * (csv|json, else from extension), `conflict_behaviour` (replace|fail,
     * default replace); remaining options pass to the Spark file writer. */
   def write(df: DataFrame, options: Map[String, String]): Unit = {
-    require(!df.isStreaming, "Sharepoint writer doesn't support streaming!")
+    if (df.isStreaming)
+      throw new UnsupportedOperationException(
+        "Sharepoint writer doesn't support streaming!")
+    // `validate_for_writer` (`core/definitions.py:421-427`): when the
+    // reference's sharepoint_opts surface is in play (it always carries
+    // local_path), site/drive/local_path must all be non-empty — BEFORE
+    // any transport resolution, as in the reference's write()
+    if (options.contains("local_path") || options.contains("site_name")) {
+      val missing = Seq("site_name", "drive_name", "local_path")
+        .filterNot(k => options.get(k).exists(_.nonEmpty))
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"Missing required Sharepoint options for writer: ${missing.mkString(", ")}")
+    }
     val t = transportFor(options)
     val folder = options.getOrElse("folder_relative_path",
       sys.error("sharepoint writer needs folder_relative_path")).stripSuffix("/")
     val name = options.getOrElse("file_name",
       sys.error("sharepoint writer needs file_name"))
-    require(t.exists(folder), "The provided endpoint does not exist!")
-    val fmt = fmtOf(options, name)
+    if (!t.exists(folder))
+      throw new IllegalArgumentException("The provided endpoint does not exist!")
+    // the reference writer always renders csv (`write_to_local_path`);
+    // an extensioned file_name may still pick json in this build
+    val fmt =
+      if (name.contains(".") || options.contains("file_type")) fmtOf(options, name)
+      else "csv"
     val conflict = options.getOrElse("conflict_behaviour", "replace")
 
-    val stage = Files.createTempDirectory("graft-sharepoint-out-")
+    // the reference stages at sharepoint_opts.local_path, uploads, then
+    // deletes-and-recreates that folder (`delete_local_path`)
+    val stage = options.get("local_path").filter(_.nonEmpty)
+      .map { lp => val p = Paths.get(lp); Files.createDirectories(p.getParent); p }
+      .getOrElse(Files.createTempDirectory("graft-sharepoint-out-"))
     try {
       // coalesce(1): the remote side is a single file by contract.
       df.coalesce(1).write.format(fmt).options(sparkOpts(options))
-        .save(stage.resolve("out").toString)
+        .mode("overwrite").save(stage.resolve("out").toString)
       val part = {
         val s = Files.list(stage.resolve("out"))
         try {
@@ -377,7 +513,8 @@ object SharepointIo {
       }
       t.upload(s"$folder/$name", Files.readAllBytes(part), conflict)
     } finally {
-      // best-effort local cleanup (reference delete_local_path)
+      // reference `delete_local_path`: remove the staging tree and
+      // recreate the (now empty) local_path folder
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p)) {
           val s = Files.list(p)
@@ -388,6 +525,8 @@ object SharepointIo {
         Files.deleteIfExists(p)
       }
       rm(stage)
+      if (options.get("local_path").exists(_.nonEmpty))
+        Files.createDirectories(stage)
     }
   }
 }

@@ -559,6 +559,10 @@ object Writers {
       spec.dataFormat match {
         case Some("console") => base.format("console").start()
         case Some("kafka") => base.format("kafka").start()
+        case Some("sharepoint") =>
+          // `io/writers/sharepoint_writer.py:42-44`
+          throw new UnsupportedOperationException(
+            "Sharepoint writer doesn't support streaming!")
         case _ =>
           // same fallback as the batch path: `delta` without the Delta
           // jars stores as parquet (same data, different log)

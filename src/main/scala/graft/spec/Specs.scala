@@ -185,6 +185,37 @@ object Specs {
 
   import A._
 
+  /** Flatten the reference's `sharepoint_opts` dataclass dict
+    * (`core/definitions.py:203-280` SharepointOptions) into the flat
+    * option surface [[graft.io.SharepointIo]] consumes: scalars pass
+    * through (null = unset), `local_options` merges in as Spark reader
+    * options, list-valued fields comma-join, and — absent an explicit
+    * `transport` — the registered-transport name defaults to
+    * `"<site_name>:<drive_name>"` (the Graph transport registers itself
+    * under that label; tests register fakes the same way). */
+  private def sharepointOpts(m: Map[String, Any]): Map[String, String] =
+    m.get("sharepoint_opts").collect { case mm: Map[_, _] =>
+      val o = mm.map { case (k, v) => String.valueOf(k) -> v }.toMap[String, Any]
+      val flat = Map.newBuilder[String, String]
+      def scalar(v: Any): String = v match {
+        case s: Seq[_] => s.map(String.valueOf(_)).mkString(",")
+        case other => String.valueOf(other)
+      }
+      o.foreach {
+        case (_, null) => ()
+        case ("local_options", lo: Map[_, _]) =>
+          lo.foreach { case (k, v) =>
+            if (v != null) flat += (String.valueOf(k) -> scalar(v)) }
+        case (k, v) => flat += (k -> scalar(v))
+      }
+      val r = flat.result()
+      if (r.contains("transport")) r
+      else (r.get("site_name"), r.get("drive_name")) match {
+        case (Some(s), Some(d)) => r + ("transport" -> s"$s:$d")
+        case _ => r
+      }
+    }.getOrElse(Map.empty)
+
   def inputSpec(m: Map[String, Any]): InputSpec = InputSpec(
     specId = str(m, "spec_id").getOrElse(sys.error("input_spec needs spec_id")),
     readType = str(m, "read_type").getOrElse("batch"),
@@ -203,9 +234,12 @@ object Specs {
     enforceSchemaFromTable = str(m, "enforce_schema_from_table"),
     // the reference's sftp input spec carries `sftp_files_format` as a
     // TOP-LEVEL field (`core/definitions.py` InputSpec) — fold it into
-    // options where the sftp reader looks for it
+    // options where the sftp reader looks for it; likewise its
+    // `sharepoint_opts` dict flattens into the sharepoint reader's
+    // option surface
     options = strMap(m, "options") ++
-      str(m, "sftp_files_format").map("sftp_files_format" -> _),
+      str(m, "sftp_files_format").map("sftp_files_format" -> _) ++
+      sharepointOpts(m),
     withFilepath = bool(m, "with_filepath"),
     tempView = str(m, "temp_view"),
     optionsRaw = anyMap(m, "options").filter(_._2 != null),
@@ -292,7 +326,7 @@ object Specs {
     dbTable = str(m, "db_table"),
     location = str(m, "location"),
     partitions = strSeq(m, "partitions"),
-    options = strMap(m, "options"),
+    options = strMap(m, "options") ++ sharepointOpts(m),
     optionsRaw = anyMap(m, "options").filter(_._2 != null),
     mergeOpts = m.get("merge_opts").collect { case mm: Map[_, _] =>
       mergeOptions(mm.map { case (a, b) => a.toString -> b })

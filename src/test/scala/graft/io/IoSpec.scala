@@ -381,8 +381,10 @@ class IoSpec extends SparkSpec {
     put("reports/y2024/jan.csv", "id,v\n1,a\n")
     put("reports/y2024/feb.csv", "id,v\n2,b\n")
     put("reports/y2024/notes.txt", "not a csv")
+    // archive_enabled defaults TRUE (reference contract) — these
+    // re-reading path-rule cases opt out explicitly
     val base = Map("transport" -> s"local:$root", "header" -> "true",
-      "inferSchema" -> "true")
+      "inferSchema" -> "true", "archive_enabled" -> "false")
     // folder + file_name -> single file
     val one = SharepointIo.read(spark, base ++ Map(
       "folder_relative_path" -> "reports/y2024", "file_name" -> "jan.csv"))
@@ -398,29 +400,32 @@ class IoSpec extends SparkSpec {
     assert(folder.count() == 2)
     assert(folder.select("filename").distinct().collect().map(_.getString(0)).sorted
       .toSeq == Seq("reports/y2024/feb.csv", "reports/y2024/jan.csv"))
-    // folder + file_name where the folder path embeds a file -> reference error
+    // folder + file_name where the folder path embeds a file -> the
+    // reference's single-file-mode constraint
     val bad = intercept[IllegalArgumentException] {
       SharepointIo.read(spark, base ++ Map(
         "folder_relative_path" -> "reports/y2024/feb.csv", "file_name" -> "jan.csv"))
     }
-    assert(bad.getMessage.contains("Invalid path setup"))
-    // folder mode matching MIXED formats -> rejected, not silently
-    // parsed with the first file's format
+    assert(bad.getMessage.contains(
+      "When `folder_relative_path` points to a file, `file_name` must be None."))
+    // folder mode lists ONE file type (csv by default, reference
+    // `_get_csv_files_in_folder`) — mixed content is filtered, not merged
     put("mixed/a.csv", "id,v\n1,a\n")
     put("mixed/b.json", """{"id":2,"v":"b"}""" + "\n")
-    val mixed = intercept[IllegalArgumentException] {
-      SharepointIo.read(spark, base ++ Map("folder_relative_path" -> "mixed"))
-    }
-    assert(mixed.getMessage.contains("mixed formats"))
-    // ...unless file_type pins the format explicitly
+    assert(SharepointIo.read(spark,
+      base ++ Map("folder_relative_path" -> "mixed")).count() == 1)
+    // ...and file_type json selects the json side — json support opts in
+    // via the reference's allowed_extensions mechanism (the default is
+    // its csv/xlsx set)
     assert(SharepointIo.read(spark, base ++ Map(
       "folder_relative_path" -> "mixed", "file_type" -> "json",
+      "allowed_extensions" -> ".csv,.xlsx,.json",
       "file_pattern" -> "*.json")).count() == 1)
     // archive: read moves the files into done/, and the returned frame
     // stays readable after the spool copies are deleted (lineage cut)
     val archived = SharepointIo.read(spark, base ++ Map(
       "folder_relative_path" -> "reports/y2024", "file_pattern" -> "*.csv",
-      "archive" -> "true"))
+      "archive_enabled" -> "true"))
     val t = new SharepointIo.LocalDriveTransport(root)
     assert(t.list("reports/y2024/done").sorted == Seq("feb.csv", "jan.csv"))
     assert(t.list("reports/y2024") == Seq("notes.txt"))
