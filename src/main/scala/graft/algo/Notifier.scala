@@ -241,14 +241,15 @@ object EmailNotifier {
     }
 
   /** Engine-config disallowed servers
-    * (`configs/engine.yaml: notif_disallowed_email_servers`); here a
-    * session conf, comma-separated. */
+    * (`configs/engine.yaml: notif_disallowed_email_servers`): a session
+    * conf override wins; otherwise [[graft.exec.EngineConfig]] (the
+    * dict/file/package-overridable engine configuration). */
   def disallowedServers: Seq[String] =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption("spark.graft.notifDisallowedEmailServers"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+      .getOrElse(graft.exec.EngineConfig.get.notifDisallowedEmailServers)
 
   /** `send_notification`: validation, disallowed-server guard, transport
     * selection. */

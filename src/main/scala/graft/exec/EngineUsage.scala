@@ -36,7 +36,10 @@ object EngineUsage {
   val ProdOnly = "prod_only"
   val Disabled = "disabled"
 
-  val EngineVersion = "graft 0.10.0"
+  // kept in lockstep with build.sbt's `version :=` (ReferenceEnvUnitSpec
+  // pins the pairing, like the reference's test_version.py does for
+  // pyproject.toml)
+  val EngineVersion = "graft 0.1.0"
 
   /** Reference `ConfigUtils.SENSITIVE_INFO` (`utils/configs/config_utils
     * .py:17-26`): keys whose values are masked in the recorded acon. */
@@ -45,6 +48,39 @@ object EngineUsage {
     "password", "secret", "credential", "credentials", "pass", "key")
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  /** `EngineStats.DEF_DATABRICKS_CONTEXT_KEYS`
+    * (`core/definitions.py:98-106`): usage-stats field -> serverless
+    * execution-context attribute. */
+  val DatabricksContextKeys: Seq[(String, String)] = Seq(
+    "environment" -> "environment",
+    "dp_name" -> "jobName",
+    "run_id" -> "runId",
+    "job_id" -> "jobId",
+    "job_name" -> "jobName",
+    "workspace_id" -> "workspaceId",
+    "policy_id" -> "usagePolicyId")
+
+  /** `DatabricksUtils._get_dp_name` (`utils/databricks_utils.py:80-93`):
+    * the data-product name is the job name up to its LAST '-'. */
+  def dpNameFromJobName(jobName: String): String =
+    if (jobName != null && jobName.contains("-"))
+      jobName.substring(0, jobName.lastIndexOf('-'))
+    else jobName
+
+  /** `DatabricksUtils.get_usage_context_for_serverless`
+    * (`utils/databricks_utils.py:137-163`): map the serverless execution
+    * context (runId/jobId/jobName/workspaceId/usagePolicyId attributes)
+    * into usage-stats fields; dp_name derives from the job name and
+    * environment comes from the engine, not the context. Pinned verbatim
+    * by ReferenceEnvUnitSpec against `tests/unit/test_databricks_utils.py`. */
+  def usageContextForServerless(context: Map[String, String],
+      environment: String): Map[String, String] =
+    DatabricksContextKeys.map {
+      case ("dp_name", attr) => "dp_name" -> dpNameFromJobName(context.get(attr).orNull)
+      case ("environment", _) => "environment" -> environment
+      case (key, attr) => key -> context.get(attr).orNull
+    }.toMap
 
   /** Recursively mask sensitive values (exact key match, like the
     * reference's `remove_sensitive_info`). */
