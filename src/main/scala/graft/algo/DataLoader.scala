@@ -183,8 +183,13 @@ final class DataLoader(
     // PRISMA specs on a streaming lineage resolve here, at plan time —
     // rules are config-sized and the reference resolves them before the
     // query starts (`acon_utils.py` resolve_dq_functions)
-    val streamingDqs = lineageDqs.filter(dq =>
-      data.get(dq.inputId).exists(_.isStreaming)).map(resolvePrisma)
+    // duplicated PRISMA rule ids skip the DQ stage EVERYWHERE — the
+    // streaming micro-batch plan too, or the final raise's "none of the
+    // DQ processes were executed" would be a lie (`data_loader.py:130-177`)
+    val streamingDqs =
+      if (dqRuleIdErrors.nonEmpty) Seq.empty
+      else lineageDqs.filter(dq =>
+        data.get(dq.inputId).exists(_.isStreaming)).map(resolvePrisma)
     if (deferred.isEmpty && streamingDqs.isEmpty) None
     else Some(Writers.MicroBatchPlan { batch =>
       val transformed = deferred.foldLeft(batch) { case (df, (tr, _)) =>
@@ -217,8 +222,16 @@ final class DataLoader(
     catch {
       case scala.util.control.NonFatal(e) =>
         // `data_loader.py:240-243`: a failed run dispatches the failure
-        // notifications declared in terminate_specs, then re-raises
-        NotifierFactory.generateFailureNotification(acon.terminateSpecs, e)
+        // notifications declared in terminate_specs, then re-raises.
+        // The dispatch is BEST-EFFORT here: a notification error (bad
+        // spec, unreachable SMTP) must never mask the pipeline failure
+        // the operator actually needs to see.
+        try NotifierFactory.generateFailureNotification(acon.terminateSpecs, e)
+        catch {
+          case scala.util.control.NonFatal(ne) => Console.err.println(
+            s"[graft] failure-notification dispatch failed (original error " +
+              s"re-raised): $ne")
+        }
         throw e
     }
     // the write/terminate stages COMPLETED — the duplicate-rule failure is

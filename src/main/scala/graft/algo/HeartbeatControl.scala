@@ -122,9 +122,17 @@ object HeartbeatControl {
 
   /** `_get_sensor_acon_from_heartbeat` (+
     * `_enhance_sensor_acon_extra_options`): the per-row sensor ACON. */
+  /** Secret lookup for the kafka SSL passwords (the reference uses
+    * dbutils.secrets, `heartbeat.py` `_get_all_kafka_options`):
+    * deployments install one; the default resolves nothing — and the
+    * acon builder below leaves the password null, which the kafka read
+    * rejects loudly at connect time. */
+  @volatile var defaultSecretProvider: (Option[String], String) => Option[String] =
+    (_, _) => None
+
   def sensorAconFromHeartbeat(spark: SparkSession, spec: Spec, row: Row,
       secretProvider: (Option[String], String) => Option[String] =
-        (_, _) => None): Map[String, Any] = {
+        defaultSecretProvider): Map[String, Any] = {
     def s(name: String): Option[String] = {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(String.valueOf(row.get(i)))
@@ -179,6 +187,8 @@ object HeartbeatControl {
         // selected by the sensor id's `dp: topic` prefix, passwords via
         // the pluggable secret provider (dbutils.secrets there)
         val parts = sensorId.split(":")
+        require(parts.length == 2,
+          s"heartbeat kafka sensor_id must be 'dp_name: topic', got '$sensorId'")
         val dpName = parts(0).trim
         val topic = parts(1).trim
         val cfg = spec.kafkaConfigs.getOrElse(dpName, sys.error(
@@ -219,13 +229,15 @@ object HeartbeatControl {
     * event timestamp. */
   def execute(spark: SparkSession, spec: Spec,
       runSensor: Option[(Map[String, Any], Row) => Option[(String, String)]] = None,
-      now: Option[java.sql.Timestamp] = None): Unit = {
+      now: Option[java.sql.Timestamp] = None,
+      secretProvider: (Option[String], String) => Option[String] =
+        defaultSecretProvider): Unit = {
     val nowCol = now.map(lit(_).cast("timestamp")).getOrElse(current_timestamp())
     val controlTable = spec.heartbeatSensorDbTable
     val active = activeHeartbeatJobs(spark, controlTable, spec.sensorSource)
     val run = runSensor.getOrElse(executeBatchOfSensor(spark) _)
     active.collect().foreach { row =>
-      val acon = sensorAconFromHeartbeat(spark, spec, row)
+      val acon = sensorAconFromHeartbeat(spark, spec, row, secretProvider)
       run(acon, row).foreach { case (sid, job) =>
         val updated = active
           .filter(col("sensor_id") === sid && col("trigger_job_id") === job)

@@ -50,10 +50,14 @@ object RestApiWriter {
 
   @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Ordered JSON object — distinct from a JSON array so `{}` and `[]`
+    * survive the round trip (an empty Vector can't tell them apart). */
+  final case class JsonObj(pairs: Vector[(String, Any)])
+
   private def fromJava(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
       import scala.jdk.CollectionConverters._
-      m.asScala.toVector.map { case (k, x) => String.valueOf(k) -> fromJava(x) }
+      JsonObj(m.asScala.toVector.map { case (k, x) => String.valueOf(k) -> fromJava(x) })
     case l: java.util.List[_] =>
       import scala.jdk.CollectionConverters._
       l.asScala.toVector.map(fromJava)
@@ -64,7 +68,7 @@ object RestApiWriter {
     * the final-payload rendering depends on it). */
   def parseJsonOrdered(json: String): Vector[(String, Any)] =
     fromJava(mapper.readValue(json, classOf[java.util.LinkedHashMap[String, Object]]))
-      .asInstanceOf[Vector[(String, Any)]]
+      .asInstanceOf[JsonObj].pairs
 
   /** The final payload as ordered pairs. */
   def buildFinalPayload(strPayload: String, isFilePayload: Boolean,
@@ -91,8 +95,10 @@ object RestApiWriter {
     case s: String =>
       if (s.contains("'") && !s.contains("\"")) "\"" + s + "\""
       else "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    case pairs: Vector[_] if pairs.forall(_.isInstanceOf[(_, _)]) && pairs.nonEmpty =>
-      pyDict(pairs.asInstanceOf[Vector[(String, Any)]])
+    case JsonObj(pairs) => pyDict(pairs)
+    // raw acon maps (extra_json_payload values) render as dicts too
+    case m: Map[_, _] =>
+      pyDict(m.toVector.map { case (k, x) => String.valueOf(k) -> x })
     case seq: Seq[_] => seq.map(pyRepr).mkString("[", ", ", "]")
     case other => String.valueOf(other)
   }
@@ -117,9 +123,13 @@ object RestApiWriter {
     }
 
   private def toJava(v: Any): Object = v match {
-    case pairs: Vector[_] if pairs.nonEmpty && pairs.forall(_.isInstanceOf[(_, _)]) =>
+    case JsonObj(pairs) =>
       val m = new java.util.LinkedHashMap[String, Object]()
-      pairs.asInstanceOf[Vector[(String, Any)]].foreach { case (k, x) => m.put(k, toJava(x)) }
+      pairs.foreach { case (k, x) => m.put(k, toJava(x)) }
+      m
+    case mm: Map[_, _] =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      mm.foreach { case (k, x) => m.put(String.valueOf(k), toJava(x)) }
       m
     case seq: Seq[_] =>
       val l = new java.util.ArrayList[Object]()

@@ -259,14 +259,18 @@ object SftpReader {
         // archive metadata (macOS resource forks) isn't data
         .filterNot(e => e.getName.startsWith("__MACOSX/") ||
           Paths.get(e.getName).getFileName.toString.startsWith("._"))
-        .map { e =>
-        val target = spool.resolve(prefix + Paths.get(e.getName).getFileName.toString)
-        target.toFile.deleteOnExit()
-        val in = zf.getInputStream(e)
-        try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
-        target
-      }.toList
+        .zipWithIndex
+        .map { case (e, j) =>
+          // entry index in the spool name: same-basename members from
+          // different archive dirs must not overwrite each other
+          val target = spool.resolve(
+            f"$prefix$j%03d-${Paths.get(e.getName).getFileName.toString}")
+          target.toFile.deleteOnExit()
+          val in = zf.getInputStream(e)
+          try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          target
+        }.toList
     } finally zf.close()
   }
 
@@ -329,18 +333,22 @@ object SftpReader {
       .filter(p => nameFilter.forall(Paths.get(p).getFileName.toString.contains))
       .map(p => p -> transport.mtime(p))
       .filter { case (_, m) => inDateInterval(m, options) }
-    val files: Seq[String] =
-      (if (options.get("earliest_file").exists(_.equalsIgnoreCase("true")))
+    // (path, mtime) threads through staging: the filter already paid the
+    // per-file stat, a second transport.mtime would double the remote
+    // round-trips
+    val files: Seq[(String, Long)] =
+      if (options.get("earliest_file").exists(_.equalsIgnoreCase("true")))
         earliestLatest(candidates, earliest = true)
       else if (options.get("latest_file").exists(_.equalsIgnoreCase("true")))
         earliestLatest(candidates, earliest = false)
-      else candidates).map(_._1)
+      else candidates
     require(files.nonEmpty,
       "No files were found with the specified parameters.")
 
     val spool = Files.createTempDirectory("graft-sftp-")
     spool.toFile.deleteOnExit()
-    val staged: Seq[(String, Path, Long)] = files.zipWithIndex.flatMap { case (remote, i) =>
+    val staged: Seq[(String, Path, Long)] = files.zipWithIndex.flatMap {
+      case ((remote, mtime), i) =>
       // Keep the remote basename (Spark picks the parser by extension for
       // .gz) but prefix an index so same-named files in different remote
       // dirs don't collide in the flat spool.
@@ -352,7 +360,6 @@ object SftpReader {
       val in = transport.open(remote)
       try Files.copy(in, local, StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
-      val mtime = transport.mtime(remote)
       // zip archives stage as their extracted members (reference reads
       // zip content through ZipFile before handing it to the parser)
       if (remote.endsWith(".zip")) {

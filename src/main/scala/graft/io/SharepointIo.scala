@@ -95,7 +95,10 @@ object SharepointIo {
   private def fmtOf(options: Map[String, String], path: String): String = {
     // Scan ALL dot segments for a known format so compressed names
     // ("jan.csv.gz") resolve to csv, not gz; Spark decompresses by the
-    // trailing extension on its own.
+    // trailing extension on its own. NOTE: the reference's option
+    // validation only admits its allowed_extensions (csv/xlsx default),
+    // so .csv.gz paths need an explicit allowed_extensions opt-in to
+    // reach this resolution.
     val fromExt = path.toLowerCase.split('.').drop(1).findLast(Formats.contains)
     val fmt = options.get("file_type").map(_.toLowerCase).orElse(fromExt)
       .getOrElse(sys.error("sharepoint reader needs file_type or a file extension"))
@@ -496,7 +499,11 @@ object SharepointIo {
     // the reference stages at sharepoint_opts.local_path, uploads, then
     // deletes-and-recreates that folder (`delete_local_path`)
     val stage = options.get("local_path").filter(_.nonEmpty)
-      .map { lp => val p = Paths.get(lp); Files.createDirectories(p.getParent); p }
+      .map { lp =>
+        val p = Paths.get(lp)
+        Option(p.getParent).foreach(Files.createDirectories(_))
+        p
+      }
       .getOrElse(Files.createTempDirectory("graft-sharepoint-out-"))
     try {
       // coalesce(1): the remote side is a single file by contract.

@@ -49,6 +49,16 @@ class ReferenceRestApiSpec extends AnyFunSuite {
     assert(body.endsWith("--BBB--\r\n"))
   }
 
+  test("empty JSON objects survive the round trip as {}, not []") {
+    val payload = RestApiWriter.buildFinalPayload(
+      """{"a":{},"b":[],"c":{"d":{}}}""", isFilePayload = false, "file",
+      Seq("x" -> "y"))
+    assert(RestApiWriter.pyDict(payload) ==
+      "{'a': {}, 'b': [], 'c': {'d': {}}, 'x': 'y'}")
+    val (body, _) = RestApiWriter.renderBody(payload, isFilePayload = false, "ig")
+    assert(body == """{"a":{},"b":[],"c":{"d":{}},"x":"y"}""")
+  }
+
   test("json rendering of a built payload round-trips") {
     val (body, ct) = RestApiWriter.renderBody(
       RestApiWriter.buildFinalPayload(
