@@ -85,16 +85,19 @@ object Bench {
       }
     // Failed queries are reported as NEGATIVE elapsed time plus an entry in
     // "errors", so a crash is never mistaken for a fast pass. Each query is
-    // timed in TWO passes and the minimum is reported: host speed on this
-    // box varies ~2x run-to-run (documented across rounds), and min-of-N
-    // is the standard way to measure the code instead of the noise. A query
-    // that fails in SOME passes but succeeds in another still reports its
-    // min success time, but the failure is kept in "intermittent" (with the
-    // exception class) instead of being silently erased.
+    // timed in THREE passes and the minimum is reported: host speed on this
+    // box varies ~2x run-to-run (documented across rounds — r13 and r15
+    // both needed manual noise adjudication on 2-pass numbers), and
+    // min-of-N is the standard way to measure the code instead of the
+    // noise; the third pass costs ~1 min and halves the odds a uniform
+    // noise burst spans every sample of a query. A query that fails in
+    // SOME passes but succeeds in another still reports its min success
+    // time, but the failure is kept in "intermittent" (with the exception
+    // class) instead of being silently erased.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val failCount = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to 2).map { _ =>
+    val passes = (1 to 3).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
