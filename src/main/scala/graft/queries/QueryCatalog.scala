@@ -3484,6 +3484,69 @@ private val q114 = QueryDef(
         FROM customer)
       ORDER BY dq_rule_id"""))
 
+  /** Exact substring dedup at CHUNK granularity (the RefinedWeb /
+    * "Deduplicating Training Data Makes Language Models Better"
+    * preprocessing step, applied at a fixed token window because the
+    * corpus has no line structure): each document splits into
+    * consecutive 5-token chunks, a chunk occurring anywhere earlier in
+    * the corpus (global first-occurrence by (doc_id, pos)) is dropped,
+    * and the survivors reassemble in position order. 100 TB shape: the
+    * only wide exchange is the chunk-hash window shuffle — chunk text
+    * rides it ONCE (it IS the payload being deduped, exactly like the
+    * fingerprint dedup family) — plus the per-document reassembly
+    * aggregation; no self-joins, no driver-side state. */
+  private val q115 = QueryDef(
+    "q115_chunk_dedup",
+    (s, dir) => {
+      val C = 5
+      val toks = T(s, dir, "documents").select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
+        .where(size(col("tk")) > 0)
+      // total_chunks rides the rows (+8 bytes per chunk) instead of a
+      // second documents scan + join back on doc_id
+      val chunks = toks.select(col("doc_id"),
+        ceil(size(col("tk")) / lit(5.0)).cast("long").as("total_chunks"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("tk")) / lit(5.0)).cast("int") - 1),
+          i => array_join(slice(col("tk"), i * C + 1, lit(C)), " ")))
+          .as(Seq("pos", "chunk")))
+      val kept = chunks.withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("chunk")))
+            .orderBy(col("doc_id"), col("pos"))))
+        .where(col("__rn") === 1)
+      kept.groupBy(col("doc_id")).agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            st => st.getField("chunk"))).as("clean_text"),
+          count(lit(1)).cast("long").as("kept_chunks"),
+          first(col("total_chunks")).as("total_chunks"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(tk[((i-1)*5+1):((i-1)*5+5)], ' ') AS chunk
+        FROM toks, unnest(range(1, CAST(ceil(len(tk)/5.0) AS BIGINT) + 1)) AS u(i)
+        WHERE len(tk) > 0),
+      kept AS (
+        SELECT doc_id, pos, chunk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+          FROM chunks) WHERE rn = 1),
+      reassembled AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS kept_chunks
+        FROM kept GROUP BY doc_id)
+      SELECT r.doc_id, r.clean_text, r.kept_chunks,
+             CAST(ceil(len(t.tk)/5.0) AS BIGINT) AS total_chunks
+      FROM reassembled r JOIN toks t USING (doc_id)
+      WHERE len(t.tk) > 0
+      ORDER BY doc_id"""))
+
   private val q113 = QueryDef(
     "q113_pq_ingest_batch",
     (s, dir) => {
@@ -3599,5 +3662,5 @@ private val q114 = QueryDef(
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112, q113, q114)
+    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
 }
