@@ -3499,8 +3499,12 @@ private val q114 = QueryDef(
     "q115_chunk_dedup",
     (s, dir) => {
       val C = 5
-      val toks = T(s, dir, "documents").select(col("doc_id"),
-        filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
+      // fence the tokenize: `tk` feeds both the chunk transform and the
+      // total_chunks count, and collapsed projections would re-evaluate
+      // the split+filter per consumer (PlanAuditSpec gates this)
+      val toks = graft.util.PlanBarrier.fence(
+        T(s, dir, "documents").select(col("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 0).as("tk")))
         .where(size(col("tk")) > 0)
       // total_chunks rides the rows (+8 bytes per chunk) instead of a
       // second documents scan + join back on doc_id
