@@ -503,6 +503,47 @@ object DedupFunctions {
     *
     * @return (id, clean_text, n_removed)
     */
+  /** Cross-document exact substring dedup at CHUNK granularity (the
+    * RefinedWeb / Lee et al. preprocessing step applied at a fixed token
+    * window): each document splits into consecutive `chunkTokens`-token
+    * chunks, a chunk occurring anywhere earlier in the corpus (global
+    * first occurrence by (id, pos)) drops, survivors reassemble in
+    * position order. 100 TB shape: ONE corpus scan (the tokenize is
+    * PlanBarrier-fenced so the chunk transform and the chunk count share
+    * one evaluation), one text-bearing exchange (the chunk-hash window —
+    * the chunk text IS the dedup payload) and the per-document
+    * reassembly aggregation; no joins, no driver state.
+    *
+    * @return (id, clean_text, kept_chunks, total_chunks)
+    */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 5): DataFrame = {
+    val C = chunkTokens
+    val toks = PlanBarrier.fence(
+      df.select(col(idCol),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("tk")))
+      .where(size(col("tk")) > 0)
+    val chunks = toks.select(col(idCol),
+      ceil(size(col("tk")) / lit(C.toDouble)).cast("long").as("total_chunks"),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(col("tk")) / lit(C.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("tk"), i * C + 1, lit(C)), " ")))
+        .as(Seq("pos", "chunk")))
+    val kept = chunks.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("chunk"))).orderBy(col(idCol), col("pos"))))
+      .where(col("__rn") === 1)
+    kept.groupBy(col(idCol)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        st => st.getField("chunk"))).as("clean_text"),
+      count(lit(1)).cast("long").as("kept_chunks"),
+      first(col("total_chunks")).as("total_chunks"))
+  }
+
   def removeRepeatedSpans(
       df: DataFrame,
       idCol: String,

@@ -3497,35 +3497,10 @@ private val q114 = QueryDef(
     * aggregation; no self-joins, no driver-side state. */
   private val q115 = QueryDef(
     "q115_chunk_dedup",
-    (s, dir) => {
-      val C = 5
-      // fence the tokenize: `tk` feeds both the chunk transform and the
-      // total_chunks count, and collapsed projections would re-evaluate
-      // the split+filter per consumer (PlanAuditSpec gates this)
-      val toks = graft.util.PlanBarrier.fence(
-        T(s, dir, "documents").select(col("doc_id"),
-          filter(split(col("text"), " "), t => length(t) > 0).as("tk")))
-        .where(size(col("tk")) > 0)
-      // total_chunks rides the rows (+8 bytes per chunk) instead of a
-      // second documents scan + join back on doc_id
-      val chunks = toks.select(col("doc_id"),
-        ceil(size(col("tk")) / lit(5.0)).cast("long").as("total_chunks"),
-        posexplode(transform(
-          sequence(lit(0), ceil(size(col("tk")) / lit(5.0)).cast("int") - 1),
-          i => array_join(slice(col("tk"), i * C + 1, lit(C)), " ")))
-          .as(Seq("pos", "chunk")))
-      val kept = chunks.withColumn("__rn", row_number().over(
-          Window.partitionBy(md5(col("chunk")))
-            .orderBy(col("doc_id"), col("pos"))))
-        .where(col("__rn") === 1)
-      kept.groupBy(col("doc_id")).agg(
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("pos"), col("chunk")))),
-            st => st.getField("chunk"))).as("clean_text"),
-          count(lit(1)).cast("long").as("kept_chunks"),
-          first(col("total_chunks")).as("total_chunks"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) =>
+      graft.functions.DedupFunctions.chunkDedup(
+        T(s, dir, "documents"), "doc_id", "text", chunkTokens = 5)
+        .orderBy(col("doc_id")),
     Some("""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk

@@ -131,6 +131,9 @@ object ScaleCurve {
         (DedupFunctions.minhashNearDuplicates(docs, "doc_id", "text",
           threshold = 0.4, dropObservation = Some(o)), Some(o))
       }),
+      "q115_chunk_dedup" -> (() =>
+        (DedupFunctions.chunkDedup(docs, "doc_id", "text", chunkTokens = 5),
+          None)),
       "q32_simhash" -> (() => {
         val o = Observation()
         (DedupFunctions.simhashNearDuplicates(docs, "doc_id", "text",
