@@ -724,4 +724,23 @@ class DedupAndSimilaritySpec extends SparkSpec {
     // no span from the unique doc 4
     assert(!top.exists(_._1.contains("unrelated")))
   }
+
+  test("chunkDedup: global first-occurrence at chunk granularity, positional reassembly") {
+    import graft.functions.DedupFunctions
+    // C=2 chunks: doc 1 = [a b][c d][e], doc 2 = [a b][x y] (first chunk
+    // duplicates doc 1's), doc 3 = [c d] (whole doc duplicates a chunk),
+    // doc 4 = [e f] (NOT a dup: chunk content differs from doc 1's [e])
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b x y"),
+      (3L, "c d"),
+      (4L, "e f")).toDF("doc_id", "text")
+    val out = DedupFunctions.chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c d e", 3L, 3L), // first occurrence keeps everything
+      (2L, "x y", 1L, 2L), // leading [a b] deduped away
+      (4L, "e f", 1L, 1L))) // [e f] != [e]; doc 3 vanished entirely
+  }
 }
