@@ -521,28 +521,79 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       chunkTokens: Int = 5): DataFrame = {
+    val kept = chunkRows(df, idCol, textCol, chunkTokens)
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("chunk"))).orderBy(col(idCol), col("pos"))))
+      .where(col("__rn") === 1)
+    reassembleChunks(kept, idCol)
+  }
+
+  /** The persisted-index side of incremental chunk dedup: the DISTINCT
+    * chunk hashes of a corpus (one `chunk_hash` string column). Corpus
+    * text never leaves the executors — only the 32-byte hashes land in
+    * the index, so the artifact is a fraction of corpus size and the
+    * arriving-batch check below is a hash-only anti-join. */
+  def chunkHashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 5): DataFrame =
+    chunkRows(df, idCol, textCol, chunkTokens)
+      .select(md5(col("chunk")).as("chunk_hash")).distinct()
+
+  /** Incremental chunk dedup (the continuous-ingest shape of
+    * [[chunkDedup]]): an arriving batch drops every chunk already in the
+    * corpus index (hash anti-join) or seen earlier IN the batch (global
+    * first occurrence by (id, pos)), then reassembles. Appending the
+    * survivors' hashes back to the index (caller-side, like
+    * MinhashIndex.append) makes the next batch incremental too.
+    *
+    * @return (id, clean_text, kept_chunks, total_chunks) — fully-duplicate
+    *         documents vanish
+    */
+  def chunkDedupAgainstIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 5): DataFrame = {
+    val chunks = chunkRows(batch, idCol, textCol, chunkTokens)
+      .withColumn("__h", md5(col("chunk")))
+    val fresh = chunks.join(index.select(col("chunk_hash").as("__h")),
+      Seq("__h"), "left_anti")
+    val kept = fresh.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(col(idCol), col("pos"))))
+      .where(col("__rn") === 1)
+    reassembleChunks(kept, idCol)
+  }
+
+  /** Shared chunking: (id, total_chunks, pos, chunk) rows with the
+    * tokenize fenced (one evaluation feeds both the transform and the
+    * count — PlanAuditSpec gates the duplication). */
+  private def chunkRows(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
     val C = chunkTokens
     val toks = PlanBarrier.fence(
       df.select(col(idCol),
         filter(split(col(textCol), " "), t => length(t) > 0).as("tk")))
       .where(size(col("tk")) > 0)
-    val chunks = toks.select(col(idCol),
+    toks.select(col(idCol),
       ceil(size(col("tk")) / lit(C.toDouble)).cast("long").as("total_chunks"),
       posexplode(transform(
         sequence(lit(0), ceil(size(col("tk")) / lit(C.toDouble)).cast("int") - 1),
         i => array_join(slice(col("tk"), i * C + 1, lit(C)), " ")))
         .as(Seq("pos", "chunk")))
-    val kept = chunks.withColumn("__rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col("chunk"))).orderBy(col(idCol), col("pos"))))
-      .where(col("__rn") === 1)
+  }
+
+  private def reassembleChunks(kept: DataFrame, idCol: String): DataFrame =
     kept.groupBy(col(idCol)).agg(
       concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("chunk")))),
         st => st.getField("chunk"))).as("clean_text"),
       count(lit(1)).cast("long").as("kept_chunks"),
       first(col("total_chunks")).as("total_chunks"))
-  }
 
   def removeRepeatedSpans(
       df: DataFrame,

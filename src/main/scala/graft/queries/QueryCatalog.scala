@@ -3495,6 +3495,68 @@ private val q114 = QueryDef(
     * rides it ONCE (it IS the payload being deduped, exactly like the
     * fingerprint dedup family) — plus the per-document reassembly
     * aggregation; no self-joins, no driver-side state. */
+  /** Per-JVM chunk-hash index cache for q116, same contract as MhIdx:
+    * built (and persisted as parquet) ONCE per data dir, so repeated
+    * invocations — the bench's min-of-N passes — time the batch check,
+    * not the one-off corpus index build. */
+  private object ChunkIdx {
+    private lazy val base =
+      java.nio.file.Files.createTempDirectory("graft-chunkidx-").toString
+    private val built = scala.collection.concurrent.TrieMap.empty[String, String]
+    def forDir(s: SparkSession, dir: String): DataFrame = {
+      val path = built.getOrElseUpdate(dir, {
+        val p = s"$base/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.functions.DedupFunctions.chunkHashIndex(
+          T(s, dir, "documents").where(col("doc_id") >= 100),
+          "doc_id", "text", chunkTokens = 5)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path)
+    }
+  }
+
+  /** Incremental chunk dedup: docs >= 100 are the corpus whose chunk
+    * hashes are the PERSISTED index (hash-only artifact — corpus text
+    * never lands in it), docs < 100 an arriving batch whose chunks drop
+    * when indexed or seen earlier in the batch. The continuous-ingest
+    * shape of q115, same pattern as q76's minhash index check. */
+  private val q116 = QueryDef(
+    "q116_chunk_dedup_incremental",
+    (s, dir) =>
+      graft.functions.DedupFunctions.chunkDedupAgainstIndex(
+        T(s, dir, "documents").where(col("doc_id") < 100),
+        ChunkIdx.forDir(s, dir), "doc_id", "text", chunkTokens = 5)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(tk[((i-1)*5+1):((i-1)*5+5)], ' ') AS chunk
+        FROM toks, unnest(range(1, CAST(ceil(len(tk)/5.0) AS BIGINT) + 1)) AS u(i)
+        WHERE len(tk) > 0),
+      idx AS (SELECT DISTINCT chunk FROM chunks WHERE doc_id >= 100),
+      fresh AS (
+        SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+        WHERE c.doc_id < 100
+          AND c.chunk NOT IN (SELECT chunk FROM idx)),
+      kept AS (
+        SELECT doc_id, pos, chunk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          FROM fresh) WHERE rn = 1),
+      reassembled AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS kept_chunks
+        FROM kept GROUP BY doc_id)
+      SELECT r.doc_id, r.clean_text, r.kept_chunks,
+             CAST(ceil(len(t.tk)/5.0) AS BIGINT) AS total_chunks
+      FROM reassembled r JOIN toks t USING (doc_id)
+      ORDER BY doc_id"""))
+
   private val q115 = QueryDef(
     "q115_chunk_dedup",
     (s, dir) =>
@@ -3641,5 +3703,5 @@ private val q114 = QueryDef(
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93,
     q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }

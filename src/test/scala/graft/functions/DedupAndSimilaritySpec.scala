@@ -743,4 +743,21 @@ class DedupAndSimilaritySpec extends SparkSpec {
       (2L, "x y", 1L, 2L), // leading [a b] deduped away
       (4L, "e f", 1L, 1L))) // [e f] != [e]; doc 3 vanished entirely
   }
+
+  test("chunkDedupAgainstIndex: indexed chunks drop, within-batch dedup still applies") {
+    import graft.functions.DedupFunctions
+    val corpus = Seq((100L, "a b c d")).toDF("doc_id", "text") // index: [a b], [c d]
+    val index = DedupFunctions.chunkHashIndex(corpus, "doc_id", "text", chunkTokens = 2)
+    assert(index.count() == 2)
+    val batch = Seq(
+      (1L, "a b x y"), // [a b] indexed -> only [x y] survives
+      (2L, "x y"), // whole doc duplicates doc 1's surviving chunk
+      (3L, "c d")) // fully indexed -> vanishes
+      .toDF("doc_id", "text")
+    val out = DedupFunctions.chunkDedupAgainstIndex(
+        batch, index, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "x y", 1L, 2L)))
+  }
 }
