@@ -208,6 +208,20 @@ object ScaleCurve {
           docs.where(col("doc_id") >= 100), "doc_id", "text",
           s"$idxBase/${dir.replaceAll("[^a-zA-Z0-9]", "_")}", threshold = 0.4)
         () => (idx.checkBatch(docs.where(col("doc_id") < 100), "doc_id", "text"), None)
+      },
+      // same treatment for the chunk-hash index: the one-off build is
+      // untimed, the batch anti-join + reassembly is the measured op
+      "q116_chunk_check_batch" -> {
+        lazy val chunkIdxPath = {
+          val p = s"$idxBase/chunk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+          DedupFunctions.chunkHashIndex(
+            docs.where(col("doc_id") >= 100), "doc_id", "text", chunkTokens = 5)
+            .write.mode("overwrite").parquet(p)
+          p
+        }
+        () => (DedupFunctions.chunkDedupAgainstIndex(
+          docs.where(col("doc_id") < 100), spark.read.parquet(chunkIdxPath),
+          "doc_id", "text", chunkTokens = 5), None)
       })
   }
 
