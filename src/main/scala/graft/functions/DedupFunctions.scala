@@ -569,6 +569,20 @@ object DedupFunctions {
     reassembleChunks(kept, idCol)
   }
 
+  /** The index-maintenance half of the incremental loop: the chunk
+    * hashes of a batch's SURVIVING text (the `clean_text` output of
+    * [[chunkDedupAgainstIndex]]), appended to the persisted index so the
+    * next batch dedups against everything ingested so far. Append-only
+    * parquet — the natural shape for an object-store index. */
+  def appendToChunkIndex(
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      chunkTokens: Int = 5): Unit =
+    chunkHashIndex(survivors, idCol, textCol, chunkTokens)
+      .write.mode("append").parquet(indexPath)
+
   /** Shared chunking: (id, total_chunks, pos, chunk) rows with the
     * tokenize fenced (one evaluation feeds both the transform and the
     * count — PlanAuditSpec gates the duplication). */

@@ -760,4 +760,23 @@ class DedupAndSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((1L, "x y", 1L, 2L)))
   }
+
+  test("incremental chunk-dedup loop: append survivors, next batch dedups against them") {
+    import graft.functions.DedupFunctions
+    val idxPath = tmpDir("chunkidx") + "/index"
+    val corpus = Seq((100L, "a b")).toDF("doc_id", "text")
+    DedupFunctions.chunkHashIndex(corpus, "doc_id", "text", chunkTokens = 2)
+      .write.parquet(idxPath)
+    def index = spark.read.parquet(idxPath)
+    // batch 1: [a b] indexed, [p q] fresh -> survivors appended
+    val b1 = DedupFunctions.chunkDedupAgainstIndex(
+      Seq((1L, "a b p q")).toDF("doc_id", "text"), index, "doc_id", "text", 2)
+    DedupFunctions.appendToChunkIndex(b1, "doc_id", "clean_text", idxPath, 2)
+    assert(index.count() == 2) // [a b] + [p q]
+    // batch 2: [p q] now indexed (came from batch 1), [z w] fresh
+    val b2 = DedupFunctions.chunkDedupAgainstIndex(
+        Seq((2L, "p q z w")).toDF("doc_id", "text"), index, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(b2.toSeq == Seq((2L, "z w")))
+  }
 }
