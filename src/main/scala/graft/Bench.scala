@@ -128,9 +128,10 @@ object Bench {
     val qs = jmap(results.map { case (k, v) => k -> v.toString })
     val errJson = jmap(errors.map { case (k, v) => k -> ("\"" + v + "\"") })
     val interJson = jmap(intermittent.map { case (k, v) => k -> ("\"" + v + "\"") })
-    // Per-pass totals expose warm-vs-cold drift inside a single run: if
-    // pass2 >> pass1 something accumulates (GC/code-cache); if both passes
-    // of this run differ ~uniformly from another run, it's the host.
+    // Per-pass totals expose warm-vs-cold drift inside a single run: a
+    // later pass exceeding pass1 means something accumulates
+    // (GC/code-cache); all three passes differing ~uniformly from another
+    // run's is the host.
     val passTotals = passes.map(p => p.values.filter(_ >= 0).sum)
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

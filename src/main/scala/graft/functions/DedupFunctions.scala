@@ -476,33 +476,6 @@ object DedupFunctions {
       .orderBy(col("n_occ").desc, col("span"))
       .limit(topN)
 
-  /** Remove duplicated substrings from document text, keeping the first
-    * occurrence — the transform stage of suffix-array substring dedup
-    * (Lee et al. 2021), on top of [[repeatedSpanStats]]'s rolling-window
-    * formulation.
-    *
-    * A k-token window repeated (>= minRepeat occurrences corpus-wide)
-    * keeps its GLOBALLY FIRST occurrence — lowest (doc id, position) —
-    * and every other occurrence is marked removable; a token is dropped
-    * when any removable window covers it. Removal is therefore
-    * deterministic and idempotent at the window level (re-running on the
-    * cleaned corpus finds no repeats among surviving spans of the same
-    * alignment), though overlapping removable windows can still erode
-    * tokens inside a kept occurrence — the same window-granularity
-    * approximation the byte-range original makes.
-    *
-    * Scale shape: one shuffle on the 16-byte window fingerprint (count +
-    * first-occurrence rank share one exchange and one sort), one narrow
-    * shuffle of (id, dup positions), then a join back to the corpus so
-    * document text itself moves exactly once. The rebuild kernel is a
-    * per-row JVM loop over (text, sorted removable starts).
-    *
-    * Output text is whitespace-normalized (tokens rejoined with single
-    * spaces) for every document, cleaned or not, so the transform is
-    * uniform. `n_removed` counts dropped tokens.
-    *
-    * @return (id, clean_text, n_removed)
-    */
   /** Cross-document exact substring dedup at CHUNK granularity (the
     * RefinedWeb / Lee et al. preprocessing step applied at a fixed token
     * window): each document splits into consecutive `chunkTokens`-token
@@ -609,6 +582,33 @@ object DedupFunctions {
       count(lit(1)).cast("long").as("kept_chunks"),
       first(col("total_chunks")).as("total_chunks"))
 
+  /** Remove duplicated substrings from document text, keeping the first
+    * occurrence — the transform stage of suffix-array substring dedup
+    * (Lee et al. 2021), on top of [[repeatedSpanStats]]'s rolling-window
+    * formulation.
+    *
+    * A k-token window repeated (>= minRepeat occurrences corpus-wide)
+    * keeps its GLOBALLY FIRST occurrence — lowest (doc id, position) —
+    * and every other occurrence is marked removable; a token is dropped
+    * when any removable window covers it. Removal is therefore
+    * deterministic and idempotent at the window level (re-running on the
+    * cleaned corpus finds no repeats among surviving spans of the same
+    * alignment), though overlapping removable windows can still erode
+    * tokens inside a kept occurrence — the same window-granularity
+    * approximation the byte-range original makes.
+    *
+    * Scale shape: one shuffle on the 16-byte window fingerprint (count +
+    * first-occurrence rank share one exchange and one sort), one narrow
+    * shuffle of (id, dup positions), then a join back to the corpus so
+    * document text itself moves exactly once. The rebuild kernel is a
+    * per-row JVM loop over (text, sorted removable starts).
+    *
+    * Output text is whitespace-normalized (tokens rejoined with single
+    * spaces) for every document, cleaned or not, so the transform is
+    * uniform. `n_removed` counts dropped tokens.
+    *
+    * @return (id, clean_text, n_removed)
+    */
   def removeRepeatedSpans(
       df: DataFrame,
       idCol: String,

@@ -14,10 +14,7 @@ class AconSweepSpec extends SparkSpec {
 
   private val root = new java.io.File("/root/reference/tests/resources/feature")
 
-  private def walk(f: java.io.File): Seq[java.io.File] =
-    if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-    else if (f.getName.endsWith(".json")) Seq(f)
-    else Seq.empty
+  private def walk(f: java.io.File) = TestFiles.walk(f, ".json")
 
   test("every reference feature-test JSON plans or is classified, with zero unexplained rejections") {
     assume(root.isDirectory, "reference test resources not present")

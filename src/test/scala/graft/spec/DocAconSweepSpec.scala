@@ -20,10 +20,7 @@ class DocAconSweepSpec extends SparkSpec {
 
   private val root = new java.io.File("/root/reference/lakehouse_engine_usage")
 
-  private def walk(f: java.io.File): Seq[java.io.File] =
-    if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-    else if (f.getName.endsWith(".md")) Seq(f)
-    else Seq.empty
+  private def walk(f: java.io.File) = TestFiles.walk(f, ".md")
 
   /** Python-dict literal -> JSON text. */
   private def pyToJson(s: String): String =
@@ -32,13 +29,30 @@ class DocAconSweepSpec extends SparkSpec {
       .replaceAll("\\bNone\\b", "null")
       .replaceAll(",\\s*([}\\]])", "$1")
 
+  /** Fence extraction by LINE-WISE opener/closer pairing: a regex that
+    * only recognizes python/json openers mispairs after any other
+    * language's fence (a ```sql block's CLOSER becomes the next opener),
+    * silently dropping later acons from the sweep — so every fence pairs
+    * here and the language filter happens afterward. */
+  private def fencedBlocks(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inside = false
+    val buf = new StringBuilder
+    text.linesIterator.foreach { line =>
+      if (line.trim.startsWith("```")) {
+        if (inside) { out += buf.toString; buf.clear() }
+        inside = !inside
+      } else if (inside) buf.append(line).append('\n')
+    }
+    out.result()
+  }
+
   test("every complete acon in the reference's usage docs plans; templates classify") {
     assume(root.isDirectory, "reference usage docs not present")
-    val fence = "(?s)```(?:python|json)?\\n(.*?)```".r
     val blocks: Seq[(String, String)] = walk(root).flatMap { f =>
       val rel = f.getPath.stripPrefix(root.getPath + "/")
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      fence.findAllMatchIn(text).map(_.group(1)).toSeq
+      fencedBlocks(text)
         .filter(b => b.contains("input_specs") || b.contains("\"operations\""))
         .flatMap { b =>
           val start = b.indexOf('{'); val end = b.lastIndexOf('}')
@@ -53,13 +67,14 @@ class DocAconSweepSpec extends SparkSpec {
     var templates = 0
     val rejections = Seq.newBuilder[(String, String)]
     blocks.foreach { case (where, block) =>
+      val json = pyToJson(block)
       val parsed =
-        try Some(Specs.parseJsonMap(pyToJson(block)))
+        try Some(Specs.parseJsonMap(json))
         catch { case _: Exception => None }
       parsed match {
         case None => templates += 1 // unresolved Python identifiers
         case Some(_) =>
-          try classify(spark, pyToJson(block)) match {
+          try classify(spark, json) match {
             case Planned(_) => planned += 1
             case Fixture(_) => planned += 1
             case Rejected(kind, reason) =>
