@@ -159,13 +159,28 @@ object DQEngine {
         Some(!(col(str(a, "column_A").get) <=> col(str(a, "column_B").get)))
       case "expect_multicolumn_column_a_must_equal_b_or_c" =>
         // reference spelling: `column_list` [a, b, c] (a multicolumn-map
-        // expectation); column_A/B/C kept as a compat alias
+        // expectation); column_A/B/C kept as a compat alias. Exact logic
+        // from `expect_multicolumn_column_a_must_equal_b_or_c.py:43-54`:
+        // `a` must equal `b` when `b` is present (and `b` matches
+        // validation_regex_b), otherwise `a` must equal `c` (and `c`
+        // matches validation_regex_c); a NULL `a` always fails. A null
+        // sub-condition (e.g. rlike over a NULL `c`) never counts as
+        // unexpected — GX filters unexpected rows as `~condition`,
+        // which drops nulls.
         val cols = a.get("column_list") match {
           case Some(l: Seq[_]) if l.size >= 3 => l.map(x => col(String.valueOf(x)))
           case _ => Seq(col(str(a, "column_A").get), col(str(a, "column_B").get),
             col(str(a, "column_C").get))
         }
-        Some(cols(0) === cols(1) || cols(0) === cols(2))
+        val regexB = str(a, "validation_regex_b").getOrElse(".*")
+        val regexC = str(a, "validation_regex_c").getOrElse(".*")
+        Some(coalesce(
+          cols(0).isNotNull && (
+            (cols(1).isNotNull && cols(1).cast("string").rlike(regexB) &&
+              cols(0) === cols(1)) ||
+            (cols(1).isNull && cols(2).cast("string").rlike(regexC) &&
+              cols(0) === cols(2))),
+          lit(true)))
       case "expect_column_values_to_not_be_null_or_empty_string" =>
         Some(c.isNotNull && trim(c.cast("string")) =!= "")
       case "expect_column_values_to_match_strftime_format" =>

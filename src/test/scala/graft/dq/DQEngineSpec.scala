@@ -94,6 +94,27 @@ class DQEngineSpec extends SparkSpec {
     assert(o.unexpectedCount == 1L)
   }
 
+  test("DELIBERATE DIVERGENCE: only the LAST group passing still fails here") {
+    // The reference's `_validate_condition`
+    // (expect_queried_column_agg_value_to_be.py) overwrites `result`
+    // on every iteration of the grouped rows, so ONLY the final row
+    // decides success — a reference bug (documented at
+    // DQEngine.scala aggValue/all-groups comment). This engine requires
+    // EVERY group to pass. Pin the divergent case itself: an ORDER BY
+    // makes the last row deterministic and PASSING, while an earlier
+    // group fails — the reference would report success=True here; this
+    // engine deliberately reports success=False.
+    val grouped = Seq(("a", -5.0), ("z", 50.0)).toDF("k", "v")
+    val r = DQEngine.run(spark, grouped, spec(
+      "expect_queried_column_agg_value_to_be" ->
+        Map("query" -> "SELECT k, sum(v) FROM {table} GROUP BY k ORDER BY k",
+          "min_value" -> 0, "max_value" -> 100)))
+    val o = r.outcomes.head
+    assert(!o.success)            // group 'a' (-5.0) fails; 'z' (last) passes
+    assert(o.elementCount == 2L)
+    assert(o.unexpectedCount == 1L)
+  }
+
   test("distinct-set expectation stays bounded on a high-cardinality column") {
     // 5000 distinct values (> UnexpectedSampleLimit): the outcome must
     // carry full counts but only a bounded violation sample — the full
