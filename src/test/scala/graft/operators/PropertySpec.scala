@@ -132,6 +132,61 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     cont.values.foreach(c => assert(c > 0.0 && c <= 1.0 + 1e-9))
   }
 
+  /** Random chunk-dedup corpora: docs assembled from a small pool of
+    * 5-token blocks (so chunk windows collide across documents) plus an
+    * occasional ragged 1–4-token tail; corpus ids ("a…") sort before
+    * batch ids ("b…"), matching ingest order — the corpus precedes the
+    * batch in the global (id, pos) first-occurrence ranking. */
+  private def blockDocs(rng: Random, prefix: String, n: Int): Seq[(String, String)] = {
+    val blocks = (1 to 8).map(b => (1 to 5).map(t => s"w${b}_$t").mkString(" "))
+    (1 to n).map { i =>
+      val body = Seq.fill(1 + rng.nextInt(4))(blocks(rng.nextInt(blocks.size)))
+      val tail =
+        if (rng.nextBoolean()) Seq((1 to 1 + rng.nextInt(4)).map(t => s"t${rng.nextInt(3)}_$t").mkString(" "))
+        else Seq.empty
+      (f"$prefix$i%03d", (body ++ tail).mkString(" "))
+    }
+  }
+
+  test("chunk-dedup law: incremental vs index == batch over corpus UNION batch") {
+    import graft.functions.DedupFunctions
+    for (seed <- Seq(4, 19, 73)) {
+      val rng = new Random(seed)
+      val corpus = blockDocs(rng, "a", 25).toDF("doc_id", "text")
+      val batch = blockDocs(rng, "b", 15).toDF("doc_id", "text")
+      val incremental = DedupFunctions.chunkDedupAgainstIndex(
+        batch, DedupFunctions.chunkHashIndex(corpus, "doc_id", "text"),
+        "doc_id", "text")
+      val full = DedupFunctions.chunkDedup(corpus.unionAll(batch), "doc_id", "text")
+        .where($"doc_id".startsWith("b"))
+      assertSameRows(incremental, full)
+    }
+  }
+
+  test("chunk-dedup law: append survivors, recheck the same batch -> empty") {
+    import graft.functions.DedupFunctions
+    for (seed <- Seq(8, 31)) {
+      val rng = new Random(seed)
+      val corpus = blockDocs(rng, "a", 20).toDF("doc_id", "text")
+      val batch = blockDocs(rng, "b", 12).toDF("doc_id", "text")
+      val indexPath = tmpDir(s"chunk-idx-$seed")
+      DedupFunctions.chunkHashIndex(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(indexPath)
+      val survivors = DedupFunctions.chunkDedupAgainstIndex(
+        batch, spark.read.parquet(indexPath), "doc_id", "text")
+      DedupFunctions.appendToChunkIndex(
+        survivors, "doc_id", "clean_text", indexPath)
+      // every batch chunk is now either in the corpus index, or a
+      // within-batch dup of a survivor chunk whose hash just landed in
+      // the index (full chunks are exactly 5 tokens, so survivor
+      // clean_text re-chunks to exactly the kept chunks) — the second
+      // pass must drop everything
+      val second = DedupFunctions.chunkDedupAgainstIndex(
+        batch, spark.read.parquet(indexPath), "doc_id", "text")
+      assert(second.isEmpty, s"seed $seed: re-check kept ${second.count()} docs")
+    }
+  }
+
   test("snapshot diff round trip: applying the diff reproduces the target") {
     for (seed <- Seq(2, 17)) {
       val rng = new Random(seed)
