@@ -123,6 +123,16 @@ object Bench {
         oks.min
       } else ts.head)
     }
+    // Per-query MEDIAN alongside the min makes uniform host-noise
+    // inflation machine-checkable: a real regression moves min and median
+    // together on the affected query; an I/O-noise burst inflates medians
+    // across the board while the mins stay put (median/min ratio drifts
+    // uniformly). Upper median on an even sample count — conservative.
+    val medians = ordered.map { case (name, _) =>
+      val oks = passes.map(_(name)).filter(_ >= 0).sorted
+      name -> (if (oks.nonEmpty) oks(oks.length / 2) else passes.head(name))
+    }
+    val totalMedian = medians.collect { case (_, v) if v >= 0 => v }.sum
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, v) => k -> v.toString })
@@ -141,7 +151,8 @@ object Bench {
     //     precision, jvm diag), written where the driver/judge can read it.
     //  2. ONE compact stdout line — qNN short keys, 3 decimals — small
     //     enough to survive the tail capture and parse.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"jvm":${jvmDiag()},"queries":$qs,"sf":"$sfDir"}"""
+    val qsMedian = jmap(medians.map { case (k, v) => k -> v.toString })
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMedian,"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"jvm":${jvmDiag()},"queries":$qs,"queries_median":$qsMedian,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
@@ -151,7 +162,11 @@ object Bench {
       if (shortKeys.map(_._1).distinct.size == results.size)
         jmap(shortKeys.map { case (k, v) => k -> f"$v%.3f" })
       else qs // fall back to full names if short ids ever collide
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
+    // value_median rides the compact line (per-query medians live in
+    // BENCH_FULL.json — a second 115-entry map would push the queries map
+    // out of the driver's 2000-char stdout tail): value_median/value
+    // drifting while per-query mins hold = uniform host noise, not code.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_median":${f"$totalMedian%.3f"},"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
