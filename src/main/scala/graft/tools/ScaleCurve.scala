@@ -210,13 +210,25 @@ object ScaleCurve {
         () => (idx.checkBatch(docs.where(col("doc_id") < 100), "doc_id", "text"), None)
       },
       // same treatment for the chunk-hash index: the one-off build is
-      // untimed, the batch anti-join + reassembly is the measured op
+      // untimed, the batch anti-join + reassembly is the measured op.
+      // The build also reports the index artifact's on-disk size against
+      // the corpus text bytes — the unbounded-growth question a persisted
+      // 100 TB index must answer (hash-only rows: ~32 B per DISTINCT
+      // corpus chunk, so the artifact is a measured fraction of corpus
+      // size and dedup-compresses with the corpus's own repetition).
       "q116_chunk_check_batch" -> {
         lazy val chunkIdxPath = {
           val p = s"$idxBase/chunk_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-          DedupFunctions.chunkHashIndex(
-            docs.where(col("doc_id") >= 100), "doc_id", "text", chunkTokens = 5)
+          val corpus = docs.where(col("doc_id") >= 100)
+          DedupFunctions.chunkHashIndex(corpus, "doc_id", "text", chunkTokens = 5)
             .write.mode("overwrite").parquet(p)
+          val idxBytes = Option(new java.io.File(p).listFiles())
+            .map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+          val textBytes = corpus.agg(sum(length(col("text")))).head.getLong(0)
+          val idxRows = spark.read.parquet(p).count()
+          println(s"[scale-curve] chunk_index $dir rows=$idxRows " +
+            s"bytes=$idxBytes corpus_text_bytes=$textBytes " +
+            f"ratio=${idxBytes.toDouble / textBytes}%.3f")
           p
         }
         () => (DedupFunctions.chunkDedupAgainstIndex(
@@ -293,13 +305,21 @@ object ScaleCurve {
         "spark.ui.enabled" -> "false"))
     // Reuse an already-generated scaled corpus (same dir + copies):
     // generation is the expensive one-off, the timings are the point.
-    if (!new java.io.File(s"$scaled/documents.parquet/_SUCCESS").exists())
+    // SPARK_GRAFT_SCALE_TABLES limits which tables get scaled — a
+    // documents-only 500× run shouldn't pay for 75M scaled orders rows.
+    val tables = sys.env.getOrElse("SPARK_GRAFT_SCALE_TABLES",
+      "documents,embeddings,orders,customer").split(',').map(_.trim).toSet
+    if (tables("documents") &&
+        !new java.io.File(s"$scaled/documents.parquet/_SUCCESS").exists())
       scaleDocs(spark, base, scaled)
-    if (!new java.io.File(s"$scaled/embeddings.parquet/_SUCCESS").exists())
+    if (tables("embeddings") &&
+        !new java.io.File(s"$scaled/embeddings.parquet/_SUCCESS").exists())
       scaleEmbeddings(spark, base, scaled)
-    if (!new java.io.File(s"$scaled/orders.parquet/_SUCCESS").exists())
+    if (tables("orders") &&
+        !new java.io.File(s"$scaled/orders.parquet/_SUCCESS").exists())
       scaleKeyed(spark, base, scaled, "orders", "o_orderkey")
-    if (!new java.io.File(s"$scaled/customer.parquet/_SUCCESS").exists())
+    if (tables("customer") &&
+        !new java.io.File(s"$scaled/customer.parquet/_SUCCESS").exists())
       scaleKeyed(spark, base, scaled, "customer", "c_custkey")
     val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
 
