@@ -20,6 +20,47 @@ import org.apache.spark.sql.functions._
   * needed for standard cadences; a custom calendar join (range BETWEEN)
   * is available via [[calendarJoin]] for fiscal variants.
   */
+/** Single source of the GAB calculated-metric WINDOW semantics
+  * (reference `core/gab_manager.py:630-891`): the `last_cadence` lag,
+  * the same-period-last-year lag (partitioned additionally by the
+  * in-year position — month/day for sub-year cadences, ISO week for
+  * WEEK) and the bounded `window_function` aggregate, rendered as Spark
+  * SQL expression text. Used verbatim by BOTH GAB engines: the
+  * choreography's view generator string-interpolates these into CREATE
+  * VIEW bodies ([[GabChoreography]]), the capability engine compiles
+  * them with `expr()` inside [[Gab.consumptionView]] — so a cadence/lag
+  * semantics fix lands exactly once. */
+object GabCalc {
+
+  private def rnPart(snapshot: Boolean) = if (snapshot) ",rn" else ""
+
+  /** `last_cadence`: previous-period value, 0 when absent. */
+  def lagExpr(metric: String, lagN: String, partition: String,
+      snapshot: Boolean): String =
+    s"NVL(LAG($metric,$lagN) OVER(PARTITION BY $partition${rnPart(snapshot)}" +
+      s" order by from_date),0)"
+
+  /** `last_year_cadence`: same period last year (gab_manager.py:860-877).
+    * The in-year position CASE yields NULL for a YEAR cadence — all YEAR
+    * rows share one position partition, exactly as the reference's
+    * generated SQL behaves. */
+  def yearLagExpr(metric: String, lagN: String, partition: String,
+      snapshot: Boolean): String =
+    s"NVL(LAG($metric,$lagN) OVER(PARTITION BY $partition${rnPart(snapshot)}" +
+      """,
+        | case when cadence in ('DAY','MONTH','QUARTER')
+        |  then struct(month(from_date), day(from_date))
+        | when cadence in('WEEK') then struct(weekofyear(from_date+1),1)
+        | end order by from_date),0)""".stripMargin
+
+  /** `window_function`: bounded preceding-frame aggregate, 0 when empty. */
+  def windowExpr(fn: String, metric: String, w0: String, w1: String,
+      partition: String, snapshot: Boolean): String =
+    s"NVL($fn($metric) OVER (PARTITION BY $partition" +
+      s"${if (snapshot) " ,rn" else ""}" +
+      s" order by from_date ROWS BETWEEN $w0 PRECEDING AND $w1 PRECEDING),0)"
+}
+
 object Gab {
 
   /** One metric: output name -> aggregation expression over the source. */
@@ -340,31 +381,23 @@ object Gab {
     val scoped = m.filter.map(scoped0.where(_: String)).getOrElse(scoped0)
     val dimCols = m.dims.values.toSeq
 
-    def calc(df: DataFrame, extraPartition: Seq[Column]): DataFrame = {
-      val parts = (col("cadence") +: dimCols.map(col)) ++ extraPartition
-      val ordered = Window.partitionBy(parts: _*).orderBy(col("from_date"))
+    // calculated metrics compile the SHARED [[GabCalc]] SQL expressions —
+    // the same text the choreography interpolates into its view DDLs —
+    // so the lag/year-lag/window semantics exist exactly once. The
+    // snapshot branch carries its rank as a column literally named `rn`
+    // (the name the shared expressions partition by).
+    def calc(df: DataFrame, snapshot: Boolean): DataFrame = {
+      val partition = ("cadence" +: dimCols).mkString(",")
       val afterLag = m.lastCadence.foldLeft(df)((d, c) =>
-        d.withColumn(c.label, coalesce(lag(col(c.metric), c.lagN).over(ordered), lit(0))))
-      // same-period-last-year: partition additionally by the in-year
-      // position (month/day; ISO week for WEEK cadence), mirroring
-      // `gab_manager.py:860-877`
-      val yearPos = when(col("cadence").isin("DAY", "MONTH", "QUARTER"),
-          struct(month(col("from_date")), dayofmonth(col("from_date"))))
-        .otherwise(struct(weekofyear(date_add(col("from_date"), 1)), lit(1)))
-      val yearWin = Window.partitionBy(parts :+ yearPos: _*).orderBy(col("from_date"))
+        d.withColumn(c.label,
+          expr(GabCalc.lagExpr(c.metric, c.lagN.toString, partition, snapshot))))
       val afterYear = m.lastYearCadence.foldLeft(afterLag)((d, c) =>
-        d.withColumn(c.label, coalesce(lag(col(c.metric), c.lagN).over(yearWin), lit(0))))
-      val afterWin = m.windowFunctions.foldLeft(afterYear) { (d, c) =>
-        val w = Window.partitionBy(parts: _*).orderBy(col("from_date"))
-          .rowsBetween(-c.fromLag, -c.toLag)
-        val a = c.aggFunc.toLowerCase match {
-          case "sum" => sum(col(c.metric)).over(w)
-          case "avg" | "mean" => avg(col(c.metric)).over(w)
-          case "min" => min(col(c.metric)).over(w)
-          case "max" => max(col(c.metric)).over(w)
-        }
-        d.withColumn(c.label, coalesce(a, lit(0)))
-      }
+        d.withColumn(c.label,
+          expr(GabCalc.yearLagExpr(c.metric, c.lagN.toString, partition, snapshot))))
+      val afterWin = m.windowFunctions.foldLeft(afterYear)((d, c) =>
+        d.withColumn(c.label, expr(GabCalc.windowExpr(
+          c.aggFunc, c.metric, c.fromLag.toString, c.toLag.toString,
+          partition, snapshot))))
       m.derived.foldLeft(afterWin)((d, c) => d.withColumn(c.name, expr(c.formula)))
     }
 
@@ -377,16 +410,16 @@ object Gab {
         m.windowFunctions.map(_.label) ++ m.derived.map(_.name)).map(col(_))
     val branches = Seq(
       if (plainCads.nonEmpty)
-        Some(calc(scoped.where(col("cadence").isin(plainCads: _*)), Seq.empty)
-          .select(outCols: _*))
+        Some(calc(scoped.where(col("cadence").isin(plainCads: _*)),
+          snapshot = false).select(outCols: _*))
       else None,
       if (snapshotCads.nonEmpty)
         Some {
           val withRn = scoped.where(col("cadence").isin(snapshotCads: _*))
-            .withColumn("__rn", row_number().over(
+            .withColumn("rn", row_number().over(
               Window.partitionBy((col("cadence") +: dimCols.map(col))
                 :+ col("from_date"): _*).orderBy(col("to_date"))))
-          calc(withRn, Seq(col("__rn"))).select(outCols: _*)
+          calc(withRn, snapshot = true).select(outCols: _*)
         }
       else None).flatten
     branches.reduce(_ unionByName _)
@@ -560,49 +593,32 @@ object Gab {
   /** Projection (start, end) SQL for the snapshot-free cadence family —
     * the reference COMBINED_CONFIGURATION entries with empty
     * `join_select` (`core/definitions.py:1427-1690`): start truncates
-    * the date column to the cadence, end is the period's last day. The
-    * WEEK no-snapshot projection needs the calendar join and is not in
-    * this family. */
+    * the date column to the cadence, end is the period's last day.
+    * Resolved through the choreography's 18-combination matrix
+    * ([[GabChoreography.cadenceConfiguration]]) so the projection
+    * strings exist exactly once; a combination that needs the calendar
+    * join (WEEK without snapshot) is not in this family. */
   def cadenceProjection(cadence: String, dateColumn: String): (String, String) = {
     val cad = cadence.toUpperCase(java.util.Locale.ROOT)
-    val start = s"date(date_trunc('$cad',$dateColumn))"
-    val end = cad match {
-      case "DAY" => start
-      case "MONTH" => s"date(date_trunc('MONTH',add_months($dateColumn, 1)))-1"
-      case "QUARTER" =>
-        s"date(date_trunc('QUARTER',add_months(date(date_trunc('QUARTER',$dateColumn)), 3)))-1"
-      case "YEAR" =>
-        s"date(date_trunc('YEAR',add_months(date(date_trunc('YEAR',$dateColumn)), 12)))-1"
-      case other => sys.error(s"no snapshot-free projection for cadence $other")
-    }
-    (start, end)
+    val (from, to, join) = GabChoreography.cadenceConfiguration(
+      cad, cad, "N", "M", dateColumn, "", "")
+    if (from.isEmpty || join.nonEmpty)
+      sys.error(s"no snapshot-free projection for cadence $cad")
+    (from.get, to.get)
   }
 
   /** Render one templated stage file the way the reference's
-    * `_render_template_query` does (`algorithms/gab.py:700-733`):
-    * `{{ name }}` placeholders substitute from `vars` (unknown names
-    * render empty, Jinja's lenient default), and the single conditional
-    * the reference templates use —
-    * `{% if NAME == VALUE %}A{% else %}B{% endif %}` — takes A when
-    * `vars(NAME) == VALUE`, else B (an UNDEFINED name compares unequal,
-    * exactly as Jinja renders the reference's `replace_offset_value`
-    * guard, which is never passed and always falls to the else branch).
-    */
-  def renderStageTemplate(template: String, vars: Map[String, String]): String = {
-    val ifRe = ("""(?s)\{%\s*if\s+(\w+)\s*==\s*(\S+)\s*%\}(.*?)""" +
-      """(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""").r
-    val afterIfs = ifRe.replaceAllIn(template, m => {
-      val name = m.group(1)
-      val want = m.group(2).stripPrefix("'").stripSuffix("'")
-        .stripPrefix("\"").stripSuffix("\"")
-      val branch =
-        if (vars.get(name).contains(want)) m.group(3)
-        else Option(m.group(4)).getOrElse("")
-      scala.util.matching.Regex.quoteReplacement(branch)
-    })
-    """\{\{\s*(\w+)\s*\}\}""".r.replaceAllIn(afterIfs, m =>
-      scala.util.matching.Regex.quoteReplacement(vars.getOrElse(m.group(1), "")))
-  }
+    * `_render_template_query` does (`algorithms/gab.py:700-733`) —
+    * delegates to the ONE shared renderer
+    * ([[GabChoreography.renderTemplate]]): `{{ name }}` substitution
+    * plus the single conditional the reference templates use,
+    * `{% if NAME == VALUE %}A{% else %}B{% endif %}` (an UNDEFINED name
+    * compares unequal, exactly as Jinja renders the reference's
+    * `replace_offset_value` guard when the textual offset substitution
+    * hasn't been applied — this path never passes it, so the guard
+    * always falls to the else branch). */
+  def renderStageTemplate(template: String, vars: Map[String, String]): String =
+    GabChoreography.renderTemplate(template, vars)
 
   /** Execute a use case's stage chain for one cadence: render each stage
     * file (vars per the reference render — the cadence/query_id SELECT

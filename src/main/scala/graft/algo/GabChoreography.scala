@@ -428,20 +428,34 @@ object GabChoreography {
   }
 
   // ------------------------------------------------------------------
-  // Mini template renderer: the two Jinja constructs the reference stage
-  // files use — `{% if <int> == 0 %}A{% else %}B{% endif %}` (the offset
-  // literal was substituted textually before rendering, gab.py:188) and
-  // `{{ var }}` substitution.
+  // Mini template renderer — THE one renderer both GAB engines use
+  // (the capability engine delegates via Gab.renderStageTemplate).
+  // Handles the Jinja constructs the reference stage files need:
+  // `{{ var }}` substitution and the single conditional
+  // `{% if LEFT == RIGHT %}A{% else %}B{% endif %}`, where LEFT is
+  // either an integer literal (the choreography substitutes the offset
+  // value textually BEFORE rendering, gab.py:188 — `{% if 0 == 0 %}`
+  // must take the if-branch) or a template variable name (undefined
+  // names compare unequal, Jinja's lenient default).
   // ------------------------------------------------------------------
 
   private val IfBlock =
-    """(?s)\{%\s*if\s+(-?\d+)\s*==\s*0\s*%\}(.*?)\{%\s*else\s*%\}(.*?)\{%\s*endif\s*%\}""".r
+    ("""(?s)\{%\s*if\s+(\S+)\s*==\s*(\S+)\s*%\}(.*?)""" +
+      """(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""").r
   private val Var = """\{\{\s*(\w+)\s*\}\}""".r
 
   def renderTemplate(template: String, vars: Map[String, String]): String = {
-    val afterIf = IfBlock.replaceAllIn(template, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        if (m.group(1).trim.toInt == 0) m.group(2) else m.group(3)))
+    val afterIf = IfBlock.replaceAllIn(template, m => {
+      val left = m.group(1)
+      val want = m.group(2).stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")
+      val leftVal =
+        if (left.matches("-?\\d+")) Some(left) else vars.get(left)
+      val branch =
+        if (leftVal.contains(want)) m.group(3)
+        else Option(m.group(4)).getOrElse("")
+      java.util.regex.Matcher.quoteReplacement(branch)
+    })
     Var.replaceAllIn(afterIf, m =>
       java.util.regex.Matcher.quoteReplacement(vars.getOrElse(m.group(1), "")))
   }
@@ -842,44 +856,27 @@ object GabChoreography {
     val calc = mutable.Buffer[String]()
     val calcSnap = mutable.Buffer[String]()
     val derived = mutable.Buffer[String]()
+    // calculated-metric expressions come from the SHARED GabCalc core —
+    // the same text Gab.consumptionView compiles with expr()
     metsNode.properties().asScala.toSeq.foreach { e =>
       val metricKey = e.getKey
       val cm = e.getValue.path("calculated_metric")
-      def lagStmt(lag: String, label: String, snapshot: Boolean, yearly: Boolean): String =
-        if (!yearly)
-          s"NVL(LAG($metricKey,$lag) OVER(PARTITION BY $dimPartition" +
-            (if (snapshot) ",rn" else "") + s" order by from_date),0) AS $label"
-        else
-          s"NVL(LAG($metricKey,$lag) OVER(PARTITION BY $dimPartition" +
-            (if (snapshot) ",rn" else "") +
-            """,
-              | case when cadence in ('DAY','MONTH','QUARTER')
-              |  then struct(month(from_date), day(from_date))
-              | when cadence in('WEEK') then struct(weekofyear(from_date+1),1)
-              | end order by from_date),0) AS """.stripMargin + label
+      def add(mk: Boolean => String, label: String): Unit = {
+        calc += mk(false) + s" AS $label"
+        if (anySnap) calcSnap += mk(true) + s" AS $label"
+      }
       cm.path("last_cadence").asScala.foreach { n =>
-        val lag = n.path("window").asText()
-        val label = n.path("label").asText()
-        calc += lagStmt(lag, label, snapshot = false, yearly = false)
-        if (anySnap) calcSnap += lagStmt(lag, label, snapshot = true, yearly = false)
+        add(GabCalc.lagExpr(metricKey, n.path("window").asText(),
+          dimPartition, _), n.path("label").asText())
       }
       cm.path("last_year_cadence").asScala.foreach { n =>
-        val lag = n.path("window").asText()
-        val label = n.path("label").asText()
-        calc += lagStmt(lag, label, snapshot = false, yearly = true)
-        if (anySnap) calcSnap += lagStmt(lag, label, snapshot = true, yearly = true)
+        add(GabCalc.yearLagExpr(metricKey, n.path("window").asText(),
+          dimPartition, _), n.path("label").asText())
       }
       cm.path("window_function").asScala.foreach { n =>
-        val fn = n.path("agg_func").asText()
-        val w0 = n.path("window").get(0).asText()
-        val w1 = n.path("window").get(1).asText()
-        val label = n.path("label").asText()
-        def winStmt(snapshot: Boolean) =
-          s"NVL($fn($metricKey) OVER (PARTITION BY $dimPartition" +
-            (if (snapshot) " ,rn" else "") +
-            s" order by from_date ROWS BETWEEN $w0 PRECEDING AND $w1 PRECEDING),0) AS $label"
-        calc += winStmt(snapshot = false)
-        if (anySnap) calcSnap += winStmt(snapshot = true)
+        add(GabCalc.windowExpr(n.path("agg_func").asText(), metricKey,
+          n.path("window").get(0).asText(), n.path("window").get(1).asText(),
+          dimPartition, _), n.path("label").asText())
       }
       val dm = e.getValue.path("derived_metric")
       if (dm.isArray) dm.asScala.foreach { n =>
