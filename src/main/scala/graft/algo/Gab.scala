@@ -109,13 +109,13 @@ object Gab {
   def cadenceTrunc(dateCol: Column, cadence: String, weekStart: String = "MONDAY"): Column =
     cadence.toUpperCase match {
       case "DAY" => date_trunc("day", dateCol)
-      case "WEEK" => weekStart.toUpperCase match {
-        case "MONDAY" | "M" => date_trunc("week", dateCol)
-        case "SUNDAY" | "S" =>
+      case "WEEK" =>
+        // week-start parsing is single-sourced in the choreography
+        if (GabChoreography.weekStartDay(weekStart) == java.time.DayOfWeek.MONDAY)
+          date_trunc("week", dateCol)
+        else
           date_sub(date_trunc("week", date_add(dateCol, 1)).cast("date"), 1)
             .cast("timestamp")
-        case other => sys.error(s"unknown week start: $other")
-      }
       case "MONTH" => date_trunc("month", dateCol)
       case "QUARTER" => date_trunc("quarter", dateCol)
       case "YEAR" => date_trunc("year", dateCol)
@@ -512,10 +512,8 @@ object Gab {
         dimensions = firstView.dims.values.toSeq,
         metrics = metricSpecs,
         cadences = cadences.map(_.toUpperCase),
-        weekStart = str("start_of_the_week") match {
-          case "S" | "SUNDAY" | "Sunday" => "SUNDAY"
-          case _ => "MONDAY"
-        },
+        weekStart =
+          GabChoreography.weekStartDay(str("start_of_the_week")).name,
         snapshots = snapshots)
       ConfiguredUseCase(uc, views)
     }
