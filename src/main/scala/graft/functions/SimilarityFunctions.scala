@@ -111,6 +111,44 @@ object SimilarityFunctions {
     sig
   }
 
+  /** Per-band LSH keys: band `b`'s key packs the sign bits of planes
+    * `[b*rows, (b+1)*rows)` — bit-identical to slicing the packed
+    * [[lshSignature]] long when `rows * numBands <= 64`, but with NO
+    * 64-bit width ceiling. The packed form caps 4-band signatures at 16
+    * rows/band, which stops the per-band key space at 65k cells — past
+    * ~16k vectors random collisions grow quadratically again (measured:
+    * 241x wall at the 500x/1M-vector point). Per-band keys keep
+    * `2^rows >= 4n` to a billion vectors per band. */
+  def lshBandKeys(vec: Column, dim: Int, rows: Int, numBands: Int): Column = {
+    val planes = lshPlanes(dim, rows * numBands)
+    val f = org.apache.spark.sql.functions.udf { (v: Seq[Float]) =>
+      if (v == null) null else lshBandKeysOf(v, planes, rows, numBands)
+    }
+    f(vec)
+  }
+
+  /** Driver/closure-side form of [[lshBandKeys]] (same fold and sign
+    * rule as [[lshSignatureOf]], sliced per band at construction). */
+  def lshBandKeysOf(v: Seq[Float], planes: Array[Array[Double]],
+      rows: Int, numBands: Int): Array[Long] = {
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var j = 0
+      while (j < rows) {
+        val plane = planes(b * rows + j)
+        var proj = 0.0
+        var d = 0
+        val n = math.min(plane.length, v.length)
+        while (d < n) { proj += v(d).toDouble * plane(d); d += 1 }
+        if (proj > 0) keys(b) |= (1L << j)
+        j += 1
+      }
+      b += 1
+    }
+    keys
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one band of
     * the hyperplane signature; exact cosine re-rank inside candidates.
     * Trades recall for removing the |corpus| x |queries| blow-up — at scale
@@ -193,17 +231,36 @@ object SimilarityFunctions {
     if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
   /** Corpus-adaptive signature width: rows-per-band =
-    * clamp(ceilLog2(n) + 2, 4, 16), numBits = numBands * rowsPerBand.
+    * clamp(ceilLog2(n) + 2, 4, 30), numBits = numBands * rowsPerBand.
     *
     * Rationale: expected random-collision candidates per band are
     * ~ n^2 / 2^rows; with 2^rows >= 4n that is <= n/4 — LINEAR in corpus
     * size, which is the whole point of banding. The +2 margin keeps the
-    * per-band key space at >= 4x the corpus; the cap of 16 rows keeps a
-    * 4-band signature inside one long (64 bits — the regime measured at
-    * 400k vectors in PLANS.md); the floor of 4 keeps tiny corpora off
-    * degenerate 1-bucket keys. */
+    * per-band key space at >= 4x the corpus; the floor of 4 keeps tiny
+    * corpora off degenerate 1-bucket keys. The cap was 16 rows while
+    * band keys were sliced out of one packed 64-bit signature; since
+    * [[lshBandKeys]] derives each band's key independently the cap is
+    * 30 (a billion cells per band — `2^rows >= 4n` holds to 268M
+    * vectors), and the round-16 500x measurement motivating the change
+    * is recorded in PLANS.md. */
   def adaptiveNumBits(corpusCount: Long, numBands: Int = 4): Int =
-    numBands * math.min(16, math.max(4, ceilLog2(corpusCount) + 2))
+    numBands * math.min(30, math.max(4, ceilLog2(corpusCount) + 2))
+
+  /** Corpus-adaptive ROWS per band (the factor [[adaptiveNumBits]]
+    * multiplies out): clamp(ceilLog2(n) + 2, 4, 30). */
+  def adaptiveRows(corpusCount: Long): Int =
+    math.min(30, math.max(4, ceilLog2(corpusCount) + 2))
+
+  /** Bands grow with the key width to HOLD the S-curve catch point as
+    * the corpus scales: a true pair at cos 0.99 band-matches with
+    * p = s^rows (s ~ 0.955), so widening rows 16 -> 22 alone drops the
+    * 4-band catch 93% -> 84%. Keeping rows/bands ~ 4 pins the pivot:
+    * bands = max(base, ceil(rows/4)) gives 4 bands at rows <= 16
+    * (every gate corpus — behavior unchanged) and 6 bands at the
+    * 1M-vector point (catch 93.3%). Candidates stay <= n/4 per band,
+    * so total work is ~ n * log(n)/16 — near-linear. */
+  def adaptiveBands(rows: Int, baseBands: Int = 4): Int =
+    math.max(baseBands, (rows + 3) / 4)
 
   /** All corpus pairs with cosine similarity >= threshold via LSH buckets
     * (embedding near-duplicate detection).
@@ -230,24 +287,33 @@ object SimilarityFunctions {
       numBits: Int = 0, numBands: Int = 4,
       maxBucketSize: Int = 100000,
       dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val bits =
-      if (numBits > 0) numBits
-      else adaptiveNumBits(df.select(col(idCol)).count(), numBands)
-    val rows = bits / numBands
+    // Explicit numBits pins (rows, bands) exactly; the auto path derives
+    // rows from the corpus count and grows BANDS with the key width so
+    // the true-pair catch rate holds as the corpus scales (adaptiveBands
+    // scaladoc; every gate corpus derives rows <= 16 -> 4 bands, where
+    // the per-band keys are bit-identical to the old packed-long slices).
+    val (rows, bands) =
+      if (numBits > 0) (numBits / numBands, numBands)
+      else {
+        val r = adaptiveRows(df.select(col(idCol)).count())
+        (r, adaptiveBands(r, numBands))
+      }
     // Candidate generation is id-only (explode band keys -> ONE shuffle
     // grouping ids by bucket -> in-bucket pair expansion -> narrow dedup);
     // the float vectors are joined back only for the surviving pairs, so
     // no vector is ever shuffled with the candidate stream. The vector
     // projection is a cheap column-pruned scan, so reading it for the
     // two verify joins beats carrying 2x vectors per banded row.
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), dim, bits).as("sig"))
+    // PlanBarrier: posexplode over a UDF column would otherwise let the
+    // optimizer re-evaluate the signature kernel in both the Generate
+    // and its input Project (PlanAuditSpec gates the duplication class)
+    val withSig = graft.util.PlanBarrier.fence(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshBandKeys(col(vecCol), dim, rows, bands).as("keys")))
     val banded = withSig.select(col("id"),
-      explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * rows)
-            .bitwiseAND(lit((1L << rows) - 1)).as("key"))
-      }: _*)).as("bk"))
+      posexplode(col("keys")).as(Seq("band", "key")))
+      .select(col("id"),
+        struct(col("band"), col("key")).as("bk"))
     // Bounded buckets (same guard as the minhash/simhash generators): one
     // hot LSH bucket would otherwise land every member in a single
     // collect_list buffer row and expand O(B^2) pairs. Dropped buckets

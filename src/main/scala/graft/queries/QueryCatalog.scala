@@ -929,19 +929,24 @@ object QueryCatalog {
   /** Adaptive-width variant of [[lshSigCtes]]: the signature width is
     * DERIVED from the corpus count exactly as
     * [[graft.functions.SimilarityFunctions.adaptiveNumBits]] derives it —
-    * rowsPerBand = clamp(ceilLog2(n) + 2, 4, 16), numBits = 4 * rows.
+    * rowsPerBand = clamp(ceilLog2(n) + 2, 4, 30), numBits = 4 * rows.
     * ceil(log2) is computed integer-exactly: the FP log2 estimate is
     * corrected by one shift-compare step, so a libm that lands on either
     * side of a power of two cannot diverge from the JVM's
-    * numberOfLeadingZeros derivation. (At the clamp ceiling the 64th sig
-    * bit would be the BIGINT sign bit — fine in the kernel's `|=`, an
-    * overflow in SQL list_sum; the test corpora derive 44-52 bits, and
-    * the clamp comment in SimilarityFunctions documents the boundary.) */
+    * numberOfLeadingZeros derivation. Band keys are derived PER BAND
+    * (band b packs the sign bits of planes [b*r, (b+1)*r) into its own
+    * BIGINT), mirroring `lshBandKeys` — no packed-64-bit signature, so
+    * the 16-row ceiling that re-opened the quadratic collision regime
+    * past ~16k vectors is gone — and the BAND COUNT grows with the key
+    * width exactly as `adaptiveBands` grows it (greatest(4, ceil(r/4)),
+    * holding the S-curve catch point as the corpus scales). The gate
+    * corpora derive 11-13 rows -> 4 bands, where per-band keys are
+    * bit-identical to the old sliced form. */
   private def lshSigCtesAdaptive(dim: Int): String =
     s"""params AS (
-        SELECT r, 4*r AS nb, (CAST(1 AS BIGINT) << r) - 1 AS mask
+        SELECT r, greatest(4, CAST(ceil(r / 4.0) AS INT)) AS nbands
         FROM (
-          SELECT least(16, greatest(4, 2 +
+          SELECT least(30, greatest(4, 2 +
             CASE WHEN (CAST(1 AS BIGINT) << r0) < n THEN r0 + 1
                  WHEN r0 > 0 AND (CAST(1 AS BIGINT) << (r0 - 1)) >= n THEN r0 - 1
                  ELSE r0 END)) AS r
@@ -950,25 +955,28 @@ object QueryCatalog {
                             ELSE CAST(ceil(log2(count(*))) AS INT) END AS r0
                 FROM embeddings) t0) t1),
       planes AS (
-        SELECT list_transform(range((SELECT nb FROM params)), b ->
+        SELECT list_transform(range((SELECT r * nbands FROM params)), b ->
           list_transform(range($dim), j ->
             CAST(('0x' || substring(md5('plane-' || b || '-' || j), 1, 15)) AS BIGINT)
               % 16777216 / 8388608.0 - 1.0)) AS pm),
       sigs AS (
+        -- params cross-joined in: DuckDB lambdas reject subqueries, but
+        -- correlated COLUMNS (r, nbands) are fine
         SELECT vec_id, embedding,
-               CAST(list_sum(list_transform(range((SELECT nb FROM params)), b ->
-                 CASE WHEN list_sum(list_transform(embedding,
-                        (x, j) -> CAST(x AS DOUBLE) * pm[b+1][j])) > 0
-                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
-        FROM embeddings, planes)"""
+               list_transform(range(nbands), b ->
+                 CAST(list_sum(list_transform(range(r), j ->
+                   CASE WHEN list_sum(list_transform(embedding,
+                          (x, d) -> CAST(x AS DOUBLE) * pm[b * r + j + 1][d])) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)) AS keys
+        FROM embeddings, planes, params)"""
 
-  /** Adaptive-width banded CTE body shared by q40/q78: band keys sliced
-    * with the params-derived rows-per-band and mask. */
+  /** Adaptive-width banded CTE body shared by q40/q78: the per-band keys
+    * computed in `sigs`, unnested with their band index (parallel
+    * unnests of equal length zip positionally in DuckDB). */
   private val bandedAdaptiveSql =
     """banded AS (
-        SELECT vec_id, b AS band,
-               (sig >> (b * (SELECT r FROM params))) & (SELECT mask FROM params) AS key
-        FROM sigs, range(4) t(b))"""
+        SELECT vec_id, unnest(range(len(keys))) AS band, unnest(keys) AS key
+        FROM sigs)"""
 
   private val q40 = QueryDef(
     "q40_embedding_neardup",
