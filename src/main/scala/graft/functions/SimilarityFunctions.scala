@@ -306,11 +306,15 @@ object SimilarityFunctions {
     // two verify joins beats carrying 2x vectors per banded row.
     // PlanBarrier: posexplode over a UDF column would otherwise let the
     // optimizer re-evaluate the signature kernel in both the Generate
-    // and its input Project (PlanAuditSpec gates the duplication class)
-    val withSig = graft.util.PlanBarrier.fence(
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lshBandKeys(col(vecCol), dim, rows, bands).as("keys")))
-    val banded = withSig.select(col("id"),
+    // and its input Project (PlanAuditSpec gates the duplication class).
+    // The fence wraps ONLY the (id, keys) projection — the vector-verify
+    // branches below read their own column-pruned scan, so the kernel
+    // runs exactly once and `vec` never crosses the barrier.
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val withKeys = graft.util.PlanBarrier.fence(
+      base.select(col("id"),
+        lshBandKeys(col("vec"), dim, rows, bands).as("keys")))
+    val banded = withKeys.select(col("id"),
       posexplode(col("keys")).as(Seq("band", "key")))
       .select(col("id"),
         struct(col("band"), col("key")).as("bk"))
@@ -330,8 +334,8 @@ object SimilarityFunctions {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val va = withSig.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = withSig.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
     cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("score"))
       .where(col("score") >= threshold)
