@@ -375,17 +375,24 @@ object SimilarityFunctions {
     val members = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), dim, numBits).as("cell"))
       .localCheckpoint(true)
-    // Fenced: downstream dot() and l2Norm() both consume cvec, and
-    // without the barrier CollapseProject would inline the array
-    // assembly into each of them (the PlanAuditSpec duplicate gate
-    // catches exactly this).
-    val cent = graft.util.PlanBarrier.fence(members
-      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("cvec")))
+    // Centroids as ONE cell-keyed hash aggregate with `dim` avg columns
+    // (all built-in, codegen, map-side combinable): the previous
+    // posexplode/(cell, pos) formulation shuffled a dim-fold row stream
+    // (~55M rows at the 1M-vector point); this shuffles one partial row
+    // per (cell x partition). Same values averaged, order-insensitive
+    // after the 6-decimal round (the tolerance the cross-engine oracle
+    // already relies on). Fenced: downstream dot() and l2Norm() both
+    // consume cvec, and without the barrier CollapseProject would inline
+    // the array assembly into each of them (the PlanAuditSpec duplicate
+    // gate catches exactly this).
+    val cent = graft.util.PlanBarrier.fence {
+      val avgs = (0 until dim).map(i =>
+        avg(col("vec")(i).cast("double")).as(s"__c$i"))
+      members.groupBy(col("cell"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("cell"),
+          array((0 until dim).map(i => round(col(s"__c$i"), 6)): _*).as("cvec"))
+    }
     // Centroid table size is 2^numBits rows x dim doubles: broadcast
     // while that is clearly executor-safe (<= 2^14 cells * 64 dims ~ 8
     // MB), otherwise fall back to a shuffle join on the cell key — the
@@ -408,11 +415,17 @@ object SimilarityFunctions {
     val observedCells = dropObservation.fold(cells)(o => cells.observe(o,
       sum(when(size(col("ids")) > maxCellSize, 1L).otherwise(0L)).as("dropped_buckets"),
       coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")))
+    // UNDIRECTED pair expansion (id_a < id_b): the keep-least-central
+    // rule drops exactly one member of every verified pair — the MORE
+    // central one (higher centroid_sim; ties drop the higher id) — so
+    // one row per pair decides the drop directly. Half the cosine
+    // verifies and half the sim-join lookups of the directed (a != b)
+    // formulation, for the identical dropped set.
     val cands = observedCells
       .where(size(col("ids")).between(2, maxCellSize))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") =!= col("id_b"))
+      .where(col("id_a") < col("id_b"))
     val va = members.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val vb = members.select(col("id").as("id_b"), col("vec").as("vec_b"))
     val neighbors = cands
@@ -422,9 +435,10 @@ object SimilarityFunctions {
     val simA = withSim.select(col("id").as("id_a"), col("centroid_sim").as("sim_a"))
     val simB = withSim.select(col("id").as("id_b"), col("centroid_sim").as("sim_b"))
     val dropped = neighbors.join(simA, Seq("id_a")).join(simB, Seq("id_b"))
-      .where(col("sim_b") < col("sim_a") ||
-        (col("sim_b") === col("sim_a") && col("id_b") < col("id_a")))
-      .select(col("id_a").as("id")).distinct()
+      .select(when(col("sim_a") > col("sim_b") ||
+          (col("sim_a") === col("sim_b") && col("id_a") > col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("id"))
+      .distinct()
     withSim.join(dropped, Seq("id"), "left_anti")
   }
 }
