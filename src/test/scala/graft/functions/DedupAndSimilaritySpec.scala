@@ -761,6 +761,41 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "x y", 1L, 2L)))
   }
 
+  test("lsh band keys: per-band derivation equals packed-signature slices") {
+    import graft.functions.SimilarityFunctions
+    // the regime every gate corpus runs in (rows * bands <= 64): band b of
+    // lshBandKeys must be bit-identical to slicing the packed signature
+    val rng = new scala.util.Random(7)
+    val (rows, bands, dim) = (13, 4, 16)
+    val planes = SimilarityFunctions.lshPlanes(dim, rows * bands)
+    (1 to 50).foreach { _ =>
+      val v = Seq.fill(dim)(rng.nextFloat() * 2 - 1)
+      val packed = SimilarityFunctions.lshSignatureOf(v, planes)
+      val keys = SimilarityFunctions.lshBandKeysOf(v, planes, rows, bands)
+      (0 until bands).foreach { b =>
+        assert(keys(b) == ((packed >>> (b * rows)) & ((1L << rows) - 1)),
+          s"band $b diverges from the packed slice")
+      }
+    }
+  }
+
+  test("adaptive LSH width: gate corpora keep 4 bands; growth holds the catch point") {
+    import graft.functions.SimilarityFunctions._
+    assert(adaptiveRows(2000) == 13 && adaptiveBands(13) == 4) // sf0.1 gate
+    assert(adaptiveRows(16384) == 16 && adaptiveBands(16) == 4) // old-clamp edge
+    assert(adaptiveRows(1000000) == 22 && adaptiveBands(22) == 6) // 500x point
+    assert(adaptiveRows(Long.MaxValue) == 30 && adaptiveBands(30) == 8) // ceiling
+    // the catch rate at cos 0.99 stays within ~3 points of the
+    // 16-row/4-band baseline (0.926) at EVERY corpus size — versus
+    // eroding to 0.84 by 1M vectors had rows widened under fixed bands
+    for (n <- Seq(2000L, 16384L, 1000000L, 300000000L)) {
+      val r = adaptiveRows(n); val b = adaptiveBands(r)
+      val s = 1.0 - math.acos(0.99) / math.Pi
+      val catchRate = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      assert(catchRate >= 0.90, f"n=$n rows=$r bands=$b catch=$catchRate%.3f")
+    }
+  }
+
   test("incremental chunk-dedup loop: append survivors, next batch dedups against them") {
     import graft.functions.DedupFunctions
     val idxPath = tmpDir("chunkidx") + "/index"
