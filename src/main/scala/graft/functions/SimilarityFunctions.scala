@@ -275,12 +275,12 @@ object SimilarityFunctions {
     * `numBits` is the scale knob: the key space must grow with the corpus
     * (8-bit keys collide ~0.4% of ALL pairs at 400k vectors — the
     * quadratic regime banding exists to avoid). The default (0) derives
-    * it from the corpus count via [[adaptiveNumBits]] — one driver-side
-    * count() against a column-pruned scan — so the operator is correctly
-    * sized from 500 vectors to 400M without a manual knob; pass an
-    * explicit value to pin it. NOTE: when `df` is a computed pipeline
-    * rather than a scan, that count() re-executes the upstream lineage —
-    * cache the input or pass an explicit `numBits` in that case. */
+    * it from the corpus count ([[adaptiveRows]]/[[adaptiveBands]]) — the
+    * auto path localCheckpoints the (id, vec) projection first, so the
+    * count and every downstream branch read the materialized copy (a
+    * computed upstream pipeline executes once, and the source is not
+    * re-scanned per branch); pass an explicit value to pin the width
+    * and skip the checkpoint. */
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
@@ -292,25 +292,29 @@ object SimilarityFunctions {
     // the true-pair catch rate holds as the corpus scales (adaptiveBands
     // scaladoc; every gate corpus derives rows <= 16 -> 4 bands, where
     // the per-band keys are bit-identical to the old packed-long slices).
+    // The auto path MATERIALIZES the (id, vec) projection (same
+    // discipline as semanticDedup's members): the width needs a count
+    // anyway, and without the checkpoint the count, the signature branch
+    // and the two verify sides each re-scan the source — or re-execute a
+    // computed upstream pipeline — four times.
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = if (numBits > 0) base0 else base0.localCheckpoint(true)
     val (rows, bands) =
       if (numBits > 0) (numBits / numBands, numBands)
       else {
-        val r = adaptiveRows(df.select(col(idCol)).count())
+        val r = adaptiveRows(base.count())
         (r, adaptiveBands(r, numBands))
       }
     // Candidate generation is id-only (explode band keys -> ONE shuffle
     // grouping ids by bucket -> in-bucket pair expansion -> narrow dedup);
     // the float vectors are joined back only for the surviving pairs, so
-    // no vector is ever shuffled with the candidate stream. The vector
-    // projection is a cheap column-pruned scan, so reading it for the
-    // two verify joins beats carrying 2x vectors per banded row.
+    // no vector is ever shuffled with the candidate stream.
     // PlanBarrier: posexplode over a UDF column would otherwise let the
     // optimizer re-evaluate the signature kernel in both the Generate
     // and its input Project (PlanAuditSpec gates the duplication class).
     // The fence wraps ONLY the (id, keys) projection — the vector-verify
-    // branches below read their own column-pruned scan, so the kernel
-    // runs exactly once and `vec` never crosses the barrier.
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // branches below read the materialized base, so the kernel runs
+    // exactly once and `vec` never crosses the barrier.
     val withKeys = graft.util.PlanBarrier.fence(
       base.select(col("id"),
         lshBandKeys(col("vec"), dim, rows, bands).as("keys")))
