@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.functions.DedupFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingest face of chunk-granularity exact-substring dedup —
+  * the continuous-ingest shape of [[graft.functions.DedupFunctions
+  * .chunkDedup]], completing the family matrix alongside the minhash
+  * ([[StreamingDedup]]) and vector ([[StreamingVectorIngest]] /
+  * [[StreamingPqIngest]]) streaming faces.
+  *
+  * Each micro-batch anti-joins its chunk hashes against the persisted
+  * hash-only index (`chunkHashIndex` layout — 32-byte md5 per distinct
+  * corpus chunk, corpus text never lands in it), drops within-batch
+  * repeats at global (id, pos) first occurrence, reassembles survivors,
+  * writes them to the sink, and only then appends the survivors' chunk
+  * hashes to the index — the same sink-before-append ordering as
+  * [[StreamingDedup.dedupBatch]] (a failed sink write must not leave
+  * phantom hashes that silently drop re-submitted text forever).
+  *
+  * Replay is BENIGN in both failure orders, which is stronger than the
+  * minhash face's at-least-once: the batch computation is a pure
+  * function of (batch, index state) — sink-failed replays recompute the
+  * identical survivors; and a replay AFTER a successful append drains to
+  * empty (every batch chunk is then either indexed from the corpus or a
+  * within-batch dup of a surviving chunk whose hash just landed —
+  * full chunks are exactly `chunkTokens` tokens, so survivor clean_text
+  * re-chunks to exactly the kept chunks; pinned as a PropertySpec law),
+  * so a sink that deduplicates nothing still sees each clean_text at
+  * most twice, never a growing replay tail.
+  */
+object StreamingChunkDedup {
+
+  /** One micro-batch of the plan — exposed for batch-mode reuse and
+    * direct testing. Returns the surviving reassembled docs
+    * (id, clean_text, kept_chunks, total_chunks); fully-duplicate
+    * documents vanish. Set `append = false` for a pure evaluation of
+    * the batch semantics against the current index state. */
+  def dedupBatch(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, chunkTokens: Int,
+      sink: DataFrame => Unit,
+      append: Boolean = true): DataFrame = {
+    val b = batch.localCheckpoint() // bounded; avoids re-running the source
+    val index = b.sparkSession.read.parquet(indexPath)
+    val survivors = DedupFunctions.chunkDedupAgainstIndex(
+        b, index, idCol, textCol, chunkTokens)
+      .localCheckpoint() // the sink write and the index append read this
+    sink(survivors)
+    if (append)
+      DedupFunctions.appendToChunkIndex(
+        survivors, idCol, "clean_text", indexPath, chunkTokens)
+    survivors
+  }
+
+  /** Start the streaming query. `stream` must be a streaming DataFrame
+    * with `idCol` and `textCol`; `indexPath` must hold an existing
+    * `chunkHashIndex` parquet (seed it from the corpus, or write an
+    * empty one for a cold start). */
+  def start(
+      stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, sinkDir: String, checkpointDir: String,
+      chunkTokens: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatch(batch, idCol, textCol, indexPath, chunkTokens,
+          _.write.mode("append").parquet(sinkDir))
+        ()
+      }
+      .start()
+}

@@ -380,6 +380,61 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 102L, 202L)) // unchanged
   }
 
+  test("streaming chunk dedup: anti-join vs the hash index + append per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.DedupFunctions
+    val idxLoc = tmpDir("scd-idx") + "/index"
+    val sink = tmpDir("scd-sink") + "/clean"
+    val ckpt = tmpDir("scd-ckpt")
+    // seed corpus: one doc whose single 2-token chunk is [a b]
+    DedupFunctions.chunkHashIndex(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", chunkTokens = 2)
+      .write.parquet(idxLoc)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingChunkDedup.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxLoc, sink, ckpt, chunkTokens = 2)
+      q.awaitTermination(60000)
+    }
+    // batch 1: doc 101 repeats the CORPUS chunk [a b] and brings [p q];
+    // doc 102 repeats [p q] WITHIN the batch (first occurrence wins) and
+    // brings [z w]; doc 103 is a full corpus duplicate and must VANISH
+    mem.addData((101L, "a b p q"), (102L, "p q z w"), (103L, "a b"))
+    drain()
+    val out1 = spark.read.parquet(sink)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out1 == Map(101L -> "p q", 102L -> "z w"))
+    // batch 2 (restart from checkpoint): doc 201 repeats batch 1's
+    // SURVIVING chunk [z w] — only caught if batch 1's survivors were
+    // appended to the index — and brings [m n]
+    mem.addData((201L, "z w m n"))
+    drain()
+    val out2 = spark.read.parquet(sink)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out2 == Map(101L -> "p q", 102L -> "z w", 201L -> "m n"))
+    // the index holds exactly the distinct hashes of corpus + survivors
+    // ([a b], [p q], [z w], [m n]) and nothing text-bearing
+    val idx = spark.read.parquet(idxLoc)
+    assert(idx.columns.toSeq == Seq("chunk_hash") && idx.distinct().count() == 4)
+    // a FAILED sink write must not leave phantom hashes in the index
+    intercept[RuntimeException] {
+      graft.streaming.StreamingChunkDedup.dedupBatch(
+        Seq((301L, "u v")).toDF("doc_id", "text"), "doc_id", "text",
+        idxLoc, 2, _ => throw new RuntimeException("sink down"))
+    }
+    assert(spark.read.parquet(idxLoc).distinct().count() == 4) // unchanged
+    // benign replay: re-running an already-appended batch drains to EMPTY
+    // (the PropertySpec append-then-recheck law, here through the
+    // streaming face) — a replayed micro-batch cannot grow the sink
+    val replay = graft.streaming.StreamingChunkDedup.dedupBatch(
+      Seq((101L, "a b p q"), (102L, "p q z w")).toDF("doc_id", "text"),
+      "doc_id", "text", idxLoc, 2, _ => (), append = false)
+    assert(replay.isEmpty)
+  }
+
   test("kafka wire contract: sink projection and source decode round-trip") {
     import graft.io.KafkaWire
     import org.apache.spark.sql.types._
