@@ -230,8 +230,7 @@ object SimilarityFunctions {
   def ceilLog2(n: Long): Int =
     if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
-  /** Corpus-adaptive signature width: rows-per-band =
-    * clamp(ceilLog2(n) + 2, 4, 30), numBits = numBands * rowsPerBand.
+  /** Corpus-adaptive rows per band: clamp(ceilLog2(n) + 2, 4, 30).
     *
     * Rationale: expected random-collision candidates per band are
     * ~ n^2 / 2^rows; with 2^rows >= 4n that is <= n/4 — LINEAR in corpus
@@ -243,11 +242,6 @@ object SimilarityFunctions {
     * 30 (a billion cells per band — `2^rows >= 4n` holds to 268M
     * vectors), and the round-16 500x measurement motivating the change
     * is recorded in PLANS.md. */
-  def adaptiveNumBits(corpusCount: Long, numBands: Int = 4): Int =
-    numBands * math.min(30, math.max(4, ceilLog2(corpusCount) + 2))
-
-  /** Corpus-adaptive ROWS per band (the factor [[adaptiveNumBits]]
-    * multiplies out): clamp(ceilLog2(n) + 2, 4, 30). */
   def adaptiveRows(corpusCount: Long): Int =
     math.min(30, math.max(4, ceilLog2(corpusCount) + 2))
 

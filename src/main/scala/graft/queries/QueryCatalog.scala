@@ -928,8 +928,8 @@ object QueryCatalog {
 
   /** Adaptive-width variant of [[lshSigCtes]]: the signature width is
     * DERIVED from the corpus count exactly as
-    * [[graft.functions.SimilarityFunctions.adaptiveNumBits]] derives it —
-    * rowsPerBand = clamp(ceilLog2(n) + 2, 4, 30), numBits = 4 * rows.
+    * [[graft.functions.SimilarityFunctions.adaptiveRows]] derives it —
+    * rowsPerBand = clamp(ceilLog2(n) + 2, 4, 30).
     * ceil(log2) is computed integer-exactly: the FP log2 estimate is
     * corrected by one shift-compare step, so a libm that lands on either
     * side of a power of two cannot diverge from the JVM's

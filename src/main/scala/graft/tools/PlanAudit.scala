@@ -407,9 +407,10 @@ object PlanAudit {
       |
       |### Round 9: corpus-adaptive signature width (the r6 knob, closed)
       |
-      |`SimilarityFunctions.adaptiveNumBits` now derives the signature
+      |`SimilarityFunctions.adaptiveRows` now derives the signature
       |width from the corpus count — rows-per-band =
-      |clamp(ceilLog2(n) + 2, 4, 16), numBits = 4 bands × that — so the
+      |clamp(ceilLog2(n) + 2, 4, 16 — cap raised to 30 with per-band
+      |keys in round 16), bands × that — so the
       |~2^rows-sized key space tracks n and nobody has to re-tune the
       |knob per corpus. Re-measured 200× curve on the auto path
       |(1M docs / 400k vectors, 2026-08-13):
