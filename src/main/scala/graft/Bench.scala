@@ -83,6 +83,14 @@ object Bench {
         }
         spark.catalog.clearCache()
       }
+    // FORCING CONVENTION: queries are forced with count(), the same
+    // convention as every prior round — the bench is a RELATIVE series
+    // (BENCH_rN vs BENCH_r(N-1) vs the driver's recorded curve), so the
+    // constant matters more than the absolute. Note count() lets
+    // Catalyst prune work past the last count-relevant node (final
+    // projections; unique-key left joins), so ABSOLUTE work claims come
+    // from graft.tools.ScaleCurve, which forces the exact physical plan
+    // via queryExecution.toRdd (see its time()).
     // Failed queries are reported as NEGATIVE elapsed time plus an entry in
     // "errors", so a crash is never mistaken for a fast pass. Each query is
     // timed in THREE passes and the minimum is reported: host speed on this

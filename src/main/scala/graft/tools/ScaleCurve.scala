@@ -75,12 +75,21 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
-  /** min-of-2 wall seconds + observed dropped buckets for one operator. */
+  /** min-of-2 wall seconds + observed dropped buckets for one operator.
+    *
+    * Forces the EXACT physical plan via `queryExecution.toRdd.count()`
+    * rather than `df.count()`: Catalyst rewrites a count — dropping
+    * final projections (a rebuild UDF costs nothing under count) and
+    * eliminating unique-key left joins — so count-based timings
+    * understate any operator whose expensive work lives past the last
+    * count-relevant node (measured: q88 span removal read 0.2 s counted
+    * vs 21.6 s fully evaluated at the 500x point). toRdd materializes
+    * every output row without collecting to the driver. */
   private def time(run: () => (DataFrame, Option[Observation])): (Double, Long) = {
     val runs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       val (df, obs) = run()
-      df.count()
+      df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       val dropped = obs.flatMap(_.get.get("dropped_buckets"))
         .collect { case n: Number => n.longValue() }.getOrElse(0L)
@@ -261,7 +270,17 @@ object ScaleCurve {
     // IVFADC ingest batch face (fixed 20-vector batch screened + encoded
     // against the corpus-derived store — the curve isolates the corpus
     // side: centroids, store codes, and the store-identity screen join)
-    "q112_span_cascade", "q113_pq_ingest_batch")
+    "q112_span_cascade", "q113_pq_ingest_batch",
+    // round-16 additions: the documents/embeddings-family queries the
+    // table hadn't yet measured — multi-probe ANN (query-side growth
+    // only), containment + edit-distance near-dup, single-k span
+    // removal, CCNet perplexity filter, the curation-v2 chain and vocab
+    // encoding
+    // (q96 containment is NOT here: its catalog query fixes doc_id < 300,
+    // so corpus growth never touches it — a flat row would be vacuous)
+    "q79_ann_multiprobe", "q110_edit_distance_pairs",
+    "q88_remove_spans", "q90_lm_perplexity", "q98_curation_v2",
+    "q101_vocab_encode")
 
   /** Measured LSH pair-recall on a ~500-vector sample of `dir`'s corpus:
     * brute-force the sample's true cos≥threshold pairs, run the banded
