@@ -556,6 +556,21 @@ object DedupFunctions {
     chunkHashIndex(survivors, idCol, textCol, chunkTokens)
       .write.mode("append").parquet(indexPath)
 
+  /** Bin-pack the chunk-hash index (continuous ingest appends one file
+    * per micro-batch forever — the small-files failure mode). Collapses
+    * to the DISTINCT hash set while rewriting: the index is consumed
+    * only by the hash anti-join, so the set is its semantics, and
+    * re-chunked survivor text legitimately re-appends hashes earlier
+    * batches already hold. checkBatch reads identically pre/post
+    * (PropertySpec law); staged-swap commit, crash-recoverable. */
+  def compactChunkIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      targetFileBytes: Long = 128L << 20): graft.maintain.IndexMaintenance.CompactionResult =
+    graft.maintain.IndexMaintenance.compactIndex(
+      spark, indexPath, partitionBy = Nil, distinctRows = true,
+      targetFileBytes = targetFileBytes)
+
   /** Shared chunking: (id, total_chunks, pos, chunk) rows with the
     * tokenize fenced (one evaluation feeds both the transform and the
     * count — PlanAuditSpec gates the duplication). */

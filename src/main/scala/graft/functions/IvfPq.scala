@@ -133,6 +133,23 @@ final class IvfPqIndex private[functions] (
         .select(col("id"), col("cell").cast("long").as("cell"), col("codes")),
       centroids, codebooks)
   }
+
+  /** Bin-pack the persisted cell store (each [[appendToPersisted]]
+    * leaves one file per touched cell dir; continuous ingest makes the
+    * probe-time partition-pruned read a small-files scan). Pure LAYOUT
+    * rewrite preserving the cell partitioning; staged-swap commit.
+    * Returns an index over the compacted store. */
+  def compactPersisted(location: String,
+      targetFileBytes: Long = 128L << 20): IvfPqIndex = {
+    val spark = codes.sparkSession
+    graft.maintain.IndexMaintenance.compactIndex(
+      spark, location, partitionBy = Seq("cell"),
+      targetFileBytes = targetFileBytes)
+    new IvfPqIndex(
+      spark.read.parquet(location)
+        .select(col("id"), col("cell").cast("long").as("cell"), col("codes")),
+      centroids, codebooks)
+  }
 }
 
 object IvfPq {

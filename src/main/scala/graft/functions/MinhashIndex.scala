@@ -51,6 +51,17 @@ final class MinhashIndex private (
     banded(signed(df, idCol, textCol))
       .write.mode("append").partitionBy("band").parquet(location)
 
+  /** Bin-pack the posting lists (every [[append]] leaves one file per
+    * band dir; after 10^4 batches [[checkBatch]]'s index scan is a
+    * small-files scan). Pure LAYOUT rewrite — the row multiset and the
+    * band partitioning (what makes the band-0 verification read
+    * partition-pruned) are preserved exactly; staged-swap commit. */
+  def compact(spark: SparkSession,
+      targetFileBytes: Long = 128L << 20): graft.maintain.IndexMaintenance.CompactionResult =
+    graft.maintain.IndexMaintenance.compactIndex(
+      spark, location, partitionBy = Seq("band"),
+      targetFileBytes = targetFileBytes)
+
   /** Near-duplicate pairs of `batch` documents against the INDEXED corpus
     * (including documents appended earlier): (batch_id, corpus_id,
     * jaccard) with jaccard >= threshold.

@@ -62,13 +62,21 @@ object StreamingChunkDedup {
       stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, sinkDir: String, checkpointDir: String,
       chunkTokens: Int = 5,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupBatch(batch, idCol, textCol, indexPath, chunkTokens,
           _.write.mode("append").parquet(sinkDir))
+        // Periodic index maintenance: each batch appends one file, so
+        // without this the anti-join side degenerates into a
+        // small-files scan over the ingest lifetime. Runs AFTER the
+        // sink+append (single writer; a replayed batch re-runs the
+        // compaction harmlessly — it is semantics-neutral by law).
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          DedupFunctions.compactChunkIndex(batch.sparkSession, indexPath)
         ()
       }
       .start()

@@ -69,13 +69,18 @@ object StreamingDedup {
   def start(
       stream: DataFrame, idCol: String, textCol: String,
       index: MinhashIndex, sinkDir: String, checkpointDir: String,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupBatch(batch, idCol, textCol, index,
           _.write.mode("append").parquet(sinkDir))
+        // Periodic posting-list bin-pack (appends leave one file per
+        // band per batch); layout-only, after the sink+append.
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          index.compact(batch.sparkSession)
         ()
       }
       .start()

@@ -101,16 +101,22 @@ object StreamingPqIngest {
       dedup: Boolean = true,
       dedupMaxDist: Option[Double] = None,
       nProbe: Int = 4,
+      compactEvery: Int = 0,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     @volatile var current = initial
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (_, next) = ingestBatch(batch, idCol, vecCol, current,
           indexLocation, _.write.mode("append").parquet(sinkDir),
           dedup, dedupMaxDist, nProbe)
-        current = next
+        // Periodic cell-store bin-pack (each append leaves one file per
+        // touched cell); layout-only, preserves cell partition pruning.
+        current =
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            next.compactPersisted(indexLocation)
+          else next
         ()
       }
       .start()

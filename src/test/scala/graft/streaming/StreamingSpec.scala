@@ -435,6 +435,38 @@ class StreamingSpec extends SparkSpec {
     assert(replay.isEmpty)
   }
 
+  test("streaming chunk dedup: compactEvery bounds the index file count, semantics unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.DedupFunctions
+    val idxLoc = tmpDir("scdc-idx") + "/index"
+    val sink = tmpDir("scdc-sink") + "/clean"
+    val ckpt = tmpDir("scdc-ckpt")
+    DedupFunctions.chunkHashIndex(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", chunkTokens = 2)
+      .write.parquet(idxLoc)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingChunkDedup.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idxLoc, sink, ckpt, chunkTokens = 2, compactEvery = 2)
+      q.awaitTermination(60000)
+    }
+    // four micro-batches; compaction fires after batch ids 1 and 3
+    mem.addData((11L, "a b c d")); drain()        // [a b] dup, [c d] fresh
+    mem.addData((12L, "c d e f")); drain()        // [c d] dup vs batch-0 survivor
+    mem.addData((13L, "e f g h")); drain()        // [e f] dup across compaction
+    mem.addData((14L, "g h"));     drain()        // full dup -> vanishes
+    val out = spark.read.parquet(sink)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out == Map(11L -> "c d", 12L -> "e f", 13L -> "g h"),
+      s"dedup semantics drifted under periodic compaction: $out")
+    val (files, _) = graft.maintain.IndexMaintenance.stats(spark, idxLoc)
+    assert(files == 1, s"index not bin-packed after the last compaction: $files files")
+    assert(spark.read.parquet(idxLoc).distinct().count() == 4) // ab cd ef gh
+  }
+
   test("kafka wire contract: sink projection and source decode round-trip") {
     import graft.io.KafkaWire
     import org.apache.spark.sql.types._
