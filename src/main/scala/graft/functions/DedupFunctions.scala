@@ -260,34 +260,108 @@ object DedupFunctions {
   }
 
   /** Resolve near-duplicate pairs into clusters: connected components
-    * over the pair graph (GraphX Pregel CC — iterative, executor-side,
-    * no driver union-find), each member mapped to its cluster's minimum
+    * over the pair graph, each member mapped to its cluster's minimum
     * id as the canonical representative.
     *
     * This is the terminal step of fuzzy dedup at corpus scale: candidate
     * pairs from minhash/simhash feed in, and `keep = (id == canonical_id)`
     * drops every duplicate but one per cluster.
     *
+    * 100 TB shape (round 17): a dedup pair graph is a union of
+    * near-CLIQUES — measured at the 1M-vector point, 124M verified pairs
+    * over 998k vertices in ~4k components of avg size 250 — and Pregel
+    * drags the full edge multiset through EVERY iteration. So the
+    * clustering runs bounded MIN-CONTRACTION rounds first, pure
+    * DataFrame ops that shrink the data: each round maps every vertex to
+    * min(N(v) ∪ {v}) (one map-side-combinable agg over the edge list)
+    * and rewrites edges between representatives (self-loops drop,
+    * duplicates collapse in the partial aggregate before the shuffle). A
+    * clique collapses to its minimum in one round, so the measured graph
+    * is near-empty after two; whatever remains (long chains — the
+    * pathological shape dedup graphs don't take) goes to GraphX Pregel
+    * CC, now on the tiny quotient graph. Correctness is invariant:
+    * contraction preserves connectivity of representatives (quotient
+    * graph of a connected subgraph is connected), the component minimum
+    * is a contraction FIXPOINT (min(N(M) ∪ {M}) = M), and GraphX CC
+    * labels with the component minimum — so composed labels equal the
+    * pure-GraphX result exactly (law-tested on adversarial shapes).
+    *
     * @param pairs DataFrame with long columns (id_a, id_b)
     * @return (id, canonical_id) for every id that appears in any pair
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    // Persist the candidate-pair pipeline before handing it to GraphX:
-    // Graph/Pregel materialize the edge RDD several times, and the pairs
-    // upstream (minhash shingle+band join) is the expensive part.
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
     import spark.implicits._
-    // Pregel has fully materialized (and cached) the result graph by the
-    // time run() returns, so the input edge cache can be released.
-    val out = cc.vertices.toDF("id", "canonical_id")
-    edges.unpersist(blocking = false)
-    out
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .localCheckpoint() // pairs upstream (band joins) is the expensive part
+    // id -> current representative (round 1's min map IS the full
+    // mapping: every vertex appears in some edge, so no identity seed)
+    var mapping: DataFrame = null
+    var rounds = 0
+    var contract = true
+    while (contract && rounds < 2 && !edges.isEmpty) {
+      // min over both orientations; the union is partition concat (no
+      // shuffle) and the partial aggregate collapses to <=|V| rows per
+      // map task before the exchange
+      val und = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u").as("mid"), least(col("mv"), col("u")).as("mrep"))
+        .localCheckpoint()
+      // The endpoint rewrite must be MAP-SIDE to pay off: broadcast the
+      // |V|-bounded rep map while it fits (both joins then fuse into one
+      // codegen pass over the checkpointed edge scan). A sort-merge
+      // contraction measured SLOWER than Pregel itself at the 124M-edge
+      // point (33.9 s vs 26.8 s), so past the broadcast bound we stop
+      // contracting and let Pregel take the graph as-is.
+      if (m.count() > contractBroadcastLimit(spark)) {
+        contract = false // plain Pregel below on the graph as contracted so far
+        m.unpersist()
+      } else {
+        mapping =
+          if (mapping == null) m.select(col("mid").as("id"), col("mrep").as("rep"))
+          else mapping
+            .join(m.withColumnRenamed("mid", "rep"), Seq("rep"), "left")
+            .select(col("id"), coalesce(col("mrep"), col("rep")).as("rep"))
+        def side(k: String, out: String) =
+          broadcast(m.select(col("mid").as(k), col("mrep").as(out)))
+        edges = edges
+          .join(side("u", "cu"), Seq("u"))
+          .join(side("v", "cv"), Seq("v"))
+          .select(least(col("cu"), col("cv")).as("u"),
+            greatest(col("cu"), col("cv")).as("v"))
+          .where(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    if (mapping != null && edges.isEmpty)
+      mapping.select(col("id"), col("rep").as("canonical_id"))
+    else {
+      val edgeRdd = edges.rdd
+        .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cc = org.apache.spark.graphx.lib.ConnectedComponents
+        .run(org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ()))
+      val quotientLabels = cc.vertices.toDF("rep", "lbl")
+      edgeRdd.unpersist(blocking = false)
+      if (mapping == null) quotientLabels.toDF("id", "canonical_id")
+      else
+        // reps whose component fully collapsed are not in the quotient
+        // graph: their rep IS the component minimum already
+        mapping.join(quotientLabels, Seq("rep"), "left")
+          .select(col("id"), coalesce(col("lbl"), col("rep")).as("canonical_id"))
+    }
   }
+
+  /** Vertex-count bound for broadcasting the contraction rep map inside
+    * [[duplicateClusters]] (default 4M longs ~ 64 MB broadcast);
+    * session-configurable so deployments size it to executor memory. */
+  private[graft] def contractBroadcastLimit(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.cc.broadcastVertices").map(_.toLong)
+      .getOrElse(4000000L)
 
   /** Attach a drop-visibility observation to a bucketed candidate
     * generator: `dropped_buckets` (bucket/posting rows above the cap,
@@ -629,12 +703,45 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      minRepeat: Int = 2): DataFrame = {
+      minRepeat: Int = 2): DataFrame =
+    removeSpansStage(
+      df.select(col(idCol).as("id"), col(textCol).as("clean_text"),
+        lit(0L).as("n_removed")),
+      k, minRepeat)
+
+  /** Per-row rebuild kernel: drop every token covered by a removable
+    * window start; returns (clean_text, tokens dropped). Shared by the
+    * single-k transform and every cascade stage. */
+  private lazy val rebuildSpans = udf { (text: String, starts: Seq[Int], kk: Int) =>
+    val raw = if (text == null) Array.empty[String] else text.split(" ", -1)
+    val toks = raw.filter(_.nonEmpty)
+    if (starts == null || starts.isEmpty) (toks.mkString(" "), 0L)
+    else {
+      val win = math.min(kk, toks.length) // whole-doc window when short
+      val covered = new Array[Boolean](toks.length)
+      starts.foreach { s =>
+        var i = s
+        val end = math.min(s + win, toks.length)
+        while (i < end) { covered(i) = true; i += 1 }
+      }
+      val kept = toks.indices.collect { case i if !covered(i) => toks(i) }
+      (kept.mkString(" "), (toks.length - kept.length).toLong)
+    }
+  }
+
+  /** One span-removal pass over the cascade accumulator schema
+    * (id, clean_text, n_removed) — returns the same schema with the
+    * stage's drops applied and counted. The accumulated `n_removed`
+    * rides the stage's OWN text join (the document row moves exactly
+    * once per stage); before round 17 the cascade added a second
+    * id-keyed join per stage just to sum the counter, shuffling the
+    * full cleaned text a second time. */
+  private def removeSpansStage(cur: DataFrame, k: Int, minRepeat: Int): DataFrame = {
     require(minRepeat >= 2, "minRepeat < 2 would mark every window duplicated")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
-    val wins = df
-      .select(col(idCol).as("id"),
-        posexplode(Kernels.allShingles(col(textCol), k)).as(Seq("pos", "w")))
+    val wins = cur
+      .select(col("id"),
+        posexplode(Kernels.allShingles(col("clean_text"), k)).as(Seq("pos", "w")))
       .select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
     val removable = wins
       .withColumn("c", count(lit(1)).over(w))
@@ -642,27 +749,13 @@ object DedupFunctions {
       .where(col("c") >= minRepeat && col("rn") >= 2)
     val dropStarts = removable.groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    val rebuild = udf { (text: String, starts: Seq[Int], kk: Int) =>
-      val raw = if (text == null) Array.empty[String] else text.split(" ", -1)
-      val toks = raw.filter(_.nonEmpty)
-      if (starts == null || starts.isEmpty) (toks.mkString(" "), 0L)
-      else {
-        val win = math.min(kk, toks.length) // whole-doc window when short
-        val covered = new Array[Boolean](toks.length)
-        starts.foreach { s =>
-          var i = s
-          val end = math.min(s + win, toks.length)
-          while (i < end) { covered(i) = true; i += 1 }
-        }
-        val kept = toks.indices.collect { case i if !covered(i) => toks(i) }
-        (kept.mkString(" "), (toks.length - kept.length).toLong)
-      }
-    }
-    df.select(col(idCol).as("id"), col(textCol).as("lhe_text"))
+    cur
       .join(dropStarts, Seq("id"), "left")
       .select(col("id"),
-        rebuild(col("lhe_text"), col("starts"), lit(k)).as("r"))
-      .select(col("id"), col("r._1").as("clean_text"), col("r._2").as("n_removed"))
+        rebuildSpans(col("clean_text"), col("starts"), lit(k)).as("r"),
+        col("n_removed"))
+      .select(col("id"), col("r._1").as("clean_text"),
+        (col("n_removed") + col("r._2")).as("n_removed"))
   }
 
   /** VARIABLE-LENGTH repeated-span removal: a longest-first cascade of
@@ -699,12 +792,10 @@ object DedupFunctions {
     var cur = df.select(col(idCol).as("id"), col(textCol).as("clean_text"),
       lit(0L).as("n_removed"))
     ordered.foreach { k =>
-      val stage = removeRepeatedSpans(cur, "id", "clean_text", k, minRepeat)
-        .withColumnRenamed("n_removed", "stage_removed")
-      cur = stage.join(cur.select(col("id"), col("n_removed")), Seq("id"))
-        .select(col("id"), col("clean_text"),
-          (col("n_removed") + col("stage_removed")).as("n_removed"))
-        .localCheckpoint(true) // next stage re-windows a table, not lineage
+      // next stage re-windows a table, not a replayed lineage; the
+      // accumulated counter rides the stage's own text join (no second
+      // id-join per stage — see removeSpansStage)
+      cur = removeSpansStage(cur, k, minRepeat).localCheckpoint(true)
     }
     cur
   }

@@ -85,7 +85,9 @@ object ScaleCurve {
     * count-relevant node (measured: q88 span removal read 0.2 s counted
     * vs 21.6 s fully evaluated at the 500x point). toRdd materializes
     * every output row without collecting to the driver. */
-  private def time(run: () => (DataFrame, Option[Observation])): (Double, Long) = {
+  private def time(
+      spark: SparkSession,
+      run: () => (DataFrame, Option[Observation])): (Double, Long) = {
     val runs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       val (df, obs) = run()
@@ -93,6 +95,15 @@ object ScaleCurve {
       val dt = (System.nanoTime() - t0) / 1e9
       val dropped = obs.flatMap(_.get.get("dropped_buckets"))
         .collect { case n: Number => n.longValue() }.getOrElse(0L)
+      // Run-to-run independence (round 17): operators that
+      // localCheckpoint intermediates (near-dup auto path, cluster edge
+      // lists) leave multi-GB blocks behind; a second run measured
+      // against that storage pressure reads 2-4x slower than fresh
+      // (q78 CC stage: 6.4 s fresh vs 26.8 s after the pair-gen blocks).
+      // Cross-run state an op WANTS to keep lives on disk (parquet), so
+      // dropping every persistent block between runs is safe.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (dt, dropped)
     }
     (runs.map(_._1).min, runs.map(_._2).max)
@@ -189,22 +200,33 @@ object ScaleCurve {
           emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
         (DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b")), None)
       }),
-      // The GraphX-CC stage ISOLATED from its pair generator (round 17):
-      // the edge list is materialized once OUTSIDE the timed closure, so
-      // the measured growth is the Pregel iteration itself — vertex/edge
-      // partitioning, message volume, and the iteration count on a
-      // near-dup graph whose component structure replicates per copy.
+      // The CC stage ISOLATED from its pair generator (round 17): the
+      // edge list is written to PARQUET once outside the timed closure
+      // (disk, not block-manager residency — the realistic pipeline
+      // boundary for a persisted pair table), so the measured growth is
+      // the clustering itself on a near-dup graph whose component
+      // structure replicates per copy.
       "q78_cc_stage" -> {
-        lazy val pairs = SimilarityFunctions.embeddingNearDuplicates(
-            emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
-          .select("id_a", "id_b").localCheckpoint()
-        () => (DedupFunctions.duplicateClusters(pairs), None)
+        lazy val pairsLoc = {
+          val p = s"$idxBase/cc78_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+          if (!new java.io.File(s"$p/_SUCCESS").exists())
+            SimilarityFunctions.embeddingNearDuplicates(
+                emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
+              .select("id_a", "id_b").write.mode("overwrite").parquet(p)
+          p
+        }
+        () => (DedupFunctions.duplicateClusters(spark.read.parquet(pairsLoc)), None)
       },
       "q56_cc_stage" -> {
-        lazy val pairs = DedupFunctions.minhashNearDuplicates(
-            docs, "doc_id", "text", threshold = 0.4)
-          .select("id_a", "id_b").localCheckpoint()
-        () => (DedupFunctions.duplicateClusters(pairs), None)
+        lazy val pairsLoc = {
+          val p = s"$idxBase/cc56_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+          if (!new java.io.File(s"$p/_SUCCESS").exists())
+            DedupFunctions.minhashNearDuplicates(
+                docs, "doc_id", "text", threshold = 0.4)
+              .select("id_a", "id_b").write.mode("overwrite").parquet(p)
+          p
+        }
+        () => (DedupFunctions.duplicateClusters(spark.read.parquet(pairsLoc)), None)
       },
       // Partition-scoped merge head-to-head (round 9): the same one-bucket
       // delta merged into (a) a bucket-partitioned table -> the scoped
@@ -371,11 +393,11 @@ object ScaleCurve {
     val sections = Seq("base" -> base, s"x$Copies" -> scaled).map { case (tag, dir) =>
       val rows = ops(spark, dir, s"$work/idx").filter(o => selected(o._1))
         .map { case (name, run) =>
-        val (sec, dropped) = time(run)
+        val (sec, dropped) = time(spark, run)
         println(s"[scale-curve] $tag $name ${f"$sec%.2f"}s dropped=$dropped")
         s""""$name":{"sec":$sec,"dropped_buckets":$dropped}"""
       } ++ catalogFamily.filter(selected).map { name =>
-        val (sec, _) = time(() => (catalog(name)(spark, dir), None))
+        val (sec, _) = time(spark, () => (catalog(name)(spark, dir), None))
         println(s"[scale-curve] $tag $name ${f"$sec%.2f"}s")
         s""""$name":{"sec":$sec}"""
       }

@@ -7,30 +7,33 @@ import org.apache.spark.sql.functions._
   * `graft.tools.PlanAudit` for repeatable timing / plan evidence. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // BPE merge-count scaling: train() at merges = 16 / 256 / 2048 on the
-    // sf0.1 documents corpus. With the incremental in-memory trainer the
-    // wall for 256 merges must be FAR below 16x the 16-merge wall (the
-    // pre-round-11 distributed loop was ~linear in merges); the one-off
-    // corpus->vocab collapse dominates. Also times the forced-distributed
-    // fallback at 16 merges for the same corpus, for the ratio record.
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Same-JVM head-to-head on the 500x q78 pair graph (124M edges,
+    // 998k vertices, ~4k near-cliques): broadcast-min-contraction
+    // duplicateClusters vs plain-Pregel fallback, interleaved 3x each so
+    // host drift hits both arms equally.
+    val scaled = "/tmp/graft-scale-r16/x500"
     val spark = graft.exec.ExecEnv.getOrCreate("scratch", Some("local[32]"),
       Map("spark.sql.shuffle.partitions" -> "32", "spark.ui.enabled" -> "false"))
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
-    docs.count() // warm the scan
+    val emb = spark.read.parquet(s"$scaled/embeddings.parquet")
+    val pairs = graft.functions.SimilarityFunctions.embeddingNearDuplicates(
+        emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
+      .select("id_a", "id_b").localCheckpoint()
+    println(s"[scratch] edges=${pairs.count()}")
 
-    def time(label: String)(body: => Unit): Unit = {
-      val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[scratch] $label min=${ts.min}%.2f s runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    def run(limit: String): Double = {
+      spark.conf.set("graft.cc.broadcastVertices", limit)
+      val t0 = System.nanoTime()
+      graft.functions.DedupFunctions.duplicateClusters(pairs)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
     }
-    time("bpe_train_m16")(graft.functions.Bpe.train(docs, "text", 16))
-    time("bpe_train_m256")(graft.functions.Bpe.train(docs, "text", 256))
-    time("bpe_train_m2048")(graft.functions.Bpe.train(docs, "text", 2048))
-    time("bpe_train_m16_distributed")(
-      graft.functions.Bpe.train(docs, "text", 16, maxDriverVocab = 0))
+    val results = (1 to 3).flatMap { i =>
+      Seq("contract" -> run("4000000"), "pregel" -> run("0"))
+    }
+    results.groupBy(_._1).foreach { case (arm, xs) =>
+      println(f"[scratch] $arm min=${xs.map(_._2).min}%.2f s " +
+        s"runs=${xs.map(x => f"${x._2}%.2f").mkString(",")}")
+    }
     spark.stop()
   }
 }

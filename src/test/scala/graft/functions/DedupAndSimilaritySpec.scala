@@ -814,4 +814,52 @@ class DedupAndSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(b2.toSeq == Seq((2L, "z w")))
   }
+
+  /** Pure-GraphX connected components — the reference implementation the
+    * contraction-accelerated duplicateClusters must equal exactly. */
+  private def graphxClusters(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val edges = spark.sparkContext.parallelize(pairs)
+      .map(p => org.apache.spark.graphx.Edge(p._1, p._2, ()))
+    org.apache.spark.graphx.lib.ConnectedComponents
+      .run(org.apache.spark.graphx.Graph.fromEdges(edges, ()))
+      .vertices.collect().toMap
+  }
+
+  test("duplicateClusters: min-contraction result equals pure GraphX CC on adversarial shapes") {
+    val rng = new scala.util.Random(59)
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      // the worst case for min-contraction: a long path (diameter = n)
+      "chain50" -> (1L to 49L).map(i => (i, i + 1)),
+      // the dedup reality: cliques (collapse in one round)
+      "clique20" -> (for (a <- 1L to 20L; b <- (a + 1) to 20L) yield (a, b)),
+      // two cliques bridged by a chain — mixed regime
+      "bridged" -> ((for (a <- 1L to 8L; b <- (a + 1) to 8L) yield (a, b)) ++
+        (for (a <- 101L to 108L; b <- (a + 1) to 108L) yield (a, b)) ++
+        Seq((8L, 50L), (50L, 51L), (51L, 101L))),
+      // star from a HIGH id (canonical must still be the min leaf)
+      "star" -> (1L to 15L).map(i => (1000L, i)),
+      // duplicate + reversed-duplicate edges
+      "dups" -> Seq((5L, 9L), (9L, 5L), (5L, 9L), (9L, 14L), (14L, 9L)),
+      // random sparse graph (chains + small trees by construction)
+      "random" -> Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+        .filter(p => p._1 != p._2))
+    shapes.foreach { case (name, pairs) =>
+      val want = graphxClusters(pairs)
+      // both regimes: the broadcast-contraction path and the
+      // beyond-broadcast plain-Pregel fallback must agree exactly
+      Seq("4000000" -> "contraction", "0" -> "pregel-fallback").foreach {
+        case (limit, regime) =>
+          val got = withConf("graft.cc.broadcastVertices" -> limit) {
+            DedupFunctions.duplicateClusters(pairs.toDF("id_a", "id_b"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          }
+          assert(got == want, s"shape $name ($regime): clusters != GraphX CC")
+          // canonical ids are component minima by construction
+          got.groupBy(_._2).foreach { case (canon, members) =>
+            assert(members.keys.min == canon,
+              s"shape $name ($regime): canonical $canon is not the component min")
+          }
+      }
+    }
+  }
 }
