@@ -300,7 +300,11 @@ object DedupFunctions {
     // mapping: every vertex appears in some edge, so no identity seed)
     var mapping: DataFrame = null
     var rounds = 0
-    var contract = true
+    // Contraction trades ~10 extra small jobs + 2 shuffles for the
+    // clique collapse — a fixed ~0.4 s that only pays off when the edge
+    // multiset is large (124M edges: 6.4 s vs 50.3 s; 250k edges: it
+    // LOSES 0.3 s to Pregel). Below the bound, go straight to Pregel.
+    var contract = edges.count() >= contractMinEdges(spark)
     while (contract && rounds < 2 && !edges.isEmpty) {
       // min over both orientations; the union is partition concat (no
       // shuffle) and the partial aggregate collapses to <=|V| rows per
@@ -362,6 +366,14 @@ object DedupFunctions {
   private[graft] def contractBroadcastLimit(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("graft.cc.broadcastVertices").map(_.toLong)
       .getOrElse(4000000L)
+
+  /** Edge-count floor below which [[duplicateClusters]] skips contraction
+    * (its fixed job overhead outweighs the clique collapse on small
+    * graphs; the count itself is a cheap scan of the already-checkpointed
+    * edge blocks). */
+  private[graft] def contractMinEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.cc.contractMinEdges").map(_.toLong)
+      .getOrElse(2000000L)
 
   /** Attach a drop-visibility observation to a bucketed candidate
     * generator: `dropped_buckets` (bucket/posting rows above the cap,

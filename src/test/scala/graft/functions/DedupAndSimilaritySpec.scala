@@ -845,11 +845,15 @@ class DedupAndSimilaritySpec extends SparkSpec {
         .filter(p => p._1 != p._2))
     shapes.foreach { case (name, pairs) =>
       val want = graphxClusters(pairs)
-      // both regimes: the broadcast-contraction path and the
-      // beyond-broadcast plain-Pregel fallback must agree exactly
-      Seq("4000000" -> "contraction", "0" -> "pregel-fallback").foreach {
-        case (limit, regime) =>
-          val got = withConf("graft.cc.broadcastVertices" -> limit) {
+      // all three regimes: broadcast contraction, the beyond-broadcast
+      // plain-Pregel fallback, and the small-graph Pregel short-circuit
+      Seq(("4000000", "0", "contraction"),
+          ("0", "0", "pregel-fallback"),
+          ("4000000", s"${Long.MaxValue}", "small-graph-shortcut")).foreach {
+        case (bcast, minEdges, regime) =>
+          val got = withConf(
+            "graft.cc.broadcastVertices" -> bcast,
+            "graft.cc.contractMinEdges" -> minEdges) {
             DedupFunctions.duplicateClusters(pairs.toDF("id_a", "id_b"))
               .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           }
