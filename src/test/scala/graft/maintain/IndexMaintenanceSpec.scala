@@ -121,6 +121,28 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(ran.exists(r => r.filesAfter < r.filesBefore))
   }
 
+  test("compact_index is config-addressable through the table-manager ACON surface") {
+    val rng = new Random(13)
+    val path = tmpDir("im-acon")
+    DedupFunctions.chunkHashIndex(docs(rng, "a", 12), "doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    (1 to 5).foreach { i =>
+      DedupFunctions.chunkHashIndex(docs(rng, s"b$i", 4), "doc_id", "text")
+        .write.mode("append").parquet(path)
+    }
+    val hashes = spark.read.parquet(path).distinct().count()
+    // max_files above the count: a guarded no-op
+    graft.Engine.manageTable(spark,
+      s"""{"function": "compact_index", "path": "$path",
+          "distinct_rows": true, "max_files": 500}""")
+    assert(IndexMaintenance.stats(spark, path)._1 == 6)
+    // unguarded: bin-packs to one file, hash set unchanged
+    graft.Engine.manageTable(spark,
+      s"""{"function": "compact_index", "path": "$path", "distinct_rows": true}""")
+    assert(IndexMaintenance.stats(spark, path)._1 == 1)
+    assert(spark.read.parquet(path).distinct().count() == hashes)
+  }
+
   test("partitioned compaction respects the per-dir file budget on oversized dirs") {
     // one hot partition whose bytes exceed targetFileBytes: the salt must
     // split it into multiple files instead of one giant object
