@@ -93,8 +93,13 @@ object ScaleCurve {
       val (df, obs) = run()
       df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      val dropped = obs.flatMap(_.get.get("dropped_buckets"))
-        .collect { case n: Number => n.longValue() }.getOrElse(0L)
+      // toRdd forcing never posts the SQL-execution-end event a blocking
+      // Observation.get waits on (found the hard way in round 17: the
+      // full-family sweep deadlocked on q31's observation) — read the
+      // populated metric accumulators straight off the executed plan.
+      val dropped = obs.flatMap(_ =>
+        org.apache.spark.sql.graft.ObservedMetrics.long(df, "dropped_buckets"))
+        .getOrElse(0L)
       // Run-to-run independence (round 17): operators that
       // localCheckpoint intermediates (near-dup auto path, cluster edge
       // lists) leave multi-GB blocks behind; a second run measured

@@ -815,6 +815,30 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(b2.toSeq == Seq((2L, "z w")))
   }
 
+  test("observed drop metrics are readable off the executed plan under toRdd forcing") {
+    // Observation.get blocks on an event that toRdd forcing never posts;
+    // ObservedMetrics reads the populated accumulators directly. Corpus
+    // built so drops occur while the RESULT stays non-empty (AQE
+    // propagates EmptyRelation over CollectMetrics when the whole result
+    // is empty — the documented observeDrops caveat, and the case where
+    // the old blocking get would deadlock rather than degrade): the
+    // 2-clone pair survives the cap, the 3-clone bucket exceeds it.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "zeta eta theta iota kappa"),
+      (5L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val o = org.apache.spark.sql.Observation()
+    val df = DedupFunctions.minhashNearDuplicates(
+      docs, "doc_id", "text", threshold = 0.1, maxBucketSize = 2,
+      dropObservation = Some(o))
+    df.queryExecution.toRdd.count()
+    val dropped = org.apache.spark.sql.graft.ObservedMetrics.long(df, "dropped_buckets")
+    assert(dropped.exists(_ > 0L), s"expected forced drops, got $dropped")
+    assert(df.count() > 0, "fixture must keep the result non-empty")
+  }
+
   /** Pure-GraphX connected components — the reference implementation the
     * contraction-accelerated duplicateClusters must equal exactly. */
   private def graphxClusters(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
