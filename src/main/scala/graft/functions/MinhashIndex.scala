@@ -64,7 +64,11 @@ final class MinhashIndex private (
 
   /** Near-duplicate pairs of `batch` documents against the INDEXED corpus
     * (including documents appended earlier): (batch_id, corpus_id,
-    * jaccard) with jaccard >= threshold.
+    * jaccard) with jaccard >= threshold. A batch doc whose OWN id is
+    * already indexed (a replayed micro-batch, or a resubmission under its
+    * original id) self-matches at jaccard 1.0 — it IS in the corpus; this
+    * is what makes [[graft.streaming.StreamingDedup.dedupBatch]]'s replay
+    * drain to empty instead of re-emitting.
     *
     * Plan shape: only the batch's (batch_id, band, bucket) KEY triples are
     * broadcast into the probe join against the index scan — never the
@@ -84,7 +88,6 @@ final class MinhashIndex private (
     val idx = spark(batch).read.parquet(location)
     val candidates = idx.select(col("id").as("corpus_id"), col("band"), col("bucket"))
       .join(broadcast(keys), Seq("band", "bucket"))
-      .where(col("batch_id") =!= col("corpus_id"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
     val corpusSh = idx.where(col("band") === 0)

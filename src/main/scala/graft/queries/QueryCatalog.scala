@@ -1986,10 +1986,10 @@ object QueryCatalog {
     * the corpus, then drop within-batch near-dups keep-lowest-id, return
     * the survivors that a streaming sink would receive. Runs with
     * `append = false` (its own index copy would otherwise mutate between
-    * bench passes, and keep-lowest-id chains make appended re-runs emit
-    * DIFFERENT survivors — see the dedupBatch scaladoc), so every
-    * evaluation is the pure batch semantics the oracle mirrors with the
-    * q31/q76 CTE family. */
+    * bench passes, and appended re-runs drain to EMPTY by the replay
+    * contract — see the dedupBatch scaladoc), so every evaluation is the
+    * pure batch semantics the oracle mirrors with the q31/q76 CTE
+    * family. */
   private val q80 = QueryDef(
     "q80_stream_dedup_batch",
     (s, dir) => {

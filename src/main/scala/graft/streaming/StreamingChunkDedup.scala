@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * [[StreamingDedup.dedupBatch]] (a failed sink write must not leave
   * phantom hashes that silently drop re-submitted text forever).
   *
-  * Replay is BENIGN in both failure orders, which is stronger than the
-  * minhash face's at-least-once: the batch computation is a pure
+  * Replay is BENIGN in both failure orders — the family contract, shared
+  * with the minhash face since it moved to appending all corpus-fresh
+  * signatures ([[StreamingDedup.dedupBatch]]): the batch computation is a pure
   * function of (batch, index state) — sink-failed replays recompute the
   * identical survivors; and a replay AFTER a successful append drains to
   * empty (every batch chunk is then either indexed from the corpus or a

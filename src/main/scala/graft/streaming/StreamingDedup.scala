@@ -22,28 +22,48 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Per batch, in order:
   *   1. drop batch docs that near-dup an INDEXED corpus doc (checkBatch);
   *   2. drop within-batch near-dups keep-lowest-id (one-shot operator on
-  *      the survivors — batches are bounded, so this is cheap);
+  *      the corpus-fresh docs — batches are bounded, so this is cheap);
   *   3. append the surviving rows to the sink;
-  *   4. only then append the survivors' signatures to the index (a failed
-  *      sink write must not poison the index — see [[dedupBatch]]).
+  *   4. only then append the signatures of EVERY corpus-fresh doc —
+  *      survivors AND within-batch-dropped — to the index (a failed sink
+  *      write must not poison the index — see [[dedupBatch]]).
   */
 object StreamingDedup {
 
   /** One micro-batch of the dedup plan — exposed for batch-mode reuse and
-    * direct testing. The survivors are handed to `sink` FIRST and appended
-    * to the index only after the sink write returns: a failed sink write
-    * must not leave "phantom" signatures in the index that would silently
-    * drop re-submitted (or future near-identical) documents from the sink
-    * forever. The reverse failure — sink written, append crashed, batch
-    * replayed — is at-least-once, the standard foreachBatch contract:
-    * the replay re-emits survivors, and when a within-batch keep-lowest-id
-    * chain existed (c~a, a~d, c<a<d: first pass drops a and d, appends c)
-    * the replay may ALSO emit a transitively-unblocked doc (d: its only
-    * near-dup a now falls to the indexed c at the corpus stage, and
-    * nothing indexed matches d). Dedup by id downstream if the sink needs
-    * exactly-once. Set `append = false` for a pure, side-effect-free
-    * evaluation of the batch semantics (always identical output for the
-    * same index state). Returns the surviving rows. */
+    * direct testing. The survivors are handed to `sink` FIRST and the
+    * index is appended only after the sink write returns: a failed sink
+    * write must not leave "phantom" signatures in the index that would
+    * silently drop re-submitted (or future near-identical) documents from
+    * the sink forever.
+    *
+    * What gets appended is the signatures of ALL corpus-fresh docs (the
+    * ones that reached the within-batch stage), not just the sink
+    * survivors. That is what makes replay BENIGN in both failure orders —
+    * the same contract as [[StreamingChunkDedup]]:
+    *   - sink failed before append: the batch computation is a pure
+    *     function of (batch, index state), so the replay recomputes the
+    *     identical survivors;
+    *   - append succeeded, batch replayed: every batch doc either matched
+    *     the corpus originally (the index only grew — still matches) or
+    *     is corpus-fresh and now self-matches its OWN appended signatures
+    *     at jaccard 1.0, so the replay drains to EMPTY in one pass and
+    *     the (empty) re-append leaves the index row multiset unchanged —
+    *     the index state is a replay fixpoint.
+    * Indexing within-batch-dropped docs also matches the one-shot
+    * operator's greedy chain semantics on id-ordered arrival: with c~a,
+    * a~d, c!~d (c<a<d) and d arriving in a later batch, the one-shot
+    * operator over the union drops d (it is the id_b of pair (a,d)); the
+    * indexed a now catches it at the corpus stage, where a survivors-only
+    * index would let d leak to the sink. Residual divergence from the
+    * one-shot operator (documented, unchanged): a doc whose only near-dup
+    * was dropped at the CORPUS stage still survives — corpus-dropped docs
+    * add nothing to the index because their representative is already in
+    * it, which is also what keeps resubmission floods from growing it.
+    *
+    * Set `append = false` for a pure, side-effect-free evaluation of the
+    * batch semantics (always identical output for the same index state).
+    * Returns the surviving rows. */
   def dedupBatch(
       batch: DataFrame, idCol: String, textCol: String,
       index: MinhashIndex, sink: DataFrame => Unit,
@@ -51,16 +71,19 @@ object StreamingDedup {
     val b = batch.localCheckpoint() // bounded; avoids re-running the source
     val vsCorpus = index.checkBatch(b, idCol, textCol)
       .select(col("batch_id").as(idCol)).distinct()
+    // Checkpointed: the within-batch pass, the survivor anti-join and the
+    // index append all read this instead of re-probing the index.
     val freshVsCorpus = b.join(vsCorpus, Seq(idCol), "left_anti")
+      .localCheckpoint()
     val innerDups = DedupFunctions.minhashNearDuplicates(
         freshVsCorpus, idCol, textCol,
         shingleSize = index.shingleSize, numHashes = index.numHashes,
         numBands = index.numBands, threshold = index.threshold)
       .select(col("id_b").as(idCol)).distinct() // keep-lowest-id
     val survivors = freshVsCorpus.join(innerDups, Seq(idCol), "left_anti")
-      .localCheckpoint() // the sink write and the index append read this
+      .localCheckpoint() // the sink write and the caller read this
     sink(survivors)
-    if (append) index.append(survivors, idCol, textCol)
+    if (append) index.append(freshVsCorpus, idCol, textCol)
     survivors
   }
 

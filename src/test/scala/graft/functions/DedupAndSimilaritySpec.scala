@@ -422,12 +422,12 @@ class DedupAndSimilaritySpec extends SparkSpec {
       oneShot.contains((math.min(b, c), math.max(b, c))) })
   }
 
-  test("MinhashIndex replay safety: re-checking an appended batch adds no self-hits") {
-    // StreamingDedup's crash story depends on this: if the sink write
-    // succeeded but the run died before/after append, the replayed batch
-    // must compute the SAME corpus verdicts — a doc must never be flagged
-    // against its own appended signatures (filtered by id equality), and
-    // append must not change cross-batch verdicts.
+  test("MinhashIndex replay: an appended batch self-matches at jaccard 1.0") {
+    // StreamingDedup's replay-drains-to-empty contract rests on this:
+    // after a batch's signatures are appended, re-checking the SAME batch
+    // flags every doc against its own indexed signatures at jaccard 1.0
+    // (a replayed doc IS in the corpus), so the replayed micro-batch
+    // emits nothing instead of re-emitting survivors.
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
     val loc = tmpDir("mhidx-replay") + "/index"
@@ -438,15 +438,19 @@ class DedupAndSimilaritySpec extends SparkSpec {
       (11L, "wholly novel content with no indexed relative"))
       .toDF("doc_id", "text")
     def verdicts() = idx.checkBatch(batch, "doc_id", "text")
-      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
-    val before = verdicts()
-    assert(before == Set((10L, 1L)))
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verdicts().map(v => (v._1, v._2)) == Set((10L, 1L)))
     idx.append(batch, "doc_id", "text")
-    // replay: identical verdicts — 10 and 11 do not match THEMSELVES
-    assert(verdicts() == before)
-    // double append (replayed append) still adds no self-hits
+    // replay: both docs now also self-match, exactly at jaccard 1.0 —
+    // including the previously-unmatched novel doc 11
+    val after = verdicts()
+    assert(after.map(v => (v._1, v._2))
+      == Set((10L, 1L), (10L, 10L), (11L, 11L)))
+    assert(after.filter(v => v._1 == v._2).forall(_._3 == 1.0))
+    // a double append (replayed append) adds rows but no NEW verdicts
     idx.append(batch, "doc_id", "text")
-    assert(verdicts() == before)
+    assert(verdicts() == after)
   }
 
   test("kernel parity fuzz: shingle kernels vs HOF chain on adversarial strings") {
@@ -499,10 +503,12 @@ class DedupAndSimilaritySpec extends SparkSpec {
   test("streaming dedup property: per-cluster survivor laws over random splits") {
     // Property-style invariants of StreamingDedup.dedupBatch (seeded,
     // reproducible). Naive split-invariance — dedupe(b1) ++ dedupe(b2 |
-    // index) == dedupe(b1 ++ b2) — is NOT a theorem of keep-lowest-id
-    // semantics (transitive chains and out-of-id-order arrival both break
-    // it; the scaladoc documents this as the replay contract), so the
-    // properties asserted here are the ones users actually rely on. With
+    // index) == dedupe(b1 ++ b2) — is NOT a theorem under out-of-id-order
+    // arrival (the arriving order decides which cluster member wins); on
+    // id-ORDERED arrival it holds since the index started absorbing
+    // within-batch-dropped docs' signatures (the PropertySpec chain law
+    // pins the non-transitive-chain case). The properties here are the
+    // order-free ones users actually rely on. With
     // near-dup classes that are CLIQUES (disjoint vocab clusters, every
     // member pairwise similar):
     //  1. id-ordered splits: survivors == { min id per cluster }, for ANY

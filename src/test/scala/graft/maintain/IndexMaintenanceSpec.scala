@@ -52,7 +52,7 @@ class IndexMaintenanceSpec extends SparkSpec {
       path, threshold = 0.3)
     (1 to 6).foreach(i => idx.append(docs(rng, s"b$i", 5), "doc_id", "text"))
     // same texts as 8 corpus docs under FRESH ids — guaranteed jaccard-1
-    // hits (checkBatch excludes equal ids as self-matches)
+    // hits with an unambiguous (batch, corpus) id pairing
     val probe = docs(new Random(21), "a", 25).limit(8)
       .withColumn("doc_id", concat(lit("z"), col("doc_id")))
     def check() = idx.checkBatch(probe, "doc_id", "text")

@@ -187,6 +187,89 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("minhash-dedup law: append a batch, replay it -> drains to empty; index is a fixpoint") {
+    // The streaming minhash face's replay contract (StreamingDedup
+    // .dedupBatch), upgraded in r17 to the chunk face's strength: after a
+    // successful append, a replayed micro-batch emits NOTHING — every
+    // batch doc either still matches the corpus (the index only grew) or
+    // self-matches its own appended signatures at jaccard 1.0 — and the
+    // re-append adds zero rows (the index state is a replay fixpoint).
+    // Holds for ARBITRARY text (self-match needs no LSH recall), so the
+    // corpora here are unconstrained random docs, not cliques.
+    import graft.functions.MinhashIndex
+    import graft.streaming.StreamingDedup
+    for (seed <- Seq(5, 23, 61)) {
+      val rng = new Random(seed)
+      val vocab = (1 to 40).map(i => s"v$i")
+      def doc() = (1 to 6 + rng.nextInt(15))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val corpus = (1L to 20L).map(i => (i, doc())).toDF("doc_id", "text")
+      // duplicate-rich batch: fresh docs, exact dups of corpus docs, and
+      // within-batch exact dups (the keep-lowest-id chain fodder)
+      val corpusTexts = corpus.as[(Long, String)].collect().map(_._2)
+      val batchTexts = (1 to 12).map { _ =>
+        rng.nextInt(3) match {
+          case 0 => corpusTexts(rng.nextInt(corpusTexts.length))
+          case _ => doc()
+        }
+      }
+      val withDups = batchTexts ++ Seq.fill(4)(batchTexts(rng.nextInt(batchTexts.size)))
+      val batch = rng.shuffle(withDups).zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val idx = MinhashIndex.build(corpus, "doc_id", "text",
+        tmpDir(s"mh-replay-$seed") + "/idx", shingleSize = 2,
+        numHashes = 32, numBands = 16, threshold = 0.5)
+      var sunk = 0L
+      StreamingDedup.dedupBatch(batch, "doc_id", "text", idx, s => sunk = s.count())
+      val rowsAfter = spark.read.parquet(idx.location).count()
+      val replay = StreamingDedup.dedupBatch(batch, "doc_id", "text", idx, _ => ())
+      assert(replay.isEmpty, s"seed $seed: replay emitted ${replay.count()} (first pass sank $sunk)")
+      assert(spark.read.parquet(idx.location).count() == rowsAfter,
+        s"seed $seed: replayed append changed the index row count")
+    }
+  }
+
+  test("minhash-dedup law: id-ordered incremental chain == one-shot over the union") {
+    // Why the index absorbs within-batch-DROPPED docs too: with a
+    // non-transitive chain c~a, a~d, c!~d (c<a<d) split so d arrives
+    // after a was dropped, the one-shot operator over the union drops d
+    // (id_b of pair (a,d)); only an index holding the dropped a's
+    // signatures catches it at the corpus stage. A survivors-only index
+    // leaks d to the sink.
+    import graft.functions.{DedupFunctions, MinhashIndex}
+    import graft.streaming.StreamingDedup
+    // token-overlap construction (shingleSize 1, threshold 0.35):
+    // a = X u Y; c = X + 4 fresh; d = Y + 4 fresh, X/Y disjoint 8-sets ->
+    // jaccard(c,a) = jaccard(a,d) = 8/20 = 0.4 >= 0.35, jaccard(c,d) = 0.
+    // 32 one-row bands make the 0.4 pairs a near-certain band collision
+    // (miss = 0.6^32) and the exact-jaccard verify keeps (c,d) impossible.
+    val xs = (1 to 8).map(i => s"x$i"); val ys = (1 to 8).map(i => s"y$i")
+    val cText = (xs ++ (1 to 4).map(i => s"c$i")).mkString(" ")
+    val aText = (xs ++ ys).mkString(" ")
+    val dText = (ys ++ (1 to 4).map(i => s"d$i")).mkString(" ")
+    val union = Seq((10L, cText), (11L, aText), (12L, dText)).toDF("doc_id", "text")
+    // precondition (loud if the LSH banding ever misses these pairs):
+    // the one-shot operator sees both chain links and keeps only c
+    val pairs = DedupFunctions.minhashNearDuplicates(
+        union, "doc_id", "text", shingleSize = 1, numHashes = 32,
+        numBands = 32, threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L)), s"precondition: $pairs")
+    // incremental, id-ordered arrival: batch 1 = {c, a}, batch 2 = {d}
+    val idx = MinhashIndex.build(
+      Seq((1L, "seedvocab only nothing similar here")).toDF("doc_id", "text"),
+      "doc_id", "text", tmpDir("mh-chain") + "/idx", shingleSize = 1,
+      numHashes = 32, numBands = 32, threshold = 0.35)
+    val s1 = StreamingDedup.dedupBatch(
+      Seq((10L, cText), (11L, aText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, _ => ())
+    assert(s1.select("doc_id").as[Long].collect().toSet == Set(10L))
+    val s2 = StreamingDedup.dedupBatch(
+      Seq((12L, dText)).toDF("doc_id", "text"), "doc_id", "text", idx, _ => ())
+    assert(s2.isEmpty,
+      "d leaked: its dropped blocker a must be caught by the index")
+  }
+
   test("snapshot diff round trip: applying the diff reproduces the target") {
     for (seed <- Seq(2, 17)) {
       val rng = new Random(seed)

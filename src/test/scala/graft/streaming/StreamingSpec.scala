@@ -365,9 +365,11 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
       == Set(102L, 202L))
-    // the index grew by exactly the survivors (1 seed + 102 + 202, x bands)
+    // the index grew by exactly the CORPUS-FRESH docs — survivors AND the
+    // within-batch-dropped 103 (what makes replay drain to empty below);
+    // the corpus-dup 101 added nothing
     assert(spark.read.parquet(idxLoc).select("id").distinct()
-      .as[Long].collect().toSet == Set(1L, 102L, 202L))
+      .as[Long].collect().toSet == Set(1L, 102L, 103L, 202L))
     // a FAILED sink write must not leave phantom signatures in the index:
     // the doc would otherwise be dropped as a "corpus dup" on every retry
     // without ever reaching the sink
@@ -377,7 +379,15 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text", idx, _ => throw new RuntimeException("sink down"))
     }
     assert(spark.read.parquet(idxLoc).select("id").distinct()
-      .as[Long].collect().toSet == Set(1L, 102L, 202L)) // unchanged
+      .as[Long].collect().toSet == Set(1L, 102L, 103L, 202L)) // unchanged
+    // benign replay: re-running an already-appended batch drains to EMPTY
+    // (101 still matches the corpus; 102/103 self-match their own indexed
+    // signatures at jaccard 1.0) — a replayed micro-batch cannot grow the
+    // sink, same contract as the chunk face
+    val replay = graft.streaming.StreamingDedup.dedupBatch(
+      Seq((101L, textA), (102L, textX), (103L, textX)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, _ => (), append = false)
+    assert(replay.isEmpty)
   }
 
   test("streaming chunk dedup: anti-join vs the hash index + append per micro-batch") {
