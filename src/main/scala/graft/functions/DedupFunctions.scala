@@ -567,11 +567,17 @@ object DedupFunctions {
     * window): each document splits into consecutive `chunkTokens`-token
     * chunks, a chunk occurring anywhere earlier in the corpus (global
     * first occurrence by (id, pos)) drops, survivors reassemble in
-    * position order. 100 TB shape: ONE corpus scan (the tokenize is
-    * PlanBarrier-fenced so the chunk transform and the chunk count share
-    * one evaluation), one text-bearing exchange (the chunk-hash window —
-    * the chunk text IS the dedup payload) and the per-document
-    * reassembly aggregation; no joins, no driver state.
+    * position order.
+    *
+    * 100 TB shape (r17 rewrite — the 2000x curve caught the original's
+    * text-bearing window exchange going super-linear at 10M docs, 4x
+    * data -> 5.4x wall): chunk TEXT never rides an exchange. The
+    * first-occurrence window runs over narrow (id, pos, hash16) rows
+    * (16-byte binary fingerprint), only DUPLICATE positions aggregate
+    * per document (absent for the typical dup-free doc), and clean_text
+    * rebuilds MAP-SIDE from a second corpus scan joined to those dup
+    * positions — document text moves at most once (not at all under a
+    * broadcast of the dup side), the same discipline as [[removeSpans]].
     *
     * @return (id, clean_text, kept_chunks, total_chunks)
     */
@@ -580,12 +586,63 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       chunkTokens: Int = 5): DataFrame = {
-    val kept = chunkRows(df, idCol, textCol, chunkTokens)
+    val dupPos = chunkFingerprints(df, idCol, textCol, chunkTokens, hex = false)
       .withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col("chunk"))).orderBy(col(idCol), col("pos"))))
-      .where(col("__rn") === 1)
-    reassembleChunks(kept, idCol)
+          .partitionBy(col("__h")).orderBy(col(idCol), col("pos"))))
+      .where(col("__rn") > 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__dup_pos"))
+    rebuildChunks(df, dupPos, idCol, textCol, chunkTokens, posAreKept = false)
+  }
+
+  /** Per-row rebuild kernel for chunk dedup (the chunk analogue of
+    * [[rebuildSpans]]): re-tokenize, re-chunk at the `cc`-token grid and
+    * keep or drop by chunk position; returns (clean_text, kept_chunks,
+    * total_chunks). Null positions with `posAreKept = false` keep
+    * everything (the dup-free document of the left join). */
+  private lazy val rebuildChunkText = udf {
+    (text: String, positions: Seq[Int], cc: Int, posAreKept: Boolean) =>
+      val raw = if (text == null) Array.empty[String] else text.split(" ", -1)
+      val toks = raw.filter(_.nonEmpty)
+      if (toks.isEmpty) ("", 0L, 0L) // dropped by the kept_chunks > 0 gate
+      else {
+        val total = (toks.length + cc - 1) / cc
+        val pos = if (positions == null) Set.empty[Int] else positions.toSet
+        val kept = (0 until total).iterator
+          .filter(i => if (posAreKept) pos(i) else !pos(i))
+          .map(i => toks.slice(i * cc, math.min((i + 1) * cc, toks.length))
+            .mkString(" "))
+          .toArray
+        (kept.mkString(" "), kept.length.toLong, total.toLong)
+      }
+  }
+
+  /** Map-side survivor rebuild shared by [[chunkDedup]] and
+    * [[chunkDedupAgainstIndex]]: join the RAW documents to their per-doc
+    * position verdicts and re-chunk after the join with the tight-loop
+    * kernel, so the document text crosses exactly one hash exchange
+    * un-sorted — the shuffle_hash hint keeps the text side out of a
+    * sort-merge sort (and AQE still demotes to broadcast when the verdict
+    * side is small). `posAreKept = false` treats positions as duplicates
+    * to drop (docs without a row keep everything); `true` treats them as
+    * the only chunks to keep (docs without a row vanish — the inner
+    * join). The fence keeps the empty-doc filter from pushing the kernel
+    * into a second plan node (PlanAuditSpec gates the duplication). */
+  private def rebuildChunks(
+      df: DataFrame, positions: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, posAreKept: Boolean): DataFrame = {
+    val posCol = if (posAreKept) "__kept_pos" else "__dup_pos"
+    val joined = df.select(col(idCol), col(textCol))
+      .join(positions.hint("shuffle_hash"), Seq(idCol),
+        if (posAreKept) "inner" else "left")
+    PlanBarrier.fence(joined
+      .select(col(idCol),
+        rebuildChunkText(col(textCol), col(posCol),
+          lit(chunkTokens), lit(posAreKept)).as("r"))
+      .select(col(idCol), col("r._1").as("clean_text"),
+        col("r._2").as("kept_chunks"), col("r._3").as("total_chunks")))
+      .where(col("kept_chunks") > 0) // fully-duplicate documents vanish
   }
 
   /** The persisted-index side of incremental chunk dedup: the DISTINCT
@@ -617,15 +674,21 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       chunkTokens: Int = 5): DataFrame = {
-    val chunks = chunkRows(batch, idCol, textCol, chunkTokens)
-      .withColumn("__h", md5(col("chunk")))
-    val fresh = chunks.join(index.select(col("chunk_hash").as("__h")),
-      Seq("__h"), "left_anti")
-    val kept = fresh.withColumn("__rn",
+    // Narrow throughout, like [[chunkDedup]]: the anti-join probes the
+    // index with (id, pos, hex-hash) rows — hex strings because that is
+    // the persisted chunkHashIndex format, and an anti-join tolerates the
+    // duplicate hashes append-only ingest legitimately accumulates. The
+    // batch text rides no exchange; survivors rebuild map-side from the
+    // kept positions (inner join: fully-dropped documents vanish).
+    val keptPos = chunkFingerprints(batch, idCol, textCol, chunkTokens, hex = true)
+      .join(index.select(col("chunk_hash").as("__h")), Seq("__h"), "left_anti")
+      .withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("__h")).orderBy(col(idCol), col("pos"))))
       .where(col("__rn") === 1)
-    reassembleChunks(kept, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__kept_pos"))
+    rebuildChunks(batch, keptPos, idCol, textCol, chunkTokens, posAreKept = true)
   }
 
   /** The index-maintenance half of the incremental loop: the chunk
@@ -657,31 +720,39 @@ object DedupFunctions {
       spark, indexPath, partitionBy = Nil, distinctRows = true,
       targetFileBytes = targetFileBytes)
 
-  /** Shared chunking: (id, total_chunks, pos, chunk) rows with the
-    * tokenize fenced (one evaluation feeds both the transform and the
-    * count — PlanAuditSpec gates the duplication). */
-  private def chunkRows(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int): DataFrame = {
-    val C = chunkTokens
-    val toks = PlanBarrier.fence(
+  /** Tokenize with the split fenced (one evaluation feeds every
+    * downstream use — PlanAuditSpec gates the duplication); empty and
+    * whitespace-only documents vanish. */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    PlanBarrier.fence(
       df.select(col(idCol),
         filter(split(col(textCol), " "), t => length(t) > 0).as("tk")))
       .where(size(col("tk")) > 0)
-    toks.select(col(idCol),
-      ceil(size(col("tk")) / lit(C.toDouble)).cast("long").as("total_chunks"),
-      posexplode(transform(
-        sequence(lit(0), ceil(size(col("tk")) / lit(C.toDouble)).cast("int") - 1),
-        i => array_join(slice(col("tk"), i * C + 1, lit(C)), " ")))
-        .as(Seq("pos", "chunk")))
-  }
 
-  private def reassembleChunks(kept: DataFrame, idCol: String): DataFrame =
-    kept.groupBy(col(idCol)).agg(
-      concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("pos"), col("chunk")))),
-        st => st.getField("chunk"))).as("clean_text"),
-      count(lit(1)).cast("long").as("kept_chunks"),
-      first(col("total_chunks")).as("total_chunks"))
+  /** Consecutive `chunkTokens`-token chunk strings of a token array, in
+    * position order (the last chunk may be a short tail). */
+  private def chunksOf(tk: Column, chunkTokens: Int): Column =
+    transform(
+      sequence(lit(0), ceil(size(tk) / lit(chunkTokens.toDouble)).cast("int") - 1),
+      i => array_join(slice(tk, i * chunkTokens + 1, lit(chunkTokens)), " "))
+
+  /** Shared chunking: (id, total_chunks, pos, chunk) rows. */
+  private def chunkRows(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame =
+    tokenized(df, idCol, textCol).select(col(idCol),
+      ceil(size(col("tk")) / lit(chunkTokens.toDouble)).cast("long").as("total_chunks"),
+      posexplode(chunksOf(col("tk"), chunkTokens)).as(Seq("pos", "chunk")))
+
+  /** Narrow chunk-fingerprint stream: (id, pos, __h) — the dedup-relevant
+    * projection of [[chunkRows]], hashed map-side so chunk text never
+    * reaches an exchange. `hex = true` keeps the 32-char md5 string (the
+    * persisted chunkHashIndex format); `hex = false` packs it to 16-byte
+    * binary for in-flight-only use. */
+  private def chunkFingerprints(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, hex: Boolean): DataFrame =
+    tokenized(df, idCol, textCol).select(col(idCol),
+      posexplode(transform(chunksOf(col("tk"), chunkTokens),
+        c => if (hex) md5(c) else unhex(md5(c)))).as(Seq("pos", "__h")))
 
   /** Remove duplicated substrings from document text, keeping the first
     * occurrence — the transform stage of suffix-array substring dedup

@@ -477,6 +477,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idxLoc).distinct().count() == 4) // ab cd ef gh
   }
 
+  test("streaming minhash dedup: compactEvery bounds the index file count, semantics unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val textC = "mon tue wed thu fri sat sun jan feb mar apr may"
+    val idxLoc = tmpDir("sddc-idx") + "/index"
+    val sink = tmpDir("sddc-sink") + "/clean"
+    val ckpt = tmpDir("sddc-ckpt")
+    val idx = graft.functions.MinhashIndex.build(
+      Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text", idxLoc,
+      threshold = 0.5)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingDedup.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, sink,
+        ckpt, compactEvery = 2)
+      q.awaitTermination(60000)
+    }
+    // four micro-batches; compaction fires after batch ids 1 and 3
+    mem.addData((11L, textB)); drain()  // fresh
+    mem.addData((12L, textB)); drain()  // dup of batch-0 survivor -> compact
+    mem.addData((13L, textC)); drain()  // fresh
+    mem.addData((14L, textC)); drain()  // dup ACROSS compaction -> compact
+    assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+      == Set(11L, 13L),
+      "dedup semantics drifted under periodic compaction")
+    // corpus-dropped 12/14 add nothing; the band partitioning survives
+    // and the posting lists are bin-packed to one file per band dir
+    assert(spark.read.parquet(idxLoc).select("id").distinct()
+      .as[Long].collect().toSet == Set(1L, 11L, 13L))
+    val (files, _) = graft.maintain.IndexMaintenance.stats(spark, idxLoc)
+    assert(files <= 4, s"posting lists not bin-packed: $files files")
+    val dirs = new java.io.File(idxLoc).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("band=")) == 4, s"band layout lost: ${dirs.toSeq}")
+  }
+
   test("kafka wire contract: sink projection and source decode round-trip") {
     import graft.io.KafkaWire
     import org.apache.spark.sql.types._
@@ -611,7 +650,7 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit = {
       val q = graft.streaming.StreamingPqIngest.start(
         mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-        cur, idxLoc, sink, ckpt, dedup = true, nProbe = 2)
+        cur, idxLoc, sink, ckpt, dedup = true, nProbe = 2, compactEvery = 2)
       q.awaitTermination(60000)
       cur = cur.appendToPersisted(idxLoc,
         spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding"),
