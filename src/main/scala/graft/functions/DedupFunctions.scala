@@ -833,7 +833,11 @@ object DedupFunctions {
     val dropStarts = removable.groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     cur
-      .join(dropStarts, Seq("id"), "left")
+      // shuffle_hash: the document text must not pay a sort-merge sort
+      // just to meet its narrow drop-position list (measured at the 2000x
+      // point, r17 — the same fix as chunkDedup's rebuild join); AQE still
+      // demotes to broadcast when the span side is small.
+      .join(dropStarts.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"),
         rebuildSpans(col("clean_text"), col("starts"), lit(k)).as("r"),
         col("n_removed"))
