@@ -419,16 +419,28 @@ object SimilarityFunctions {
     // one row per pair decides the drop directly. Half the cosine
     // verifies and half the sim-join lookups of the directed (a != b)
     // formulation, for the identical dropped set.
-    val cands = observedCells
+    //
+    // Pairs come from a cell-keyed SELF-JOIN of the (id, vec, cell)
+    // checkpoint with the cosine verify FUSED into the join as a
+    // post-condition, so vectors cross two corpus-sized cell exchanges
+    // and the verified output is bare id pairs. The r16 formulation
+    // exploded bare-id pairs first and joined vectors back BY ID — after
+    // the id_a join every candidate row dragged a dim-sized vector
+    // through the id_b sort-merge join (~136 GB sorted at the 4M-vector
+    // point; measured 8.3x wall for 4x data — the 2000x instrument's
+    // catch, r17). Cells to compare are the [2, maxCellSize] sizes off
+    // the SAME observed aggregate, so the drop observation still fires.
+    val sized = observedCells
       .where(size(col("ids")).between(2, maxCellSize))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-    val va = members.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = members.select(col("id").as("id_b"), col("vec").as("vec_b"))
-    val neighbors = cands
-      .join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .where(cosine(col("vec_a"), col("vec_b")) >= simThreshold)
+      .select(col("cell"))
+    val compared = members.join(sized, Seq("cell"))
+    val neighbors = compared
+      .select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(compared
+        .select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        cosine(col("vec_a"), col("vec_b")) >= simThreshold)
       .select(col("id_a"), col("id_b"))
     val simA = withSim.select(col("id").as("id_a"), col("centroid_sim").as("sim_a"))
     val simB = withSim.select(col("id").as("id_b"), col("centroid_sim").as("sim_b"))

@@ -66,9 +66,19 @@ object ScaleCurve {
         // has Copies-1 exact clones and the true-pair workload grows
         // QUADRATICALLY in Copies, drowning the scaling signal in an
         // adversarial all-clones corpus.
+        //
+        // r17 fix: the original linear-congruential condition
+        // ((i*odd + j*odd) mod 2) collapses to (i+j) parity, so every
+        // SAME-parity copy pair shared one flip pattern — exact clones,
+        // the quadratic regime the flip exists to prevent (it is exactly
+        // the ~250-member near-clique structure the r17 CC anatomy
+        // measured on the r16-generated x500 corpus). Murmur3 over
+        // (copy, dim) gives independent per-copy patterns. Corpora
+        // generated before/after this change are NOT pair-workload
+        // comparable; regenerate rather than extend an old corpus.
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
-            x * when(pmod(lit(i.toLong * 2654435761L) + j * 40503L, lit(2)) === 0,
+            x * when(pmod(hash(lit(i), j), lit(2)) === 0,
               1.0f).otherwise(-1.0f)))
     }.reduce(_.unionByName(_))
       .repartition(32)
