@@ -299,44 +299,53 @@ object SimilarityFunctions {
         val r = adaptiveRows(base.count())
         (r, adaptiveBands(r, numBands))
       }
-    // Candidate generation is id-only (explode band keys -> ONE shuffle
-    // grouping ids by bucket -> in-bucket pair expansion -> narrow dedup);
-    // the float vectors are joined back only for the surviving pairs, so
-    // no vector is ever shuffled with the candidate stream.
     // PlanBarrier: posexplode over a UDF column would otherwise let the
     // optimizer re-evaluate the signature kernel in both the Generate
     // and its input Project (PlanAuditSpec gates the duplication class).
-    // The fence wraps ONLY the (id, keys) projection — the vector-verify
-    // branches below read the materialized base, so the kernel runs
-    // exactly once and `vec` never crosses the barrier.
+    // `vec` rides through the fence so the bucket self-join below can
+    // verify in place (one row ser/deser per doc — noise next to the
+    // exchange it saves).
     val withKeys = graft.util.PlanBarrier.fence(
-      base.select(col("id"),
+      base.select(col("id"), col("vec"),
         lshBandKeys(col("vec"), dim, rows, bands).as("keys")))
-    val banded = withKeys.select(col("id"),
+    val banded = withKeys.select(col("id"), col("vec"),
       posexplode(col("keys")).as(Seq("band", "key")))
-      .select(col("id"),
-        struct(col("band"), col("key")).as("bk"))
     // Bounded buckets (same guard as the minhash/simhash generators): one
     // hot LSH bucket would otherwise land every member in a single
     // collect_list buffer row and expand O(B^2) pairs. Dropped buckets
     // are observable via `dropObservation` (dropped_buckets/max_bucket).
     val grouped = banded
-      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy(col("band"), col("key"))
       .agg(collect_list(col("id")).as("ids"))
     val observed = dropObservation.fold(grouped)(o => grouped.observe(o,
       sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
       coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")))
-    val cands = observed
+    // Fused verify (r17, the semanticDedup fix applied to the banded
+    // generator): pairs come from a (band, key)-keyed SELF-JOIN of the
+    // banded (id, vec) rows with the cosine verify fused into the join
+    // stage, and the cross-band dedup runs on VERIFIED bare-id pairs.
+    // The r16 formulation deduped bare-id candidates first and joined
+    // vectors back by id — at the 4M-vector point that dragged a
+    // dim-sized vector per candidate row through an id-keyed sort-merge
+    // join, overflowing the node's scratch disk before finishing; here
+    // vectors cross only the bands-x-corpus bucket exchange (~8 GB at
+    // 4M) and every downstream exchange is bare ids + score. The trade:
+    // a pair colliding in several bands pays one cosine per collision
+    // instead of one per pair — flops for exchange volume.
+    val sized = observed
       .where(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+      .select(col("band"), col("key"))
+    val compared = banded.join(sized, Seq("band", "key"))
+    compared
+      .select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(compared
+        .select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("band", "key"))
+      .where(col("id_a") < col("id_b") &&
+        cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("score"))
       .dropDuplicates("id_a", "id_b")
-    val va = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
-    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("score"))
-      .where(col("score") >= threshold)
   }
 
   /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
