@@ -332,14 +332,19 @@ object SimilarityFunctions {
     // 4M) and every downstream exchange is bare ids + score. The trade:
     // a pair colliding in several bands pays one cosine per collision
     // instead of one per pair — flops for exchange volume.
+    // shuffle_hash throughout: the PlanBarrier fence hides size stats, so
+    // Catalyst would otherwise sort-merge these — a sort of the
+    // vector-bearing banded stream per join side, pure fixed cost at gate
+    // scale and a second sort pass at 4M.
     val sized = observed
       .where(size(col("ids")).between(2, maxBucketSize))
       .select(col("band"), col("key"))
-    val compared = banded.join(sized, Seq("band", "key"))
+    val compared = banded.join(sized.hint("shuffle_hash"), Seq("band", "key"))
     compared
       .select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("vec_a"))
       .join(compared
-        .select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vec_b")),
+        .select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"),
         Seq("band", "key"))
       .where(col("id_a") < col("id_b") &&
         cosine(col("vec_a"), col("vec_b")) >= threshold)
@@ -439,14 +444,18 @@ object SimilarityFunctions {
     // point; measured 8.3x wall for 4x data — the 2000x instrument's
     // catch, r17). Cells to compare are the [2, maxCellSize] sizes off
     // the SAME observed aggregate, so the drop observation still fires.
+    // shuffle_hash (same rationale as embeddingNearDuplicates): the
+    // checkpoint hides size stats, so Catalyst would sort-merge these and
+    // pay a sort of the vector-bearing member stream per join side.
     val sized = observedCells
       .where(size(col("ids")).between(2, maxCellSize))
       .select(col("cell"))
-    val compared = members.join(sized, Seq("cell"))
+    val compared = members.join(sized.hint("shuffle_hash"), Seq("cell"))
     val neighbors = compared
       .select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
       .join(compared
-        .select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b")),
+        .select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"),
         Seq("cell"))
       .where(col("id_a") < col("id_b") &&
         cosine(col("vec_a"), col("vec_b")) >= simThreshold)

@@ -119,14 +119,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(n77 >= 1, "walker found no documents scan — traversal is broken")
     assert(n77 <= 2,
       s"q77 scans documents $n77 times; the qualified corpus must be staged once")
-    // The dedup family's SHUFFLES must be id-only: candidate generation
-    // and pair dedup are the wide exchanges, and they must never carry
-    // signature/shingle/embedding arrays — that discipline is what keeps
-    // the 50× scale curve sub-linear. (The verification joins DO move
-    // arrays for surviving pairs — at this SF the planner broadcasts
-    // those small sides, at scale they shuffle survivors only; both are
-    // the designed shape and neither appears as an array-carrying
-    // ShuffleExchange here.)
+    // The dedup family's PAIR exchanges must be id-only: a shuffle whose
+    // rows are candidate/verified pairs (both id_a and id_b present)
+    // grows super-linearly on dup-dense corpora, so it must never carry
+    // signature/shingle/embedding arrays — the r17 4M-vector instrument
+    // measured exactly that failure (a 256-byte vector per pair row
+    // through an id-keyed sort-merge join = ~136 GB sorted / disk death).
+    // CORPUS-bounded exchanges (one row per banded doc, e.g. the r17
+    // fused-verify bucket self-join sides in q40/q78/q91) MAY carry the
+    // vector: bands x corpus is the linear, designed payload.
     val arrayShufflePinned = Seq("q31_dedup_minhash", "q32_dedup_simhash",
       "q40_embedding_neardup", "q76_incremental_dedup", "q78_embedding_clusters")
     val offenders = arrayShufflePinned.flatMap { name =>
@@ -134,12 +135,13 @@ class PlanAuditSpec extends SparkSpec {
       collectPlans(q.run(spark, sfDir).queryExecution.executedPlan).collect {
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
             if s.output.exists(_.dataType.isInstanceOf[
-              org.apache.spark.sql.types.ArrayType]) =>
+              org.apache.spark.sql.types.ArrayType]) &&
+              Seq("id_a", "id_b").forall(n => s.output.exists(_.name == n)) =>
           s"$name: ${s.output.map(_.name).mkString(",")}"
       }
     }
     assert(offenders.isEmpty,
-      s"candidate shuffles carrying array columns: ${offenders.mkString("; ")}")
+      s"pair-stream shuffles carrying array columns: ${offenders.mkString("; ")}")
   }
 
   test("the duplicate detector fires on the known-bad unfenced shape (negative control)") {
