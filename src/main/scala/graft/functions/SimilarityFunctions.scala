@@ -280,7 +280,63 @@ object SimilarityFunctions {
       dim: Int, threshold: Double,
       numBits: Int = 0, numBands: Int = 4,
       maxBucketSize: Int = 100000,
-      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    embeddingVerifiedPairs(df, idCol, vecCol, dim, threshold, numBits,
+      numBands, maxBucketSize, dropObservation, withScore = true)
+      .dropDuplicates("id_a", "id_b")
+
+  /** The PRE-dedup verified pair multiset behind
+    * [[embeddingNearDuplicates]]: a pair colliding in several bands
+    * appears once per collision, and no score column is computed. The
+    * edge SET is identical to the deduped output, which is all a
+    * connected-components consumer reads — [[embeddingClusters]] feeds
+    * this straight into
+    * [[graft.functions.DedupFunctions.duplicateClusters]], whose first
+    * contraction round collapses duplicates in its map-side partial
+    * aggregate for free, skipping the corpus-sized cross-band
+    * distinct exchange entirely. */
+  private[graft] def embeddingNearDuplicateMultiset(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      numBits: Int = 0, numBands: Int = 4,
+      maxBucketSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    embeddingVerifiedPairs(df, idCol, vecCol, dim, threshold, numBits,
+      numBands, maxBucketSize, dropObservation, withScore = false)
+
+  /** Embedding near-duplicate CLUSTERS: hyperplane-LSH banded candidate
+    * generation with fused cosine verify, resolved to connected
+    * components — each member labeled with its cluster's minimum id.
+    * Output: (id, canonical_id) for every id that appears in any
+    * verified pair.
+    *
+    * 100 TB shape (r17): the pair-OUTPUT operator
+    * ([[embeddingNearDuplicates]]) must pay a cross-band distinct over
+    * bands-x-pairs rows — on a clone-heavy corpus that is the single
+    * largest exchange in the pipeline (~2.5B bare-id rows at the
+    * 4M-vector scale point). A cluster consumer never needs it: the
+    * duplicate edges collapse inside the clustering's first
+    * min-contraction aggregate BEFORE its exchange (map-side combine),
+    * so this operator hands the raw verified multiset over and the
+    * distinct disappears from the plan. Same components, same labels —
+    * law-pinned against the composed pair path. */
+  def embeddingClusters(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      numBits: Int = 0, numBands: Int = 4,
+      maxBucketSize: Int = 100000,
+      dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    DedupFunctions.duplicateClusters(embeddingNearDuplicateMultiset(
+      df, idCol, vecCol, dim, threshold, numBits, numBands,
+      maxBucketSize, dropObservation))
+
+  private def embeddingVerifiedPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double,
+      numBits: Int, numBands: Int,
+      maxBucketSize: Int,
+      dropObservation: Option[org.apache.spark.sql.Observation],
+      withScore: Boolean): DataFrame = {
     // Explicit numBits pins (rows, bands) exactly; the auto path derives
     // rows from the corpus count and grows BANDS with the key width so
     // the true-pair catch rate holds as the corpus scales (adaptiveBands
@@ -340,7 +396,7 @@ object SimilarityFunctions {
       .where(size(col("ids")).between(2, maxBucketSize))
       .select(col("band"), col("key"))
     val compared = banded.join(sized.hint("shuffle_hash"), Seq("band", "key"))
-    compared
+    val verified = compared
       .select(col("band"), col("key"), col("id").as("id_a"), col("vec").as("vec_a"))
       .join(compared
         .select(col("band"), col("key"), col("id").as("id_b"), col("vec").as("vec_b"))
@@ -348,9 +404,10 @@ object SimilarityFunctions {
         Seq("band", "key"))
       .where(col("id_a") < col("id_b") &&
         cosine(col("vec_a"), col("vec_b")) >= threshold)
-      .select(col("id_a"), col("id_b"),
+    if (withScore)
+      verified.select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b")).as("score"))
-      .dropDuplicates("id_a", "id_b")
+    else verified.select(col("id_a"), col("id_b"))
   }
 
   /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient

@@ -1056,12 +1056,14 @@ object QueryCatalog {
     * ever forming the all-pairs product. */
   private val q78 = QueryDef(
     "q78_embedding_clusters",
-    (s, dir) => {
-      val pairs = SimilarityFunctions.embeddingNearDuplicates(
+    (s, dir) =>
+      // The fused cluster operator consumes the PRE-dedup verified pair
+      // multiset (duplicate edges collapse in the clustering's own
+      // map-side contraction aggregate), so the oracle's DISTINCT-pair
+      // CTE is satisfied by edge-set equality, not row equality.
+      SimilarityFunctions.embeddingClusters(
         T(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.3)
-      DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b"))
-        .orderBy(col("id"))
-    },
+        .orderBy(col("id")),
     Some(s"""
       WITH RECURSIVE ${lshSigCtesAdaptive(64)},
       $bandedAdaptiveSql,

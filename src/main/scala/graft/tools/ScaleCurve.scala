@@ -210,11 +210,11 @@ object ScaleCurve {
         (SimilarityFunctions.semanticDedup(e, "vec_id", "embedding",
           dim = 64, numBits = bits, simThreshold = 0.3), None)
       }),
-      "q78_clusters_auto" -> (() => {
-        val pairs = SimilarityFunctions.embeddingNearDuplicates(
-          emb, "vec_id", "embedding", dim = 64, threshold = 0.3)
-        (DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b")), None)
-      }),
+      "q78_clusters_auto" -> (() => (
+        // the fused operator: pre-dedup verified multiset straight into
+        // the contraction (no cross-band distinct exchange)
+        SimilarityFunctions.embeddingClusters(
+          emb, "vec_id", "embedding", dim = 64, threshold = 0.3), None)),
       // The CC stage ISOLATED from its pair generator (round 17): the
       // edge list is written to PARQUET once outside the timed closure
       // (disk, not block-manager residency — the realistic pipeline

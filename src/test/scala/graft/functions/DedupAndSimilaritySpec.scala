@@ -896,4 +896,52 @@ class DedupAndSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("embeddingClusters: fused multiset path equals composed pairs->clusters") {
+    // Planted clusters: 12 base directions, each with 2-5 near-clones
+    // (tiny deterministic perturbation keeps cosine ~0.9999), plus 20
+    // isolated random vectors. Threshold 0.95 verifies only true clones.
+    val rng = new scala.util.Random(173)
+    val dim = 16
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    var id = 0L
+    val rows = scala.collection.mutable.Buffer.empty[(Long, Array[Float])]
+    (0 until 12).foreach { _ =>
+      val base = unit(Array.fill(dim)(rng.nextGaussian().toFloat))
+      (0 until 2 + rng.nextInt(4)).foreach { _ =>
+        rows += ((id, unit(base.map(_ + rng.nextGaussian().toFloat * 1e-3f))))
+        id += 1
+      }
+    }
+    (0 until 20).foreach { _ =>
+      rows += ((id, unit(Array.fill(dim)(rng.nextGaussian().toFloat)))); id += 1
+    }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val pairs = SimilarityFunctions.embeddingNearDuplicates(
+      emb, "vec_id", "embedding", dim = dim, threshold = 0.95)
+    // the multiset's distinct edge set IS the deduped pair set
+    val multiset = SimilarityFunctions.embeddingNearDuplicateMultiset(
+      emb, "vec_id", "embedding", dim = dim, threshold = 0.95)
+    assert(multiset.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "multiset edge set != deduped pair set")
+    val composed = DedupFunctions.duplicateClusters(pairs.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(composed.nonEmpty, "fixture must plant at least one cluster")
+    // fused operator, in both clustering regimes
+    Seq(("4000000", "0"), ("0", s"${Long.MaxValue}")).foreach {
+      case (bcast, minEdges) =>
+        val fused = withConf(
+          "graft.cc.broadcastVertices" -> bcast,
+          "graft.cc.contractMinEdges" -> minEdges) {
+          SimilarityFunctions.embeddingClusters(
+            emb, "vec_id", "embedding", dim = dim, threshold = 0.95)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+        assert(fused == composed, "fused clusters != composed pairs->clusters")
+    }
+  }
 }
