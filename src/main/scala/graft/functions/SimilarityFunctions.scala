@@ -289,12 +289,7 @@ object SimilarityFunctions {
     * [[embeddingNearDuplicates]]: a pair colliding in several bands
     * appears once per collision, and no score column is computed. The
     * edge SET is identical to the deduped output, which is all a
-    * connected-components consumer reads — [[embeddingClusters]] feeds
-    * this straight into
-    * [[graft.functions.DedupFunctions.duplicateClusters]], whose first
-    * contraction round collapses duplicates in its map-side partial
-    * aggregate for free, skipping the corpus-sized cross-band
-    * distinct exchange entirely. */
+    * connected-components consumer reads. */
   private[graft] def embeddingNearDuplicateMultiset(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
@@ -310,16 +305,18 @@ object SimilarityFunctions {
     * Output: (id, canonical_id) for every id that appears in any
     * verified pair.
     *
-    * 100 TB shape (r17): the pair-OUTPUT operator
-    * ([[embeddingNearDuplicates]]) must pay a cross-band distinct over
-    * bands-x-pairs rows — on a clone-heavy corpus that is the single
-    * largest exchange in the pipeline (~2.5B bare-id rows at the
-    * 4M-vector scale point). A cluster consumer never needs it: the
-    * duplicate edges collapse inside the clustering's first
-    * min-contraction aggregate BEFORE its exchange (map-side combine),
-    * so this operator hands the raw verified multiset over and the
-    * distinct disappears from the plan. Same components, same labels —
-    * law-pinned against the composed pair path. */
+    * Shape (r17, measured both ways): the cluster consumer skips the
+    * pair operator's score projection, so the cross-band distinct
+    * exchange carries bare (id_a, id_b) rows — a third less payload
+    * than [[embeddingNearDuplicates]]`.select(ids)`, whose projection
+    * Catalyst cannot push below the distinct. The distinct itself
+    * STAYS: handing the raw verified multiset straight to the
+    * clustering measured 146 s vs 78 s composed at the 1M-vector point
+    * — at adaptive widths the multiset is ~bands (~20x) larger than the
+    * pair set, and the clustering's eager edge materialization pays
+    * that 20x in block-manager writes where the distinct pays one
+    * compressed shuffle. Reduce-early wins; law-pinned == composed
+    * pairs->clusters. */
   def embeddingClusters(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
@@ -328,7 +325,8 @@ object SimilarityFunctions {
       dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame =
     DedupFunctions.duplicateClusters(embeddingNearDuplicateMultiset(
       df, idCol, vecCol, dim, threshold, numBits, numBands,
-      maxBucketSize, dropObservation))
+      maxBucketSize, dropObservation)
+      .dropDuplicates("id_a", "id_b"))
 
   private def embeddingVerifiedPairs(
       df: DataFrame, idCol: String, vecCol: String,
