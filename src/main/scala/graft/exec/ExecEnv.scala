@@ -18,19 +18,6 @@ object ExecEnv {
     "spark.sql.extensions" -> "graft.exec.GraftExtensions",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-    // Over-provision the pre-AQE shuffle partition count and let
-    // coalescing trim it back: with the static default a shuffle's
-    // partition count is fixed at spark.sql.shuffle.partitions no matter
-    // the input, so a corpus-sized window sort (span/chunk fingerprint
-    // families) pushes hundreds of MB through each fixed partition and
-    // spills, while AQE's parallelism-first coalesce keeps SMALL shuffles
-    // at the same effective task count as before. Measured (PLANS.md
-    // round 17): the q88 2000x point's per-partition sort volume is the
-    // one residual super-linear step, and 4x more partitions flattened
-    // its 500x->2000x growth 7.7x -> 5.0x even oversubscribed on 32
-    // cores. 256 = 8x the local-mode core count; real deployments size
-    // it to a small multiple of total executor cores.
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     // The driver test data writes event timestamps as parquet

@@ -509,10 +509,12 @@ object DedupFunctions {
       k: Int = 8,
       minRepeat: Int = 2): DataFrame = {
     require(minRepeat >= 2, "minRepeat < 2 would mark every window duplicated")
-    val wins = df
+    val wins0 = df
       .select(col(idCol).as("id"),
         explode(Kernels.allShingles(col(textCol), k)).as("w"))
       .select(col("id"), unhex(md5(col("w"))).as("span_key"))
+    val wins = fingerprintPartitions(df, SpanKeyExpansion)
+      .fold(wins0)(n => wins0.repartition(n, col("span_key")))
     // count(*) over (partition by span_key) instead of groupBy+self-join:
     // same single shuffle on the fingerprint, no second scan of the
     // window stream, and the per-key groups are tiny (mostly 1) so the
@@ -586,7 +588,10 @@ object DedupFunctions {
       idCol: String,
       textCol: String,
       chunkTokens: Int = 5): DataFrame = {
-    val dupPos = chunkFingerprints(df, idCol, textCol, chunkTokens, hex = false)
+    val fp0 = chunkFingerprints(df, idCol, textCol, chunkTokens, hex = false)
+    val fp = fingerprintPartitions(df, ChunkKeyExpansion)
+      .fold(fp0)(n => fp0.repartition(n, col("__h")))
+    val dupPos = fp
       .withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("__h")).orderBy(col(idCol), col("pos"))))
@@ -790,7 +795,51 @@ object DedupFunctions {
     removeSpansStage(
       df.select(col(idCol).as("id"), col(textCol).as("clean_text"),
         lit(0L).as("n_removed")),
-      k, minRepeat)
+      k, minRepeat, fingerprintPartitions(df, SpanKeyExpansion))
+
+  /** Input-proportional partition count for the corpus-sized fingerprint
+    * window exchanges (span keys, chunk hashes) — Some(n) only when n
+    * exceeds the session's static shuffle partitions, None otherwise so
+    * small inputs keep their AQE-coalescible natural exchange.
+    *
+    * Why local sizing instead of a session conf (round 17, both
+    * measured): the fingerprint stream is a near-constant expansion of
+    * the corpus (one ~28-byte row per token), so at the 2000x point
+    * (10M docs) the span-key window sorted ~20 GB through 32 static
+    * partitions and spilled — 2.07x faster (q88 329.9 -> 159.2 s) with
+    * the exchange sized to ~64 MB of sort volume per partition. The
+    * session-wide alternative (`spark.sql.adaptive.coalescePartitions
+    * .initialPartitionNum = 256`) won the same 2x on the window family
+    * but taxed the healthy banded-join family 2.2x (q31 67.5 -> 150.7 s
+    * at 2000x, same host window — more shuffle files on every exchange
+    * of an 8-exchange pipeline), so the over-provision is scoped to the
+    * operators whose exchange provably needs it. Source bytes come from
+    * the optimizer's plan statistics; when the plan has no usable
+    * estimate (the Long.MaxValue default), the operator keeps the
+    * session setting — the pre-r17 plan, verbatim. */
+  private def fingerprintPartitions(src: DataFrame, expansion: Double): Option[Int] = {
+    // kill switch (session conf): pins the pre-r17 static-partition plan
+    if (!src.sparkSession.conf.getOption("graft.window.adaptivePartitions")
+        .forall(_.toBoolean)) return None
+    val default = src.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val size = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size <= 0 || size > BigInt(1L << 50)) None
+    else {
+      val n = math.min(4096.0,
+        math.ceil(size.toDouble * expansion / (64L << 20).toDouble)).toInt
+      if (n > default) Some(n) else None
+    }
+  }
+
+  /** Fingerprint expansion of the span family relative to (typically
+    * parquet-compressed) source bytes: one (id, pos, 16-byte key) row
+    * per token position — ~28 B unsorted sort payload per ~2 compressed
+    * source bytes. Order-of-magnitude is all the sizing needs; the
+    * clamp bounds both tails. */
+  private val SpanKeyExpansion = 16.0
+
+  /** Chunk-grid analogue: one row per chunkTokens (5) tokens. */
+  private val ChunkKeyExpansion = 4.0
 
   /** Per-row rebuild kernel: drop every token covered by a removable
     * window start; returns (clean_text, tokens dropped). Shared by the
@@ -819,13 +868,15 @@ object DedupFunctions {
     * once per stage); before round 17 the cascade added a second
     * id-keyed join per stage just to sum the counter, shuffling the
     * full cleaned text a second time. */
-  private def removeSpansStage(cur: DataFrame, k: Int, minRepeat: Int): DataFrame = {
+  private def removeSpansStage(cur: DataFrame, k: Int, minRepeat: Int,
+      windowParts: Option[Int]): DataFrame = {
     require(minRepeat >= 2, "minRepeat < 2 would mark every window duplicated")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
-    val wins = cur
+    val wins0 = cur
       .select(col("id"),
         posexplode(Kernels.allShingles(col("clean_text"), k)).as(Seq("pos", "w")))
       .select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
+    val wins = windowParts.fold(wins0)(n => wins0.repartition(n, col("span_key")))
     val removable = wins
       .withColumn("c", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy(col("id"), col("pos"))))
@@ -876,13 +927,17 @@ object DedupFunctions {
       minRepeat: Int = 2): DataFrame = {
     require(ks.nonEmpty, "cascade needs at least one window length")
     val ordered = ks.distinct.sorted(Ordering[Int].reverse)
+    // window sizing from the ORIGINAL input's plan stats, once: stage
+    // j+1's input is a checkpointed RDD whose estimate is unusable, and
+    // each stage's text only shrinks, so the stage-1 count bounds all
+    val parts = fingerprintPartitions(df, SpanKeyExpansion)
     var cur = df.select(col(idCol).as("id"), col(textCol).as("clean_text"),
       lit(0L).as("n_removed"))
     ordered.foreach { k =>
       // next stage re-windows a table, not a replayed lineage; the
       // accumulated counter rides the stage's own text join (no second
       // id-join per stage — see removeSpansStage)
-      cur = removeSpansStage(cur, k, minRepeat).localCheckpoint(true)
+      cur = removeSpansStage(cur, k, minRepeat, parts).localCheckpoint(true)
     }
     cur
   }
