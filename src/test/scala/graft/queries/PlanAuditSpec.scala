@@ -156,4 +156,32 @@ class PlanAuditSpec extends SparkSpec {
       .select(col("doc_id"), explode(col("gs")).as("g"))
     assert(duplicatedExpensive(good.queryExecution.executedPlan).isEmpty)
   }
+
+  test("proportional span window: the explicit repartition chains, no second span_key exchange") {
+    import org.apache.spark.sql.functions._
+    // The r17 input-proportional window sizing is only a win if the
+    // window CONSUMES the explicit repartition(n, span_key) — if
+    // EnsureRequirements ever stacked its own exchange on top, the
+    // operator would pay the full fingerprint shuffle twice. Pin the
+    // plan shape: with stats that trigger the sizing (shuffle.partitions
+    // pinned to 1 so a parquet input of any size exceeds it), the span
+    // family's executed plan carries EXACTLY ONE span_key exchange, of
+    // REPARTITION_BY_NUM origin.
+    val loc = tmpDir("prop-window") + "/docs"
+    val docs100 = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the sizing needs >= 4 MB of source stats to derive n >= 2
+    Seq.fill(100)(docs100).reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(loc)
+    withConf("spark.sql.shuffle.partitions" -> "1") {
+      val plan = graft.functions.DedupFunctions.removeRepeatedSpans(
+        spark.read.parquet(loc), "doc_id", "text", k = 8)
+        .queryExecution.executedPlan.toString
+      val spanKeyExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning(span_key")).toSeq
+      assert(spanKeyExchanges.size == 1,
+        s"expected exactly one span_key exchange:\n${spanKeyExchanges.mkString("\n")}")
+      assert(spanKeyExchanges.head.contains("REPARTITION_BY_NUM"),
+        s"window did not consume the explicit repartition: ${spanKeyExchanges.head}")
+    }
+  }
 }
