@@ -536,13 +536,28 @@ object DedupFunctions {
     * document counts — the observability companion to
     * [[repeatedSpanStats]] (which spans are inflating the dup fraction?).
     *
-    * Grouping is per (span, doc) first, then per span, so the distinct
-    * document count is a plain second-stage `count(*)` (no expensive
-    * distinct aggregation) and the second shuffle moves one row per
-    * (span, doc), already collapsed. This query intentionally keys on the
-    * raw span STRING — the output must contain the text — so its shuffle
-    * is wider than [[repeatedSpanStats]]'s; the map-side partial
-    * aggregation collapses within-partition repeats first.
+    * Fingerprint-first (round 18): span TEXT never rides an exchange.
+    * Before this rewrite the corpus shuffle keyed on the raw span string
+    * — ~corpus-sized text on the wire for mostly-unique corpora, the
+    * exact payload discipline the round-17 chunk/span rewrites removed
+    * elsewhere. Now the one corpus-wide shuffle carries (16-byte md5
+    * key, id, pos) rows, partitioned by the key ALONE so both
+    * aggregation grains — per (span, doc), then per span — consume the
+    * same single exchange (hash partitioning on a subset of the grouping
+    * keys satisfies both clustered distributions; the price is losing
+    * the map-side partial collapse, negligible on the mostly-unique
+    * corpora where the old plan hurt most). The per-key aggregate —
+    * narrow, one row per distinct repeated span — is checkpointed and
+    * reused: a TakeOrdered pass derives the Nth-largest occurrence
+    * count as a 1-row capped collect (so the winner filter is a plain
+    * predicate, never a join), and every key tying that boundary
+    * survives (rank-style), so boundary ties still resolve on span text
+    * exactly as before. Each winner's text is then sliced back out of
+    * the ONE document holding its globally-first occurrence (broadcast
+    * join on doc id — at most topN + boundary-tie document rows are
+    * touched). Same md5-collision tolerance (~2^-64) as the rest of the
+    * family. Like the cascade, this operator is EAGER at build time
+    * (the checkpoint + threshold jobs run when the DataFrame is built).
     *
     * @return (span, n_occ, n_docs) — top `topN` by occurrence count,
     *         ties broken by span text for determinism.
@@ -553,16 +568,61 @@ object DedupFunctions {
       textCol: String,
       k: Int = 8,
       minRepeat: Int = 2,
-      topN: Int = 20): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(Kernels.allShingles(col(textCol), k)).as("span"))
-      .groupBy(col("span"), col("id"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("span"))
-      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
-      .where(col("n_occ") >= minRepeat)
+      topN: Int = 20): DataFrame = {
+    val perKey = topSpanAggregate(df, idCol, textCol, k, minRepeat)
+      .localCheckpoint(true) // narrow; feeds the threshold AND the winners
+    // Nth-largest n_occ: TakeOrdered keeps topN narrow rows per
+    // partition and the driver sees ONE row (the capped-collect
+    // pattern). min over the topN prefix == the rank-N value, so
+    // `n_occ >= thr` keeps every boundary tie for the text tie-break.
+    val thrRow = perKey.orderBy(col("n_occ").desc).limit(topN)
+      .agg(min(col("n_occ"))).collect()(0)
+    val thr = if (thrRow.isNullAt(0)) Long.MaxValue else thrRow.getLong(0)
+    val winners = perKey.where(col("n_occ") >= thr)
+      .select(col("first.id").as("id"), col("first.minpos").as("minpos"),
+        col("n_occ"), col("n_docs"))
+    // winner text recovery: slice the span back out of its first-occurrence
+    // document — slice() truncates at the token array's end, reproducing
+    // the whole-doc window of documents shorter than k tokens.
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(broadcast(winners), Seq("id"))
+      .select(
+        array_join(slice(filter(split(col("__t"), " "), t => length(t) > 0),
+          col("minpos") + 1, lit(k)), " ").as("span"),
+        col("n_occ"), col("n_docs"))
       .orderBy(col("n_occ").desc, col("span"))
       .limit(topN)
+  }
+
+  /** The narrow per-span aggregate behind [[topRepeatedSpans]], exposed
+    * package-private so the plan audit can pin its shape (the checkpoint
+    * hides it from the final query's executed plan): one corpus-sized
+    * fingerprint exchange, then both aggregation grains — per (span,
+    * doc), then per span — consumed without further shuffles. The struct
+    * min (globally first occurrence) runs as a per-partition
+    * SortAggregate over rows the first grain already collapsed to one
+    * per (span, doc).
+    *
+    * @return (span_key, n_occ, n_docs, first{id, minpos}) — only keys
+    *         with n_occ >= minRepeat
+    */
+  private[graft] def topSpanAggregate(df: DataFrame, idCol: String,
+      textCol: String, k: Int, minRepeat: Int): DataFrame = {
+    val wins0 = df
+      .select(col(idCol).as("id"),
+        posexplode(Kernels.allShingles(col(textCol), k)).as(Seq("pos", "w")))
+      .select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
+    val wins = fingerprintPartitions(df, SpanKeyExpansion)
+      .fold(wins0.repartition(col("span_key")))(n =>
+        wins0.repartition(n, col("span_key")))
+    wins
+      .groupBy(col("span_key"), col("id"))
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("minpos"))
+      .groupBy(col("span_key"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"),
+        min(struct(col("id"), col("minpos"))).as("first"))
+      .where(col("n_occ") >= minRepeat)
+  }
 
   /** Cross-document exact substring dedup at CHUNK granularity (the
     * RefinedWeb / Lee et al. preprocessing step applied at a fixed token
@@ -816,19 +876,51 @@ object DedupFunctions {
     * operators whose exchange provably needs it. Source bytes come from
     * the optimizer's plan statistics; when the plan has no usable
     * estimate (the Long.MaxValue default), the operator keeps the
-    * session setting — the pre-r17 plan, verbatim. */
+    * session setting — the pre-r17 plan, verbatim.
+    *
+    * Note: forcing `optimizedPlan` here runs the analyzer/optimizer on
+    * the input lineage at DataFrame BUILD time (before any action) — a
+    * deliberate driver-side cost, bounded by plan depth, paid once per
+    * operator construction. */
   private def fingerprintPartitions(src: DataFrame, expansion: Double): Option[Int] = {
-    // kill switch (session conf): pins the pre-r17 static-partition plan
-    if (!src.sparkSession.conf.getOption("graft.window.adaptivePartitions")
-        .forall(_.toBoolean)) return None
+    // kill switch (session conf): pins the pre-r17 static-partition plan.
+    // Parsed tolerantly — only an explicit case-insensitive "false"/"0"
+    // disables; any other junk value keeps the default-on behavior
+    // rather than crashing operator construction.
+    val off = src.sparkSession.conf.getOption("graft.window.adaptivePartitions")
+      .exists(v => v.trim.equalsIgnoreCase("false") || v.trim == "0")
+    if (off) return None
     val default = src.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val size = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val size = fingerprintSourceBytes(src)
     if (size <= 0 || size > BigInt(1L << 50)) None
     else {
       val n = math.min(4096.0,
         math.ceil(size.toDouble * expansion / (64L << 20).toDouble)).toInt
       if (n > default) Some(n) else None
     }
+  }
+
+  /** Source-byte estimate feeding [[fingerprintPartitions]]: the
+    * optimizer's plan statistics when usable, else (round 18) the block
+    * manager's materialized byte count for a localCheckpointed input —
+    * the realistic curation-chain case (filter → checkpoint → dedup)
+    * where the optimizer estimate is the defaultSizeInBytes sentinel and
+    * the proportional sizing previously went dark exactly where
+    * pipelines need it most. The checkpoint's blocks bound any plan
+    * built ON TOP of it from above (downstream stages only shrink), the
+    * same argument the cascade already makes for reusing stage-1 parts.
+    * Memory blocks report uncompressed bytes where parquet stats report
+    * compressed — both feed the same order-of-magnitude sizing and the
+    * clamp bounds the tails. */
+  private def fingerprintSourceBytes(src: DataFrame): BigInt = {
+    val stats = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats > 0 && stats <= BigInt(1L << 50)) return stats
+    src.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.flatMap { id =>
+      src.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id)
+        .map(i => BigInt(i.memSize + i.diskSize))
+    }.filter(_ > 0).getOrElse(stats)
   }
 
   /** Fingerprint expansion of the span family relative to (typically
@@ -927,10 +1019,14 @@ object DedupFunctions {
       minRepeat: Int = 2): DataFrame = {
     require(ks.nonEmpty, "cascade needs at least one window length")
     val ordered = ks.distinct.sorted(Ordering[Int].reverse)
-    // window sizing from the ORIGINAL input's plan stats, once: stage
-    // j+1's input is a checkpointed RDD whose estimate is unusable, and
-    // each stage's text only shrinks, so the stage-1 count bounds all
-    val parts = fingerprintPartitions(df, SpanKeyExpansion)
+    // window sizing per stage (round 18): stage 1 from the input's plan
+    // stats, every later stage from its predecessor's MATERIALIZED
+    // checkpoint bytes (fingerprintSourceBytes' block-manager fallback).
+    // After heavy removal at the largest k the count decays with the
+    // surviving text — and decaying all the way to None restores the
+    // AQE-coalescible natural exchange instead of pinning thousands of
+    // near-empty REPARTITION_BY_NUM sort partitions on small tails.
+    var parts = fingerprintPartitions(df, SpanKeyExpansion)
     var cur = df.select(col(idCol).as("id"), col(textCol).as("clean_text"),
       lit(0L).as("n_removed"))
     ordered.foreach { k =>
@@ -938,6 +1034,7 @@ object DedupFunctions {
       // accumulated counter rides the stage's own text join (no second
       // id-join per stage — see removeSpansStage)
       cur = removeSpansStage(cur, k, minRepeat, parts).localCheckpoint(true)
+      parts = fingerprintPartitions(cur, SpanKeyExpansion)
     }
     cur
   }

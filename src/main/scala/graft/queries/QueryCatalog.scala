@@ -1057,10 +1057,11 @@ object QueryCatalog {
   private val q78 = QueryDef(
     "q78_embedding_clusters",
     (s, dir) =>
-      // The fused cluster operator consumes the PRE-dedup verified pair
-      // multiset (duplicate edges collapse in the clustering's own
-      // map-side contraction aggregate), so the oracle's DISTINCT-pair
-      // CTE is satisfied by edge-set equality, not row equality.
+      // The fused cluster operator dedups verified pairs cross-band
+      // before clustering, but on BARE (id_a, id_b) rows with no score
+      // projection (the no-distinct multiset variant measured 2x WORSE —
+      // see the SimilarityFunctions scaladoc), so the oracle's
+      // DISTINCT-pair CTE is matched by construction.
       SimilarityFunctions.embeddingClusters(
         T(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.3)
         .orderBy(col("id")),

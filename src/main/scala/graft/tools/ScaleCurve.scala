@@ -211,8 +211,8 @@ object ScaleCurve {
           dim = 64, numBits = bits, simThreshold = 0.3), None)
       }),
       "q78_clusters_auto" -> (() => (
-        // the fused operator: pre-dedup verified multiset straight into
-        // the contraction (no cross-band distinct exchange)
+        // the fused operator: verified pairs dedup cross-band on bare
+        // (id_a, id_b) rows — score-free distinct — before contraction
         SimilarityFunctions.embeddingClusters(
           emb, "vec_id", "embedding", dim = 64, threshold = 0.3), None)),
       // The CC stage ISOLATED from its pair generator (round 17): the

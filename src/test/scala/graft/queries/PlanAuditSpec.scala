@@ -144,6 +144,45 @@ class PlanAuditSpec extends SparkSpec {
       s"pair-stream shuffles carrying array columns: ${offenders.mkString("; ")}")
   }
 
+  test("q87 fingerprint-first: no shuffle carries span text, single fingerprint exchange") {
+    // Round-18 rewrite: topRepeatedSpans' corpus shuffle used to key on
+    // the raw span STRING (~corpus-sized text on the wire for
+    // mostly-unique corpora). Pin the fixed shape on the aggregate
+    // subplan (the checkpoint hides it from the final query's executed
+    // plan): exactly ONE shuffle total, keyed on the 16-byte span_key,
+    // with no StringType column in its output — and the final recovery
+    // plan is shuffle-free (winner text moves only through broadcast
+    // sides and the TakeOrdered collect).
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def shuffles(p: SparkPlan) = collectPlans(p).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    val agg = graft.functions.DedupFunctions
+      .topSpanAggregate(docs, "doc_id", "text", 8, 2)
+      .queryExecution.executedPlan
+    val aggShuffles = shuffles(agg)
+    assert(aggShuffles.size == 1,
+      s"expected the single fingerprint exchange, found ${aggShuffles.size}")
+    assert(aggShuffles.head.outputPartitioning.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      .expressions.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.NamedExpression].name)
+      == Seq("span_key"),
+      "fingerprint exchange must key on span_key alone (both grains ride it)")
+    assert(!aggShuffles.head.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType),
+      s"fingerprint exchange carries text: ${aggShuffles.head.output.map(_.name)}")
+    val fin = graft.functions.DedupFunctions
+      .topRepeatedSpans(docs, "doc_id", "text", k = 8, topN = 20)
+      .queryExecution.executedPlan
+    assert(shuffles(fin).isEmpty,
+      s"q87 recovery plan must be shuffle-free: ${shuffles(fin).map(_.output.map(_.name))}")
+    // the narrow winners side, not the corpus, must be the broadcast side
+    assert(collectPlans(fin).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]))
+  }
+
   test("the duplicate detector fires on the known-bad unfenced shape (negative control)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -182,6 +221,48 @@ class PlanAuditSpec extends SparkSpec {
         s"expected exactly one span_key exchange:\n${spanKeyExchanges.mkString("\n")}")
       assert(spanKeyExchanges.head.contains("REPARTITION_BY_NUM"),
         s"window did not consume the explicit repartition: ${spanKeyExchanges.head}")
+    }
+  }
+
+  test("proportional sizing survives a checkpointed curation chain (block-manager fallback)") {
+    import org.apache.spark.sql.functions._
+    // Round-18: fingerprintPartitions previously read only optimizer
+    // stats, so a filter -> localCheckpoint -> dedup pipeline (the
+    // realistic curation chain) silently kept the static plan. Pin the
+    // fallback: with a checkpointed input big enough to trigger sizing,
+    // the span window still consumes an explicit REPARTITION_BY_NUM
+    // exchange — sized from the checkpoint's materialized bytes. The
+    // kill switch must still pin the static plan on the same input.
+    val docs100 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chained = Seq.fill(100)(docs100).reduce(_.unionByName(_))
+      .where(length(col("text")) >= 0) // a pushed filter, as curation would add
+      .localCheckpoint(true)
+    withConf("spark.sql.shuffle.partitions" -> "1") {
+      def spanExchanges(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .filter(_.contains("Exchange hashpartitioning(span_key")).toSeq
+      val sized = spanExchanges(graft.functions.DedupFunctions
+        .removeRepeatedSpans(chained, "doc_id", "text", k = 8))
+      assert(sized.size == 1 && sized.head.contains("REPARTITION_BY_NUM"),
+        s"checkpoint fallback did not size the window exchange:\n${sized.mkString("\n")}")
+      withConf("graft.window.adaptivePartitions" -> "false") {
+        val static = spanExchanges(graft.functions.DedupFunctions
+          .removeRepeatedSpans(chained, "doc_id", "text", k = 8))
+        assert(static.forall(!_.contains("REPARTITION_BY_NUM")),
+          s"kill switch did not pin the static plan:\n${static.mkString("\n")}")
+      }
+    }
+    chained.unpersist()
+  }
+
+  test("the adaptivePartitions kill switch parses junk values as enabled") {
+    // a misused kill switch ('off', '1', 'nope') must not crash operator
+    // construction — only case-insensitive 'false'/'0' disables
+    withConf("graft.window.adaptivePartitions" -> "nope") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // must not throw at build time
+      graft.functions.DedupFunctions
+        .removeRepeatedSpans(docs, "doc_id", "text", k = 8).queryExecution.executedPlan
     }
   }
 }
