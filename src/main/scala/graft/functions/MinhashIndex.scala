@@ -31,7 +31,7 @@ final class MinhashIndex private (
 
   private def spark(df: DataFrame): SparkSession = df.sparkSession
 
-  private def signed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def signed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (as, bs) = DedupFunctions.minhashCoefficients(numHashes)
     PlanBarrier.fence(df
       .select(col(idCol).as("id"),
@@ -40,7 +40,7 @@ final class MinhashIndex private (
       .select(col("id"), col("ss._1").as("sh"), col("ss._2").as("sig")))
   }
 
-  private def banded(signedDf: DataFrame): DataFrame =
+  private[graft] def banded(signedDf: DataFrame): DataFrame =
     signedDf.select(col("id"), col("sh"),
         posexplode(Kernels.polyBandBuckets(col("sig"), numBands,
           DedupFunctions.MinhashPrime)))
