@@ -98,9 +98,16 @@ final class IvfPqIndex private[functions] (
       }.sortBy(_._1).take(nProbe).map(_._2).toSeq
   }
 
-  /** Persist cell-partitioned codes (probes prune partitions on read). */
+  /** Persist cell-partitioned codes (probes prune partitions on read),
+    * plus the centroids/codebooks to a `<location>__meta` SIBLING dir so
+    * the store is reopenable by [[IvfPq.open]] without the build corpus
+    * (round 18 — the ACON streaming face and checkpoint restarts need a
+    * self-describing store). A sibling, not a subdir: the bin-pack
+    * compaction swaps the whole store dir atomically and would drop
+    * anything nested inside it. */
   def persisted(location: String): IvfPqIndex = {
     codes.write.mode("overwrite").partitionBy("cell").parquet(location)
+    IvfPq.writeMeta(codes.sparkSession, location, centroids, codebooks)
     new IvfPqIndex(
       codes.sparkSession.read.parquet(location)
         .select(col("id"), col("cell").cast("long").as("cell"), col("codes")),
@@ -153,6 +160,45 @@ final class IvfPqIndex private[functions] (
 }
 
 object IvfPq {
+
+  /** Write the bounded model halves (cell centroids + PQ codebooks) next
+    * to a persisted store — see [[IvfPqIndex.persisted]]. */
+  private[functions] def writeMeta(
+      spark: org.apache.spark.sql.SparkSession, location: String,
+      centroids: Map[Long, Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    val meta = location.stripSuffix("/") + "__meta"
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "ctr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$meta/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
+    }.toSeq.toDF("m", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$meta/codebooks")
+  }
+
+  /** Reopen a [[IvfPqIndex.persisted]] store from its location alone:
+    * codes from the cell-partitioned layout, centroids/codebooks from
+    * the `__meta` sibling. The config-driven entry point (the ACON
+    * `ivfadc_ingest` sink face) and the checkpoint-restart path. */
+  def open(spark: org.apache.spark.sql.SparkSession, location: String): IvfPqIndex = {
+    val meta = location.stripSuffix("/") + "__meta"
+    val ctrs =
+      try spark.read.parquet(s"$meta/centroids").collect()
+      catch { case e: Exception => sys.error(
+        s"no IVFADC meta at $meta (persist the store with " +
+          s"IvfPqIndex.persisted before opening): ${e.getMessage}") }
+    val ctrMap = ctrs
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cbs = spark.read.parquet(s"$meta/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    new IvfPqIndex(
+      spark.read.parquet(location)
+        .select(col("id"), col("cell").cast("long").as("cell"), col("codes")),
+      ctrMap, cbs)
+  }
 
   /** Residual columns: v − centroid(cell), via a bounded broadcast map. */
   private[graft] def residualUdf(centroids: Map[Long, Array[Double]]) =

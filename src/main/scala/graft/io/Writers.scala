@@ -52,6 +52,10 @@ object Writers {
   }
 
   def writeBatch(spark: SparkSession, spec: OutputSpec, df: DataFrame): Unit = {
+    // streaming ingest faces in batch mode: one unit of work against the
+    // persisted index (check -> sink survivors -> append)
+    if (graft.streaming.StreamingFaces.routes(spec.dataFormat))
+      return graft.streaming.StreamingFaces.writeBatch(spark, spec, df)
     val fmt = spec.dataFormat.getOrElse(if (spec.dbTable.isDefined) "parquet" else "parquet")
     spec.writeType match {
       case "merge" => mergeWrite(spark, spec, df)
@@ -524,6 +528,12 @@ object Writers {
       spec: OutputSpec,
       df: DataFrame,
       plan: Option[MicroBatchPlan]): StreamingQuery = {
+    // streaming ingest faces (minhash_dedup / chunk_dedup /
+    // ivfadc_ingest): index-aware foreachBatch sinks of their own — any
+    // deferred transformer/DQ plan runs on the raw micro-batch first
+    if (graft.streaming.StreamingFaces.routes(spec.dataFormat))
+      return graft.streaming.StreamingFaces.start(spark, spec, df,
+        b => plan.map(_.transform(b)).getOrElse(b))
     val trigger = resolveTrigger(spec)
     val needsForeachBatch = plan.isDefined || spec.writeType == "merge" ||
       spec.dataFormat.contains("jdbc") || spec.dataFormat.contains("dataframe") ||

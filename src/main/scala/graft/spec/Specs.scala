@@ -386,7 +386,10 @@ object AconValidation {
   val OutputFormats: Set[String] = Set(
     "jdbc", "avro", "json", "csv", "parquet", "orc", "text", "delta",
     "kafka", "console", "noop", "dataframe", "rest_api", "table",
-    "sharepoint")
+    "sharepoint",
+    // engine extensions: the streaming ingest dedup faces
+    // (graft.streaming.StreamingFaces — index-aware foreachBatch sinks)
+    "minhash_dedup", "chunk_dedup", "ivfadc_ingest")
 
   def validate(acon: Acon): Unit = {
     acon.inputSpecs.foreach { s =>

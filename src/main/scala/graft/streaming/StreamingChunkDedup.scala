@@ -64,12 +64,13 @@ object StreamingChunkDedup {
       indexPath: String, sinkDir: String, checkpointDir: String,
       chunkTokens: Int = 5,
       compactEvery: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      prepare: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatch(batch, idCol, textCol, indexPath, chunkTokens,
+        dedupBatch(prepare(batch), idCol, textCol, indexPath, chunkTokens,
           _.write.mode("append").parquet(sinkDir))
         // Periodic index maintenance: each batch appends one file, so
         // without this the anti-join side degenerates into a

@@ -88,17 +88,20 @@ object StreamingDedup {
   }
 
   /** Start the streaming query. `stream` must be a streaming DataFrame
-    * with `idCol` and `textCol`. */
+    * with `idCol` and `textCol`. `prepare` runs on each raw micro-batch
+    * before the dedup plan — the hook the ACON face threads the
+    * foreachBatch transformer/DQ plan through. */
   def start(
       stream: DataFrame, idCol: String, textCol: String,
       index: MinhashIndex, sinkDir: String, checkpointDir: String,
       compactEvery: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      prepare: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatch(batch, idCol, textCol, index,
+        dedupBatch(prepare(batch), idCol, textCol, index,
           _.write.mode("append").parquet(sinkDir))
         // Periodic posting-list bin-pack (appends leave one file per
         // band per batch); layout-only, after the sink+append.

@@ -102,13 +102,14 @@ object StreamingPqIngest {
       dedupMaxDist: Option[Double] = None,
       nProbe: Int = 4,
       compactEvery: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      prepare: DataFrame => DataFrame = identity): StreamingQuery = {
     @volatile var current = initial
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (_, next) = ingestBatch(batch, idCol, vecCol, current,
+        val (_, next) = ingestBatch(prepare(batch), idCol, vecCol, current,
           indexLocation, _.write.mode("append").parquet(sinkDir),
           dedup, dedupMaxDist, nProbe)
         // Periodic cell-store bin-pack (each append leaves one file per

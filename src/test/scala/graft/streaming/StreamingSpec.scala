@@ -705,4 +705,126 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(locA).select("id", "cell", "codes"),
       spark.read.parquet(locB).select("id", "cell", "codes"))
   }
+
+  test("ACON-driven streaming chunk dedup: config-only e2e incl. a composed transformer") {
+    // Round 18: the streaming ingest faces are ACON-addressable — this is
+    // the reference-style config-only user driving StreamingChunkDedup
+    // end-to-end with NO Scala beyond providing the stream handle. Also
+    // exercises the prepare hook: a rename transformer deferred into
+    // foreachBatch runs on the raw micro-batch before the dedup plan.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxLoc = tmpDir("acd-idx") + "/index"
+    val sink = tmpDir("acd-sink") + "/clean"
+    val ckpt = tmpDir("acd-ckpt")
+    graft.functions.DedupFunctions.chunkHashIndex(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", chunkTokens = 2)
+      .write.parquet(idxLoc)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "df_name": "ingest"
+         |  }],
+         |  "transform_specs": [{
+         |    "spec_id": "t", "input_id": "src", "transformers": [
+         |      {"function": "rename",
+         |       "args": {"cols": {"_1": "doc_id", "_2": "text"}}}]
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "t", "data_format": "chunk_dedup",
+         |    "location": "$sink",
+         |    "streaming_trigger": "availableNow",
+         |    "options": {
+         |      "index_location": "$idxLoc", "checkpointLocation": "$ckpt",
+         |      "id_col": "doc_id", "text_col": "text", "chunk_tokens": "2"}
+         |  }]
+         |}""".stripMargin
+    def drain(): Unit =
+      graft.algo.DataLoader.loadData(spark, acon, dfs = Map("ingest" -> mem.toDF()))
+    // same scenario as the direct e2e: corpus dup drops, within-batch
+    // first occurrence wins, full corpus duplicate vanishes
+    mem.addData((101L, "a b p q"), (102L, "p q z w"), (103L, "a b"))
+    drain()
+    assert(spark.read.parquet(sink).select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap == Map(101L -> "p q", 102L -> "z w"))
+    // a second config-driven run continues incrementally from the
+    // checkpoint and dedups against batch 1's appended survivors
+    mem.addData((201L, "z w m n"))
+    drain()
+    assert(spark.read.parquet(sink).select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap ==
+      Map(101L -> "p q", 102L -> "z w", 201L -> "m n"))
+    val idx = spark.read.parquet(idxLoc)
+    assert(idx.columns.toSeq == Seq("chunk_hash") && idx.distinct().count() == 4)
+  }
+
+  test("ACON-driven minhash face (streaming) and IVFADC face (batch mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // --- minhash_dedup, streaming: corpus near-dup drops, fresh doc lands
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textX = "one two three four five six seven eight nine ten eleven"
+    val mhIdx = tmpDir("amh-idx") + "/index"
+    val mhSink = tmpDir("amh-sink") + "/clean"
+    graft.functions.MinhashIndex.build(
+      Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text", mhIdx,
+      threshold = 0.5)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    mem.addData((100L, textA), (101L, textX)) // 100 near-dups the corpus
+    graft.algo.DataLoader.loadData(spark,
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "df_name": "docs"
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "src", "data_format": "minhash_dedup",
+         |    "location": "$mhSink",
+         |    "options": {
+         |      "index_location": "$mhIdx",
+         |      "checkpointLocation": "${tmpDir("amh-ckpt")}",
+         |      "id_col": "doc_id", "text_col": "text", "threshold": "0.5"}
+         |  }]
+         |}""".stripMargin,
+      dfs = Map("docs" -> mem.toDF().toDF("doc_id", "text")))
+    assert(spark.read.parquet(mhSink).select("doc_id")
+      .as[Long].collect().toSeq == Seq(101L))
+    // --- ivfadc_ingest, batch mode: one unit of work against the
+    // persisted store, reopened from config alone (IvfPq.open + __meta)
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val corpus = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+      (3L, v(0f, 0f, 1f, 0f)), (4L, v(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val store = tmpDir("aiv-idx") + "/store"
+    val vSink = tmpDir("aiv-sink") + "/fresh"
+    graft.functions.IvfPq.build(corpus, "vec_id", "embedding",
+      dim = 4, nLists = 2, m = 2, ksub = 4, trainSampleSize = 100)
+      .persisted(store)
+    val before = spark.read.parquet(store).count()
+    graft.algo.DataLoader.loadData(spark,
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "batch", "df_name": "vecs"
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "src", "data_format": "ivfadc_ingest",
+         |    "location": "$vSink",
+         |    "options": {"index_location": "$store", "dedup": "false",
+         |      "id_col": "vec_id", "vec_col": "embedding"}
+         |  }]
+         |}""".stripMargin,
+      dfs = Map("vecs" -> Seq(
+        (50L, v(0.9f, 0.4f, 0.2f, 0f)), (51L, v(0f, 0.1f, 0.9f, 0.3f))
+      ).toDF("vec_id", "embedding")))
+    // the screen itself is covered by the direct IVFADC e2e (tiny test
+    // codebooks quantize too coarsely for a reliable fresh/dup split
+    // here) — this asserts the CONFIG route: store reopened via
+    // IvfPq.open from __meta, batch encoded + appended, sink fed
+    assert(spark.read.parquet(vSink).select("vec_id")
+      .as[Long].collect().toSet == Set(50L, 51L))
+    assert(spark.read.parquet(store).count() == before + 2)
+  }
 }
