@@ -38,13 +38,44 @@ object IndexSoak {
     points.map { case (c, f, s) => s"""{"cycle":$c,"files":$f,"check_sec":${f"$s%.3f"}}""" }
       .mkString("[", ",", "]")
 
+  /** Cadence recommendation from the measured crossover (round 18): the
+    * degradation curve gives d(check_sec)/d(files) by least squares and
+    * files-per-append by construction, so the extra read cost of
+    * compacting every k appends averages `slope·filesPerAppend·k/2` per
+    * cycle while the amortized compaction cost is `compactSec/k` —
+    * minimized at k* = sqrt(2·C/m). Returns (per-cycle degradation m,
+    * recommended k*, clamped to [1, Cycles]). */
+  private def recommend(
+      curve: Seq[(Int, Int, Double)], seedFiles: Int,
+      compactSec: Double): (Double, Double, Long) = {
+    val xs = curve.map(_._2.toDouble)
+    val ys = curve.map(_._3)
+    val n = xs.size.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val varX = xs.map(x => (x - mx) * (x - mx)).sum
+    val slope = if (varX <= 0) 0.0
+      else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / varX
+    val filesPerAppend = (curve.last._2 - seedFiles).toDouble / curve.last._1
+    val perCycle = slope * filesPerAppend
+    val k = if (perCycle <= 0) Cycles.toLong
+      else math.max(1L, math.min(Cycles.toLong,
+        math.round(math.sqrt(2 * compactSec / perCycle))))
+    (slope, perCycle, k)
+  }
+
   /** One index family's soak: seed, cycle appends, measure, compact,
-    * re-measure. `append` gets (cycle); `check` is the incremental read
-    * op whose wall time the small files degrade. */
+    * re-measure, derive the compaction cadence, then VALIDATE it — a
+    * second run of the same appends with `compactEvery = k*` on
+    * (compaction inline every k* cycles, the streaming faces' hook),
+    * whose curve must stay bounded instead of degrading. `append` gets
+    * (cycle); `check` is the incremental read op whose wall time the
+    * small files degrade. */
   private def soak(
       spark: SparkSession, name: String, location: String,
       append: Int => Unit, check: () => DataFrame,
-      compact: () => IndexMaintenance.CompactionResult): String = {
+      compact: () => IndexMaintenance.CompactionResult,
+      reset: Option[() => Unit] = None): String = {
+    val (seedFiles, _) = IndexMaintenance.stats(spark, location)
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     (1 to Cycles).foreach { c =>
       append(c)
@@ -59,13 +90,40 @@ object IndexSoak {
     val res = compact()
     val compactSec = (System.nanoTime() - t0) / 1e9
     val checkAfter = timeIt(check)
+    val (slope, perCycle, kStar) = recommend(curve.toSeq, seedFiles, compactSec)
     println(f"[soak] $name: $Cycles appends -> $filesBefore files, " +
       f"check $checkBefore%.2fs; compacted to ${res.filesAfter} files " +
-      f"in $compactSec%.1fs, check $checkAfter%.2fs")
+      f"in $compactSec%.1fs, check $checkAfter%.2fs; " +
+      f"slope=${slope * 1000}%.3fms/file recommend compactEvery=$kStar")
+    // cadenced validation: same appends, compaction inline every k*
+    val cadenced = reset.map { r =>
+      r()
+      val vc = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      var compactTotal = 0.0
+      (1 to Cycles).foreach { c =>
+        append(c)
+        if (kStar > 0 && c % kStar == 0) {
+          val t = System.nanoTime()
+          compact()
+          compactTotal += (System.nanoTime() - t) / 1e9
+        }
+        if (c % SampleEvery == 0 || c == Cycles) {
+          val (files, _) = IndexMaintenance.stats(spark, location)
+          vc += ((c, files, timeIt(check)))
+        }
+      }
+      println(f"[soak] $name cadenced(k=$kStar): final ${vc.last._2} files, " +
+        f"check ${vc.last._3}%.2fs, compaction total $compactTotal%.1fs")
+      s""","cadenced":{"every":$kStar,"compact_total_sec":${f"$compactTotal%.3f"},""" +
+        s""""curve":${j(vc.toSeq)}}"""
+    }.getOrElse("")
     s""""$name":{"cycles":$Cycles,"files_before":$filesBefore,""" +
       s""""bytes":$bytes,"check_before_sec":${f"$checkBefore%.3f"},""" +
       s""""files_after":${res.filesAfter},"compact_sec":${f"$compactSec%.3f"},""" +
-      s""""check_after_sec":${f"$checkAfter%.3f"},"curve":${j(curve.toSeq)}}"""
+      s""""check_after_sec":${f"$checkAfter%.3f"},""" +
+      s""""slope_sec_per_file":${f"$slope%.6f"},""" +
+      s""""degrade_sec_per_cycle":${f"$perCycle%.6f"},""" +
+      s""""recommended_every":$kStar,"curve":${j(curve.toSeq)}$cadenced}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,7 +164,10 @@ object IndexSoak {
       c => DedupFunctions.appendToChunkIndex(docBatch(c), "doc_id", "text", chunkLoc),
       () => DedupFunctions.chunkDedupAgainstIndex(
         probeDocs, spark.read.parquet(chunkLoc), "doc_id", "text"),
-      () => DedupFunctions.compactChunkIndex(spark, chunkLoc))
+      () => DedupFunctions.compactChunkIndex(spark, chunkLoc),
+      reset = Some(() =>
+        DedupFunctions.chunkHashIndex(docs.where(col("doc_id") >= 100), "doc_id", "text")
+          .write.mode("overwrite").parquet(chunkLoc)))
 
     // --- minhash posting lists ----------------------------------------
     val mhLoc = s"$work/minhash_idx"
@@ -115,7 +176,12 @@ object IndexSoak {
     val mhJson = soak(spark, "minhash", mhLoc,
       c => mh.append(docBatch(c), "doc_id", "text"),
       () => mh.checkBatch(probeDocs, "doc_id", "text"),
-      () => mh.compact(spark))
+      () => mh.compact(spark),
+      reset = Some(() => {
+        MinhashIndex.build(docs.where(col("doc_id") >= 100), "doc_id", "text",
+          mhLoc, threshold = 0.4)
+        ()
+      }))
 
     // --- IVFADC cell store --------------------------------------------
     val pqLoc = s"$work/ivfadc_idx"

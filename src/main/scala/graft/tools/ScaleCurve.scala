@@ -335,6 +335,10 @@ object ScaleCurve {
     "q79_ann_multiprobe", "q110_edit_distance_pairs",
     "q88_remove_spans", "q90_lm_perplexity", "q98_curation_v2",
     "q101_vocab_encode",
+    // round-18 addition: top repeated spans (never scaled before its
+    // fingerprint-first rewrite; the operator is EAGER at build, so the
+    // timed closure includes its checkpoint + threshold jobs)
+    "q87_top_spans",
     // round-17 additions: the full cluster queries (pair generation +
     // GraphX CC end-to-end; the isolated CC stages live in ops above)
     "q56_dedup_clusters", "q57_clusters_exact")
