@@ -22,17 +22,38 @@ object ScaleCurve {
 
   private val Copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
 
+  /** Chunked scaled-corpus writer (round 18): a single Copies-way union
+    * OOMed the single-JVM driver at 2000 branches (every scan branch
+    * holds its own parquet read-ahead buffers x 32 task threads), so
+    * copies write in groups of <= 64, appending into a staging dir that
+    * renames into place only on success — a crashed generation can never
+    * masquerade as a complete corpus via a mid-append _SUCCESS. */
+  private def writeGrouped(
+      spark: SparkSession, out: String, branch: Int => org.apache.spark.sql.DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(out + "__gen")
+    fs.delete(tmp, true)
+    val groups = (0 until Copies).grouped(64).toSeq
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      val files = math.max(4, 32 * g.size / Copies)
+      g.map(branch).reduce(_.unionByName(_))
+        .repartition(files)
+        .write.mode(if (gi == 0) "overwrite" else "append").parquet(tmp.toString)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(out)),
+      s"scaled-corpus rename $tmp -> $out failed")
+  }
+
   private def scaleDocs(spark: SparkSession, base: String, out: String): Unit = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val maxId = docs.agg(max("doc_id")).head.getLong(0)
-    (0 until Copies).map { i =>
+    writeGrouped(spark, s"$out/documents.parquet", i =>
       if (i == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(i * (maxId + 1)))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
-    }.reduce(_.unionByName(_))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i")))
   }
 
   /** Scale a keyed relational table: each copy offsets the key so
@@ -44,18 +65,15 @@ object ScaleCurve {
       table: String, keyCol: String): Unit = {
     val df = spark.read.parquet(s"$base/$table.parquet")
     val maxId = df.agg(max(keyCol)).head.getLong(0)
-    (0 until Copies).map { i =>
+    writeGrouped(spark, s"$out/$table.parquet", i =>
       if (i == 0) df
-      else df.withColumn(keyCol, col(keyCol) + lit(i * (maxId + 1)))
-    }.reduce(_.unionByName(_))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      else df.withColumn(keyCol, col(keyCol) + lit(i * (maxId + 1))))
   }
 
   private def scaleEmbeddings(spark: SparkSession, base: String, out: String): Unit = {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxId = emb.agg(max("vec_id")).head.getLong(0)
-    (0 until Copies).map { i =>
+    writeGrouped(spark, s"$out/embeddings.parquet", i =>
       if (i == 0) emb
       else emb
         .withColumn("vec_id", col("vec_id") + lit(i * (maxId + 1)))
@@ -79,10 +97,7 @@ object ScaleCurve {
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
             x * when(pmod(hash(lit(i), j), lit(2)) === 0,
-              1.0f).otherwise(-1.0f)))
-    }.reduce(_.unionByName(_))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+              1.0f).otherwise(-1.0f))))
   }
 
   /** min-of-2 wall seconds + observed dropped buckets for one operator.
