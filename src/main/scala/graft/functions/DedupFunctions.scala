@@ -301,9 +301,13 @@ object DedupFunctions {
     var mapping: DataFrame = null
     var rounds = 0
     // Contraction trades ~10 extra small jobs + 2 shuffles for the
-    // clique collapse — a fixed ~0.4 s that only pays off when the edge
-    // multiset is large (124M edges: 6.4 s vs 50.3 s; 250k edges: it
-    // LOSES 0.3 s to Pregel). Below the bound, go straight to Pregel.
+    // clique collapse — a fixed ~1 s that pays off as soon as the edge
+    // multiset leaves gate scale (124M near-clique edges: 6.4 s vs
+    // 50.3 s; 486k LINEAR edges, r18 interleaved: 7.8 s vs 22.9 s
+    // Pregel; ~1k gate edges: it loses ~1.1 s). The floor risk is
+    // asymmetric — too low costs the bounded fixed overhead, too high
+    // costs unbounded Pregel iterations — so the default sits just
+    // above gate scale. Below it, go straight to Pregel.
     var contract = edges.count() >= contractMinEdges(spark)
     while (contract && rounds < 2 && !edges.isEmpty) {
       // min over both orientations; the union is partition concat (no
@@ -370,10 +374,16 @@ object DedupFunctions {
   /** Edge-count floor below which [[duplicateClusters]] skips contraction
     * (its fixed job overhead outweighs the clique collapse on small
     * graphs; the count itself is a cheap scan of the already-checkpointed
-    * edge blocks). */
+    * edge blocks). Default 50k (round 18): the r17 default of 2M was
+    * calibrated on a ~1k-edge gate graph and a 124M-edge pre-fix
+    * near-clique monster with nothing between — the r18 ledger then
+    * caught a 486k-edge LINEAR graph (the realistic mid regime) paying
+    * 22.9 s in Pregel where forced contraction took 7.8 s. Contraction's
+    * downside is a bounded ~1.1 s of fixed jobs; Pregel's is unbounded
+    * iteration cost — so the floor sits just above gate scale. */
   private[graft] def contractMinEdges(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("graft.cc.contractMinEdges").map(_.toLong)
-      .getOrElse(2000000L)
+      .getOrElse(50000L)
 
   /** Attach a drop-visibility observation to a bucketed candidate
     * generator: `dropped_buckets` (bucket/posting rows above the cap,
