@@ -371,6 +371,14 @@ object DedupFunctions {
     spark.conf.getOption("graft.cc.broadcastVertices").map(_.toLong)
       .getOrElse(4000000L)
 
+  /** Row bound for broadcasting [[topRepeatedSpans]]' winner set (the
+    * topN rows plus every rank-N boundary tie — unbounded on flat-count
+    * corpora). Default 1M narrow rows (~30-60 MB broadcast);
+    * session-configurable so deployments size it to driver memory. */
+  private[graft] def broadcastWinnersLimit(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.topSpans.broadcastWinners").map(_.toLong)
+      .getOrElse(1000000L)
+
   /** Edge-count floor below which [[duplicateClusters]] skips contraction
     * (its fixed job overhead outweighs the clique collapse on small
     * graphs; the count itself is a cheap scan of the already-checkpointed
@@ -591,11 +599,24 @@ object DedupFunctions {
     val winners = perKey.where(col("n_occ") >= thr)
       .select(col("first.id").as("id"), col("first.minpos").as("minpos"),
         col("n_occ"), col("n_docs"))
+    // Guard the broadcast (round 19, r18 advice): on a flat-count corpus
+    // (every repeated span at exactly thr occurrences) the rank-N
+    // boundary tie set is the ENTIRE repeated-span population, and an
+    // unconditional broadcast() hint — which bypasses
+    // autoBroadcastJoinThreshold — would collect it all to the driver.
+    // The tie-set count is a narrow scan of the already-checkpointed
+    // perKey rows; past the bound the winners meet the corpus through a
+    // shuffle join instead (same rows out — the broadcast is purely a
+    // plan choice, and the orderBy/limit below still resolves ties).
+    val joinSide =
+      if (winners.count() <= broadcastWinnersLimit(df.sparkSession))
+        broadcast(winners)
+      else winners.hint("shuffle_hash")
     // winner text recovery: slice the span back out of its first-occurrence
     // document — slice() truncates at the token array's end, reproducing
     // the whole-doc window of documents shorter than k tokens.
     df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .join(broadcast(winners), Seq("id"))
+      .join(joinSide, Seq("id"))
       .select(
         array_join(slice(filter(split(col("__t"), " "), t => length(t) > 0),
           col("minpos") + 1, lit(k)), " ").as("span"),
@@ -892,16 +913,25 @@ object DedupFunctions {
     * the input lineage at DataFrame BUILD time (before any action) — a
     * deliberate driver-side cost, bounded by plan depth, paid once per
     * operator construction. */
-  private def fingerprintPartitions(src: DataFrame, expansion: Double): Option[Int] = {
-    // kill switch (session conf): pins the pre-r17 static-partition plan.
-    // Parsed tolerantly — only an explicit case-insensitive "false"/"0"
-    // disables; any other junk value keeps the default-on behavior
-    // rather than crashing operator construction.
-    val off = src.sparkSession.conf.getOption("graft.window.adaptivePartitions")
+  private def fingerprintPartitions(src: DataFrame, expansion: Double): Option[Int] =
+    if (adaptivePartitionsOff(src.sparkSession)) None
+    else partitionsForBytes(src.sparkSession, fingerprintSourceBytes(src), expansion)
+
+  /** Kill switch (session conf): pins the pre-r17 static-partition plan.
+    * Parsed tolerantly — only an explicit case-insensitive "false"/"0"
+    * disables; any other junk value keeps the default-on behavior
+    * rather than crashing operator construction. */
+  private def adaptivePartitionsOff(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("graft.window.adaptivePartitions")
       .exists(v => v.trim.equalsIgnoreCase("false") || v.trim == "0")
-    if (off) return None
-    val default = src.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val size = fingerprintSourceBytes(src)
+
+  /** The sizing arithmetic of [[fingerprintPartitions]], split out so the
+    * cascade can feed it DECAYED byte estimates (survivor fraction of the
+    * base corpus) instead of re-deriving plan statistics per stage. */
+  private def partitionsForBytes(
+      spark: org.apache.spark.sql.SparkSession,
+      size: BigInt, expansion: Double): Option[Int] = {
+    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
     if (size <= 0 || size > BigInt(1L << 50)) None
     else {
       val n = math.min(4096.0,
@@ -925,12 +955,20 @@ object DedupFunctions {
   private def fingerprintSourceBytes(src: DataFrame): BigInt = {
     val stats = src.queryExecution.optimizedPlan.stats.sizeInBytes
     if (stats > 0 && stats <= BigInt(1L << 50)) return stats
-    src.queryExecution.optimizedPlan.collectFirst {
+    // Round 19 (r18 advice): SUM block-manager bytes across ALL
+    // LogicalRDD leaves — a lineage joining two checkpointed frames
+    // previously sized its exchange from whichever leaf collectFirst
+    // happened to visit. Block-manager bytes are UNCOMPRESSED where
+    // parquet stats are compressed, so this path over-estimates — the
+    // safe direction (more, smaller sort partitions), bounded by the
+    // 4096-partition clamp in [[partitionsForBytes]].
+    val ids = src.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
-    }.flatMap { id =>
-      src.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id)
-        .map(i => BigInt(i.memSize + i.diskSize))
-    }.filter(_ > 0).getOrElse(stats)
+    }
+    val info = src.sparkSession.sparkContext.getRDDStorageInfo
+    val total = ids.flatMap(id => info.find(_.id == id))
+      .map(i => BigInt(i.memSize + i.diskSize)).sum
+    if (total > 0) total else stats
   }
 
   /** Fingerprint expansion of the span family relative to (typically
@@ -970,21 +1008,38 @@ object DedupFunctions {
     * once per stage); before round 17 the cascade added a second
     * id-keyed join per stage just to sum the counter, shuffling the
     * full cleaned text a second time. */
-  private def removeSpansStage(cur: DataFrame, k: Int, minRepeat: Int,
-      windowParts: Option[Int]): DataFrame = {
+  /** The per-stage drop-position computation shared by the single-k
+    * transform and the cascade: one fingerprint-keyed window pass over
+    * narrow (id, pos, span_key) rows marks every non-first occurrence of
+    * a repeated k-window in `cur`'s `textCol`, grouped to one narrow
+    * (id, sorted starts) row per affected document — text never rides
+    * any of its exchanges. */
+  /** The per-stage drop-position computation shared by the single-k
+    * transform and the cascade, over an already-windowed (id, pos, w)
+    * stream: one fingerprint-keyed window pass over narrow (id, pos,
+    * span_key) rows marks every non-first occurrence of a repeated
+    * window, grouped to one narrow (id, sorted starts) row per affected
+    * document — text never rides any of its exchanges. */
+  private def dropStartsFromWindows(wins0: DataFrame,
+      minRepeat: Int, windowParts: Option[Int]): DataFrame = {
     require(minRepeat >= 2, "minRepeat < 2 would mark every window duplicated")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
-    val wins0 = cur
-      .select(col("id"),
-        posexplode(Kernels.allShingles(col("clean_text"), k)).as(Seq("pos", "w")))
-      .select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
-    val wins = windowParts.fold(wins0)(n => wins0.repartition(n, col("span_key")))
-    val removable = wins
+    val keyed = wins0.select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
+    val wins = windowParts.fold(keyed)(n => keyed.repartition(n, col("span_key")))
+    wins
       .withColumn("c", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy(col("id"), col("pos"))))
       .where(col("c") >= minRepeat && col("rn") >= 2)
-    val dropStarts = removable.groupBy(col("id"))
+      .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
+  }
+
+  private def removeSpansStage(cur: DataFrame, k: Int, minRepeat: Int,
+      windowParts: Option[Int]): DataFrame = {
+    val dropStarts = dropStartsFromWindows(
+      cur.select(col("id"),
+        posexplode(Kernels.allShingles(col("clean_text"), k)).as(Seq("pos", "w"))),
+      minRepeat, windowParts)
     cur
       // shuffle_hash: the document text must not pay a sort-merge sort
       // just to meet its narrow drop-position list (measured at the 2000x
@@ -1012,11 +1067,29 @@ object DedupFunctions {
     * is the exact single-k transform, so every stage inherits its
     * first-occurrence-keeps semantics and its oracle.
     *
-    * Scale shape: `ks.length` sequential single-k passes (bounded, user
-    * chosen — 3–4 octaves in practice), each the q88 plan (one
-    * fingerprint shuffle + one narrow positions shuffle + one join);
-    * stages are materialized so stage j+1 re-windows a table, not a
-    * replayed lineage.
+    * Scale shape (round 19 — per-stage checkpoints are TEXT-FREE): the
+    * r18 ledger's steepest row was this cascade's 2000x step (5.9x wall
+    * per 4x data), driven by each stage re-materializing every surviving
+    * document's full text into the block manager. Now the corpus text is
+    * checkpointed ONCE (id-partitioned, so every downstream id-join
+    * reuses the exchange), each stage checkpoints only its narrow
+    * (id, k, starts) drop positions, and any stage's input text is
+    * recomposed MAP-SIDE by replaying the accumulated drops against the
+    * original tokens ([[composeSpanStages]] — the exact sequential
+    * [[rebuildSpans]] semantics, per row). Per stage that is still one
+    * fingerprint shuffle + one narrow positions shuffle, but the only
+    * per-stage text movement is the map-side compose read, and the final
+    * (id, clean_text, n_removed) output is one more compose over the
+    * same two checkpoints. Like [[topRepeatedSpans]], the cascade is
+    * EAGER at build time (the base + per-stage drop checkpoints run when
+    * the DataFrame is constructed).
+    *
+    * Window sizing per stage: stage 1 from the base checkpoint's bytes,
+    * later stages DECAYED by the measured drop counts (every marked
+    * occurrence removes at least one token, so the estimate over-sizes —
+    * the safe direction; heavy duplication decays it all the way to the
+    * AQE-coalescible natural exchange instead of pinning thousands of
+    * near-empty REPARTITION_BY_NUM sort partitions on small tails).
     *
     * @param ks window lengths; deduplicated and applied DESCENDING
     * @return (id, clean_text, n_removed) — n_removed totals all stages
@@ -1028,24 +1101,180 @@ object DedupFunctions {
       ks: Seq[Int] = Seq(32, 16, 8),
       minRepeat: Int = 2): DataFrame = {
     require(ks.nonEmpty, "cascade needs at least one window length")
+    val spark = df.sparkSession
     val ordered = ks.distinct.sorted(Ordering[Int].reverse)
-    // window sizing per stage (round 18): stage 1 from the input's plan
-    // stats, every later stage from its predecessor's MATERIALIZED
-    // checkpoint bytes (fingerprintSourceBytes' block-manager fallback).
-    // After heavy removal at the largest k the count decays with the
-    // surviving text — and decaying all the way to None restores the
-    // AQE-coalescible natural exchange instead of pinning thousands of
-    // near-empty REPARTITION_BY_NUM sort partitions on small tails.
-    var parts = fingerprintPartitions(df, SpanKeyExpansion)
-    var cur = df.select(col(idCol).as("id"), col(textCol).as("clean_text"),
-      lit(0L).as("n_removed"))
+    // The one corpus-text materialization. (No pre-partitioning: a
+    // localCheckpoint's LogicalRDD does not advertise outputPartitioning,
+    // so an up-front repartition(id) would be a pure extra text exchange
+    // — verified on the executed join plan.)
+    val based = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .localCheckpoint(true)
+    val adaptiveOff = adaptivePartitionsOff(spark)
+    // Compressed-calibration bytes for the window sizing: the input's
+    // own plan stats when usable (parquet-compressed — what
+    // SpanKeyExpansion is calibrated against), else the checkpoint's
+    // block-manager bytes scaled down by a nominal uncompressed:parquet
+    // ratio. Token estimates derive from the same figure (~2 compressed
+    // bytes per token — see SpanKeyExpansion's scaladoc); the decay only
+    // needs order-of-magnitude.
+    val dfStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val baseBytes: BigInt =
+      if (dfStats > 0 && dfStats <= BigInt(1L << 50)) dfStats
+      else fingerprintSourceBytes(based) / 4
+    var acc: DataFrame = null
+    var droppedTokens = 0L
+    var accRows = 0L
+    // The drop accumulator is per-affected-document narrow rows: while it
+    // fits the broadcast bound the per-stage replay join is MAP-SIDE over
+    // the text checkpoint (no text exchange at all); past the bound it
+    // degrades to a shuffle_hash join — text pays one hash exchange per
+    // stage, exactly what the pre-r19 per-stage rebuild join paid.
+    def accSide() =
+      if (accRows <= cascadeBroadcastLimit(spark)) broadcast(acc)
+      else acc.hint("shuffle_hash")
     ordered.foreach { k =>
-      // next stage re-windows a table, not a replayed lineage; the
-      // accumulated counter rides the stage's own text join (no second
-      // id-join per stage — see removeSpansStage)
-      cur = removeSpansStage(cur, k, minRepeat, parts).localCheckpoint(true)
-      parts = fingerprintPartitions(cur, SpanKeyExpansion)
+      val parts =
+        if (adaptiveOff) None
+        else {
+          // stage 1 sizes from the full corpus; later stages decay by
+          // the measured drop counts (distinct starts cover distinct
+          // positions, so the sum under-counts dropped tokens and the
+          // next exchange over-sizes — the safe direction), restoring
+          // the AQE-coalescible natural exchange on small tails.
+          val droppedBytes = BigInt(droppedTokens) * 2
+          partitionsForBytes(spark,
+            (baseBytes - droppedBytes).max(BigInt(0)), SpanKeyExpansion)
+        }
+      // Stage windows: stage 1 windows the checkpointed text directly;
+      // later stages REPLAY the accumulated narrow drops against the
+      // original tokens and emit the cleaned text's windows in the same
+      // kernel pass ([[Kernels]]-style tight loop) — text is read
+      // map-side from the one checkpoint, never re-materialized.
+      val wins0 =
+        if (acc == null)
+          based.select(col("id"),
+            posexplode(Kernels.allShingles(col("__text"), k)).as(Seq("pos", "w")))
+        else
+          based.join(accSide(), Seq("id"), "left")
+            .select(col("id"),
+              posexplode(composeSpanWindows(col("__text"), col("__ks"),
+                col("__st"), lit(k))).as(Seq("pos", "w")))
+      val drops = dropStartsFromWindows(wins0, minRepeat, parts)
+      acc = (if (acc == null)
+        drops.select(col("id"),
+          array(lit(k)).as("__ks"), array(col("starts")).as("__st"))
+      else acc.join(drops, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(col("starts").isNull, col("__ks"))
+            .when(col("__ks").isNull, array(lit(k)))
+            .otherwise(concat(col("__ks"), array(lit(k)))).as("__ks"),
+          when(col("starts").isNull, col("__st"))
+            .when(col("__st").isNull, array(col("starts")))
+            .otherwise(concat(col("__st"), array(col("starts")))).as("__st")))
+        .localCheckpoint(true)
+      // one narrow job over the just-materialized checkpoint feeds the
+      // broadcast-vs-shuffle choice AND the next stage's sizing decay
+      val r = acc.agg(count(lit(1)), sum(size(flatten(col("__st"))))).collect()(0)
+      accRows = r.getLong(0)
+      droppedTokens = if (r.isNullAt(1)) 0L else r.getLong(1)
     }
-    cur
+    // Final rebuild: one lazy pass over the two checkpoints (the same
+    // two-projection select shape as removeSpansStage — CollapseProject
+    // does not duplicate the non-cheap kernel into the field extracts).
+    based.join(accSide(), Seq("id"), "left")
+      .select(col("id"),
+        composeSpanStages(col("__text"), col("__ks"), col("__st")).as("r"))
+      .select(col("id"), col("r._1").as("clean_text"),
+        col("r._2").as("n_removed"))
+  }
+
+  /** Row bound for broadcasting the cascade's per-document drop
+    * accumulator (default 4M narrow rows — the same order as
+    * [[contractBroadcastLimit]]); session-configurable so deployments
+    * size it to executor memory. Past it the replay joins degrade to
+    * shuffle_hash — one text exchange per stage, the pre-r19 cost. */
+  private[graft] def cascadeBroadcastLimit(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.cascade.broadcastDocs").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** Fused cascade-stage windowing kernel: replay the accumulated drop
+    * starts against the original tokens (the [[composeSpanStages]]
+    * semantics) and emit the CLEANED text's k-windows directly — one
+    * tokenize per stage, no intermediate cleaned-text materialization,
+    * and the same short-doc semantics as [[Kernels.allShingles]] (one
+    * whole-doc window when fewer than k tokens survive). */
+  private lazy val composeSpanWindows = udf {
+    (text: String, ks: Seq[Int], starts: Seq[Seq[Int]], k: Int) =>
+      val toks = applySpanDrops(text, ks, starts)._1
+      val nt = toks.length
+      val m = if (nt >= k) nt - k + 1 else 1
+      val win = math.min(k, nt)
+      val out = new Array[String](m)
+      var s0 = 0
+      while (s0 < m) {
+        val sb = new java.lang.StringBuilder
+        var i = s0
+        val end = s0 + win
+        while (i < end) {
+          if (i > s0) sb.append(' ')
+          sb.append(toks(i))
+          i += 1
+        }
+        out(s0) = sb.toString
+        s0 += 1
+      }
+      out
+  }
+
+  /** Cascade compose kernel: replay the accumulated per-stage drop
+    * starts (in application order — descending k) against the ORIGINAL
+    * document text. Each stage re-tokenizes the survivors of the
+    * previous one, so this is exactly the sequential [[rebuildSpans]]
+    * composition; `win = min(k, current length)` reproduces the
+    * whole-doc window of short documents at every stage. Returns
+    * (clean_text, total tokens dropped) — whitespace-normalized for
+    * every document, drops or not. */
+  private lazy val composeSpanStages = udf {
+    (text: String, ks: Seq[Int], starts: Seq[Seq[Int]]) =>
+      val (toks, n0) = applySpanDrops(text, ks, starts)
+      (toks.mkString(" "), (n0 - toks.length).toLong)
+  }
+
+  /** Shared replay loop behind [[composeSpanStages]] and
+    * [[composeSpanWindows]]: tokenize, then apply each stage's drop
+    * starts in order, each against the SURVIVORS of the previous stage
+    * (`win = min(k, current length)` — the whole-doc window of short
+    * documents at every stage, exactly the sequential [[rebuildSpans]]
+    * composition). Returns (surviving tokens, original token count). */
+  private def applySpanDrops(
+      text: String, ks: Seq[Int], starts: Seq[Seq[Int]]): (Array[String], Int) = {
+    val raw = if (text == null) Array.empty[String] else text.split(" ", -1)
+    var toks: Array[String] = raw.filter(_.nonEmpty)
+    val n0 = toks.length
+    if (ks != null && ks.nonEmpty) {
+      var si = 0
+      while (si < ks.length) {
+        val st = starts(si)
+        if (st != null && st.nonEmpty && toks.length > 0) {
+          val win = math.min(ks(si), toks.length)
+          val covered = new Array[Boolean](toks.length)
+          st.foreach { s =>
+            var i = s
+            val end = math.min(s + win, toks.length)
+            while (i < end) { covered(i) = true; i += 1 }
+          }
+          val kept = new Array[String](toks.length)
+          var nk = 0
+          var i = 0
+          while (i < toks.length) {
+            if (!covered(i)) { kept(nk) = toks(i); nk += 1 }
+            i += 1
+          }
+          toks = java.util.Arrays.copyOf(kept, nk)
+        }
+        si += 1
+      }
+    }
+    (toks, n0)
   }
 }
