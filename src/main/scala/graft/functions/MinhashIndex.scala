@@ -107,7 +107,57 @@ final class MinhashIndex private (
 
 object MinhashIndex {
 
-  /** Build (overwrite) an index from a corpus. */
+  /** The persisted build parameters (round 19, r18 advice): signatures
+    * computed with parameters that differ from the build's are garbage —
+    * dedup silently misses every duplicate — so the parameters live NEXT
+    * TO the index instead of being re-asserted by every caller. Same
+    * self-describing-store move as [[IvfPq.writeMeta]]; a `__meta.json`
+    * SIBLING file, not a file inside the store dir, because the bin-pack
+    * compaction atomically swaps the store dir. `threshold` is recorded
+    * as the build-time default but is a QUERY-time parameter (it only
+    * gates [[MinhashIndex.checkBatch]]'s output filter), so callers may
+    * override it; the three structural parameters may not. */
+  final case class Meta(
+      shingleSize: Int, numHashes: Int, numBands: Int, threshold: Double)
+
+  private def metaPath(location: String) =
+    new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__meta.json")
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private[functions] def writeMeta(
+      conf: org.apache.hadoop.conf.Configuration, location: String, m: Meta): Unit = {
+    val p = metaPath(location)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(
+      (s"""{"shingle_size":${m.shingleSize},"num_hashes":${m.numHashes},""" +
+        s""""num_bands":${m.numBands},"threshold":${m.threshold}}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The persisted build parameters, when the index has them (indexes
+    * built before round 19 have no meta sibling — legacy opens keep
+    * working off explicit parameters). */
+  def readMeta(location: String): Option[Meta] = {
+    val p = metaPath(location)
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      Some(Meta(root.get("shingle_size").asInt, root.get("num_hashes").asInt,
+        root.get("num_bands").asInt, root.get("threshold").asDouble))
+    }
+  }
+
+  /** Build (overwrite) an index from a corpus; persists the build
+    * parameters as a `__meta.json` sibling so [[open(location*]]
+    * reopens the store from the location alone. */
   def build(
       corpus: DataFrame, idCol: String, textCol: String, location: String,
       shingleSize: Int = 3, numHashes: Int = 32, numBands: Int = 4,
@@ -115,11 +165,39 @@ object MinhashIndex {
     val idx = new MinhashIndex(location, shingleSize, numHashes, numBands, threshold)
     val rows = idx.signed(corpus, idCol, textCol)
     idx.banded(rows).write.mode("overwrite").partitionBy("band").parquet(location)
+    writeMeta(corpus.sparkSession.sparkContext.hadoopConfiguration, location,
+      Meta(shingleSize, numHashes, numBands, threshold))
     idx
   }
 
-  /** Open an existing index (parameters must match the build). */
+  /** Open a store from its location alone — requires the `__meta.json`
+    * sibling [[build]] writes. The config-driven entry point (the ACON
+    * `minhash_dedup` face) and the checkpoint-restart path. */
+  def open(location: String): MinhashIndex = {
+    val m = readMeta(location).getOrElse(sys.error(
+      s"no minhash meta at ${metaPath(location)} — build the index with " +
+        "MinhashIndex.build (which persists it), or pass explicit " +
+        "parameters to open(location, shingleSize, ...) for a pre-meta index"))
+    new MinhashIndex(location, m.shingleSize, m.numHashes, m.numBands, m.threshold)
+  }
+
+  /** Open an existing index with explicit parameters. When the store has
+    * persisted meta, the STRUCTURAL parameters (shingle size, hash and
+    * band counts) are validated against it — a mismatch means every
+    * signature this handle computes would be garbage, so it fails loudly
+    * instead; `threshold` is query-time and the caller's value wins. */
   def open(location: String, shingleSize: Int = 3, numHashes: Int = 32,
-      numBands: Int = 4, threshold: Double = 0.5): MinhashIndex =
+      numBands: Int = 4, threshold: Double = 0.5): MinhashIndex = {
+    readMeta(location).foreach { m =>
+      require(m.shingleSize == shingleSize && m.numHashes == numHashes &&
+          m.numBands == numBands,
+        s"minhash index at $location was built with shingle_size=" +
+          s"${m.shingleSize}, num_hashes=${m.numHashes}, num_bands=" +
+          s"${m.numBands} but open() was passed shingle_size=$shingleSize, " +
+          s"num_hashes=$numHashes, num_bands=$numBands — signatures would " +
+          "silently miss every duplicate; drop the explicit parameters " +
+          "(open(location)) or rebuild the index")
+    }
     new MinhashIndex(location, shingleSize, numHashes, numBands, threshold)
+  }
 }

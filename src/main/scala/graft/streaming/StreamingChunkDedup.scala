@@ -64,6 +64,7 @@ object StreamingChunkDedup {
       indexPath: String, sinkDir: String, checkpointDir: String,
       chunkTokens: Int = 5,
       compactEvery: Int = 0,
+      compactFiles: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
       prepare: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
@@ -77,7 +78,14 @@ object StreamingChunkDedup {
         // small-files scan over the ingest lifetime. Runs AFTER the
         // sink+append (single writer; a replayed batch re-runs the
         // compaction harmlessly — it is semantics-neutral by law).
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        // `compactFiles` keys the cadence on the store's file count
+        // (the degradation signal itself — see the r18 soak's IVFADC
+        // listing cliff); `compactEvery` keeps the cycles spelling.
+        if (compactFiles > 0)
+          graft.maintain.IndexMaintenance.compactIfNeeded(
+            batch.sparkSession, indexPath, maxFiles = compactFiles,
+            distinctRows = true)
+        else if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           DedupFunctions.compactChunkIndex(batch.sparkSession, indexPath)
         ()
       }

@@ -95,6 +95,7 @@ object StreamingDedup {
       stream: DataFrame, idCol: String, textCol: String,
       index: MinhashIndex, sinkDir: String, checkpointDir: String,
       compactEvery: Int = 0,
+      compactFiles: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
       prepare: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
@@ -105,7 +106,17 @@ object StreamingDedup {
           _.write.mode("append").parquet(sinkDir))
         // Periodic posting-list bin-pack (appends leave one file per
         // band per batch); layout-only, after the sink+append.
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        // `compactFiles` keys the cadence on the store's FILE COUNT —
+        // the degradation signal itself (the r18 sf0.1 soak measured a
+        // 23 s listing cliff on the IVFADC store past ~2.5k files; file
+        // count, not batch cycles, is what a 100 TB ingest must bound,
+        // and the listing probe is one FS round trip per batch).
+        // `compactEvery` keeps the legacy cycles-keyed spelling.
+        if (compactFiles > 0)
+          graft.maintain.IndexMaintenance.compactIfNeeded(
+            batch.sparkSession, index.location, maxFiles = compactFiles,
+            partitionBy = Seq("band"))
+        else if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           index.compact(batch.sparkSession)
         ()
       }

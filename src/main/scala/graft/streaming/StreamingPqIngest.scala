@@ -102,6 +102,7 @@ object StreamingPqIngest {
       dedupMaxDist: Option[Double] = None,
       nProbe: Int = 4,
       compactEvery: Int = 0,
+      compactFiles: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
       prepare: DataFrame => DataFrame = identity): StreamingQuery = {
     @volatile var current = initial
@@ -114,8 +115,18 @@ object StreamingPqIngest {
           dedup, dedupMaxDist, nProbe)
         // Periodic cell-store bin-pack (each append leaves one file per
         // touched cell); layout-only, preserves cell partition pruning.
+        // `compactFiles` keys the cadence on the store's FILE COUNT —
+        // the r18 sf0.1 soak's own conclusion for exactly this store: a
+        // 23 s listing cliff appeared past ~2.5k files regardless of how
+        // many batches produced them, and recovered to 0.28 s after the
+        // rewrite, so cycles are the wrong clock. The listing probe is
+        // one FS round trip per batch (IndexMaintenance.stats).
         current =
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          if (compactFiles > 0 && graft.maintain.IndexMaintenance
+              .stats(batch.sparkSession, indexLocation)._1 > compactFiles)
+            next.compactPersisted(indexLocation)
+          else if (compactEvery > 0 && compactFiles == 0 &&
+              (batchId + 1) % compactEvery == 0)
             next.compactPersisted(indexLocation)
           else next
         ()

@@ -69,6 +69,13 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(check() == before, "checkBatch changed across compaction")
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("band=")) == 4, s"band layout lost: ${dirs.toSeq}")
+    // the __meta.json parameter sibling survives the staged-swap rewrite
+    // (it sits NEXT TO the store dir, not inside it) and the store
+    // reopens from its location alone with the build parameters intact
+    val reopened = MinhashIndex.open(path)
+    assert(reopened.threshold == 0.3 && reopened.numBands == 4 &&
+      reopened.numHashes == 32 && reopened.shingleSize == 3,
+      "persisted meta lost or wrong after compaction")
   }
 
   test("ivfadc cell store: appends -> compactPersisted: search identical, cell dirs preserved") {

@@ -827,4 +827,209 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(50L, 51L))
     assert(spark.read.parquet(store).count() == before + 2)
   }
+
+  test("IVFADC face soak: file-count-keyed compaction bounds the store across 50 batches") {
+    // Round 19 (the r18 sf0.1 soak's own conclusion): the IVFADC store
+    // must key compaction on FILE COUNT — a 23 s listing cliff appeared
+    // past ~2.5k files however many batches made them. One long-lived
+    // query, 50 micro-batches, `compactFiles` budget: the store's data
+    // file count must never exceed the budget at any batch boundary,
+    // and every streamed vector still lands (sink and store complete).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val corpus = Seq(
+      (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+      (3L, v(0f, 0f, 1f, 0f)), (4L, v(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val store = tmpDir("soak-idx") + "/store"
+    val sink = tmpDir("soak-sink") + "/fresh"
+    graft.functions.IvfPq.build(corpus, "vec_id", "embedding",
+      dim = 4, nLists = 2, m = 2, ksub = 4, trainSampleSize = 100)
+      .persisted(store)
+    val budget = 12
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingPqIngest.start(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      graft.functions.IvfPq.open(spark, store), store,
+      sink, tmpDir("soak-ckpt"),
+      dedup = false, compactFiles = budget,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    try {
+      var maxSeen = 0
+      var compactions = 0
+      var prevFiles = graft.maintain.IndexMaintenance.stats(spark, store)._1
+      (0 until 50).foreach { i =>
+        val x = (i % 7).toFloat / 7f
+        mem.addData((100L + i, v(x, 1f - x, x * x, 0.5f)))
+        q.processAllAvailable()
+        val (files, _) = graft.maintain.IndexMaintenance.stats(spark, store)
+        maxSeen = math.max(maxSeen, files)
+        if (files < prevFiles) compactions += 1
+        prevFiles = files
+        assert(files <= budget,
+          s"store exceeded the file budget after batch $i: $files > $budget")
+      }
+      assert(compactions >= 2,
+        s"expected repeated file-count-keyed compactions over 50 batches ($maxSeen max files)")
+      // nothing lost across the compactions: every streamed id is in the
+      // sink AND PQ-coded in the store next to the built corpus
+      assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+        == (0 until 50).map(100L + _).toSet)
+      assert(spark.read.parquet(store).select("id").as[Long].collect().toSet
+        == ((0 until 50).map(100L + _).toSet ++ Set(1L, 2L, 3L, 4L)))
+      // the cell partitioning (probe-time pruning) survived every rewrite
+      val dirs = new java.io.File(store).listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.forall(_.startsWith("cell=")) && dirs.nonEmpty,
+        s"cell layout lost: ${dirs.toSeq}")
+    } finally q.stop()
+  }
+
+  test("ACON index seeding: write_type index_build bootstraps the dedup loop config-only") {
+    // Round 19: the faces deliberately refuse to cold-start on a missing
+    // index; this is the config spelling that BUILDS it. One ACON seeds
+    // the minhash index from a corpus input (persisting __meta.json), a
+    // second ACON runs streaming dedup against it with NO structural
+    // options — parameters derive from the store's own meta.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textX = "one two three four five six seven eight nine ten eleven"
+    val idxLoc = tmpDir("seed-idx") + "/index"
+    val sink = tmpDir("seed-sink") + "/clean"
+    graft.algo.DataLoader.loadData(spark,
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "corpus", "read_type": "batch", "df_name": "docs"
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "seed", "input_id": "corpus",
+         |    "data_format": "minhash_dedup", "write_type": "index_build",
+         |    "options": {"index_location": "$idxLoc",
+         |      "id_col": "doc_id", "text_col": "text",
+         |      "num_bands": "8", "num_hashes": "32", "threshold": "0.5"}
+         |  }]
+         |}""".stripMargin,
+      dfs = Map("docs" -> Seq((1L, textA)).toDF("doc_id", "text")))
+    // the seeded store is self-describing
+    val meta = graft.functions.MinhashIndex.readMeta(idxLoc)
+    assert(meta.contains(graft.functions.MinhashIndex.Meta(3, 32, 8, 0.5)),
+      s"seeded index meta: $meta")
+    // second ACON: streaming dedup face, structural params DERIVED
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    mem.addData((100L, textA), (101L, textX)) // 100 near-dups the corpus
+    graft.algo.DataLoader.loadData(spark,
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "df_name": "docs"
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "src", "data_format": "minhash_dedup",
+         |    "location": "$sink",
+         |    "options": {
+         |      "index_location": "$idxLoc",
+         |      "checkpointLocation": "${tmpDir("seed-ckpt")}",
+         |      "id_col": "doc_id", "text_col": "text"}
+         |  }]
+         |}""".stripMargin,
+      dfs = Map("docs" -> mem.toDF().toDF("doc_id", "text")))
+    assert(spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().toSeq == Seq(101L))
+    // a MISMATCHED structural option on the run face fails loudly
+    // instead of silently missing every duplicate
+    val err = intercept[Exception] {
+      graft.streaming.StreamingFaces.writeBatch(spark,
+        graft.spec.OutputSpec(specId = "bad", inputId = "x",
+          dataFormat = Some("minhash_dedup"), location = Some(sink),
+          options = Map("index_location" -> idxLoc, "num_bands" -> "4",
+            "id_col" -> "doc_id", "text_col" -> "text")),
+        Seq((200L, textX)).toDF("doc_id", "text"))
+    }
+    assert(err.getMessage.contains("num_bands"), err.getMessage)
+    // chunk + IVFADC seeding: same spelling, index layouts verified
+    val chunkIdx = tmpDir("seed-cidx") + "/index"
+    graft.algo.DataLoader.loadData(spark,
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "corpus", "read_type": "batch", "df_name": "docs"
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "seed", "input_id": "corpus",
+         |    "data_format": "chunk_dedup", "write_type": "index_build",
+         |    "options": {"index_location": "$chunkIdx",
+         |      "id_col": "doc_id", "text_col": "text", "chunk_tokens": "2"}
+         |  }]
+         |}""".stripMargin,
+      dfs = Map("docs" -> Seq((1L, "a b c d")).toDF("doc_id", "text")))
+    val cIdx = spark.read.parquet(chunkIdx)
+    assert(cIdx.columns.toSeq == Seq("chunk_hash") && cIdx.count() == 2)
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val pqIdx = tmpDir("seed-pidx") + "/store"
+    graft.algo.DataLoader.loadData(spark,
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "corpus", "read_type": "batch", "df_name": "vecs"
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "seed", "input_id": "corpus",
+         |    "data_format": "ivfadc_ingest", "write_type": "index_build",
+         |    "options": {"index_location": "$pqIdx", "id_col": "vec_id",
+         |      "vec_col": "embedding", "n_lists": "2", "pq_m": "2",
+         |      "pq_ksub": "4"}
+         |  }]
+         |}""".stripMargin,
+      dfs = Map("vecs" -> Seq(
+        (1L, v(1f, 0f, 0f, 0f)), (2L, v(0f, 1f, 0f, 0f)),
+        (3L, v(0f, 0f, 1f, 0f)), (4L, v(0f, 0f, 0f, 1f))
+      ).toDF("vec_id", "embedding")))
+    // reopenable from the location alone (the __meta model sibling) and
+    // already in the cell-partitioned probe layout
+    val reopened = graft.functions.IvfPq.open(spark, pqIdx)
+    assert(reopened.codes.count() == 4)
+    assert(spark.read.parquet(pqIdx).columns.sorted.toSeq
+      == Seq("cell", "codes", "id"))
+  }
+
+  test("""ACON compact_every "files:N" keys the chunk face on the store's file count""") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.DedupFunctions
+    val idxLoc = tmpDir("fcc-idx") + "/index"
+    val sink = tmpDir("fcc-sink") + "/clean"
+    val ckpt = tmpDir("fcc-ckpt")
+    DedupFunctions.chunkHashIndex(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", chunkTokens = 2)
+      .write.parquet(idxLoc)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val acon =
+      s"""{
+         |  "input_specs": [{
+         |    "spec_id": "src", "read_type": "streaming", "df_name": "ingest"
+         |  }],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "src", "data_format": "chunk_dedup",
+         |    "location": "$sink",
+         |    "options": {
+         |      "index_location": "$idxLoc", "checkpointLocation": "$ckpt",
+         |      "compact_every": "files:3",
+         |      "id_col": "doc_id", "text_col": "text", "chunk_tokens": "2"}
+         |  }]
+         |}""".stripMargin
+    def drain(): Unit =
+      graft.algo.DataLoader.loadData(spark, acon,
+        dfs = Map("ingest" -> mem.toDF().toDF("doc_id", "text")))
+    (0 until 6).foreach { i =>
+      mem.addData((10L + i, s"w$i x$i y$i z$i"))
+      drain()
+      val (files, _) = graft.maintain.IndexMaintenance.stats(spark, idxLoc)
+      assert(files <= 3, s"chunk index exceeded the file budget after batch $i: $files")
+    }
+    // every distinct chunk of every batch is indexed (a b + 2 per batch)
+    assert(spark.read.parquet(idxLoc).distinct().count() == 1 + 12)
+    assert(spark.read.parquet(sink).count() == 6)
+  }
 }
