@@ -41,9 +41,20 @@ object ScaleCurve {
         .repartition(files)
         .write.mode(if (gi == 0) "overwrite" else "append").parquet(tmp.toString)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(out), true)
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(out)),
-      s"scaled-corpus rename $tmp -> $out failed")
+    // Swap order (round 19, r18 advice): rename the OLD corpus aside
+    // before renaming the staging dir into place, deleting it only after
+    // the swap succeeds — delete-then-rename could leave NO corpus at
+    // all on a rename failure, which the old code's comment wrongly
+    // advertised as crash-safe.
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val oldAside = new org.apache.hadoop.fs.Path(out + "__old")
+    fs.delete(oldAside, true)
+    if (fs.exists(outPath))
+      require(fs.rename(outPath, oldAside),
+        s"scaled-corpus aside-rename $outPath -> $oldAside failed")
+    require(fs.rename(tmp, outPath),
+      s"scaled-corpus rename $tmp -> $out failed (previous corpus kept at $oldAside)")
+    fs.delete(oldAside, true)
   }
 
   private def scaleDocs(spark: SparkSession, base: String, out: String): Unit = {
@@ -417,6 +428,18 @@ object ScaleCurve {
         !new java.io.File(s"$scaled/customer.parquet/_SUCCESS").exists())
       scaleKeyed(spark, base, scaled, "customer", "c_custkey")
     val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
+    // Heap protocol pin (round 19): the r18 ledger measured a 48g
+    // single-JVM heap reading shuffle-heavy families at 4.5-6.5x their
+    // 32g values (oversized heaps defer spilling into giant in-memory
+    // TimSorts whose full GCs dominate), so rows taken off-protocol are
+    // NOT comparable. Every SCALE JSON records the heap; a run outside
+    // the 32g pin warns loudly.
+    val heapMaxMb = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getMax / 1048576
+    if (heapMaxMb < 28000 || heapMaxMb > 36000)
+      println(s"[scale-curve] WARNING: heap_max_mb=$heapMaxMb is OFF the " +
+        "32g ledger protocol (SPARK_DRIVER_MEM=32g) — rows from this run " +
+        "are not comparable to the canonical ledger (see PLANS.md)")
 
     val catalog = graft.SparkEntry.queries
     // SPARK_GRAFT_SCALE_ONLY: comma-separated substring filter on op
@@ -442,7 +465,7 @@ object ScaleCurve {
       println(f"[scale-curve] x$Copies lsh_recall_sample $recall%.3f ($nCaught/$nTrue)")
       s""","lsh_recall":{"true_pairs":$nTrue,"caught":$nCaught,"recall":$recall}"""
     } else ""
-    println(s"""{"metric":"scale_curve","copies":$Copies,"scaled_docs":$nDocs,${sections.mkString(",")}$recallJson}""")
+    println(s"""{"metric":"scale_curve","copies":$Copies,"scaled_docs":$nDocs,"heap_max_mb":$heapMaxMb,${sections.mkString(",")}$recallJson}""")
     spark.stop()
   }
 }
