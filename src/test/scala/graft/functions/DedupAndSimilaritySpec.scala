@@ -731,6 +731,51 @@ class DedupAndSimilaritySpec extends SparkSpec {
     assert(!top.exists(_._1.contains("unrelated")))
   }
 
+  test("topRepeatedSpans: the shuffle-join fallback past the winner-broadcast bound is identical") {
+    // r19 (r18 advice): a flat-count corpus ties the whole repeated-span
+    // population at the rank-N boundary, so the winner set is counted
+    // before broadcasting and past the bound the recovery join degrades
+    // to shuffle_hash. Pin: forcing the fallback (bound = 0) returns
+    // byte-identical results to the broadcast plan.
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b c e"),
+      (3L, "a b c f a b c g"), (4L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val broadcastPath = DedupFunctions
+      .topRepeatedSpans(corpus, "doc_id", "text", k = 3, topN = 5)
+      .as[(String, Long, Long)].collect().toSeq
+    val prev = spark.conf.getOption("graft.topSpans.broadcastWinners")
+    spark.conf.set("graft.topSpans.broadcastWinners", "0")
+    try {
+      val shufflePath = DedupFunctions
+        .topRepeatedSpans(corpus, "doc_id", "text", k = 3, topN = 5)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(shufflePath == broadcastPath)
+    } finally {
+      prev.fold(spark.conf.unset("graft.topSpans.broadcastWinners"))(
+        spark.conf.set("graft.topSpans.broadcastWinners", _))
+    }
+  }
+
+  test("cascade: the shuffle-join fallback past the drop-accumulator broadcast bound is identical") {
+    // r19: the cascade broadcasts its narrow per-doc drop accumulator
+    // while it fits; past the bound the replay joins degrade to
+    // shuffle_hash. Pin: forcing the fallback returns identical rows.
+    val block = (1 to 6).map(i => s"t$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$block a b c"), (2L, s"$block d e f $block"),
+      (3L, "m n o p m n o"), (4L, "z z2 p2 m n o")).toDF("doc_id", "text")
+    def run() = DedupFunctions
+      .removeRepeatedSpansCascade(corpus, "doc_id", "text", ks = Seq(6, 3))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val broadcastPath = run()
+    val prev = spark.conf.getOption("graft.cascade.broadcastDocs")
+    spark.conf.set("graft.cascade.broadcastDocs", "0")
+    try assert(run() == broadcastPath)
+    finally prev.fold(spark.conf.unset("graft.cascade.broadcastDocs"))(
+      spark.conf.set("graft.cascade.broadcastDocs", _))
+  }
+
   test("chunkDedup: global first-occurrence at chunk granularity, positional reassembly") {
     import graft.functions.DedupFunctions
     // C=2 chunks: doc 1 = [a b][c d][e], doc 2 = [a b][x y] (first chunk
