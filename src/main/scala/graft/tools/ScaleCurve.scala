@@ -28,15 +28,16 @@ object ScaleCurve {
     * copies write in groups of <= 64, appending into a staging dir that
     * renames into place only on success — a crashed generation can never
     * masquerade as a complete corpus via a mid-append _SUCCESS. */
-  private def writeGrouped(
-      spark: SparkSession, out: String, branch: Int => org.apache.spark.sql.DataFrame): Unit = {
+  private[tools] def writeGrouped(
+      spark: SparkSession, out: String, branch: Int => org.apache.spark.sql.DataFrame,
+      copies: Int = Copies): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(out + "__gen")
     fs.delete(tmp, true)
-    val groups = (0 until Copies).grouped(64).toSeq
+    val groups = (0 until copies).grouped(64).toSeq
     groups.zipWithIndex.foreach { case (g, gi) =>
-      val files = math.max(4, 32 * g.size / Copies)
+      val files = math.max(4, 32 * g.size / copies)
       g.map(branch).reduce(_.unionByName(_))
         .repartition(files)
         .write.mode(if (gi == 0) "overwrite" else "append").parquet(tmp.toString)
