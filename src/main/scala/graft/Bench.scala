@@ -50,6 +50,17 @@ object Bench {
     * load draining — so the per-query minima are not steady-state and
     * the record should say so about itself. (r18: pass totals
     * 284→198→149 = 1.9x; a steady host varies non-monotonically.) */
+  /** Per-pass suite totals over only the queries that SUCCEEDED IN EVERY
+    * PASS (negative entries mark failures — see runPass). A query that
+    * fails fast in one pass but runs in another would otherwise
+    * fabricate a monotonic decline (spurious host_settling plus a wasted
+    * 4th pass) or mask a real settling window. */
+  private[graft] def commonSuccessTotals(ps: Seq[Map[String, Double]]): Seq[Double] = {
+    val everywhere = ps.map(_.filter(_._2 >= 0).keySet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty[String])
+    ps.map(_.view.filterKeys(everywhere).values.filter(_ >= 0).sum)
+  }
+
   private[graft] def hostSettling(passTotals: Seq[Double]): Boolean =
     passTotals.size >= 3 &&
       passTotals.sliding(2).forall(p => p(1) < p(0)) &&
@@ -161,8 +172,7 @@ object Bench {
         name -> (if (ok) dt else -dt)
       }.toMap
     var passes = (1 to 3).map(_ => runPass())
-    def totalsOf(ps: Seq[Map[String, Double]]) =
-      ps.map(_.values.filter(_ >= 0).sum)
+    def totalsOf(ps: Seq[Map[String, Double]]) = commonSuccessTotals(ps)
     // A monotonically-settling window gets a FOURTH pass (the first three
     // minima are not steady-state) and the record carries the flag either
     // way, so a bad window is machine-annotated instead of needing a

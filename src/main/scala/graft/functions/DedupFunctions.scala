@@ -1001,30 +1001,27 @@ object DedupFunctions {
     }
   }
 
-  /** One span-removal pass over the cascade accumulator schema
-    * (id, clean_text, n_removed) — returns the same schema with the
-    * stage's drops applied and counted. The accumulated `n_removed`
-    * rides the stage's OWN text join (the document row moves exactly
-    * once per stage); before round 17 the cascade added a second
-    * id-keyed join per stage just to sum the counter, shuffling the
-    * full cleaned text a second time. */
-  /** The per-stage drop-position computation shared by the single-k
-    * transform and the cascade: one fingerprint-keyed window pass over
-    * narrow (id, pos, span_key) rows marks every non-first occurrence of
-    * a repeated k-window in `cur`'s `textCol`, grouped to one narrow
-    * (id, sorted starts) row per affected document — text never rides
-    * any of its exchanges. */
-  /** The per-stage drop-position computation shared by the single-k
-    * transform and the cascade, over an already-windowed (id, pos, w)
-    * stream: one fingerprint-keyed window pass over narrow (id, pos,
-    * span_key) rows marks every non-first occurrence of a repeated
-    * window, grouped to one narrow (id, sorted starts) row per affected
-    * document — text never rides any of its exchanges. */
+  /** The drop-position computation shared by the single-k transform and
+    * the cascade, over an already-windowed (id, pos, w) stream: one
+    * fingerprint-keyed window pass over narrow (id, pos, span_key) rows
+    * marks every non-first occurrence of a repeated window, grouped to
+    * one narrow (id, sorted starts) row per affected document — text
+    * never rides any of its exchanges.
+    *
+    * Zero-token documents are excluded up front (round 19): their single
+    * "" window would tie corpus-wide on md5(""), and on a raw-crawl
+    * corpus with millions of empty docs the resulting drop rows are
+    * guaranteed replay no-ops ([[applySpanDrops]] drops nothing from an
+    * empty token array) that only inflate the cascade's checkpointed
+    * accumulator — past the broadcast bound, and with phantom "dropped"
+    * counts that under-size the next window exchange. Removal results
+    * are identical with or without them. */
   private def dropStartsFromWindows(wins0: DataFrame,
       minRepeat: Int, windowParts: Option[Int]): DataFrame = {
     require(minRepeat >= 2, "minRepeat < 2 would mark every window duplicated")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("span_key"))
-    val keyed = wins0.select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
+    val keyed = wins0.where(col("w") =!= "")
+      .select(col("id"), col("pos"), unhex(md5(col("w"))).as("span_key"))
     val wins = windowParts.fold(keyed)(n => keyed.repartition(n, col("span_key")))
     wins
       .withColumn("c", count(lit(1)).over(w))
@@ -1034,6 +1031,10 @@ object DedupFunctions {
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
   }
 
+  /** One span-removal pass over the (id, clean_text, n_removed) schema —
+    * returns the same schema with the stage's drops applied and counted.
+    * The accumulated `n_removed` rides the stage's OWN text join (the
+    * document row moves exactly once per stage). */
   private def removeSpansStage(cur: DataFrame, k: Int, minRepeat: Int,
       windowParts: Option[Int]): DataFrame = {
     val dropStarts = dropStartsFromWindows(
@@ -1129,8 +1130,14 @@ object DedupFunctions {
     // the text checkpoint (no text exchange at all); past the bound it
     // degrades to a shuffle_hash join — text pays one hash exchange per
     // stage, exactly what the pre-r19 per-stage rebuild join paid.
+    // The bound is payload-aware (round 19 review): rows carry
+    // VARIABLE-LENGTH starts arrays, so a boilerplate-heavy corpus under
+    // the row bound could still collect gigabytes to the driver —
+    // `droppedTokens` (total start positions, already measured for the
+    // sizing decay) charges each start against the same budget at ~1/8
+    // the weight of a row.
     def accSide() =
-      if (accRows <= cascadeBroadcastLimit(spark)) broadcast(acc)
+      if (accRows + droppedTokens / 8 <= cascadeBroadcastLimit(spark)) broadcast(acc)
       else acc.hint("shuffle_hash")
     ordered.foreach { k =>
       val parts =
@@ -1188,11 +1195,13 @@ object DedupFunctions {
         col("r._2").as("n_removed"))
   }
 
-  /** Row bound for broadcasting the cascade's per-document drop
-    * accumulator (default 4M narrow rows — the same order as
-    * [[contractBroadcastLimit]]); session-configurable so deployments
-    * size it to executor memory. Past it the replay joins degrade to
-    * shuffle_hash — one text exchange per stage, the pre-r19 cost. */
+  /** Budget for broadcasting the cascade's per-document drop accumulator
+    * (default 4M — the same order as [[contractBroadcastLimit]]);
+    * session-configurable so deployments size it to executor memory.
+    * Charged as rows + total_starts/8 (the starts arrays are the
+    * variable-length part of the payload). Past it the replay joins
+    * degrade to shuffle_hash — one text exchange per stage, the pre-r19
+    * cost. */
   private[graft] def cascadeBroadcastLimit(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("graft.cascade.broadcastDocs").map(_.toLong)
       .getOrElse(4000000L)
@@ -1206,24 +1215,7 @@ object DedupFunctions {
   private lazy val composeSpanWindows = udf {
     (text: String, ks: Seq[Int], starts: Seq[Seq[Int]], k: Int) =>
       val toks = applySpanDrops(text, ks, starts)._1
-      val nt = toks.length
-      val m = if (nt >= k) nt - k + 1 else 1
-      val win = math.min(k, nt)
-      val out = new Array[String](m)
-      var s0 = 0
-      while (s0 < m) {
-        val sb = new java.lang.StringBuilder
-        var i = s0
-        val end = s0 + win
-        while (i < end) {
-          if (i > s0) sb.append(' ')
-          sb.append(toks(i))
-          i += 1
-        }
-        out(s0) = sb.toString
-        s0 += 1
-      }
-      out
+      Kernels.windowsOf(toks, toks.length, k)
   }
 
   /** Cascade compose kernel: replay the accumulated per-stage drop

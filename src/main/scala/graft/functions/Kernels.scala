@@ -226,6 +226,29 @@ object Kernels {
     * multiset variant of [[distinctShingles]], for repetition metrics
     * where gram frequencies matter. Same short-doc semantics (one
     * whole-doc shingle when tokens < k). */
+  /** Shared window-emission loop: the k-token sliding windows of
+    * toks[0, nt), with the whole-doc window of short documents (m = 1,
+    * win = min(k, nt) — an empty doc emits one "" window). Both
+    * [[allShingles]] and the cascade's fused stage windowing
+    * (`DedupFunctions.composeSpanWindows`) emit THROUGH this one loop:
+    * the cascade's single-k equivalence law depends on byte-identical
+    * windows, so the short/empty-doc semantics must be structurally
+    * unable to drift apart. */
+  private[functions] def windowsOf(toks: Array[String], nt: Int, k: Int): Array[String] = {
+    val m = if (nt >= k) nt - k + 1 else 1
+    val win = math.min(k, nt)
+    val out = new Array[String](m)
+    var s0 = 0
+    while (s0 < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < win) { if (j > 0) sb.append(' '); sb.append(toks(s0 + j)); j += 1 }
+      out(s0) = sb.toString
+      s0 += 1
+    }
+    out
+  }
+
   def allShingles(text: Column, k: Int): Column = {
     require(k >= 1, "shingle size must be >= 1")
     val f = udf { (s: String) =>
@@ -237,18 +260,7 @@ object Kernels {
         if (raw(i).nonEmpty) { toks(nt) = raw(i); nt += 1 }
         i += 1
       }
-      val m = if (nt >= k) nt - k + 1 else 1
-      val win = math.min(k, nt)
-      val out = new Array[String](m)
-      var s0 = 0
-      while (s0 < m) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < win) { if (j > 0) sb.append(' '); sb.append(toks(s0 + j)); j += 1 }
-        out(s0) = sb.toString
-        s0 += 1
-      }
-      out
+      windowsOf(toks, nt, k)
     }
     f(text)
   }

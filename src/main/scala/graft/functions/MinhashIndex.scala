@@ -131,27 +131,52 @@ object MinhashIndex {
 
   private[functions] def writeMeta(
       conf: org.apache.hadoop.conf.Configuration, location: String, m: Meta): Unit = {
+    // Write-temp-then-rename: a JVM killed mid-write must not leave a
+    // torn __meta.json that bricks every subsequent open() (the parquet
+    // store itself commits atomically via _SUCCESS; the sibling must
+    // match that discipline).
     val p = metaPath(location)
-    val out = p.getFileSystem(conf).create(p, true)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(
       (s"""{"shingle_size":${m.shingleSize},"num_hashes":${m.numHashes},""" +
         s""""num_bands":${m.numBands},"threshold":${m.threshold}}""").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"minhash meta rename $tmp -> $p failed")
   }
 
   /** The persisted build parameters, when the index has them (indexes
     * built before round 19 have no meta sibling — legacy opens keep
-    * working off explicit parameters). */
+    * working off explicit parameters). A meta file that EXISTS but does
+    * not parse fails loudly with a recovery hint instead of surfacing a
+    * bare Jackson error (or worse, being treated as pre-meta and letting
+    * mismatched parameters through). */
   def readMeta(location: String): Option[Meta] = {
     val p = metaPath(location)
     val fs = p.getFileSystem(hadoopConf())
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-      Some(Meta(root.get("shingle_size").asInt, root.get("num_hashes").asInt,
-        root.get("num_bands").asInt, root.get("threshold").asDouble))
+      // the read itself sits under the same loud-error umbrella as the
+      // parse: a torn file on a checksummed FS surfaces as a
+      // ChecksumException at open/read, not at Jackson
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+        val fields = Seq("shingle_size", "num_hashes", "num_bands", "threshold")
+        require(fields.forall(f => root.hasNonNull(f)),
+          s"missing field(s): ${fields.filterNot(root.hasNonNull).mkString(",")}")
+        Some(Meta(root.get("shingle_size").asInt, root.get("num_hashes").asInt,
+          root.get("num_bands").asInt, root.get("threshold").asDouble))
+      } catch {
+        case e: Exception => sys.error(
+          s"minhash meta at $p exists but is unreadable (${e.getMessage}) — " +
+            "rebuild the index with MinhashIndex.build, or delete the meta " +
+            "file and reopen with explicit parameters " +
+            "(open(location, shingleSize, ...))")
+      }
     }
   }
 

@@ -71,7 +71,28 @@ object StreamingFaces {
     def opt(k: String): Option[String] = spec.options.get(k)
     def textCol: String = opt("text_col").getOrElse("text")
     def vecCol: String = opt("vec_col").getOrElse("embedding")
-    def chunkTokens: Int = opt("chunk_tokens").map(_.trim.toInt).getOrElse(5)
+    /** Chunk granularity for a RUN face: the store's persisted sidecar
+      * wins (round 19 — [[graft.functions.ChunkIndex]]); an explicit
+      * option must MATCH it (a drift silently misses every duplicate,
+      * the failure class the sidecar exists to close); a pre-sidecar
+      * store falls back to the option / default verbatim. */
+    def chunkTokens: Int = {
+      val stated = opt("chunk_tokens").map(_.trim.toInt)
+      graft.functions.ChunkIndex.readMeta(indexLoc) match {
+        case Some(m) =>
+          stated.filter(_ != m.chunkTokens).foreach(s => sys.error(
+            s"output spec '${spec.specId}': chunk index at $indexLoc was " +
+              s"seeded with chunk_tokens=${m.chunkTokens} but the spec " +
+              s"states chunk_tokens=$s — incoming chunks would hash at a " +
+              "different granularity and silently miss every duplicate; " +
+              "drop the option or re-seed the index"))
+          m.chunkTokens
+        case None => stated.getOrElse(5)
+      }
+    }
+    /** The seed-time granularity (no sidecar consulted — index_build is
+      * what WRITES it). */
+    def seedChunkTokens: Int = opt("chunk_tokens").map(_.trim.toInt).getOrElse(5)
     def sinkDir: String = spec.location.getOrElse(sys.error(
       s"output spec '${spec.specId}': ${spec.dataFormat.get} needs " +
         "location (the survivor sink dir)"))
@@ -204,12 +225,24 @@ object StreamingFaces {
           threshold = p.opt("threshold").map(_.trim.toDouble).getOrElse(0.5))
       case "chunk_dedup" =>
         graft.functions.DedupFunctions
-          .chunkHashIndex(df, p.idCol, p.textCol, p.chunkTokens)
+          .chunkHashIndex(df, p.idCol, p.textCol, p.seedChunkTokens)
           .write.mode("overwrite").parquet(p.indexLoc)
+        graft.functions.ChunkIndex.writeMeta(
+          spark.sparkContext.hadoopConfiguration, p.indexLoc,
+          graft.functions.ChunkIndex.Meta(p.seedChunkTokens))
       case "ivfadc_ingest" =>
-        // dim from the data unless stated (one bounded head row)
-        val dim = p.opt("dim").map(_.trim.toInt).getOrElse(
-          df.select(size(col(p.vecCol))).head().getInt(0))
+        // dim from the data unless stated (one bounded head row); an
+        // empty seed corpus must fail with the spec id, not an opaque
+        // empty-iterator error from head()
+        val dim = p.opt("dim").map(_.trim.toInt).getOrElse {
+          val row = df.select(size(col(p.vecCol)).as("__dim"))
+            .where(col("__dim") > 0).limit(1).collect()
+          require(row.nonEmpty,
+            s"output spec '${p.spec.specId}': cannot infer the embedding " +
+              s"dim — the index_build input has no non-empty '${p.vecCol}' " +
+              "rows; fix the input spec or state options.dim")
+          row(0).getInt(0)
+        }
         graft.functions.IvfPq.build(df, p.idCol, p.vecCol, dim,
           nLists = p.opt("n_lists").map(_.trim.toInt).getOrElse(16),
           m = p.opt("pq_m").map(_.trim.toInt).getOrElse(

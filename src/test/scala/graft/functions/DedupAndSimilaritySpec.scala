@@ -776,6 +776,30 @@ class DedupAndSimilaritySpec extends SparkSpec {
       spark.conf.set("graft.cascade.broadcastDocs", _))
   }
 
+  test("cascade: empty and whitespace-only docs pass through without phantom drop rows") {
+    // r19 review: millions of empty docs all tie on the "" window
+    // (md5("")), and their drop rows — guaranteed replay no-ops — used
+    // to inflate the checkpointed accumulator past the broadcast bound.
+    // Zero-token docs are now excluded from the window keying; results
+    // are identical (they survive as ("", 0)) and the span removal on
+    // real docs is unaffected by their presence.
+    val block = (1 to 6).map(i => s"t$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$block a b c"), (2L, s"$block d e f"),
+      (3L, ""), (4L, "   "), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = DedupFunctions
+      .removeRepeatedSpansCascade(corpus, "doc_id", "text", ks = Seq(6, 3))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out.filter(_._1 >= 3L) == Seq((3L, "", 0L), (4L, "", 0L), (5L, "", 0L)))
+    // the duplicated 6-token block still dedups exactly as without them
+    val noEmpties = DedupFunctions
+      .removeRepeatedSpansCascade(corpus.where(col("doc_id") < 3L),
+        "doc_id", "text", ks = Seq(6, 3))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out.filter(_._1 < 3L) == noEmpties)
+  }
+
   test("chunkDedup: global first-occurrence at chunk granularity, positional reassembly") {
     import graft.functions.DedupFunctions
     // C=2 chunks: doc 1 = [a b][c d][e], doc 2 = [a b][x y] (first chunk

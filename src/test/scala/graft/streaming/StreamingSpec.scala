@@ -993,6 +993,65 @@ class StreamingSpec extends SparkSpec {
       == Seq("cell", "codes", "id"))
   }
 
+  test("chunk index seeding persists chunk_tokens; run faces derive and validate it") {
+    // Round 19 review: the chunk store is a bare hash set, so a
+    // chunk_tokens drift between the seed ACON and the run ACON would
+    // hash incoming chunks at a different granularity and silently miss
+    // every duplicate — the same failure class the minhash __meta.json
+    // closes. The seed now writes a sidecar; run faces derive the value
+    // from it and reject a contradicting option.
+    import spark.implicits._
+    val idxLoc = tmpDir("cmeta-idx") + "/index"
+    val sink = tmpDir("cmeta-sink") + "/clean"
+    graft.streaming.StreamingFaces.writeBatch(spark,
+      graft.spec.OutputSpec(specId = "seed", inputId = "c",
+        dataFormat = Some("chunk_dedup"), writeType = "index_build",
+        options = Map("index_location" -> idxLoc, "id_col" -> "doc_id",
+          "text_col" -> "text", "chunk_tokens" -> "2")),
+      Seq((1L, "a b c d")).toDF("doc_id", "text"))
+    assert(graft.functions.ChunkIndex.readMeta(idxLoc)
+      .contains(graft.functions.ChunkIndex.Meta(2)))
+    // run face with NO chunk_tokens option: granularity derives from the
+    // sidecar (2), so "a b" dedups and "x y" survives — under the
+    // DEFAULT (5) the whole doc would be one unseen chunk and survive
+    // verbatim
+    graft.streaming.StreamingFaces.writeBatch(spark,
+      graft.spec.OutputSpec(specId = "run", inputId = "s",
+        dataFormat = Some("chunk_dedup"), location = Some(sink),
+        options = Map("index_location" -> idxLoc, "id_col" -> "doc_id",
+          "text_col" -> "text")),
+      Seq((5L, "a b x y")).toDF("doc_id", "text"))
+    assert(spark.read.parquet(sink).select("clean_text")
+      .as[String].collect().toSeq == Seq("x y"))
+    // a CONTRADICTING option fails loudly instead of missing duplicates
+    val err = intercept[Exception] {
+      graft.streaming.StreamingFaces.writeBatch(spark,
+        graft.spec.OutputSpec(specId = "bad", inputId = "s",
+          dataFormat = Some("chunk_dedup"), location = Some(sink),
+          options = Map("index_location" -> idxLoc, "id_col" -> "doc_id",
+            "text_col" -> "text", "chunk_tokens" -> "5")),
+        Seq((6L, "p q")).toDF("doc_id", "text"))
+    }
+    assert(err.getMessage.contains("chunk_tokens"), err.getMessage)
+  }
+
+  test("a torn index meta sidecar fails loudly with a recovery hint, never opaquely") {
+    import spark.implicits._
+    val idxLoc = tmpDir("torn-idx") + "/index"
+    graft.functions.MinhashIndex.build(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", idxLoc)
+    // simulate a JVM killed mid-write of the sidecar (pre-r19 writeMeta
+    // was a raw overwrite; it is now temp+rename, but a torn file can
+    // still arrive from outside — it must not brick opens with a bare
+    // Jackson error)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idxLoc + "__meta.json"),
+      """{"shingle_size":3,"num_ha""".getBytes("UTF-8"))
+    val err = intercept[Exception] { graft.functions.MinhashIndex.open(idxLoc) }
+    assert(err.getMessage.contains("unreadable") &&
+      err.getMessage.contains("rebuild"), err.getMessage)
+  }
+
   test("""ACON compact_every "files:N" keys the chunk face on the store's file count""") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
