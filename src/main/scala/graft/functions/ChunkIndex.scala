@@ -35,6 +35,22 @@ object ChunkIndex {
     require(fs.rename(tmp, p), s"chunk index meta rename $tmp -> $p failed")
   }
 
+  /** Guard for path-taking consumers (the streaming face's
+    * [[graft.streaming.StreamingChunkDedup.dedupBatch]] and anything
+    * else probing a persisted store by location): when the store carries
+    * a sidecar, the caller's granularity must MATCH it — a drift hashes
+    * probe chunks at a different granularity and silently misses every
+    * duplicate. Pre-sidecar stores pass through unchecked (the caller's
+    * value is all there is). One exists()+read per call — noise next to
+    * the anti-join it protects. */
+  def validate(location: String, stated: Int): Unit =
+    readMeta(location).filter(_.chunkTokens != stated).foreach(m => sys.error(
+      s"chunk index at $location was seeded with chunk_tokens=" +
+        s"${m.chunkTokens} but the caller probes with chunk_tokens=" +
+        s"$stated — chunks would hash at a different granularity and " +
+        "silently miss every duplicate; pass chunkTokens=" +
+        s"${m.chunkTokens} or re-seed the index"))
+
   /** The persisted chunk granularity, when the store has it (stores
     * seeded before round 19 have no sidecar — callers keep passing the
     * parameter explicitly). A sidecar that exists but does not parse

@@ -43,6 +43,10 @@ object StreamingChunkDedup {
       indexPath: String, chunkTokens: Int,
       sink: DataFrame => Unit,
       append: Boolean = true): DataFrame = {
+    // a store seeded with a chunk_tokens sidecar (r19) rejects a
+    // contradicting granularity here too, not only on the ACON route —
+    // the drift silently misses every duplicate
+    graft.functions.ChunkIndex.validate(indexPath, chunkTokens)
     val b = batch.localCheckpoint() // bounded; avoids re-running the source
     val index = b.sparkSession.read.parquet(indexPath)
     val survivors = DedupFunctions.chunkDedupAgainstIndex(
@@ -58,7 +62,9 @@ object StreamingChunkDedup {
   /** Start the streaming query. `stream` must be a streaming DataFrame
     * with `idCol` and `textCol`; `indexPath` must hold an existing
     * `chunkHashIndex` parquet (seed it from the corpus, or write an
-    * empty one for a cold start). */
+    * empty one for a cold start). If the store carries a `chunk_tokens`
+    * sidecar ([[graft.functions.ChunkIndex]]), `chunkTokens` must match
+    * it — the first micro-batch fails loudly otherwise. */
   def start(
       stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, sinkDir: String, checkpointDir: String,

@@ -1035,6 +1035,30 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("chunk_tokens"), err.getMessage)
   }
 
+  test("the Scala chunk-dedup route also rejects a granularity contradicting the sidecar") {
+    // the ACON face derives chunk_tokens from the sidecar; a Scala
+    // caller passes an Int, so the drift guard must live on the shared
+    // path-taking entry (dedupBatch) too
+    import spark.implicits._
+    val idxLoc = tmpDir("cmeta-scala") + "/index"
+    graft.functions.DedupFunctions.chunkHashIndex(
+        Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .write.parquet(idxLoc)
+    graft.functions.ChunkIndex.writeMeta(
+      spark.sparkContext.hadoopConfiguration, idxLoc,
+      graft.functions.ChunkIndex.Meta(2))
+    val batch = Seq((5L, "a b x y")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      graft.streaming.StreamingChunkDedup.dedupBatch(
+        batch, "doc_id", "text", idxLoc, chunkTokens = 5, _ => (), append = false)
+    }
+    assert(err.getMessage.contains("chunk_tokens=2"), err.getMessage)
+    // the matching granularity proceeds and dedups at the seeded grain
+    val ok = graft.streaming.StreamingChunkDedup.dedupBatch(
+      batch, "doc_id", "text", idxLoc, chunkTokens = 2, _ => (), append = false)
+    assert(ok.select("clean_text").as[String].collect().toSeq == Seq("x y"))
+  }
+
   test("a torn index meta sidecar fails loudly with a recovery hint, never opaquely") {
     import spark.implicits._
     val idxLoc = tmpDir("torn-idx") + "/index"
