@@ -1,38 +1,40 @@
 package graft.functions
 
+import org.apache.spark.sql.DataFrame
+
 /** Parameter sidecar for the persisted CHUNK-HASH dedup index (round 19):
   * the chunk-dedup store is a bare parquet hash set, and a `chunk_tokens`
   * drift between the ACON that seeded it and the ACON that runs against
   * it would hash incoming chunks at a different granularity — never
   * matching any indexed hash and silently missing every duplicate, the
   * exact failure class the minhash `__meta.json` sibling closes
-  * ([[MinhashIndex.Meta]]). Same discipline: a SIBLING file (compaction
-  * atomically swaps the store dir), write-temp-then-rename, loud errors
-  * on a torn file.
+  * ([[MinhashIndex.Meta]]). The sidecar disciplines (sibling placement,
+  * atomic overwrite-rename, drop-before-store-overwrite, loud torn-file
+  * errors) are shared with the minhash store via [[MetaSidecar]].
   */
 object ChunkIndex {
 
   final case class Meta(chunkTokens: Int)
 
-  private def metaPath(location: String) =
-    new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__meta.json")
-
-  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
   def writeMeta(
-      conf: org.apache.hadoop.conf.Configuration, location: String, m: Meta): Unit = {
-    val p = metaPath(location)
-    val fs = p.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"chunk_tokens":${m.chunkTokens}}""".getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"chunk index meta rename $tmp -> $p failed")
+      conf: org.apache.hadoop.conf.Configuration, location: String, m: Meta): Unit =
+    MetaSidecar.write(conf, location,
+      s"""{"chunk_tokens":${m.chunkTokens}}""", "chunk index meta")
+
+  /** Seed (overwrite) a chunk-hash store from a corpus and persist its
+    * granularity sidecar. The stale sidecar (if any) is dropped BEFORE
+    * the store overwrite: a crash between the new store's commit and the
+    * new sidecar's write must leave a loud missing-meta store, never a
+    * sidecar describing the PREVIOUS seed's granularity — which the run
+    * faces would trust, silently missing every duplicate while rejecting
+    * the correct value as a contradiction. */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      location: String, chunkTokens: Int): Unit = {
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    MetaSidecar.delete(conf, location)
+    DedupFunctions.chunkHashIndex(corpus, idCol, textCol, chunkTokens)
+      .write.mode("overwrite").parquet(location)
+    writeMeta(conf, location, Meta(chunkTokens))
   }
 
   /** Guard for path-taking consumers (the streaming face's
@@ -55,26 +57,11 @@ object ChunkIndex {
     * seeded before round 19 have no sidecar — callers keep passing the
     * parameter explicitly). A sidecar that exists but does not parse
     * fails loudly with a recovery hint. */
-  def readMeta(location: String): Option[Meta] = {
-    val p = metaPath(location)
-    val fs = p.getFileSystem(hadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      // read under the same loud-error umbrella as the parse: a torn
-      // file on a checksummed FS fails at open/read, not at Jackson
-      try {
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-        require(root.hasNonNull("chunk_tokens"), "missing field chunk_tokens")
-        Some(Meta(root.get("chunk_tokens").asInt))
-      } catch {
-        case e: Exception => sys.error(
-          s"chunk index meta at $p exists but is unreadable " +
-            s"(${e.getMessage}) — re-seed the index (write_type " +
-            "index_build) or delete the meta file and state chunk_tokens " +
-            "explicitly")
-      }
+  def readMeta(location: String): Option[Meta] =
+    MetaSidecar.read(location, "chunk index meta",
+      "re-seed the index (write_type index_build) or delete the meta " +
+        "file and state chunk_tokens explicitly") { root =>
+      require(root.hasNonNull("chunk_tokens"), "missing field chunk_tokens")
+      Meta(root.get("chunk_tokens").asInt)
     }
-  }
 }

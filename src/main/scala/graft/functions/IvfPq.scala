@@ -106,6 +106,12 @@ final class IvfPqIndex private[functions] (
     * compaction swaps the whole store dir atomically and would drop
     * anything nested inside it. */
   def persisted(location: String): IvfPqIndex = {
+    // Drop a stale __meta BEFORE the store overwrite (round 19, same
+    // ordering as MinhashIndex.build / ChunkIndex.build): a crash between
+    // the new store's commit and the model write must leave a loud
+    // missing-meta store (IvfPq.open refuses), never the PREVIOUS model
+    // silently mis-encoding every probe against the new codes.
+    IvfPq.dropMeta(codes.sparkSession, location)
     codes.write.mode("overwrite").partitionBy("cell").parquet(location)
     IvfPq.writeMeta(codes.sparkSession, location, centroids, codebooks)
     new IvfPqIndex(
@@ -161,6 +167,16 @@ final class IvfPqIndex private[functions] (
 
 object IvfPq {
 
+  /** Drop the `__meta` model sibling if present — called BEFORE a store
+    * overwrite so a crash mid-persist leaves a loud missing-meta store,
+    * never a stale model (see [[IvfPqIndex.persisted]]). */
+  private[functions] def dropMeta(
+      spark: org.apache.spark.sql.SparkSession, location: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   /** Write the bounded model halves (cell centroids + PQ codebooks) next
     * to a persisted store — see [[IvfPqIndex.persisted]]. */
   private[functions] def writeMeta(
@@ -183,14 +199,19 @@ object IvfPq {
     * `ivfadc_ingest` sink face) and the checkpoint-restart path. */
   def open(spark: org.apache.spark.sql.SparkSession, location: String): IvfPqIndex = {
     val meta = location.stripSuffix("/") + "__meta"
-    val ctrs =
-      try spark.read.parquet(s"$meta/centroids").collect()
+    // both model halves sit under one loud-error umbrella: a crash
+    // between the centroids and codebooks writes (or a half-deleted
+    // sibling) must surface as this recovery hint, not as an opaque
+    // AnalysisException from the second read
+    val (ctrs, rawCbs) =
+      try (spark.read.parquet(s"$meta/centroids").collect(),
+        spark.read.parquet(s"$meta/codebooks").collect())
       catch { case e: Exception => sys.error(
         s"no IVFADC meta at $meta (persist the store with " +
           s"IvfPqIndex.persisted before opening): ${e.getMessage}") }
     val ctrMap = ctrs
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val cbs = spark.read.parquet(s"$meta/codebooks").collect()
+    val cbs = rawCbs
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray

@@ -222,10 +222,6 @@ object Kernels {
     f(text)
   }
 
-  /** ALL word k-shingle strings (non-distinct, document order): the
-    * multiset variant of [[distinctShingles]], for repetition metrics
-    * where gram frequencies matter. Same short-doc semantics (one
-    * whole-doc shingle when tokens < k). */
   /** Shared window-emission loop: the k-token sliding windows of
     * toks[0, nt), with the whole-doc window of short documents (m = 1,
     * win = min(k, nt) — an empty doc emits one "" window). Both
@@ -249,6 +245,10 @@ object Kernels {
     out
   }
 
+  /** ALL word k-shingle strings (non-distinct, document order): the
+    * multiset variant of [[distinctShingles]], for repetition metrics
+    * where gram frequencies matter. Same short-doc semantics (one
+    * whole-doc shingle when tokens < k). */
   def allShingles(text: Column, k: Int): Column = {
     require(k >= 1, "shingle size must be >= 1")
     val f = udf { (s: String) =>

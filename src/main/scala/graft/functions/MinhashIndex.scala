@@ -120,32 +120,12 @@ object MinhashIndex {
   final case class Meta(
       shingleSize: Int, numHashes: Int, numBands: Int, threshold: Double)
 
-  private def metaPath(location: String) =
-    new org.apache.hadoop.fs.Path(location.stripSuffix("/") + "__meta.json")
-
-  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
   private[functions] def writeMeta(
-      conf: org.apache.hadoop.conf.Configuration, location: String, m: Meta): Unit = {
-    // Write-temp-then-rename: a JVM killed mid-write must not leave a
-    // torn __meta.json that bricks every subsequent open() (the parquet
-    // store itself commits atomically via _SUCCESS; the sibling must
-    // match that discipline).
-    val p = metaPath(location)
-    val fs = p.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      (s"""{"shingle_size":${m.shingleSize},"num_hashes":${m.numHashes},""" +
-        s""""num_bands":${m.numBands},"threshold":${m.threshold}}""").getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"minhash meta rename $tmp -> $p failed")
-  }
+      conf: org.apache.hadoop.conf.Configuration, location: String, m: Meta): Unit =
+    MetaSidecar.write(conf, location,
+      s"""{"shingle_size":${m.shingleSize},"num_hashes":${m.numHashes},""" +
+        s""""num_bands":${m.numBands},"threshold":${m.threshold}}""",
+      "minhash meta")
 
   /** The persisted build parameters, when the index has them (indexes
     * built before round 19 have no meta sibling — legacy opens keep
@@ -153,32 +133,17 @@ object MinhashIndex {
     * not parse fails loudly with a recovery hint instead of surfacing a
     * bare Jackson error (or worse, being treated as pre-meta and letting
     * mismatched parameters through). */
-  def readMeta(location: String): Option[Meta] = {
-    val p = metaPath(location)
-    val fs = p.getFileSystem(hadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      // the read itself sits under the same loud-error umbrella as the
-      // parse: a torn file on a checksummed FS surfaces as a
-      // ChecksumException at open/read, not at Jackson
-      try {
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-        val fields = Seq("shingle_size", "num_hashes", "num_bands", "threshold")
-        require(fields.forall(f => root.hasNonNull(f)),
-          s"missing field(s): ${fields.filterNot(root.hasNonNull).mkString(",")}")
-        Some(Meta(root.get("shingle_size").asInt, root.get("num_hashes").asInt,
-          root.get("num_bands").asInt, root.get("threshold").asDouble))
-      } catch {
-        case e: Exception => sys.error(
-          s"minhash meta at $p exists but is unreadable (${e.getMessage}) — " +
-            "rebuild the index with MinhashIndex.build, or delete the meta " +
-            "file and reopen with explicit parameters " +
-            "(open(location, shingleSize, ...))")
-      }
+  def readMeta(location: String): Option[Meta] =
+    MetaSidecar.read(location, "minhash meta",
+      "rebuild the index with MinhashIndex.build, or delete the meta " +
+        "file and reopen with explicit parameters " +
+        "(open(location, shingleSize = Some(...), ...))") { root =>
+      val fields = Seq("shingle_size", "num_hashes", "num_bands", "threshold")
+      require(fields.forall(f => root.hasNonNull(f)),
+        s"missing field(s): ${fields.filterNot(root.hasNonNull).mkString(",")}")
+      Meta(root.get("shingle_size").asInt, root.get("num_hashes").asInt,
+        root.get("num_bands").asInt, root.get("threshold").asDouble)
     }
-  }
 
   /** Build (overwrite) an index from a corpus; persists the build
     * parameters as a `__meta.json` sibling so [[open(location*]]
@@ -187,11 +152,18 @@ object MinhashIndex {
       corpus: DataFrame, idCol: String, textCol: String, location: String,
       shingleSize: Int = 3, numHashes: Int = 32, numBands: Int = 4,
       threshold: Double = 0.5): MinhashIndex = {
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    // Drop any stale sidecar BEFORE the store overwrite: a crash between
+    // the new store's commit and the new sidecar's write must leave a
+    // loud missing-meta store (open(location) refuses), never a sidecar
+    // describing the PREVIOUS build's parameters — which open would
+    // trust, silently computing garbage signatures against the new store
+    // while rejecting the correct parameters as a contradiction.
+    MetaSidecar.delete(conf, location)
     val idx = new MinhashIndex(location, shingleSize, numHashes, numBands, threshold)
     val rows = idx.signed(corpus, idCol, textCol)
     idx.banded(rows).write.mode("overwrite").partitionBy("band").parquet(location)
-    writeMeta(corpus.sparkSession.sparkContext.hadoopConfiguration, location,
-      Meta(shingleSize, numHashes, numBands, threshold))
+    writeMeta(conf, location, Meta(shingleSize, numHashes, numBands, threshold))
     idx
   }
 
@@ -200,29 +172,49 @@ object MinhashIndex {
     * `minhash_dedup` face) and the checkpoint-restart path. */
   def open(location: String): MinhashIndex = {
     val m = readMeta(location).getOrElse(sys.error(
-      s"no minhash meta at ${metaPath(location)} — build the index with " +
-        "MinhashIndex.build (which persists it), or pass explicit " +
-        "parameters to open(location, shingleSize, ...) for a pre-meta index"))
+      s"no minhash meta at ${MetaSidecar.path(location)} — build the index " +
+        "with MinhashIndex.build (which persists it), or pass explicit " +
+        "parameters to open(location, shingleSize = Some(...), ...) for a " +
+        "pre-meta index"))
     new MinhashIndex(location, m.shingleSize, m.numHashes, m.numBands, m.threshold)
   }
 
-  /** Open an existing index with explicit parameters. When the store has
-    * persisted meta, the STRUCTURAL parameters (shingle size, hash and
-    * band counts) are validated against it — a mismatch means every
-    * signature this handle computes would be garbage, so it fails loudly
-    * instead; `threshold` is query-time and the caller's value wins. */
-  def open(location: String, shingleSize: Int = 3, numHashes: Int = 32,
-      numBands: Int = 4, threshold: Double = 0.5): MinhashIndex = {
-    readMeta(location).foreach { m =>
-      require(m.shingleSize == shingleSize && m.numHashes == numHashes &&
-          m.numBands == numBands,
-        s"minhash index at $location was built with shingle_size=" +
-          s"${m.shingleSize}, num_hashes=${m.numHashes}, num_bands=" +
-          s"${m.numBands} but open() was passed shingle_size=$shingleSize, " +
-          s"num_hashes=$numHashes, num_bands=$numBands — signatures would " +
-          "silently miss every duplicate; drop the explicit parameters " +
-          "(open(location)) or rebuild the index")
+  /** Open an existing index, optionally stating parameters. When the
+    * store has persisted meta, the STRUCTURAL parameters (shingle size,
+    * hash and band counts) derive from it, and any value the caller DOES
+    * state must match — a mismatch means every signature this handle
+    * computes would be garbage, so it fails loudly instead. `threshold`
+    * is query-time (it only gates [[MinhashIndex.checkBatch]]'s output
+    * filter): a stated value wins over the persisted default, so
+    * `open(location, threshold = Some(0.4))` works against any
+    * meta-bearing store regardless of its structural parameters. The
+    * parameters are `Option`s precisely so an UNSTATED one is never
+    * mistaken for a claim (round 19: the old Int-typed defaults were
+    * validated as if explicit, hard-failing a threshold-only open
+    * against any store built with non-default structure). A pre-meta
+    * store uses the stated values, defaulting to the build defaults. */
+  def open(location: String, shingleSize: Option[Int] = None,
+      numHashes: Option[Int] = None, numBands: Option[Int] = None,
+      threshold: Option[Double] = None): MinhashIndex =
+    readMeta(location) match {
+      case Some(m) =>
+        val contradictions = Seq(
+          ("shingle_size", shingleSize, m.shingleSize),
+          ("num_hashes", numHashes, m.numHashes),
+          ("num_bands", numBands, m.numBands)
+        ).collect { case (name, Some(stated), built) if stated != built =>
+          s"$name=$stated (store was built with $name=$built)"
+        }
+        require(contradictions.isEmpty,
+          s"minhash index at $location: open() was passed " +
+            s"${contradictions.mkString(", ")} — signatures would silently " +
+            "miss every duplicate; drop the contradicting parameter(s) or " +
+            "rebuild the index")
+        new MinhashIndex(location, m.shingleSize, m.numHashes, m.numBands,
+          threshold.getOrElse(m.threshold))
+      case None =>
+        new MinhashIndex(location, shingleSize.getOrElse(3),
+          numHashes.getOrElse(32), numBands.getOrElse(4),
+          threshold.getOrElse(0.5))
     }
-    new MinhashIndex(location, shingleSize, numHashes, numBands, threshold)
-  }
 }

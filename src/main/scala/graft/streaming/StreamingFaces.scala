@@ -123,18 +123,15 @@ object StreamingFaces {
     * options must then MATCH — [[graft.functions.MinhashIndex.open]]
     * enforces it; explicit `threshold` overrides); a pre-meta store
     * falls back to the spec options / defaults verbatim. */
-  private def minhashIdx(p: Parsed): graft.functions.MinhashIndex = {
-    val meta = graft.functions.MinhashIndex.readMeta(p.indexLoc)
+  private def minhashIdx(p: Parsed): graft.functions.MinhashIndex =
+    // one sidecar read: open() itself derives unstated parameters from
+    // the persisted meta, validates stated ones against it, and falls
+    // back to the build defaults on a pre-meta store
     graft.functions.MinhashIndex.open(p.indexLoc,
-      shingleSize = p.opt("shingle_size").map(_.trim.toInt)
-        .orElse(meta.map(_.shingleSize)).getOrElse(3),
-      numHashes = p.opt("num_hashes").map(_.trim.toInt)
-        .orElse(meta.map(_.numHashes)).getOrElse(32),
-      numBands = p.opt("num_bands").map(_.trim.toInt)
-        .orElse(meta.map(_.numBands)).getOrElse(4),
-      threshold = p.opt("threshold").map(_.trim.toDouble)
-        .orElse(meta.map(_.threshold)).getOrElse(0.5))
-  }
+      shingleSize = p.opt("shingle_size").map(_.trim.toInt),
+      numHashes = p.opt("num_hashes").map(_.trim.toInt),
+      numBands = p.opt("num_bands").map(_.trim.toInt),
+      threshold = p.opt("threshold").map(_.trim.toDouble))
 
   def start(
       spark: SparkSession,
@@ -182,7 +179,7 @@ object StreamingFaces {
     * dedup — the config-only bootstrap for the continuous-ingest loop. */
   def writeBatch(spark: SparkSession, spec: OutputSpec, df: DataFrame): Unit = {
     val p = parsed(spec)
-    if (spec.writeType == "index_build") return seedIndex(spark, p, df)
+    if (spec.writeType == "index_build") return seedIndex(p, df)
     def sink(s: DataFrame): Unit = s.write.mode("append").parquet(p.sinkDir)
     p.format match {
       case "minhash_dedup" =>
@@ -215,7 +212,7 @@ object StreamingFaces {
     * self-describing: minhash writes its `__meta.json` parameter
     * sibling, IVFADC its `__meta` model sibling, so the subsequent RUN
     * face reopens each from `index_location` alone. */
-  private def seedIndex(spark: SparkSession, p: Parsed, df: DataFrame): Unit = {
+  private def seedIndex(p: Parsed, df: DataFrame): Unit = {
     p.format match {
       case "minhash_dedup" =>
         graft.functions.MinhashIndex.build(df, p.idCol, p.textCol, p.indexLoc,
@@ -224,12 +221,8 @@ object StreamingFaces {
           numBands = p.opt("num_bands").map(_.trim.toInt).getOrElse(4),
           threshold = p.opt("threshold").map(_.trim.toDouble).getOrElse(0.5))
       case "chunk_dedup" =>
-        graft.functions.DedupFunctions
-          .chunkHashIndex(df, p.idCol, p.textCol, p.seedChunkTokens)
-          .write.mode("overwrite").parquet(p.indexLoc)
-        graft.functions.ChunkIndex.writeMeta(
-          spark.sparkContext.hadoopConfiguration, p.indexLoc,
-          graft.functions.ChunkIndex.Meta(p.seedChunkTokens))
+        graft.functions.ChunkIndex.build(
+          df, p.idCol, p.textCol, p.indexLoc, p.seedChunkTokens)
       case "ivfadc_ingest" =>
         // dim from the data unless stated (one bounded head row); an
         // empty seed corpus must fail with the spec id, not an opaque

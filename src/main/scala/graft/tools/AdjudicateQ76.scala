@@ -69,7 +69,7 @@ object AdjudicateQ76 {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val idx =
       if (new java.io.File(s"$idxPath/_SUCCESS").exists())
-        graft.functions.MinhashIndex.open(idxPath, threshold = 0.4)
+        graft.functions.MinhashIndex.open(idxPath, threshold = Some(0.4))
       else graft.functions.MinhashIndex.build(
         docs.where(col("doc_id") >= 100), "doc_id", "text", idxPath,
         threshold = 0.4)

@@ -39,7 +39,7 @@ object Scratch {
         dim = 64, numBits = bits, simThreshold = 0.3)
     })
     val idx = graft.functions.MinhashIndex.open(
-      "/tmp/graft-scale-r17s2/idx/_tmp_graft_scale_r17s2_x2000", threshold = 0.4)
+      "/tmp/graft-scale-r17s2/idx/_tmp_graft_scale_r17s2_x2000", threshold = Some(0.4))
     time("q76_x2000")(() => idx.checkBatch(
       docs.where(col("doc_id") < 100), "doc_id", "text"))
     spark.stop()

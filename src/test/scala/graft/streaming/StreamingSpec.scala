@@ -1076,6 +1076,83 @@ class StreamingSpec extends SparkSpec {
       err.getMessage.contains("rebuild"), err.getMessage)
   }
 
+  test("a threshold-only open works against a store built with non-default structure") {
+    // Round 19 review: the old Int-typed open() validated its DEFAULT
+    // arguments as if explicitly claimed, so open(loc, threshold=...)
+    // hard-failed against any store built with non-default structural
+    // parameters — exactly the query-time override API.md promises.
+    import spark.implicits._
+    val idxLoc = tmpDir("thr-idx") + "/index"
+    graft.functions.MinhashIndex.build(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"), "doc_id", "text",
+      idxLoc, numBands = 8, threshold = 0.5)
+    val idx = graft.functions.MinhashIndex.open(idxLoc, threshold = Some(0.9))
+    assert(idx.numBands == 8 && idx.shingleSize == 3 && idx.numHashes == 32,
+      s"structural params must derive from the sidecar: ${idx.numBands}")
+    assert(idx.threshold == 0.9, "a stated threshold wins over the persisted default")
+    // a STATED structural parameter contradicting the sidecar still
+    // fails loudly, naming the offending parameter
+    val err = intercept[Exception] {
+      graft.functions.MinhashIndex.open(idxLoc, numBands = Some(4))
+    }
+    assert(err.getMessage.contains("num_bands=4") &&
+      err.getMessage.contains("num_bands=8"), err.getMessage)
+    // and a pre-meta store falls back to the stated values / defaults
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idxLoc + "__meta.json"))
+    val legacy = graft.functions.MinhashIndex.open(
+      idxLoc, numBands = Some(8), threshold = Some(0.4))
+    assert(legacy.numBands == 8 && legacy.threshold == 0.4 &&
+      legacy.shingleSize == 3)
+  }
+
+  test("a failed re-seed leaves no stale sidecar: open(location) fails loudly") {
+    // Round 19 review: build() previously overwrote the store BEFORE
+    // rewriting the sidecar, so a crash in between left a valid-looking
+    // new-parameter store described by the OLD parameters — open() would
+    // silently mis-hash every probe while rejecting the correct values.
+    // The stale sidecar is now dropped before the store overwrite: the
+    // crash window's worst state is a LOUD missing-meta store.
+    import spark.implicits._
+    val boom = udf { (_: String) => sys.error("boom"): String }
+    // minhash
+    val mLoc = tmpDir("reseed-m") + "/index"
+    graft.functions.MinhashIndex.build(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text",
+      mLoc, numBands = 4)
+    intercept[Exception] {
+      graft.functions.MinhashIndex.build(
+        Seq((1L, "a b c d e")).toDF("doc_id", "text")
+          .withColumn("text", boom(col("text"))),
+        "doc_id", "text", mLoc, numBands = 8)
+    }
+    assert(graft.functions.MinhashIndex.readMeta(mLoc).isEmpty,
+      "the stale 4-band sidecar must not survive a failed 8-band re-seed")
+    val err = intercept[Exception] { graft.functions.MinhashIndex.open(mLoc) }
+    assert(err.getMessage.contains("no minhash meta"), err.getMessage)
+    // chunk
+    val cLoc = tmpDir("reseed-c") + "/index"
+    graft.functions.ChunkIndex.build(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", cLoc, 2)
+    assert(graft.functions.ChunkIndex.readMeta(cLoc)
+      .contains(graft.functions.ChunkIndex.Meta(2)))
+    intercept[Exception] {
+      graft.functions.ChunkIndex.build(
+        Seq((1L, "a b c d")).toDF("doc_id", "text")
+          .withColumn("text", boom(col("text"))),
+        "doc_id", "text", cLoc, 3)
+    }
+    assert(graft.functions.ChunkIndex.readMeta(cLoc).isEmpty,
+      "the stale chunk_tokens=2 sidecar must not survive a failed re-seed")
+    // a successful re-seed restores the self-describing store
+    graft.functions.ChunkIndex.build(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", cLoc, 3)
+    assert(graft.functions.ChunkIndex.readMeta(cLoc)
+      .contains(graft.functions.ChunkIndex.Meta(3)))
+    // the atomic overwrite-rename leaves no temp residue
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cLoc + "__meta.json.tmp")))
+  }
+
   test("""ACON compact_every "files:N" keys the chunk face on the store's file count""") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
