@@ -91,9 +91,19 @@ final class DataLoader(
       acon.dqSpecs.foreach(dq => data(dq.specId) = data(dq.inputId))
       return this
     }
-    acon.dqSpecs.map(resolvePrisma).foreach { dq =>
-      val df = data(dq.inputId)
+    acon.dqSpecs.foreach { spec =>
+      // dq specs may chain on each other, but — like the reference's
+      // `dq_processed_dfs[spec.input_id]` lookup — only in LISTED order;
+      // fail with the fix instead of a bare key-not-found
+      val df = data.getOrElse(spec.inputId, sys.error(
+        s"dq spec '${spec.specId}' chains on '${spec.inputId}', which is " +
+          "not materialized yet — list dq_specs in dependency order " +
+          "(upstream first)"))
       if (!df.isStreaming) {
+        // PRISMA rules resolve only where they run: streaming specs
+        // re-resolve at plan time (buildMicroBatchPlan) — resolving them
+        // here too would double the rules-table reads for nothing
+        val dq = resolvePrisma(spec)
         val (result, failure) = DQEngine.runOutcome(spark, df, dq)
         dq.resultSink.foreach { sink =>
           val sdf = DQEngine.resultSinkOutput(spark, df, dq, result)
@@ -103,14 +113,18 @@ final class DataLoader(
         // the failed run's results land in the sink BEFORE the policy
         // raises (reference dq_factory.py _process_chunk order)
         failure.foreach(throw _)
-        if (dq.tagSourceData)
-          data(dq.inputId) = DQEngine.tagSource(df, dq, result)
+        // The validated (optionally tagged) frame registers under the DQ
+        // spec's OWN id only — reference semantics (`data_loader.py:175`
+        // stores `dfs[dq_spec.spec_id]`); the input spec's frame stays
+        // untouched, so an output chaining on the INPUT id keeps writing
+        // the untagged schema.
+        data(dq.specId) =
+          if (dq.tagSourceData) DQEngine.tagSource(df, dq, result) else df
+      } else {
+        // Streaming DQ runs inside foreachBatch (see write()); the spec
+        // id aliases the stream for downstream chaining.
+        data(spec.specId) = df
       }
-      // Register the validated frame under the DQ spec's own id too:
-      // reference output_specs chain on the dq spec id
-      // (`algorithms/data_loader.py` stores `dfs[dq_spec.spec_id]`).
-      // Streaming DQ still runs inside foreachBatch (see write()).
-      data(dq.specId) = data(dq.inputId)
     }
     this
   }
@@ -176,7 +190,29 @@ final class DataLoader(
         else { chain.prepend(dq); sourceId = dq.inputId }
       case None => walking = false
     }
-    val deferred = microBatchWork.getOrElse(sourceId, Seq.empty)
+    // Deferred transformers may sit anywhere in the TRANSFORM lineage,
+    // not just on its final link: transform A (defers group_and_rank) ->
+    // transform B (stream-side rename) -> output would otherwise look up
+    // only microBatchWork(B) and silently drop A's deferred work — the
+    // reference's own planner has this single-level limitation (its
+    // docstring rules chained micro-batch transforms unsupported); we
+    // walk specId -> inputId collecting every link's work, upstream
+    // first. Caveat inherited from the jump-to-end design: a downstream
+    // link's STREAM-side transformers still run before an upstream
+    // link's deferred ones.
+    val deferred = {
+      val acc = scala.collection.mutable.ListBuffer.empty[(TransformerSpec, String)]
+      val seenT = scala.collection.mutable.Set.empty[String]
+      var cur = sourceId
+      var more = true
+      while (more) acon.transformSpecs.find(_.specId == cur) match {
+        case Some(t) if seenT.add(t.specId) =>
+          microBatchWork.get(t.specId).foreach(ws => acc.prependAll(ws))
+          cur = t.inputId
+        case _ => more = false
+      }
+      acc.toList
+    }
     val lineageDqs =
       if (chain.nonEmpty) chain.toSeq
       else acon.dqSpecs.filter(_.inputId == out.inputId)

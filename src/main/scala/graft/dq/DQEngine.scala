@@ -80,8 +80,21 @@ object DQEngine {
       case "expect_column_values_to_not_be_null" => Some(c.isNotNull)
       case "expect_column_values_to_be_null" => Some(c.isNull)
       case "expect_column_values_to_be_between" =>
-        val lo = num(a, "min_value").map(v => c >= v)
-        val hi = num(a, "max_value").map(v => c <= v)
+        // GX accepts datetime/string bounds, not just numbers — a string
+        // bound rides as a string literal and Spark's comparison coercion
+        // does the rest (date >= '2020-01-01' parses the literal; string
+        // columns compare lexicographically, GX's rule). Silently
+        // dropping a non-numeric bound would turn the expectation into a
+        // vacuous always-pass, so anything else fails loudly.
+        def bound(key: String): Option[Column] = a.get(key).map {
+          case n: Number => lit(n.doubleValue())
+          case s: String => lit(s)
+          case other => sys.error(
+            s"${f.function}: unsupported $key bound '$other' — use a " +
+              "number or a date/datetime string")
+        }
+        val lo = bound("min_value").map(v => c >= v)
+        val hi = bound("max_value").map(v => c <= v)
         Some((lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true)))
       case "expect_column_values_to_be_in_set" =>
         Some(c.isin(anySeq(a, "value_set"): _*))
@@ -264,8 +277,18 @@ object DQEngine {
   private def aggExpectation(
       f: DQFunctionSpec): Option[(Seq[Column], Seq[Any] => ExpectationOutcome)] = {
     val a = f.args
+    // a non-numeric bound on an aggregate expectation would be silently
+    // dropped by num() — turning the check into a vacuous always-pass —
+    // so it fails loudly instead (date-bounded aggregates are not
+    // supported by this family; the row-level between takes strings)
+    def bound(key: String): Option[Double] = a.get(key).map {
+      case n: Number => n.doubleValue()
+      case other => sys.error(
+        s"${f.function}: non-numeric $key bound '$other' — aggregate " +
+          "bounds must be numbers")
+    }
     def inBounds(v: Double): Boolean =
-      num(a, "min_value").forall(v >= _) && num(a, "max_value").forall(v <= _)
+      bound("min_value").forall(v >= _) && bound("max_value").forall(v <= _)
     def numVal(x: Any): Double = x match {
       case null => Double.NaN // empty input: no bound can hold
       case n: Number => n.doubleValue()
@@ -449,11 +472,24 @@ object DQEngine {
         Some(ExpectationOutcome(f.function, a, bad == 0, n, bad,
           unexpectedIndexList = sample))
       case "expect_column_values_to_be_unique" =>
+        // GX column-map semantics: a row is unexpected when its NON-NULL
+        // value occurs more than once; nulls are missing (skipped), and
+        // `mostly` compares against the non-null count — the strict
+        // dups==0 shortcut silently ignored a stated mostly. One
+        // aggregate over the group counts also yields n (sum of counts),
+        // dropping the separate df.count() scan.
         val c = str(a, "column").get
-        val dups = df.groupBy(col(c)).count().where(col("count") > 1)
-          .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
-        val n = df.count()
-        Some(ExpectationOutcome(f.function, a, dups == 0, n, dups))
+        val row = df.groupBy(col(c)).count()
+          .agg(coalesce(sum(col("count")), lit(0L)).as("__n"),
+            coalesce(sum(when(col(c).isNotNull, col("count"))
+              .otherwise(0L)), lit(0L)).as("__nn"),
+            coalesce(sum(when(col(c).isNotNull && col("count") > 1, col("count"))
+              .otherwise(0L)), lit(0L)).as("__dups"))
+          .collect()(0)
+        val (n, nonNull, dups) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val mostly = num(a, "mostly").getOrElse(1.0)
+        val ok = nonNull == 0 || 1.0 - dups.toDouble / nonNull >= mostly
+        Some(ExpectationOutcome(f.function, a, ok, n, dups))
       case "expect_table_row_count_to_equal_other_table" =>
         val other = str(a, "other_table_name").get
         val (n, m) = (df.count(), spark.table(other).count())
@@ -496,12 +532,24 @@ object DQEngine {
         val ok = wanted.exists(w => names(w.toLowerCase))
         Some(ExpectationOutcome(f.function, a, ok, 1, if (ok) 0 else 1))
       case "expect_compound_columns_to_be_unique" =>
+        // GX multicolumn-map semantics: rows where ALL key columns are
+        // NULL are missing (default ignore_row_if=all_values_are_missing)
+        // and `mostly` compares against the remaining rows — the strict
+        // dups==0 shortcut silently ignored a stated mostly. n derives
+        // from the same aggregate (no separate count scan).
         val cols = anySeq(a, "column_list").map(n => col(String.valueOf(n)))
-        val dups = df.groupBy(cols: _*).agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1)
-          .agg(coalesce(sum(col("__n")), lit(0L))).collect()(0).getLong(0)
-        val n = df.count()
-        Some(ExpectationOutcome(f.function, a, dups == 0, n, dups))
+        val notMissing = cols.map(_.isNotNull).reduce(_ || _)
+        val row = df.groupBy(cols: _*).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(col("__n")), lit(0L)).as("__t"),
+            coalesce(sum(when(notMissing, col("__n")).otherwise(0L)),
+              lit(0L)).as("__nn"),
+            coalesce(sum(when(notMissing && col("__n") > 1, col("__n"))
+              .otherwise(0L)), lit(0L)).as("__dups"))
+          .collect()(0)
+        val (n, nonMissing, dups) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val mostly = num(a, "mostly").getOrElse(1.0)
+        val ok = nonMissing == 0 || 1.0 - dups.toDouble / nonMissing >= mostly
+        Some(ExpectationOutcome(f.function, a, ok, n, dups))
       case "expect_column_value_z_scores_to_be_less_than" =>
         // two bounded actions: one aggregate for mean/stddev, one scan
         // counting |z| >= threshold (never a per-row collect)
@@ -565,7 +613,12 @@ object DQEngine {
         //   FROM {batch} GROUP BY {group_column_list}
         // and EVERY group's aggregate must satisfy the condition. A raw
         // `template_dict_query`/`query` is kept as a compat alias.
-        df.createOrReplaceTempView("batch")
+        // the batch rides a RUN-SCOPED view name (GX substitutes its own
+        // generated batch view into {batch}): a fixed name like "batch"
+        // would silently clobber — and leak over — any same-named view
+        // the user registered on the session
+        val view = s"graft_dq_batch_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        df.createOrReplaceTempView(view)
         val td = a.get("template_dict").collect { case m: Map[_, _] =>
           m.map { case (k, v) => String.valueOf(k) -> v } }
         val (sqlText, condition, minV, maxV) = td match {
@@ -574,14 +627,16 @@ object DQEngine {
             def tn(k: String) = t.get(k).collect { case n: Number => n.doubleValue() }
             val groupCols = ts("group_column_list").get
             (s"SELECT $groupCols, ${ts("agg_type").get}(${ts("column").get}) " +
-              s"FROM batch GROUP BY $groupCols",
+              s"FROM $view GROUP BY $groupCols",
               ts("condition").getOrElse("between"), tn("min_value"), tn("max_value"))
           case None =>
             (str(a, "template_dict_query").orElse(str(a, "query")).get
-              .replace("{table}", "batch"),
+              .replace("{table}", view),
               "between", num(a, "min_value"), num(a, "max_value"))
         }
-        val rows = spark.sql(sqlText).collect()
+        val rows =
+          try spark.sql(sqlText).collect()
+          finally spark.catalog.dropTempView(view)
         // The reference's `_generate_dict` coerces the LAST projected
         // column with Python `int(...)` — its own scenario schemas declare
         // every column (incl. the aggregated one) as string, so the value
@@ -633,16 +688,32 @@ object DQEngine {
     val rowOutcomes: Seq[(ExpectationOutcome, Boolean)] =
       if (rowFns.isEmpty) Seq.empty
       else {
+        // GX column-map semantics: a row whose predicate is NULL (the
+        // null domain of the expectation, e.g. a NULL value under
+        // in_set/regex/between) is MISSING, not unexpected — GX filters
+        // unexpected rows as `~condition`, which drops nulls — and
+        // `mostly` compares against the NON-MISSING count, not count(*).
+        // The custom pair/multicolumn expectations encode the same rule
+        // inside their predicates (coalesce(..., true)), so for them the
+        // non-missing count equals count(*) and nothing changes.
+        // `when(!pred, 1)` skips NULL predicates by construction (a NULL
+        // condition falls through to otherwise(0)).
         val aggs = count(lit(1)).as("__n") +:
-          rowFns.zipWithIndex.map { case ((_, _, pred), i) =>
-            sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__u$i")
+          rowFns.zipWithIndex.flatMap { case ((_, _, pred), i) =>
+            Seq(sum(when(!pred, 1L).otherwise(0L)).as(s"__u$i"),
+              sum(when(pred.isNotNull, 1L).otherwise(0L)).as(s"__nn$i"))
           }
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val n = row.getLong(0)
+        // sum over an EMPTY input is NULL — read the slots null-safely
+        // (an empty streaming micro-batch must not NPE the DQ pass)
+        def slot(j: Int): Long = if (row.isNullAt(j)) 0L else row.getLong(j)
         rowFns.zipWithIndex.map { case ((f, crit, _), i) =>
-          val unexpected = row.getLong(i + 1)
+          val unexpected = slot(1 + 2 * i)
+          val nonMissing = slot(2 + 2 * i)
           val mostly = num(f.args, "mostly").getOrElse(1.0)
-          val okFraction = if (n == 0) 1.0 else 1.0 - unexpected.toDouble / n
+          val okFraction =
+            if (nonMissing == 0) 1.0 else 1.0 - unexpected.toDouble / nonMissing
           ExpectationOutcome(f.function, f.args, okFraction >= mostly, n, unexpected) -> crit
         }
       }
@@ -653,7 +724,7 @@ object DQEngine {
       else rowOutcomes.zip(rowFns).map { case ((o, crit), (_, _, pred)) =>
         if (o.success || o.unexpectedCount == 0) (o, crit)
         else {
-          val sample = df.where(!coalesce(pred, lit(false)))
+          val sample = df.where(coalesce(!pred, lit(false)))
             .select(to_json(struct(spec.unexpectedRowsPk.map(col): _*)))
             .limit(UnexpectedSampleLimit)
             .collect().map(_.getString(0)).toSeq
@@ -790,7 +861,7 @@ object DQEngine {
           lit(null).cast("array<struct<expectation_type:string,kwargs:string>>")
             .as("dq_failure_details")))
     val details = array(rowFns.map { case (f, pred) =>
-      when(!coalesce(pred, lit(false)),
+      when(coalesce(!pred, lit(false)),
         struct(lit(f.function).as("expectation_type"),
           // kwargs ride as compact JSON with numerics as doubles and the
           // keys ALPHABETICAL — the GX rendering the reference's tagged
@@ -841,7 +912,7 @@ object DQEngine {
       }.map(o -> _._2))
     if (failing.isEmpty) return base
     val chunked = failing.map { case (o, pred) =>
-      val keys = df.where(!coalesce(pred, lit(false)))
+      val keys = df.where(coalesce(!pred, lit(false)))
         .select(to_json(struct(spec.unexpectedRowsPk.map(col): _*)).as("k"))
       val indexed = keys.rdd.zipWithIndex()
         .map { case (r, i) => (i / spec.resultSinkChunkSize, r.getString(0)) }

@@ -1298,15 +1298,15 @@ object QueryCatalog {
         FROM customer
         UNION ALL
         SELECT 'expect_column_values_to_be_between',
-               count(*) FILTER (WHERE NOT coalesce(c_acctbal >= 0, FALSE)) = 0,
+               count(*) FILTER (WHERE NOT (c_acctbal >= 0)) = 0,
                count(*),
-               count(*) FILTER (WHERE NOT coalesce(c_acctbal >= 0, FALSE))
+               count(*) FILTER (WHERE NOT (c_acctbal >= 0))
         FROM customer
         UNION ALL
         SELECT 'expect_column_values_to_match_regex',
-               count(*) FILTER (WHERE NOT coalesce(regexp_matches(c_name, '^Customer#'), FALSE)) = 0,
+               count(*) FILTER (WHERE NOT regexp_matches(c_name, '^Customer#')) = 0,
                count(*),
-               count(*) FILTER (WHERE NOT coalesce(regexp_matches(c_name, '^Customer#'), FALSE))
+               count(*) FILTER (WHERE NOT regexp_matches(c_name, '^Customer#'))
         FROM customer
         UNION ALL
         SELECT 'expect_column_values_to_be_unique',

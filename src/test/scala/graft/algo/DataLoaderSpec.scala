@@ -447,10 +447,78 @@ class DataLoaderSpec extends SparkSpec {
       .replace("\"fail_on_error\": true",
         "\"fail_on_error\": false, \"tag_source_data\": true, \"max_percentage_failure\": 1.0")
     val outs = DataLoader.loadData(spark, aconTag, dfs = Map("d" -> df))
-    val tagged = outs("src")
+    // the tagged frame registers under the DQ spec's OWN id — reference
+    // semantics (`data_loader.py:175` stores dfs[dq_spec.spec_id]); the
+    // input spec's frame stays untagged, so an output chaining on the
+    // INPUT id keeps writing the raw schema
+    val tagged = outs("dq1")
     assert(tagged.columns.contains("dq_validations"))
     assert(tagged.where("dq_validations.run_row_success = false").count() == 1)
     assert(tagged.where("dq_validations.run_row_success = true").count() == 2)
+    assert(!outs("src").columns.contains("dq_validations"),
+      "tag_source_data must not mutate the input spec's frame")
+  }
+
+  test("a dq spec chaining on a later-listed dq spec fails with the fix, not a bare key error") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("id", "name")
+    val acon =
+      """{
+        |  "input_specs": [{"spec_id": "src", "data_format": "dataframe", "df_name": "d"}],
+        |  "dq_specs": [
+        |    {"spec_id": "q2", "input_id": "q1",
+        |     "dq_functions": [{"function": "expect_column_values_to_not_be_null",
+        |                       "args": {"column": "name"}}]},
+        |    {"spec_id": "q1", "input_id": "src",
+        |     "dq_functions": [{"function": "expect_column_values_to_not_be_null",
+        |                       "args": {"column": "name"}}]}
+        |  ]
+        |}""".stripMargin
+    val err = intercept[Exception] {
+      DataLoader.loadData(spark, acon, dfs = Map("d" -> df))
+    }
+    assert(err.getMessage.contains("dependency order"), err.getMessage)
+  }
+
+  test("deferred transformers survive a chained transform spec (streaming lineage)") {
+    // transform A defers group_and_rank (StreamingUnsupported); transform
+    // B chains on A stream-side (rename); the output chains on B. The
+    // planner must collect A's deferred work through the transform
+    // lineage — a single-level lookup (the reference's own limitation)
+    // would silently write un-ranked data. Note the inherited jump-to-end
+    // caveat: B's stream-side rename runs BEFORE A's deferred ranker, so
+    // the deferred transformer must reference the post-stream-side schema
+    // (here: B renames a column the ranker does not use).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String, Double)]
+    mem.addData((1, "g1", 1.0), (2, "g1", 9.0), (3, "g2", 4.0))
+    val sink = tmpDir("dl-chain-defer") + "/t"
+    val acon =
+      s"""{
+         |  "input_specs": [{"spec_id": "src", "read_type": "streaming", "df_name": "d"}],
+         |  "transform_specs": [
+         |    {"spec_id": "ranked", "input_id": "src", "transformers": [
+         |      {"function": "group_and_rank", "args": {
+         |        "group_key": ["grp"], "ranking_key": ["score"]}}]},
+         |    {"spec_id": "renamed", "input_id": "ranked", "transformers": [
+         |      {"function": "rename", "args": {"cols": {"id": "rid"}}}]}
+         |  ],
+         |  "output_specs": [{
+         |    "spec_id": "out", "input_id": "renamed", "write_type": "append",
+         |    "data_format": "parquet", "location": "$sink",
+         |    "streaming_available_now": true,
+         |    "options": {"checkpointLocation": "${tmpDir("dl-chain-ckpt")}"}
+         |  }]
+         |}""".stripMargin
+    DataLoader.loadData(spark, acon,
+      dfs = Map("d" -> mem.toDF().toDF("id", "grp", "score")))
+    val rows = spark.read.parquet(sink)
+    // group_and_rank keeps the top row per group: ids 2 (g1, 9.0) and 3
+    // (g2, 4.0) — and the downstream rename applied too
+    assert(rows.columns.contains("rid"), rows.columns.mkString(","))
+    assert(rows.select("rid").as[Int].collect().sorted.toSeq == Seq(2, 3))
   }
 
   test("self-referential dq spec (spec_id == input_id) does not hang the output planner") {

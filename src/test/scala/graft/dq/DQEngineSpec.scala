@@ -34,6 +34,100 @@ class DQEngineSpec extends SparkSpec {
     assert(r.outcomes.head.success) // 3/4 = 0.75 >= 0.7
   }
 
+  test("an empty input is a vacuous pass for row expectations, never an NPE") {
+    // sum() over zero rows is NULL: the one-pass aggregate must read its
+    // slots null-safely — the empty-streaming-micro-batch case routed
+    // through foreachBatch DQ
+    val empty = df.where("id < 0")
+    val r = DQEngine.run(spark, empty, spec(
+      "expect_column_values_to_not_be_null" -> Map("column" -> "name"),
+      "expect_column_values_to_be_in_set" -> Map("column" -> "id", "value_set" -> Seq(1))))
+    assert(r.success)
+    assert(r.outcomes.forall(o => o.success && o.elementCount == 0 &&
+      o.unexpectedCount == 0))
+  }
+
+  test("GX column-map semantics: NULL values are missing, not unexpected") {
+    // in_set over a column with a null: GX filters unexpected rows as
+    // ~condition (dropping nulls) and evaluates mostly against the
+    // NON-MISSING count. name = (a, b, null, d); set contains only a, b.
+    val r = DQEngine.run(spark, df, spec(
+      "expect_column_values_to_be_in_set" ->
+        Map("column" -> "name", "value_set" -> Seq("a", "b"))))
+    val o = r.outcomes.head
+    assert(o.unexpectedCount == 1, s"only 'd' is unexpected; null is missing: $o")
+    assert(o.elementCount == 4, "element_count stays the TOTAL row count (GX)")
+    assert(!o.success)
+    // mostly over the non-missing denominator: 2 of 3 non-null pass
+    // (0.667 >= 0.6), where a count(*) denominator would see 2/4 = 0.5
+    val r2 = DQEngine.run(spark, df, spec(
+      "expect_column_values_to_be_in_set" ->
+        Map("column" -> "name", "value_set" -> Seq("a", "b"), "mostly" -> 0.6)))
+    assert(r2.outcomes.head.success)
+    // not_be_null still counts nulls as unexpected (its predicate is
+    // never NULL — nulls are the very thing it checks)
+    val r3 = DQEngine.run(spark, df, spec(
+      "expect_column_values_to_not_be_null" -> Map("column" -> "name")))
+    assert(r3.outcomes.head.unexpectedCount == 1)
+  }
+
+  test("be_between takes date-string bounds; non-numeric aggregate bounds fail loudly") {
+    // GX accepts datetime bounds — previously num() silently dropped the
+    // string and the expectation became a vacuous always-pass
+    val r = DQEngine.run(spark, df.selectExpr("CAST(d AS DATE) AS d"), spec(
+      "expect_column_values_to_be_between" ->
+        Map("column" -> "d", "min_value" -> "2030-01-02")))
+    val o = r.outcomes.head
+    assert(o.unexpectedCount == 1, s"2030-01-01 is below the bound: $o")
+    // a string bound on an AGGREGATE expectation is unsupported: loud,
+    // not vacuous
+    val err = intercept[Exception] {
+      DQEngine.run(spark, df, spec(
+        "expect_column_max_to_be_between" ->
+          Map("column" -> "amount", "max_value" -> "lots")))
+    }
+    assert(err.getMessage.contains("non-numeric"), err.getMessage)
+  }
+
+  test("mostly applies to uniqueness expectations; null keys are missing") {
+    // id values (1,1,2,null): 2 duplicate rows of 3 non-null -> 1/3 ok
+    // under the strict default, but mostly=0.3 passes; the null row is
+    // neither unexpected nor in the denominator (GX column-map)
+    val dup = Seq(Some(1), Some(1), Some(2), None).toDF("id")
+    val strict = DQEngine.run(spark, dup, spec(
+      "expect_column_values_to_be_unique" -> Map("column" -> "id")))
+    assert(!strict.outcomes.head.success &&
+      strict.outcomes.head.unexpectedCount == 2)
+    val tolerant = DQEngine.run(spark, dup, spec(
+      "expect_column_values_to_be_unique" -> Map("column" -> "id", "mostly" -> 0.3)))
+    assert(tolerant.outcomes.head.success)
+    // compound: rows with ALL key columns null are ignored
+    val cdup = Seq((Some(1), Some("x")), (Some(1), Some("x")),
+      (None, None), (Some(2), Some("y"))).toDF("a", "b")
+    val compound = DQEngine.run(spark, cdup, spec(
+      "expect_compound_columns_to_be_unique" ->
+        Map("column_list" -> Seq("a", "b"), "mostly" -> 0.3)))
+    assert(compound.outcomes.head.success &&
+      compound.outcomes.head.unexpectedCount == 2)
+  }
+
+  test("queried-agg expectation neither clobbers nor leaks a user view named 'batch'") {
+    Seq((99, "mine")).toDF("id", "tag").createOrReplaceTempView("batch")
+    try {
+      val r = DQEngine.run(spark, df, spec(
+        "expect_queried_column_agg_value_to_be" ->
+          Map("query" -> "SELECT sum(amount) FROM {table}",
+            "min_value" -> 0, "max_value" -> 100)))
+      assert(r.outcomes.head.success)
+      // the user's view survives with its own contents
+      assert(spark.table("batch").select("tag").collect().map(_.getString(0))
+        .toSeq == Seq("mine"))
+      // and no run-scoped view leaks into the catalog
+      assert(!spark.catalog.listTables().collect()
+        .exists(_.name.startsWith("graft_dq_batch_")))
+    } finally spark.catalog.dropTempView("batch")
+  }
+
   test("custom pair expectations") {
     val pairs = Seq((1.0, 2.0, "x", "x"), (5.0, 3.0, "y", "z")).toDF("a", "b", "s1", "s2")
     val r = DQEngine.run(spark, pairs, spec(
