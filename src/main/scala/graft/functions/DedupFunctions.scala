@@ -296,6 +296,27 @@ object DedupFunctions {
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .localCheckpoint() // pairs upstream (band joins) is the expensive part
+    // Below the contraction floor the graph is SMALL by definition (the
+    // floor exists because distributed machinery loses there), yet the
+    // pre-r19 path still launched a full GraphX Pregel — ~15 RDD jobs,
+    // measured 0.44-0.92 s on a 253-edge gate graph where a driver-side
+    // union-find labels identically in microseconds. One limit-probe on
+    // the checkpointed edge blocks decides the regime AND delivers the
+    // edges (<= floor+1 rows back, so the small path pays one job where
+    // count-then-collect paid two); the collect is bounded by the same
+    // floor that gates it (50k narrow long pairs ~ 800 KB — the scale of
+    // a broadcast build side), so the driver never holds more than the
+    // contraction path would have broadcast anyway. Same labels by
+    // construction: union-find labels every member with its component
+    // minimum, exactly GraphX CC's contract (law-pinned in
+    // DedupAndSimilaritySpec).
+    val floor = contractMinEdges(spark)
+    val probeCap = math.min(floor, Int.MaxValue.toLong - 1).toInt
+    val probe = edges.limit(probeCap + 1).collect()
+    if (probe.length <= floor)
+      return driverConnectedComponents(spark, probe.map(r =>
+        (r.getLong(0), r.getLong(1))))
+    val nEdges = edges.count()
     // id -> current representative (round 1's min map IS the full
     // mapping: every vertex appears in some edge, so no identity seed)
     var mapping: DataFrame = null
@@ -304,11 +325,10 @@ object DedupFunctions {
     // clique collapse — a fixed ~1 s that pays off as soon as the edge
     // multiset leaves gate scale (124M near-clique edges: 6.4 s vs
     // 50.3 s; 486k LINEAR edges, r18 interleaved: 7.8 s vs 22.9 s
-    // Pregel; ~1k gate edges: it loses ~1.1 s). The floor risk is
-    // asymmetric — too low costs the bounded fixed overhead, too high
-    // costs unbounded Pregel iterations — so the default sits just
-    // above gate scale. Below it, go straight to Pregel.
-    var contract = edges.count() >= contractMinEdges(spark)
+    // Pregel). Edges below the floor never reach here (driver
+    // union-find above); past the broadcast bound contraction stops
+    // and Pregel takes the graph as-is.
+    var contract = nEdges >= contractMinEdges(spark)
     while (contract && rounds < 2 && !edges.isEmpty) {
       // min over both orientations; the union is partition concat (no
       // shuffle) and the partial aggregate collapses to <=|V| rows per
@@ -364,6 +384,54 @@ object DedupFunctions {
     }
   }
 
+  /** Driver-side connected components for graphs under the contraction
+    * floor: union-find (path compression + union by rank) over the
+    * collected edge list, every vertex labeled with its component's
+    * MINIMUM id — the exact GraphX ConnectedComponents contract, so the
+    * two paths are interchangeable (law-tested). Input is bounded by the
+    * caller ([[contractMinEdges]] rows). */
+  private def driverConnectedComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    val rank = new java.util.HashMap[Long, Int]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.get(root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.get(cur) != root) {
+        val next = parent.get(cur); parent.put(cur, root); cur = next
+      }
+      root
+    }
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) { parent.put(x, x); rank.put(x, 0) }
+    edges.foreach { case (u, v) =>
+      add(u); add(v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        val (hi, lo) =
+          if (rank.get(ru) >= rank.get(rv)) (ru, rv) else (rv, ru)
+        parent.put(lo, hi)
+        if (rank.get(ru) == rank.get(rv)) rank.put(hi, rank.get(hi) + 1)
+      }
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    val it0 = parent.keySet().iterator()
+    while (it0.hasNext) {
+      val v = it0.next(); val r = find(v)
+      val cur = minOf.getOrDefault(r, Long.MaxValue)
+      if (v < cur) minOf.put(r, v)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    val it1 = parent.keySet().iterator()
+    while (it1.hasNext) {
+      val v = it1.next(); out += ((v, minOf.get(find(v))))
+    }
+    out.toSeq.toDF("id", "canonical_id")
+  }
+
   /** Vertex-count bound for broadcasting the contraction rep map inside
     * [[duplicateClusters]] (default 4M longs ~ 64 MB broadcast);
     * session-configurable so deployments size it to executor memory. */
@@ -388,7 +456,11 @@ object DedupFunctions {
     * caught a 486k-edge LINEAR graph (the realistic mid regime) paying
     * 22.9 s in Pregel where forced contraction took 7.8 s. Contraction's
     * downside is a bounded ~1.1 s of fixed jobs; Pregel's is unbounded
-    * iteration cost — so the floor sits just above gate scale. */
+    * iteration cost — so the floor sits just above gate scale. Round 19:
+    * the same floor now also bounds the driver union-find fast path
+    * (below it the whole graph collects — at most this many narrow long
+    * pairs, ~800 KB at the default — and labels in one driver pass
+    * instead of a full Pregel run). */
   private[graft] def contractMinEdges(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("graft.cc.contractMinEdges").map(_.toLong)
       .getOrElse(50000L)

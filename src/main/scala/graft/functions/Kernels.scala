@@ -265,6 +265,48 @@ object Kernels {
     f(text)
   }
 
+  /** Gopher quality stats in ONE pass over the text (round 19): returns
+    * a struct (_1 n_words, _2 mean_word_len, _3 alpha_word_ratio,
+    * _4 distinct_word_ratio) value-identical to the HOF formulation —
+    * single-space split dropping empties; word length in CODE POINTS
+    * (Spark `length()` counts code points, not UTF-16 units); alpha =
+    * contains an ASCII letter (the `rlike("[A-Za-z]")` contract);
+    * distinct by string equality; every ratio the same integer-count
+    * double division (n = 0 divides to NaN exactly like the column
+    * expression). Replaces four interpreted CodegenFallback HOF chains
+    * (aggregate/transform/filter/array_distinct) that each re-walked the
+    * token array per row. */
+  def qualityStats(text: Column): Column = {
+    val f = udf { (s: String) =>
+      val raw = if (s == null) Array.empty[String] else s.split(" ", -1)
+      var n = 0L
+      var sumLen = 0L
+      var alpha = 0L
+      val seen = new java.util.HashSet[String]
+      var i = 0
+      while (i < raw.length) {
+        val w = raw(i)
+        if (w.nonEmpty) {
+          n += 1
+          sumLen += w.codePointCount(0, w.length)
+          var hasAlpha = false
+          var j = 0
+          while (j < w.length && !hasAlpha) {
+            val c = w.charAt(j)
+            if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+            j += 1
+          }
+          if (hasAlpha) alpha += 1
+          seen.add(w)
+        }
+        i += 1
+      }
+      val nd = n.toDouble
+      (n, sumLen.toDouble / nd, alpha.toDouble / nd, seen.size.toDouble / nd)
+    }
+    f(text)
+  }
+
   /** Cosine similarity in double precision. Fold order is ascending index
     * (identical to the `aggregate`/`zip_with` formulation and to the
     * DuckDB oracle's list_sum over list_transform), so results are

@@ -343,18 +343,24 @@ object TrainingData {
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       minAlphaRatio: Double = 0.8,
       keep: Seq[String] = Nil): DataFrame = {
-    val words = TextFunctions.whitespaceTokens(col(textCol))
-    val nWords = size(words).cast("long")
-    val meanLen = aggregate(transform(words, w => length(w).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double") / nWords
-    val alphaRatio =
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords
-    val distinctRatio = size(array_distinct(words)).cast("double") / nWords
-    // `keep` passes source columns through so a caller gating on the flags
-    // doesn't need a second corpus scan + self-join to get its data back.
-    df.select(col(idCol) +: keep.map(col) :+ nWords.as("n_words") :+
-        meanLen.as("mean_word_len") :+ alphaRatio.as("alpha_word_ratio") :+
-        distinctRatio.as("distinct_word_ratio"): _*)
+    // One tight-loop pass per row (r19; guide §4 "eliminate non-codegen
+    // expressions in the hot path"): the previous formulation walked the
+    // token array through four separate CodegenFallback HOF chains
+    // (aggregate, transform, filter+rlike, array_distinct) — interpreted,
+    // with per-element boxing — measured ~0.6 s of q77's gate stage at
+    // sf0.1. Values are identical by construction (Kernels.qualityStats
+    // scaladoc). The fence pins ONE kernel evaluation: a caller's filter
+    // on the flags would otherwise push below the field extraction and
+    // re-run the UDF per consumer (PlanAuditSpec gates the class).
+    // `keep` passes source columns through so a caller gating on the
+    // flags doesn't need a second corpus scan + self-join.
+    graft.util.PlanBarrier.fence(
+        df.select(col(idCol) +: keep.map(col) :+
+          graft.functions.Kernels.qualityStats(col(textCol)).as("__qs"): _*))
+      .select(col(idCol) +: keep.map(col) :+
+        col("__qs._1").as("n_words") :+ col("__qs._2").as("mean_word_len") :+
+        col("__qs._3").as("alpha_word_ratio") :+
+        col("__qs._4").as("distinct_word_ratio"): _*)
       .withColumn("passes_gopher",
         col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
@@ -427,8 +433,17 @@ object TrainingData {
     val terms = df
       .select(col(idCol).as("id"),
         explode(TextFunctions.whitespaceTokens(lower(col(textCol)))).as("term"))
+    // Materialized: the (id, term) grid feeds BOTH the document-frequency
+    // rollup and the score join — without the checkpoint each consumer
+    // re-ran the tokenize+explode corpus scan, and df additionally paid a
+    // countDistinct Expand over the raw token stream. Deriving df from
+    // the grid is exact (one row per (id, term), so count(*) per term ==
+    // countDistinct(id) over raw tokens) and turns the second corpus
+    // pass into a small rollup of the staged grid (r19; guide §2.3
+    // "aggregate before you shuffle" + §5 lineage truncation).
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
       .withColumn("score", col("tf") * nDocs / col("df"))
     val w = Window.partitionBy(col("id"))

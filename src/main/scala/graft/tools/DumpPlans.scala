@@ -27,7 +27,12 @@ object DumpPlans {
     QueryCatalog.all.filter(q => names(q.name)).foreach { q =>
       try {
         val df = q.run(spark, sfDir)
-        df.count() // let AQE finalize so the formatted plan is the real one
+        // Execute THIS DataFrame's own physical plan (the ScaleCurve
+        // convention): count()/noop each wrap the logical plan in a NEW
+        // QueryExecution, leaving the dumped plan AdaptiveSparkPlan
+        // isFinalPlan=false; toRdd.count() runs the exact executedPlan so
+        // the dump shows the AQE-final join strategies and coalesced reads.
+        df.queryExecution.toRdd.count()
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val executed = df.queryExecution.executedPlan.toString()

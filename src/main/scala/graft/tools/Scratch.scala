@@ -1,47 +1,59 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
 
 /** Dev-only scratch runner (not part of the driver contract). Edit
   * freely for ad-hoc measurements; keep `graft.tools.BenchOne` /
   * `graft.tools.PlanAudit` for repeatable timing / plan evidence. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // Heap-artifact check for the r18 ledger: the x2000 legs of q31/q91/
-    // q76 read 4x above their r17 same-corpus records when measured
-    // under a 48g driver heap. r17's Scratch note: oversized heaps turn
-    // shuffle spills into giant in-memory sorts whose full GCs dominate.
-    // Re-measure the three flagged ops under the 32g budget the prior
-    // records used (run with SPARK_DRIVER_MEM=32g).
+    // r19 optimization round: decompose q77_curation_pipeline's floor.
     val spark = graft.exec.ExecEnv.getOrCreate("scratch", Some("local[32]"),
-      Map("spark.sql.shuffle.partitions" -> "32", "spark.ui.enabled" -> "false",
-        "spark.network.timeout" -> "600s"))
-    val dir = "/tmp/graft-scale-r17s2/x2000"
-    def time(tag: String)(mk: () => org.apache.spark.sql.DataFrame): Unit = {
-      val runs = (1 to 2).map { _ =>
+      Map("spark.sql.shuffle.partitions" -> "32", "spark.ui.enabled" -> "false"))
+    val dir = "/root/testdata/sf0.1"
+    def time(tag: String, n: Int = 5)(mk: () => org.apache.spark.sql.DataFrame): Unit = {
+      val runs = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         mk().queryExecution.toRdd.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        dt
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"[scratch] $tag min=${runs.min}%.2fs runs=${runs.map(r => f"$r%.1f").mkString(",")}")
+      println(f"[scratch] $tag min=${runs.min}%.3fs runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
     def docs = spark.read.parquet(s"$dir/documents.parquet")
-    def emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    time("q31_x2000")(() => graft.functions.DedupFunctions.minhashNearDuplicates(
-      docs, "doc_id", "text", threshold = 0.4))
-    time("q91_x2000")(() => {
-      val bits = math.min(18, math.max(8,
-        graft.functions.SimilarityFunctions.ceilLog2(math.max(1L, emb.count() / 20L))))
-      graft.functions.SimilarityFunctions.semanticDedup(emb, "vec_id", "embedding",
-        dim = 64, numBits = bits, simThreshold = 0.3)
+    docs.count()
+    val bench = docs.where(col("doc_id") < 100)
+    val corpus = docs.where(col("doc_id") >= 100)
+    def flags() = graft.operators.TrainingData.qualityFlags(
+      corpus, "doc_id", "text", minWords = 30, maxWords = 100000,
+      minMeanWordLen = 1.0, maxMeanWordLen = 20.0, minAlphaRatio = 0.8,
+      keep = Seq("text"))
+    def qualifiedRaw() = flags()
+      .where(col("passes_gopher") && col("distinct_word_ratio") >= 0.35)
+      .select("doc_id", "text")
+    time("q77_a_flags_only")(() => qualifiedRaw())
+    val qualified = qualifiedRaw().localCheckpoint(true)
+    time("q77_b_contamination")(() => graft.operators.TrainingData.contamination(
+      qualified, bench, "doc_id", "text", n = 3))
+    val cont = graft.operators.TrainingData.contamination(
+      qualified, bench, "doc_id", "text", n = 3)
+    val clean = qualified.join(
+      cont.where(col("contamination") < 0.2)
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+    time("q77_c_clean_dedup")(() => {
+      clean.withColumn("__fp", TextFunctions.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .where(col("__rn") === 1).drop("__fp", "__rn")
     })
-    val idx = graft.functions.MinhashIndex.open(
-      "/tmp/graft-scale-r17s2/idx/_tmp_graft_scale_r17s2_x2000", threshold = Some(0.4))
-    time("q76_x2000")(() => idx.checkBatch(
-      docs.where(col("doc_id") < 100), "doc_id", "text"))
+    val deduped = clean.withColumn("__fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+      .where(col("__rn") === 1).drop("__fp", "__rn")
+    time("q77_d_pack_on_top")(() => graft.operators.TrainingData.packSequences(
+      deduped, "doc_id", "text", tokenBudget = 1024, nShards = 4)
+      .orderBy(col("shard"), col("pack_id")))
     spark.stop()
   }
 }

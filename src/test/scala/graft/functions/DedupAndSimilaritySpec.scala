@@ -945,10 +945,12 @@ class DedupAndSimilaritySpec extends SparkSpec {
     shapes.foreach { case (name, pairs) =>
       val want = graphxClusters(pairs)
       // all three regimes: broadcast contraction, the beyond-broadcast
-      // plain-Pregel fallback, and the small-graph Pregel short-circuit
+      // plain-Pregel fallback, and the small-graph driver union-find
+      // (every graph here is under a MaxValue floor, so that regime runs
+      // the r19 collect-and-label path)
       Seq(("4000000", "0", "contraction"),
           ("0", "0", "pregel-fallback"),
-          ("4000000", s"${Long.MaxValue}", "small-graph-shortcut")).foreach {
+          ("4000000", s"${Long.MaxValue}", "driver-union-find")).foreach {
         case (bcast, minEdges, regime) =>
           val got = withConf(
             "graft.cc.broadcastVertices" -> bcast,
