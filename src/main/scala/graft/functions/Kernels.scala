@@ -265,6 +265,56 @@ object Kernels {
     f(text)
   }
 
+  /** Hashed-unigram feature buckets in ONE pass (round 19): single-space
+    * split dropping empties, each token mapped to
+    * `md5Hash60(token) mod buckets` — value-identical to the column chain
+    * `pmod(conv(substring(md5(tok), 1, 15), 16, 10) mod buckets)` (the
+    * hash is non-negative, so mod == pmod), which built a hex string, a
+    * decimal string and a substring PER TOKEN through three codegen'd
+    * expressions. One thread-local MessageDigest, no intermediate
+    * strings. */
+  def tokenBuckets(text: Column, buckets: Int): Column = {
+    require(buckets > 0, "buckets must be positive")
+    val f = udf { (s: String) =>
+      val raw = if (s == null) Array.empty[String] else s.split(" ", -1)
+      val out = new scala.collection.mutable.ArrayBuffer[Long](raw.length)
+      var i = 0
+      while (i < raw.length) {
+        if (raw(i).nonEmpty) out += md5Hash60(raw(i)) % buckets
+        i += 1
+      }
+      out.toArray
+    }
+    f(text)
+  }
+
+  /** Adjacent token bigrams in ONE pass (round 19): single-space split
+    * dropping empties, then (tk(i), tk(i+1)) pairs in document order —
+    * value-identical to the `transform(sequence(0, size-2), i ->
+    * struct(element_at ...))` HOF chain (CodegenFallback, interpreted
+    * with per-element boxing), with fewer than two tokens yielding an
+    * empty array (the caller's explode drops those docs either way). */
+  def bigramPairs(text: Column): Column = {
+    val f = udf { (s: String) =>
+      val raw = if (s == null) Array.empty[String] else s.split(" ", -1)
+      val toks = new Array[String](raw.length)
+      var nt = 0
+      var i = 0
+      while (i < raw.length) {
+        if (raw(i).nonEmpty) { toks(nt) = raw(i); nt += 1 }
+        i += 1
+      }
+      if (nt < 2) Array.empty[(String, String)]
+      else {
+        val out = new Array[(String, String)](nt - 1)
+        var j = 0
+        while (j < nt - 1) { out(j) = (toks(j), toks(j + 1)); j += 1 }
+        out
+      }
+    }
+    f(text)
+  }
+
   /** Gopher quality stats in ONE pass over the text (round 19): returns
     * a struct (_1 n_words, _2 mean_word_len, _3 alpha_word_ratio,
     * _4 distinct_word_ratio) value-identical to the HOF formulation —

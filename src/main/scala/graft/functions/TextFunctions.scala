@@ -157,17 +157,19 @@ object TextFunctions {
       idCol: String,
       textCol: String,
       roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
-    val toks = graft.util.PlanBarrier.fence(
-      df.select(col(idCol).as("id"), whitespaceTokens(col(textCol)).as("tk")))
-    // Materialized: both the count build and the score join consume the
+    // Pair emission is a fused tight-loop kernel (r19): the
+    // transform(sequence(...), struct(element_at ...)) chain was
+    // CodegenFallback — interpreted per pair with boxing
+    // (Kernels.bigramPairs emits identical pairs; docs with < 2 tokens
+    // yield an empty array the explode drops, exactly the old size
+    // guard). Fenced against Generate/Project re-evaluation. Then
+    // materialized: both the count build and the score join consume the
     // pair stream; without this the tokenize+pair chain runs twice.
-    val pairs = toks
-      .where(size(col("tk")) >= 2)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("tk")) - 2),
-        i => struct(element_at(col("tk"), i + 1).as("w1"),
-          element_at(col("tk"), i + 2).as("w2")))).as("p"))
-      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairs = graft.util.PlanBarrier.fence(
+        df.select(col(idCol).as("id"),
+          Kernels.bigramPairs(col(textCol)).as("ps")))
+      .select(col("id"), explode(col("ps")).as("p"))
+      .select(col("id"), col("p._1").as("w1"), col("p._2").as("w2"))
       .localCheckpoint(true)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
@@ -313,11 +315,18 @@ object TextFunctions {
       buckets: Int = 256,
       roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val grid = df.select(col(idCol).as("id"), targetPred.as("is_tgt"),
-        explode(whitespaceTokens(col(textCol))).as("tok"))
-      .select(col("id"), col("is_tgt"),
-        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bucket"))
+    // Bucket derivation is a fused tight-loop kernel (r19): the previous
+    // chain exploded token STRINGS and ran md5-hex + substring + base-16
+    // conv per row; Kernels.tokenBuckets emits the identical
+    // md5Hash60-mod values (see its scaladoc) as one long array per doc,
+    // so only (id, is_tgt, bucket longs) ever reach the explode. Fenced:
+    // a Generate over a UDF array would otherwise re-evaluate the kernel
+    // in both the Generate and its input Project (the PlanAuditSpec-gated
+    // duplication class).
+    val grid = graft.util.PlanBarrier.fence(
+        df.select(col(idCol).as("id"), targetPred.as("is_tgt"),
+          Kernels.tokenBuckets(col(textCol), buckets).as("__bs")))
+      .select(col("id"), col("is_tgt"), explode(col("__bs")).as("bucket"))
       .groupBy(col("id"), col("is_tgt"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
