@@ -597,11 +597,15 @@ object DQEngine {
         val set = anySeq(a, "value_set").map(String.valueOf(_)).toSet
         val counts = df.groupBy(col(c).cast("string").as("__v"))
           .agg(count(lit(1)).as("__n"))
-        // Option: max over an EMPTY table is NULL (no mode, fails the set)
-        val topN = Option(counts.agg(max(col("__n"))).collect()(0).get(0))
-          .map(_.asInstanceOf[Long])
-        val modes = topN.toSeq.flatMap(t => counts.where(col("__n") === t)
-          .limit(UnexpectedSampleLimit).collect().map(_.getString(0)))
+        // ONE TakeOrdered job (r19): the top SampleLimit groups by count
+        // necessarily contain every tied mode up to the same cap the old
+        // max-then-filter pair enforced (two jobs over the same grouped
+        // counts), and an empty table yields no rows (no mode, fails the
+        // set) exactly like the old NULL max.
+        val top = counts.orderBy(col("__n").desc)
+          .limit(UnexpectedSampleLimit).collect()
+        val modes = top.headOption.map(_.getLong(1)).toSeq.flatMap(t =>
+          top.filter(_.getLong(1) == t).map(_.getString(0)))
         val ok = modes.exists(set)
         Some(ExpectationOutcome(f.function, a, ok, modes.length.toLong,
           if (ok) 0 else 1, unexpectedIndexList = if (ok) Seq.empty else modes.toSeq))

@@ -129,7 +129,10 @@ object TextFunctions {
       textCol: String,
       roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
     // Materialized: the count build and the score join both consume the
-    // token stream; without this the tokenize chain runs twice.
+    // token stream; without this the tokenize chain runs twice. (r19: a
+    // fenced tight-loop tokens kernel was measured against this HOF form
+    // — interleaved min-of-6 parity, the stage is scan-dominated — so
+    // the codegen-composable Column form stays.)
     val toks = df.select(col(idCol).as("id"),
       explode(whitespaceTokens(col(textCol))).as("tok"))
       .localCheckpoint(true)

@@ -2929,13 +2929,20 @@ object QueryCatalog {
   private val q100 = QueryDef(
     "q100_label_centroids",
     (s, dir) => {
+      // Centroids as ONE label-keyed hash aggregate with 64 avg columns
+      // (the r17 semanticDedup shape, applied here in r19): the
+      // posexplode/(label, pos) formulation shuffled a dim-fold row
+      // stream and needed a second collect_list aggregation to
+      // reassemble. Same values averaged, order-insensitive after the
+      // 6-decimal round (the tolerance the cross-engine oracle already
+      // relies on).
+      val cavgs = (0 until 64).map(i =>
+        round(avg(col("embedding")(i).cast("double")), 6).as(s"__c$i"))
       val cent = graft.util.PlanBarrier.fence(T(s, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
         .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          s => s.getField("cv")).as("cvec")))
+        .agg(cavgs.head, cavgs.tail: _*)
+        .select(col("label"),
+          array((0 until 64).map(i => col(s"__c$i")): _*).as("cvec")))
         .localCheckpoint(true)
       val a = cent.select(col("label").cast("long").as("label_a"), col("cvec").as("va"))
       val b = cent.select(col("label").cast("long").as("label_b"), col("cvec").as("vb"))
@@ -3190,15 +3197,18 @@ object QueryCatalog {
       val emb = T(s, dir, "embeddings")
       val tagged = emb.select(col("vec_id"), col("embedding"),
         SimilarityFunctions.lshSignature(col("embedding"), 64, 4).as("cell"))
+      // One cell-keyed aggregate with 64 avg columns instead of the
+      // posexplode/(cell, pos) dim-fold (r19 — the r17 semanticDedup
+      // shape); same values after the 6-decimal round, one collect of
+      // (cells x 1) rows instead of (cells x 64).
+      val cavgs = (0 until 64).map(i =>
+        round(avg(col("embedding")(i).cast("double")), 6).as(s"__c$i"))
       val centroids: Map[Long, Array[Double]] = tagged
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("x").cast("double")), 6).as("cv"))
+        .groupBy(col("cell"))
+        .agg(cavgs.head, cavgs.tail: _*)
         .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        }
+        .map(r => r.getLong(0) -> Array.tabulate(64)(i => r.getDouble(i + 1)))
+        .toMap
       val idx = IvfPq.fromAssignments(tagged, "vec_id", "embedding", "cell",
         centroids, PqIndex.uniformCodebooks(-1.0, 1.0, dim = 64, m = 8, ksub = 16))
       val planes = SimilarityFunctions.lshPlanes(64, 4)
@@ -3600,15 +3610,18 @@ private val q114 = QueryDef(
       val batch = emb.where(col("vec_id") < 20)
       val tagged = corpus.select(col("vec_id"), col("embedding"),
         SimilarityFunctions.lshSignature(col("embedding"), 64, 4).as("cell"))
+      // One cell-keyed aggregate with 64 avg columns instead of the
+      // posexplode/(cell, pos) dim-fold (r19 — the r17 semanticDedup
+      // shape); same values after the 6-decimal round, one collect of
+      // (cells x 1) rows instead of (cells x 64).
+      val cavgs = (0 until 64).map(i =>
+        round(avg(col("embedding")(i).cast("double")), 6).as(s"__c$i"))
       val centroids: Map[Long, Array[Double]] = tagged
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("x").cast("double")), 6).as("cv"))
+        .groupBy(col("cell"))
+        .agg(cavgs.head, cavgs.tail: _*)
         .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        }
+        .map(r => r.getLong(0) -> Array.tabulate(64)(i => r.getDouble(i + 1)))
+        .toMap
       val cbs = PqIndex.uniformCodebooks(-1.0, 1.0, dim = 64, m = 8, ksub = 16)
       val idx = IvfPq.fromAssignments(tagged, "vec_id", "embedding", "cell",
         centroids, cbs)
