@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from the last ~2000 chars of
+// stdout. sbt's default LoggedOutput prefixes every forked-run line with
+// "[info] ", which both pads the line and defeats line-oriented JSON
+// parsers; StdoutOutput forwards the program's stdout verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

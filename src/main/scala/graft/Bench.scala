@@ -286,7 +286,24 @@ object Bench {
       }.mkString("[", ",", "]")
       s"""{"qmed":${f"$qMed%.3f"},"cal":${f"$calR%.3f"},"io":${f"$ioR%.3f"},"norm":${f"$norm%.3f"},"out":$outShort}"""
     }.getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_median":${f"$totalMedian%.3f"},"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"host_settling":$settling,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"cal_norm":${f"$calNormTotal%.1f"},"prev":$prevShort,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}""")
+    // Round 20 (verdict "What's wrong #1"): for two rounds the driver failed
+    // to parse this line (PERF all-null) even though it was printed — it
+    // arrived "[info]"-prefixed (fixed in build.sbt: run/outputStrategy =
+    // StdoutOutput) and at ~1911 chars sat at the very edge of the driver's
+    // ~2000-char stdout tail. The compact line now rounds everything that
+    // does not need full precision (value/pass_totals/cals; per-query values
+    // keep 3 decimals — full precision lives in BENCH_FULL.json), drops the
+    // errors/intermittent maps when empty, and is printed AFTER spark.stop()
+    // so it is the last stdout before sbt's epilogue. It also echoes whether
+    // SPARK_GRAFT_EXTRA_CONFS was set (verdict "What's wrong #5") so a
+    // record taken under side-door confs is self-describing.
+    val passTotalsShort = totalsOf(passes).map(t => f"$t%.2f").mkString("[", ",", "]")
+    val errPart =
+      (if (errors.nonEmpty) s""","errors":$errJson""" else "") +
+        (if (intermittent.nonEmpty) s""","intermittent":$interJson""" else "")
+    val extraConfs = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").exists(_.trim.nonEmpty)
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_median":${f"$totalMedian%.3f"},"failed":${errors.size}$errPart,"pass_totals":$passTotalsShort,"host_settling":$settling,"cpu_cal_sec":${f"$cal%.3f"},"io_cal_sec":${f"$ioCal%.3f"},"cal_norm":${f"$calNormTotal%.1f"},"extra_confs":$extraConfs,"prev":$prevShort,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }
