@@ -131,18 +131,22 @@ object Bench {
       .orElse(Some("/root/testdata/sf0.001").filter(d => new java.io.File(d).isDirectory))
       .foreach { warmDir =>
         SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
         }
         spark.catalog.clearCache()
       }
-    // FORCING CONVENTION: queries are forced with count(), the same
-    // convention as every prior round — the bench is a RELATIVE series
-    // (BENCH_rN vs BENCH_r(N-1) vs the driver's recorded curve), so the
-    // constant matters more than the absolute. Note count() lets
-    // Catalyst prune work past the last count-relevant node (final
-    // projections; unique-key left joins), so ABSOLUTE work claims come
-    // from graft.tools.ScaleCurve, which forces the exact physical plan
-    // via queryExecution.toRdd (see its time()).
+    // FORCING CONVENTION (changed round 20, guide §1.4 / r19 verdict
+    // "What's wrong #4"): queries are forced with the NOOP SINK
+    // (`df.write.format("noop")`), which computes every column of every
+    // row and discards it. Rounds 1-19 forced with count(), which lets
+    // Catalyst prune columns and whole subtrees — the q74 episode proved
+    // the map-only family's numbers measured a scan-count, not the
+    // operator. The switch re-baselines the series: the last
+    // count()-convention record is archived at
+    // plans/r20/BENCH_FULL_baseline_countconv.json (total 60.85 s on the
+    // same session window as the first noop baseline), and both records
+    // carry a "forcing" field so they are self-describing.
     // Failed queries are reported as NEGATIVE elapsed time plus an entry in
     // "errors", so a crash is never mistaken for a fast pass. Each query is
     // timed in THREE passes and the minimum is reported: host speed on this
@@ -161,7 +165,7 @@ object Bench {
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch {
             case e: Throwable =>
               errors(name) = e.getClass.getName
@@ -259,7 +263,7 @@ object Bench {
         s""""cal_norm_ratio":${f"$norm%.3f"},"compared":$n,""" +
         s""""outliers":$outJson}"""
     }.getOrElse("null")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMedian,"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"host_settling":$settling,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"cal_norm_total":${f"$calNormTotal%.3f"},"prev":$prevJson,"jvm":${jvmDiag()},"queries":$qs,"queries_median":$qsMedian,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","forcing":"noop","value_median":$totalMedian,"failed":${errors.size},"errors":$errJson,"intermittent":$interJson,"pass_totals":$passTotals,"host_settling":$settling,"cpu_cal_sec":$cal,"io_cal_sec":$ioCal,"cal_norm_total":${f"$calNormTotal%.3f"},"prev":$prevJson,"jvm":${jvmDiag()},"queries":$qs,"queries_median":$qsMedian,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
@@ -302,7 +306,7 @@ object Bench {
       (if (errors.nonEmpty) s""","errors":$errJson""" else "") +
         (if (intermittent.nonEmpty) s""","intermittent":$interJson""" else "")
     val extraConfs = sys.env.get("SPARK_GRAFT_EXTRA_CONFS").exists(_.trim.nonEmpty)
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_median":${f"$totalMedian%.3f"},"failed":${errors.size}$errPart,"pass_totals":$passTotalsShort,"host_settling":$settling,"cpu_cal_sec":${f"$cal%.3f"},"io_cal_sec":${f"$ioCal%.3f"},"cal_norm":${f"$calNormTotal%.1f"},"extra_confs":$extraConfs,"prev":$prevShort,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","forcing":"noop","value_median":${f"$totalMedian%.3f"},"failed":${errors.size}$errPart,"pass_totals":$passTotalsShort,"host_settling":$settling,"cpu_cal_sec":${f"$cal%.3f"},"io_cal_sec":${f"$ioCal%.3f"},"cal_norm":${f"$calNormTotal%.1f"},"extra_confs":$extraConfs,"prev":$prevShort,"queries_file":"BENCH_FULL.json","queries":$qsShort,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

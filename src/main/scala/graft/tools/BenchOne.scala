@@ -31,10 +31,16 @@ object BenchOne {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // forcing matches Bench: noop sink (r20 convention); SPARK_GRAFT_FORCE=count
+    // reproduces the pre-r20 count() convention for series comparisons
+    val countForce = sys.env.get("SPARK_GRAFT_FORCE").contains("count")
     QueryCatalog.all.filter(q => names.isEmpty || names(q.name)).foreach { q =>
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        val n = q.run(spark, sfDir).count()
+        val df = q.run(spark, sfDir)
+        val n =
+          if (countForce) df.count()
+          else { df.write.format("noop").mode("overwrite").save(); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         (sec, n)
       }
