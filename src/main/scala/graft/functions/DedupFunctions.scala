@@ -116,12 +116,15 @@ object DedupFunctions {
         Kernels.shingleMinhash(TextFunctions.whitespaceTokens(col(textCol)),
           shingleSize, as, bs, MinhashPrime).as("ss"))
       .select(col("id"), col("ss._1").as("sh"), col("ss._2").as("sig")))
-    // Eager RDD-level materialization: computed once, consumed by banding
-    // and twice by verification. localCheckpoint stores plain rows (no
-    // columnar cache encode/decode, which dominates for long-array columns)
-    // and truncates lineage. At cluster scale the equivalent move is
-    // staging signatures to a table; executor loss replays from there.
-    val cachedSig = withSig.localCheckpoint(true)
+    // LAZY RDD-level materialization (r20 — measured: an eager checkpoint
+    // is a whole extra job whose persist pass costs more than riding the
+    // first consumer; blocks dedup concurrent computes): computed once,
+    // consumed by banding and twice by verification. localCheckpoint
+    // stores plain rows (no columnar cache encode/decode, which dominates
+    // for long-array columns) and truncates lineage. At cluster scale the
+    // equivalent move is staging signatures to a table; executor loss
+    // replays from there.
+    val cachedSig = withSig.localCheckpoint(false)
     val banded = cachedSig
       .select(col("id"), explode(lshBands(col("sig"), numHashes, numBands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -660,7 +663,11 @@ object DedupFunctions {
       minRepeat: Int = 2,
       topN: Int = 20): DataFrame = {
     val perKey = topSpanAggregate(df, idCol, textCol, k, minRepeat)
-      .localCheckpoint(true) // narrow; feeds the threshold AND the winners
+      // narrow; feeds the threshold AND the winners. LAZY (r20): the
+      // threshold TakeOrdered below is the first action and materializes
+      // the blocks in the same job an eager checkpoint would have spent
+      // on a dedicated pass.
+      .localCheckpoint(false)
     // Nth-largest n_occ: TakeOrdered keeps topN narrow rows per
     // partition and the driver sees ONE row (the capped-collect
     // pattern). min over the topN prefix == the rank-N value, so
@@ -1179,9 +1186,13 @@ object DedupFunctions {
     // The one corpus-text materialization. (No pre-partitioning: a
     // localCheckpoint's LogicalRDD does not advertise outputPartitioning,
     // so an up-front repartition(id) would be a pure extra text exchange
-    // — verified on the executed join plan.)
+    // — verified on the executed join plan.) LAZY (r20): stage 1's
+    // windows are the first consumer, so the text blocks materialize
+    // inside stage 1's stats job instead of a dedicated checkpoint job —
+    // at gate scale the cascade is job-count-bound (q112 ratio ~1 at 8
+    // vs 32 cores) and this removes one of its fixed jobs.
     val based = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val adaptiveOff = adaptivePartitionsOff(spark)
     // Compressed-calibration bytes for the window sizing: the input's
     // own plan stats when usable (parquet-compressed — what
@@ -1190,10 +1201,13 @@ object DedupFunctions {
     // ratio. Token estimates derive from the same figure (~2 compressed
     // bytes per token — see SpanKeyExpansion's scaladoc); the decay only
     // needs order-of-magnitude.
+    // (r20: the fallback reads the INPUT lineage's checkpointed leaves —
+    // the curation-chain case the r18 fix targeted — because `based` is
+    // now lazily checkpointed and has no blocks until stage 1 runs.)
     val dfStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val baseBytes: BigInt =
       if (dfStats > 0 && dfStats <= BigInt(1L << 50)) dfStats
-      else fingerprintSourceBytes(based) / 4
+      else fingerprintSourceBytes(df) / 4
     var acc: DataFrame = null
     var droppedTokens = 0L
     var accRows = 0L
@@ -1250,9 +1264,13 @@ object DedupFunctions {
           when(col("starts").isNull, col("__st"))
             .when(col("__st").isNull, array(col("starts")))
             .otherwise(concat(col("__st"), array(col("starts")))).as("__st")))
-        .localCheckpoint(true)
-      // one narrow job over the just-materialized checkpoint feeds the
-      // broadcast-vs-shuffle choice AND the next stage's sizing decay
+        // LAZY (r20): the stats aggregate below is the stage's first
+        // action, so it materializes the drop accumulator's blocks AND
+        // delivers the budget numbers in ONE job — the eager form paid a
+        // dedicated checkpoint job plus the aggregate per stage.
+        .localCheckpoint(false)
+      // one narrow job that BOTH materializes the stage checkpoint and
+      // feeds the broadcast-vs-shuffle choice + the next stage's sizing decay
       val r = acc.agg(count(lit(1)), sum(size(flatten(col("__st"))))).collect()(0)
       accRows = r.getLong(0)
       droppedTokens = if (r.isNullAt(1)) 0L else r.getLong(1)

@@ -82,7 +82,9 @@ final class MinhashIndex private (
   def checkBatch(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Stage signatures once: the band probe and the verification join both
     // read this checkpoint instead of re-shingling the batch text.
-    val sigs = signed(batch, idCol, textCol).localCheckpoint()
+    // lazy (r20): the band-probe broadcast build is the first action and
+    // materializes the signature blocks in the same job
+    val sigs = signed(batch, idCol, textCol).localCheckpoint(false)
     val keys = banded(sigs)
       .select(col("id").as("batch_id"), col("band"), col("bucket"))
     val idx = spark(batch).read.parquet(location)

@@ -346,7 +346,9 @@ object SimilarityFunctions {
     // and the two verify sides each re-scan the source — or re-execute a
     // computed upstream pipeline — four times.
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val base = if (numBits > 0) base0 else base0.localCheckpoint(true)
+    // lazy (r20): the width-deriving count below is the first action and
+    // materializes the projection in the same job
+    val base = if (numBits > 0) base0 else base0.localCheckpoint(false)
     val (rows, bands) =
       if (numBits > 0) (numBits / numBands, numBands)
       else {
@@ -441,7 +443,10 @@ object SimilarityFunctions {
     // signature UDF would re-project per branch.
     val members = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), dim, numBits).as("cell"))
-      .localCheckpoint(true)
+      // lazy (r20): all five branches live in the consumer's plan; the
+      // first action (typically the centroid broadcast build) materializes
+      // the blocks — concurrent block computes dedup via the block manager
+      .localCheckpoint(false)
     // Centroids as ONE cell-keyed hash aggregate with `dim` avg columns
     // (all built-in, codegen, map-side combinable): the previous
     // posexplode/(cell, pos) formulation shuffled a dim-fold row stream
@@ -472,7 +477,7 @@ object SimilarityFunctions {
       .select(col("id"), col("cell"),
         round(dot(col("vec"), col("cvec")) /
           (l2Norm(col("vec")) * l2Norm(col("cvec"))), 6).as("centroid_sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy (r20): same job-fusion argument as members
     // Cells larger than maxCellSize are skipped ENTIRELY (all members
     // kept, none compared) — a recall loss, so it is observable the same
     // way the other bounded-bucket generators report theirs: singleton

@@ -128,14 +128,17 @@ object TextFunctions {
       idCol: String,
       textCol: String,
       roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
-    // Materialized: the count build and the score join both consume the
-    // token stream; without this the tokenize chain runs twice. (r19: a
-    // fenced tight-loop tokens kernel was measured against this HOF form
-    // — interleaved min-of-6 parity, the stage is scan-dominated — so
-    // the codegen-composable Column form stays.)
+    // Materialized LAZILY (r20): the count build and the score join both
+    // consume the token stream; without the checkpoint the tokenize chain
+    // runs twice, and with an EAGER one the materialization was a whole
+    // extra job — the corpus-total aggregate below is the first action
+    // and persists the blocks in the same pass. (r19: a fenced tight-loop
+    // tokens kernel was measured against this HOF form — interleaved
+    // min-of-6 parity, the stage is scan-dominated — so the
+    // codegen-composable Column form stays.)
     val toks = df.select(col(idCol).as("id"),
       explode(whitespaceTokens(col(textCol))).as("tok"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val n = counts.agg(sum(col("c"))).head().getLong(0).toDouble
     toks.join(counts, "tok")
@@ -173,7 +176,10 @@ object TextFunctions {
           Kernels.bigramPairs(col(textCol)).as("ps")))
       .select(col("id"), explode(col("ps")).as("p"))
       .select(col("id"), col("p._1").as("w1"), col("p._2").as("w2"))
-      .localCheckpoint(true)
+      // lazy (r20): both the count build and the score join live in the
+      // consumer's one plan — the first action materializes the pair
+      // blocks without the eager form's dedicated checkpoint job
+      .localCheckpoint(false)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -267,13 +273,21 @@ object TextFunctions {
       sourceCol: String,
       textCol: String,
       roundTo: Int = 4): org.apache.spark.sql.DataFrame = {
+    // Staged (r20): the (source, token) grid feeds the corpus marginal,
+    // the per-source totals, the scalar total AND the score join — four
+    // consumers that each re-ran the tokenize+explode+aggregate chain
+    // (exchange reuse only dedupes within one physical plan, and the
+    // scalar total is its own job). Lazy checkpoint: the scalar-total job
+    // below materializes the grid once; every later consumer reads the
+    // blocks.
     val st = df.select(col(sourceCol).as("source"),
         explode(whitespaceTokens(col(textCol))).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("cs"))
+      .localCheckpoint(false)
     val corpus = st.groupBy(col("tok")).agg(sum(col("cs")).as("cc"))
     val totals = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
-    val n = corpus.agg(sum(col("cc"))).head().getLong(0).toDouble
+    val n = st.agg(sum(col("cs"))).head().getLong(0).toDouble
     st.join(corpus, Seq("tok")).join(totals, Seq("source"))
       .select(col("source"), col("ns"),
         ((col("cs").cast("double") / col("ns")) *
@@ -332,7 +346,9 @@ object TextFunctions {
       .select(col("id"), col("is_tgt"), explode(col("__bs")).as("bucket"))
       .groupBy(col("id"), col("is_tgt"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      // lazy (r20): the corpus-totals aggregate below is the first action
+      // and materializes the grid blocks in the same job
+      .localCheckpoint(false)
     val dist = grid.groupBy(col("bucket")).agg(
       sum(col("n")).as("cr"),
       sum(when(col("is_tgt"), col("n")).otherwise(lit(0L))).as("ct"))

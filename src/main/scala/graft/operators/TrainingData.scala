@@ -442,7 +442,9 @@ object TrainingData {
     // pass into a small rollup of the staged grid (r19; guide §2.3
     // "aggregate before you shuffle" + §5 lineage truncation).
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      // lazy (r20): both consumers live in the final plan — the first
+      // action materializes the grid without a dedicated checkpoint job
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
       .withColumn("score", col("tf") * nDocs / col("df"))

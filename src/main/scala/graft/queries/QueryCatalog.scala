@@ -1105,10 +1105,19 @@ object QueryCatalog {
 
   private val q42 = QueryDef(
     "q42_quantiles",
-    (s, dir) => T(s, dir, "lineitem").agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99")),
+    // ONE array-percentile aggregate instead of three scalar ones (r20):
+    // exact `percentile` is an ObjectAggregate whose buffer is a hash map
+    // of every distinct value — three separate calls built, serialized
+    // and merged three copies of that map (the suite's slowest query once
+    // the bench stopped count()-pruning it: 6.2 s). The array form
+    // computes all three ranks from one map; identical interpolation,
+    // identical values (oracle hash-verified).
+    (s, dir) => T(s, dir, "lineitem")
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("__ps"))
+      .select(
+        round(col("__ps")(0), 2).as("p50"),
+        round(col("__ps")(1), 2).as("p90"),
+        round(col("__ps")(2), 2).as("p99")),
     Some("""
       SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
@@ -2080,7 +2089,10 @@ object QueryCatalog {
       val qualified = flags
         .where(col("passes_gopher") && col("distinct_word_ratio") >= 0.35)
         .select("doc_id", "text")
-        .localCheckpoint()
+        // lazy (r20): every consumer (contamination, clean join, dedup,
+        // packing) lives in the one final plan — the first action
+        // materializes the qualified corpus without a dedicated job
+        .localCheckpoint(false)
       val cont = graft.operators.TrainingData.contamination(
         qualified, bench, "doc_id", "text", n = 3)
       val clean = qualified.join(
@@ -2858,7 +2870,9 @@ object QueryCatalog {
       // join and the sampling stage — without this the dedup window
       // re-runs per consumer.
       val surv = DedupFunctions.dedupExact(docs, Seq("text"), Seq(col("doc_id")))
-        .localCheckpoint(true)
+        // lazy (r20): the LM build's corpus-total job is the first action
+        // and materializes the survivor blocks in the same pass
+        .localCheckpoint(false)
       val keep = TextFunctions.perplexityBuckets(surv, "doc_id", "lang", "text")
         .where(col("bucket") <= 2).select(col("id").as("doc_id"))
       val filtered = surv.join(keep, Seq("doc_id"))
@@ -2943,7 +2957,9 @@ object QueryCatalog {
         .agg(cavgs.head, cavgs.tail: _*)
         .select(col("label"),
           array((0 until 64).map(i => col(s"__c$i")): _*).as("cvec")))
-        .localCheckpoint(true)
+        // lazy (r20): the self-join's broadcast build is the first action
+        // and materializes the centroid table in the same job
+        .localCheckpoint(false)
       val a = cent.select(col("label").cast("long").as("label_a"), col("cvec").as("va"))
       val b = cent.select(col("label").cast("long").as("label_b"), col("cvec").as("vb"))
       a.join(b, col("label_a") < col("label_b"))

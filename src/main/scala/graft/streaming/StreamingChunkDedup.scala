@@ -47,11 +47,14 @@ object StreamingChunkDedup {
     // contradicting granularity here too, not only on the ACON route —
     // the drift silently misses every duplicate
     graft.functions.ChunkIndex.validate(indexPath, chunkTokens)
-    val b = batch.localCheckpoint() // bounded; avoids re-running the source
+    // lazy stage checkpoints (r20) — same single materialization per
+    // stage (at the sink write), minus one dedicated job per checkpoint;
+    // see StreamingPqIngest.ingestBatch
+    val b = batch.localCheckpoint(false) // bounded; avoids re-running the source
     val index = b.sparkSession.read.parquet(indexPath)
     val survivors = DedupFunctions.chunkDedupAgainstIndex(
         b, index, idCol, textCol, chunkTokens)
-      .localCheckpoint() // the sink write and the index append read this
+      .localCheckpoint(false) // the sink write and the index append read this
     sink(survivors)
     if (append)
       DedupFunctions.appendToChunkIndex(

@@ -68,20 +68,23 @@ object StreamingDedup {
       batch: DataFrame, idCol: String, textCol: String,
       index: MinhashIndex, sink: DataFrame => Unit,
       append: Boolean = true): DataFrame = {
-    val b = batch.localCheckpoint() // bounded; avoids re-running the source
+    // Lazy stage checkpoints (r20) — same single materialization per
+    // stage (at the sink write), minus one dedicated job per checkpoint;
+    // see StreamingPqIngest.ingestBatch.
+    val b = batch.localCheckpoint(false) // bounded; avoids re-running the source
     val vsCorpus = index.checkBatch(b, idCol, textCol)
       .select(col("batch_id").as(idCol)).distinct()
     // Checkpointed: the within-batch pass, the survivor anti-join and the
     // index append all read this instead of re-probing the index.
     val freshVsCorpus = b.join(vsCorpus, Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val innerDups = DedupFunctions.minhashNearDuplicates(
         freshVsCorpus, idCol, textCol,
         shingleSize = index.shingleSize, numHashes = index.numHashes,
         numBands = index.numBands, threshold = index.threshold)
       .select(col("id_b").as(idCol)).distinct() // keep-lowest-id
     val survivors = freshVsCorpus.join(innerDups, Seq(idCol), "left_anti")
-      .localCheckpoint() // the sink write and the caller read this
+      .localCheckpoint(false) // the sink write and the caller read this
     sink(survivors)
     if (append) index.append(freshVsCorpus, idCol, textCol)
     survivors

@@ -48,7 +48,13 @@ object StreamingPqIngest {
       dedupMaxDist: Option[Double] = None,
       nProbe: Int = 4,
       append: Boolean = true): (DataFrame, IvfPqIndex) = {
-    val b = batch.localCheckpoint()
+    // All three stage checkpoints are LAZY (r20): each still materializes
+    // exactly once — at its first consuming action (ultimately the sink
+    // write) — and later consumers (the index append, the caller) read
+    // the persisted blocks, so the replay contract is unchanged; what
+    // disappears is the dedicated materialization job each eager
+    // checkpoint paid per micro-batch (3 jobs at gate scale).
+    val b = batch.localCheckpoint(false)
     val fresh = if (!dedup) b else {
       val tagged = b
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
@@ -60,7 +66,7 @@ object StreamingPqIngest {
       val encoded = graft.functions.PqIndex
         .encode(tagged, "id", "res", index.codebooks)
         .join(tagged.select(col("id"), col("cell")), Seq("id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val storeDups = encoded
         .join(index.codes.select(col("cell"), col("codes")),
           Seq("cell", "codes"), "left_semi")
@@ -81,7 +87,7 @@ object StreamingPqIngest {
         .where(col("rn") === 1)
         .select(col("id").as("__keep_id"))
       b.join(keep, b(idCol).cast("long") === col("__keep_id"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     sink(fresh)
     val next =

@@ -31,7 +31,10 @@ object StreamingVectorIngest {
       dedupThreshold: Option[Double] = None,
       nProbe: Int = 4,
       append: Boolean = true): (DataFrame, IvfIndex) = {
-    val b = batch.localCheckpoint()
+    // Lazy stage checkpoints (r20) — same contract, same single
+    // materialization per stage (at the sink write), minus one dedicated
+    // job per checkpoint; see StreamingPqIngest.ingestBatch.
+    val b = batch.localCheckpoint(false)
     val fresh = dedupThreshold match {
       case None => b
       case Some(t) =>
@@ -41,14 +44,14 @@ object StreamingVectorIngest {
         // checkpoint: the within-batch pass references this subtree four
         // times (cell tagging, both vector joins, the final anti-join) —
         // without the cut each reference re-runs the index probe/search.
-        val freshVsIndex = b.join(dups, Seq(idCol), "left_anti").localCheckpoint()
+        val freshVsIndex = b.join(dups, Seq(idCol), "left_anti").localCheckpoint(false)
         // within-batch pass: near-dup vectors arriving in the SAME
         // micro-batch must not all survive; keep-lowest-id like
         // StreamingDedup (drop id_b of each verified pair).
         val innerDups = index
           .batchNearDuplicates(freshVsIndex, idCol, vecCol, t, nProbe)
           .select(col("id_b").as(idCol)).distinct()
-        freshVsIndex.join(innerDups, Seq(idCol), "left_anti").localCheckpoint()
+        freshVsIndex.join(innerDups, Seq(idCol), "left_anti").localCheckpoint(false)
     }
     sink(fresh)
     val next =
