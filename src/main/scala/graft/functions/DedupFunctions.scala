@@ -254,9 +254,30 @@ object DedupFunctions {
       dropObservation: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val cands = simhashNearDuplicates(df, idCol, textCol,
       simhashMaxDistance, maxBucketSize, dropObservation)
-    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
-    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
-    cands.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+    // Attach text ONCE (r20, guide §8): the two id-keyed joins scanned the
+    // corpus twice and the planner broadcast the ENTIRE text table for the
+    // second join — workable at gate scale, corpus-sized broadcast at 100
+    // TB. Explode each candidate pair into its two (pair, side, id) rows,
+    // meet the corpus in one join (candidate side broadcasts; the corpus
+    // streams), and regroup — exactly one corpus scan, and the only text
+    // movement is the matched candidates' rows through one narrow
+    // exchange. Then the exact Levenshtein lower bound |len_a - len_b|
+    // (every edit changes the length by at most 1) prunes candidates
+    // BEFORE the O(len^2) verify — §3 "cheap predicate before expensive
+    // verify"; rows with the length gap over maxEdits can never pass the
+    // edits filter, so the result set is identical.
+    val sides = cands.select(col("id_a"), col("id_b"), col("hamming"),
+      explode(array(
+        struct(lit(0).as("side"), col("id_a").as("id")),
+        struct(lit(1).as("side"), col("id_b").as("id")))).as("s"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("s.side").as("side"), col("s.id").as("id"))
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    sides.join(txt, Seq("id"))
+      .groupBy(col("id_a"), col("id_b"), col("hamming"))
+      .agg(max(when(col("side") === 0, col("__t"))).as("text_a"),
+        max(when(col("side") === 1, col("__t"))).as("text_b"))
+      .where(abs(length(col("text_a")) - length(col("text_b"))) <= maxEdits)
       .select(col("id_a"), col("id_b"), col("hamming"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("edits"))
       .where(col("edits") <= maxEdits)

@@ -3211,8 +3211,13 @@ object QueryCatalog {
     (s, dir) => {
       import graft.functions.{IvfPq, PqIndex, SimilarityFunctions}
       val emb = T(s, dir, "embeddings")
+      // Staged lazily (r20): the centroid collect below is the first
+      // action and materializes (id, vec, cell) once; without the
+      // checkpoint the scan + signature UDF re-ran in the collect AND in
+      // the search query's code-build branches.
       val tagged = emb.select(col("vec_id"), col("embedding"),
         SimilarityFunctions.lshSignature(col("embedding"), 64, 4).as("cell"))
+        .localCheckpoint(false)
       // One cell-keyed aggregate with 64 avg columns instead of the
       // posexplode/(cell, pos) dim-fold (r19 — the r17 semanticDedup
       // shape); same values after the 6-decimal round, one collect of
@@ -3624,8 +3629,11 @@ private val q114 = QueryDef(
       val emb = T(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") >= 20)
       val batch = emb.where(col("vec_id") < 20)
+      // staged lazily (r20): same argument as q108 — the centroid collect
+      // materializes the tagged corpus once for the store build
       val tagged = corpus.select(col("vec_id"), col("embedding"),
         SimilarityFunctions.lshSignature(col("embedding"), 64, 4).as("cell"))
+        .localCheckpoint(false)
       // One cell-keyed aggregate with 64 avg columns instead of the
       // posexplode/(cell, pos) dim-fold (r19 — the r17 semanticDedup
       // shape); same values after the 6-decimal round, one collect of

@@ -706,6 +706,44 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(locB).select("id", "cell", "codes"))
   }
 
+  test("ingestBatch replay contract: a re-submitted batch drains to empty, store unchanged") {
+    // r20 (verdict item): the stage checkpoints inside ingestBatch went
+    // LAZY — this pins the replay idempotence they guard. An ingested
+    // batch re-submitted against the extended store must produce ZERO
+    // fresh rows (every vector is store-quantization-identical to its own
+    // appended entry) and re-appending the empty set must leave the store
+    // row multiset unchanged — the at-least-once replay fixpoint.
+    import spark.implicits._
+    def v(xs: Float*): Seq[Float] = xs.toSeq
+    val cents: Map[Long, Array[Double]] = Map(
+      0L -> Array(0.0, 0.0, 0.0, 0.0), 1L -> Array(10.0, 10.0, 10.0, 10.0))
+    val cbs = graft.functions.PqIndex.uniformCodebooks(-1.0, 1.0, dim = 4, m = 2, ksub = 8)
+    val corpus = Seq((1L, v(0.75f, 0f, 0.25f, 0f)), (2L, v(-0.75f, -1f, 0.75f, 1f)))
+      .toDF("vec_id", "embedding")
+    val idxLoc = tmpDir("spq-replay") + "/index"
+    val idx0 = graft.functions.IvfPq.fromAssignments(
+        corpus.withColumn("cell", lit(0L)), "vec_id", "embedding", "cell",
+        cents, cbs)
+      .persisted(idxLoc)
+    val batch = Seq((10L, v(0.6f, 0.65f, -0.8f, -0.95f)),
+      (11L, v(-0.6f, -0.65f, -0.2f, -0.05f))).toDF("vec_id", "embedding")
+    var sunk = 0L
+    val (fresh1, idx1) = graft.streaming.StreamingPqIngest.ingestBatch(
+      batch, "vec_id", "embedding", idx0, idxLoc,
+      sink = df => sunk = df.count(), dedup = true)
+    assert(fresh1.count() == 2 && sunk == 2)
+    val storeAfter1 = spark.read.parquet(idxLoc)
+      .select("id", "cell", "codes").collect().sortBy(_.getLong(0)).toSeq
+    // replay the SAME batch against the extended store
+    val (fresh2, _) = graft.streaming.StreamingPqIngest.ingestBatch(
+      batch, "vec_id", "embedding", idx1, idxLoc,
+      sink = df => sunk = df.count(), dedup = true)
+    assert(fresh2.isEmpty && sunk == 0)
+    val storeAfter2 = spark.read.parquet(idxLoc)
+      .select("id", "cell", "codes").collect().sortBy(_.getLong(0)).toSeq
+    assert(storeAfter1 == storeAfter2)
+  }
+
   test("ACON-driven streaming chunk dedup: config-only e2e incl. a composed transformer") {
     // Round 18: the streaming ingest faces are ACON-addressable — this is
     // the reference-style config-only user driving StreamingChunkDedup
