@@ -6,82 +6,65 @@ import org.apache.spark.sql.functions._
   * freely for ad-hoc measurements; keep `graft.tools.BenchOne` /
   * `graft.tools.PlanAudit` for repeatable timing / plan evidence.
   *
-  * r20 experiment: semantics + job-count check for LAZY localCheckpoint
-  * (eager=false) — the candidate systematic change of the round. Verify
-  * that (a) the checkpoint materializes ONCE on the first action even
-  * when the first consumer's plan references it several times, (b) later
-  * consumers read the persisted blocks (no recompute), and (c) the job
-  * count drops by one per checkpoint vs the eager form. */
+  * r20 experiment #2 (verdict item 4): the q108/q113/q100 centroid
+  * rewrite (ONE cell-keyed aggregate with 64 avg columns, r19) was
+  * adopted on structure + the r17 1M-vector measurement but never
+  * re-measured at volume in its committed form. A/B both shapes on the
+  * x2000 scaled embeddings corpus (10M vectors): old = posexplode into a
+  * (cell, pos) dim-fold row stream, aggregate, reassemble + collect
+  * cells x 64 rows; new = one aggregate, collect cells x 1 rows.
+  * (r20 experiment #1 — lazy localCheckpoint semantics/job-count — is
+  * recorded in OPTIMIZATION_r20.md; values identical, jobs -1/site.)
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.exec.ExecEnv.getOrCreate("scratch", Some("local[32]"),
       Map("spark.sql.shuffle.partitions" -> "32", "spark.ui.enabled" -> "false"))
-    val sc = spark.sparkContext
-    val dir = "/root/testdata/sf0.1"
-    def docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.count()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_DIR",
+      "/tmp/graft-scale-r20/x2000")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    println(s"[scratch] corpus rows=${emb.count()}")
+    val tagged = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.SimilarityFunctions
+        .lshSignature(col("embedding"), 64, 4).as("cell"))
+      .localCheckpoint(false)
+    tagged.write.format("noop").mode("overwrite").save() // materialize outside the A/B
 
-    // track jobs via a listener
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
-    })
-    def countJobs(tag: String)(body: => Unit): Unit = {
-      Thread.sleep(200); jobs.set(0)
-      val t0 = System.nanoTime()
-      body
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let listener drain
-      println(f"[scratch] $tag: jobs=${jobs.get()} wall=$dt%.3fs")
+    def time(tag: String, n: Int = 3)(body: () => Unit): Unit = {
+      val runs = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        body()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] $tag min=${runs.min}%.3fs runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
 
-    // a mildly expensive upstream: tokenize + explode + agg
-    def grid = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
-
-    // EAGER: checkpoint job + stats job + consumer job = 3
-    countJobs("eager: ckpt + stats + 3-ref consumer") {
-      val g = grid.localCheckpoint(true)
-      val n = g.agg(sum(col("n"))).head().getLong(0)
-      val c2 = g.groupBy(col("tok")).agg(sum(col("n")).as("c"))
-      val out = g.join(c2, Seq("tok")).groupBy(col("doc_id"))
-        .agg(sum(col("c") * col("n")).as("s"), sum(lit(n)).as("t"))
-      out.write.format("noop").mode("overwrite").save()
+    // NEW shape (committed): one cell-keyed aggregate, 64 avg columns
+    time("centroids_new_64avg") { () =>
+      val cavgs = (0 until 64).map(i =>
+        round(avg(col("embedding")(i).cast("double")), 6).as(s"__c$i"))
+      val m = tagged.groupBy(col("cell")).agg(cavgs.head, cavgs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> Array.tabulate(64)(i => r.getDouble(i + 1)))
+        .toMap
+      println(s"  cells=${m.size}")
     }
 
-    // LAZY: stats job (materializes) + consumer job = 2
-    countJobs("lazy:  stats(materializes) + 3-ref consumer") {
-      val g = grid.localCheckpoint(false)
-      val n = g.agg(sum(col("n"))).head().getLong(0)
-      val c2 = g.groupBy(col("tok")).agg(sum(col("n")).as("c"))
-      val out = g.join(c2, Seq("tok")).groupBy(col("doc_id"))
-        .agg(sum(col("c") * col("n")).as("s"), sum(lit(n)).as("t"))
-      out.write.format("noop").mode("overwrite").save()
+    // OLD shape (pre-r19): posexplode dim-fold + (cell, pos) aggregate,
+    // collect cells x 64 rows and reassemble on the driver
+    time("centroids_old_dimfold") { () =>
+      val rows = tagged
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .collect()
+      val m = rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+        val arr = new Array[Double](64)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        c -> arr
+      }
+      println(s"  cells=${m.size}")
     }
-
-    // LAZY with the FIRST action being the multi-reference consumer:
-    // does the upstream run once (blocks) or three times?
-    countJobs("lazy:  3-ref consumer only (no stats job)") {
-      val g = grid.localCheckpoint(false)
-      val c2 = g.groupBy(col("tok")).agg(sum(col("n")).as("c"))
-      val out = g.join(c2, Seq("tok")).groupBy(col("doc_id"))
-        .agg(sum(col("c") * col("n")).as("s"))
-      out.write.format("noop").mode("overwrite").save()
-    }
-    // value check: lazy == eager rows
-    val gE = grid.localCheckpoint(true)
-    val gL = grid.localCheckpoint(false)
-    val a = gE.agg(sum(col("n")), count(lit(1))).head()
-    val b = gL.agg(sum(col("n")), count(lit(1))).head()
-    println(s"[scratch] values eager=$a lazy=$b equal=${a == b}")
-    // block-manager visibility after lazy materialization (the cascade's
-    // fingerprintSourceBytes fallback reads this)
-    val info = sc.getRDDStorageInfo.map(i =>
-      (i.id, i.numCachedPartitions, i.memSize)).mkString("; ")
-    println(s"[scratch] storage: $info")
     spark.stop()
   }
 }
